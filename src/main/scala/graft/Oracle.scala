@@ -1,0 +1,48 @@
+package graft
+
+/** DuckDB-dialect SQL fragments shared by every oracle query.
+  *
+  * The driver re-executes [[SparkEntry.oracleSql]] in DuckDB over the same
+  * parquet files (registered as views named after the tables) and
+  * hash-compares against the Spark result. These CTEs replay the
+  * [[Tables.candles]] / [[Tables.metrics5m]] derivations exactly:
+  * `epoch(date_trunc(...))` on DuckDB's nanosecond timestamps equals Spark's
+  * integral `ts DIV 60e9 * 60` on the raw nanosecond longs.
+  */
+object Oracle {
+  val CANDLES: String =
+    """candles AS (
+      |  SELECT printf('S%04d', user_id) AS symbol,
+      |         CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+      |         min_by(value, event_id) AS open,
+      |         max(value) AS high,
+      |         min(value) AS low,
+      |         max_by(value, event_id) AS close,
+      |         sum(value) AS volume,
+      |         sum(value * value) AS quote_volume,
+      |         count(*) AS trade_count,
+      |         sum(CASE WHEN event_id % 2 = 0 THEN value ELSE 0.0 END) AS taker_buy_volume
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  val METRICS: String =
+    """metrics AS (
+      |  SELECT printf('S%04d', user_id) AS symbol,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 300 * 300 AS create_time,
+      |         sum(value) AS sum_open_interest,
+      |         sum(value * value) AS sum_open_interest_value,
+      |         CAST(count(*) AS DOUBLE) AS count_toptrader_long_short_ratio,
+      |         sum(1.0 + ((value % 7) - 3.0) / 10) AS sum_toptrader_long_short_ratio,
+      |         CAST(count(*) AS DOUBLE) AS count_long_short_ratio,
+      |         sum(1.0 + ((value % 5) - 2.0) / 10) AS sum_taker_long_short_vol_ratio
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Prepend the candle CTE: `withCandles("SELECT ... FROM candles ...")`. */
+  def withCandles(sql: String): String = s"WITH $CANDLES\n$sql"
+
+  def withCandlesAndMetrics(sql: String): String =
+    s"WITH $CANDLES,\n$METRICS\n$sql"
+
+  def withMetrics(sql: String): String = s"WITH $METRICS\n$sql"
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical table access for the graft engine.
+  *
+  * Physical layout contract (designed for ~100 TB):
+  *  - fact tables (`candles_1m`-shaped) are date-partitioned parquet, sorted
+  *    within partitions by (symbol, bucket_ts) so min/max stats give
+  *    symbol+time skipping (mirrors the reference's Timescale chunking and
+  *    compression `segmentby='exchange,symbol' orderby='bucket_ts'`,
+  *    reference libs/database/db/schema/001_timescaledb.sql:37-47).
+  *  - dimension tables are small and always broadcast.
+  *
+  * Time representation: epoch **seconds** as LongType everywhere. The driver
+  * testdata's `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 only
+  * reads under `spark.sql.legacy.parquet.nanosAsLong=true` (a Long of
+  * nanoseconds); integral `DIV` bucketing on it is exact, timezone-free, and
+  * reproduces DuckDB's `date_trunc` on the same file bit-for-bit.
+  *
+  * For the driver testdata the candle/metrics facts are derived
+  * deterministically from `events` (FIXTURES.md §1-2): one pseudo-symbol per
+  * user_id, `value` doubles as price. The derivation is plain relational
+  * algebra, so the DuckDB oracle replays it verbatim ([[Oracle.CANDLES]]).
+  */
+object Tables {
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** 1-minute candle fact derived from `events`.
+    *
+    * Reference schema: candles_1m (001_timescaledb.sql:9-28). Columns kept
+    * double — the reference's compute layer downcasts NUMERIC(38,12) to
+    * float64 at the operator boundary (trading-service/src/db/reader.py:203).
+    *
+    * Scale note: one hash-aggregate whose shuffle key (symbol, minute) is the
+    * table's natural clustering; partial aggregation runs map-side, and the
+    * result can be persisted bucketed by symbol for reuse by every
+    * downstream per-symbol window operator without further shuffles.
+    */
+  def candles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        format_string("S%04d", col("user_id")).as("symbol"),
+        (expr("ts DIV 60000000000") * 60).as("bucket_ts"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        sum(col("value")).as("volume"),
+        sum(col("value") * col("value")).as("quote_volume"),
+        count(lit(1)).as("trade_count"),
+        sum(when(col("event_id") % 2 === 0, col("value")).otherwise(lit(0.0)))
+          .as("taker_buy_volume"))
+
+  /** 5-minute futures-sentiment fact derived from `events`
+    * (reference: binance_futures_metrics_5m, 005_metrics_5m.sql:5-23).
+    * Ratio sums walk around 1.0 so deviation/flip/streak operators see both
+    * signs (FIXTURES.md §2).
+    */
+  def metrics5m(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        format_string("S%04d", col("user_id")).as("symbol"),
+        (expr("ts DIV 300000000000") * 300).as("create_time"))
+      .agg(
+        sum(col("value")).as("sum_open_interest"),
+        sum(col("value") * col("value")).as("sum_open_interest_value"),
+        count(lit(1)).cast("double").as("count_toptrader_long_short_ratio"),
+        sum(lit(1.0) + ((col("value") % 7) - lit(3.0)) / 10)
+          .as("sum_toptrader_long_short_ratio"),
+        count(lit(1)).cast("double").as("count_long_short_ratio"),
+        sum(lit(1.0) + ((col("value") % 5) - lit(2.0)) / 10)
+          .as("sum_taker_long_short_vol_ratio"))
+}

@@ -1,0 +1,320 @@
+package graft.operators
+
+import graft.{Oracle, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface the reference actually executes
+  * (SURVEY.md §2.2, R1–R17), restated as Catalyst-optimizable DataFrame
+  * plans. Every query here has a DuckDB oracle.
+  */
+object Relational {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def candles(s: SparkSession, dir: String) = Tables.candles(s, dir)
+
+  /** R1 — scan + predicate + projection. Filter and projection sit directly
+    * above the aggregation; on a persisted candle table both push into the
+    * parquet scan (partition pruning on the date, min/max skipping on
+    * symbol).
+    */
+  private val r01: Q = (s, dir) =>
+    candles(s, dir)
+      .filter(col("symbol").isin("S0003", "S0007", "S0011") &&
+        col("bucket_ts") > lit(1705363200L))
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("close"), 6).as("close"),
+        round(col("volume"), 6).as("volume"))
+
+  /** R2 — latest-N-per-key via ranked window (reference reader.py:77-89). */
+  private val r02: Q = (s, dir) => {
+    val w = Window.partitionBy("symbol").orderBy(col("bucket_ts").desc)
+    candles(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("symbol"), col("bucket_ts"), round(col("close"), 6).as("close"),
+        col("rn"))
+  }
+
+  /** R3 — latest-1-per-key as an aggregation (`max_by`), not a window: one
+    * map-side-combinable pass, no per-partition sort — the scalable form of
+    * `DISTINCT ON` (reference pg_engine.py:477-488).
+    */
+  private val r03: Q = (s, dir) =>
+    candles(s, dir)
+      .groupBy(col("symbol"))
+      .agg(max(col("bucket_ts")).as("bucket_ts"),
+        round(max_by(col("close"), col("bucket_ts")), 6).as("close"),
+        round(max_by(col("volume"), col("bucket_ts")), 6).as("volume"))
+
+  private def roundOhlcv(df: DataFrame): DataFrame =
+    df.select(col("symbol"), col("bucket_ts"),
+      round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+      round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+      round(col("volume"), 6).as("volume"),
+      round(col("quote_volume"), 6).as("quote_volume"),
+      col("trade_count"),
+      round(col("taker_buy_volume"), 6).as("taker_buy_volume"))
+
+  /** R4 — tumbling OHLCV roll-ups (the 13-interval continuous-aggregate
+    * family, 004_continuous_aggregates.sql:27-45).
+    */
+  private val r04_5m: Q = (s, dir) => roundOhlcv(Rollup.rollup(candles(s, dir), 300L))
+  private val r04_1h: Q = (s, dir) => roundOhlcv(Rollup.rollup(candles(s, dir), 3600L))
+  private val r04_1d: Q = (s, dir) => roundOhlcv(Rollup.rollup(candles(s, dir), 86400L))
+  private val r04_1mo: Q = (s, dir) => roundOhlcv(Rollup.rollupMonth(candles(s, dir)))
+
+  /** R5 — metrics roll-up with ratio-of-sums (007:27-43). */
+  private val r05: Q = (s, dir) => {
+    val m = Rollup.rollupMetrics(Tables.metrics5m(s, dir), 900L)
+    m.select(col("symbol"), col("create_time"),
+      round(col("sum_open_interest"), 6).as("sum_open_interest"),
+      round(col("sum_open_interest_value"), 4).as("sum_open_interest_value"),
+      round(col("count_toptrader_long_short_ratio"), 6).as("count_toptrader_long_short_ratio"),
+      round(col("sum_toptrader_long_short_ratio"), 6).as("sum_toptrader_long_short_ratio"),
+      round(col("sum_taker_long_short_vol_ratio") /
+        nullif(col("count_long_short_ratio"), lit(0.0)), 6).as("taker_ratio"))
+  }
+
+  /** R6 — bucketed left join + derived columns (006:88-92). */
+  private val r06: Q = (s, dir) => {
+    val meta = Rollup.metaView(
+      Rollup.rollup(candles(s, dir), 300L), Tables.metrics5m(s, dir))
+    meta.select(col("symbol"), col("bucket_ts"),
+      round(col("close"), 6).as("close"),
+      round(col("volume"), 6).as("volume"),
+      round(col("vwap"), 6).as("vwap"),
+      round(col("amplitude_ratio"), 6).as("amplitude_ratio"),
+      round(col("open_interest"), 6).as("open_interest"),
+      round(col("top_long_short_ratio"), 6).as("top_long_short_ratio"))
+  }
+
+  /** R7 — multi-branch top-k ranking union (async_full_engine.py:69-108):
+    * per-symbol trailing-7d aggregates, three ORDER BY/LIMIT branches,
+    * UNION DISTINCT. The max-timestamp scalar stays in the plan as a
+    * broadcast cross join — no driver-side collect.
+    */
+  private val r07: Q = (s, dir) => {
+    val c = candles(s, dir)
+    val maxTs = c.agg(max(col("bucket_ts")).as("max_ts"))
+    val win = c.join(broadcast(maxTs))
+      .filter(col("bucket_ts") > col("max_ts") - 604800L)
+      .groupBy(col("symbol"))
+      .agg(sum(col("quote_volume")).as("qv"),
+        avg((col("high") - col("low")) / nullif(col("close"), lit(0.0))).as("amp"),
+        sum(col("trade_count")).as("n"))
+    val byQv = win.orderBy(col("qv").desc, col("symbol")).limit(10).select("symbol")
+    val byAmp = win.orderBy(col("amp").desc, col("symbol")).limit(10).select("symbol")
+    val byN = win.orderBy(col("n").desc, col("symbol")).limit(10).select("symbol")
+    byQv.union(byAmp).union(byN).distinct()
+  }
+
+  /** R8 — global aggregate + per-row share (engine.py:288-330): latest OI
+    * per symbol, market share vs the broadcast global total.
+    */
+  private val r08: Q = (s, dir) => {
+    val latest = Tables.metrics5m(s, dir)
+      .groupBy(col("symbol"))
+      .agg(max_by(col("sum_open_interest"), col("create_time")).as("oi"))
+    val total = latest.agg(sum(col("oi")).as("total_oi"))
+    latest.join(broadcast(total))
+      .select(col("symbol"), round(col("oi"), 6).as("oi"),
+        round(col("oi") / nullif(col("total_oi"), lit(0.0)), 6).as("share"))
+  }
+
+  /** R9 — gap detection by per-day counts (backfill.py:63-96). */
+  private val r09: Q = (s, dir) =>
+    candles(s, dir)
+      .groupBy(col("symbol"), (expr("bucket_ts DIV 86400") * 86400).as("day_ts"))
+      .agg(count(lit(1)).as("bars"))
+      .filter(col("bars") < 3)
+
+  /** R10 — gap detection by sequence deltas (futures_gap_monitor.py:36-60). */
+  private val r10: Q = (s, dir) => {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ts")
+    candles(s, dir)
+      .withColumn("delta", col("bucket_ts") - lag(col("bucket_ts"), 1).over(w))
+      .groupBy(col("symbol"))
+      .agg(sum(when(col("delta") > 3600L, 1L).otherwise(0L)).as("gap_segments"),
+        count(lit(1)).as("bars"))
+  }
+
+  /** R11 + R12 — key listing and extent probe, fused into one stats pass. */
+  private val r11: Q = (s, dir) =>
+    candles(s, dir)
+      .groupBy(col("symbol"))
+      .agg(min(col("bucket_ts")).as("min_ts"), max(col("bucket_ts")).as("max_ts"),
+        count(lit(1)).as("bars"))
+
+  /** R13 — time-desc limited read (ohlc.py:37-55); unique (ts, symbol) sort
+    * key makes the limit deterministic.
+    */
+  private val r13: Q = (s, dir) =>
+    candles(s, dir)
+      .orderBy(col("bucket_ts").desc, col("symbol"))
+      .limit(100)
+      .select(col("symbol"), col("bucket_ts"), round(col("close"), 6).as("close"))
+
+  /** R15/R16 — mart join: per-symbol metric row merged with base-data row,
+    * then ranked (data_provider.py:510-543). Both sides are latest-per-key
+    * aggregates; the join is a broadcast hash join at reference scale.
+    */
+  private val r15: Q = (s, dir) => {
+    val base = candles(s, dir).groupBy(col("symbol"))
+      .agg(round(max_by(col("close"), col("bucket_ts")), 6).as("price"),
+        round(sum(col("quote_volume")), 4).as("total_qv"))
+    val metric = Tables.metrics5m(s, dir).groupBy(col("symbol"))
+      .agg(round(max_by(col("sum_open_interest"), col("create_time")), 6).as("oi"))
+    metric.join(base, Seq("symbol"), "left")
+      .orderBy(col("oi").desc, col("symbol")).limit(20)
+  }
+
+  /** R17 — set difference of ranking branches: high-volume symbols that are
+    * not high-activity symbols (left anti join = EXCEPT).
+    */
+  private val r17: Q = (s, dir) => {
+    val c = candles(s, dir)
+    val agg = c.groupBy(col("symbol"))
+      .agg(sum(col("quote_volume")).as("qv"),
+        avg((col("high") - col("low")) / nullif(col("close"), lit(0.0))).as("amp"))
+    val byQv = agg.orderBy(col("qv").desc, col("symbol")).limit(8).select("symbol")
+    val byAmp = agg.orderBy(col("amp").desc, col("symbol")).limit(8).select("symbol")
+    byQv.join(byAmp, Seq("symbol"), "left_anti")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "r01_scan_filter" -> r01,
+    "r02_latest_n_per_key" -> r02,
+    "r03_latest_per_key" -> r03,
+    "r04_rollup_5m" -> r04_5m,
+    "r04_rollup_1h" -> r04_1h,
+    "r04_rollup_1d" -> r04_1d,
+    "r04_rollup_1month" -> r04_1mo,
+    "r05_metrics_rollup_15m" -> r05,
+    "r06_meta_join_5m" -> r06,
+    "r07_topk_union" -> r07,
+    "r08_market_share" -> r08,
+    "r09_gap_days" -> r09,
+    "r10_gap_segments" -> r10,
+    "r11_symbol_stats" -> r11,
+    "r13_limit_desc" -> r13,
+    "r15_mart_join" -> r15,
+    "r17_rank_except" -> r17)
+
+  private def rollupOracle(seconds: Long): String = Oracle.withCandles(
+    s"""SELECT symbol, bucket_ts // $seconds * $seconds AS bucket_ts,
+       |  round(min_by(open, bucket_ts), 6) AS open, round(max(high), 6) AS high,
+       |  round(min(low), 6) AS low, round(max_by(close, bucket_ts), 6) AS close,
+       |  round(sum(volume), 6) AS volume, round(sum(quote_volume), 6) AS quote_volume,
+       |  CAST(sum(trade_count) AS BIGINT) AS trade_count,
+       |  round(sum(taker_buy_volume), 6) AS taker_buy_volume
+       |FROM candles GROUP BY 1, 2""".stripMargin)
+
+  val oracle: Map[String, String] = Map(
+    "r01_scan_filter" -> Oracle.withCandles(
+      """SELECT symbol, bucket_ts, round(close, 6) AS close, round(volume, 6) AS volume
+        |FROM candles
+        |WHERE symbol IN ('S0003','S0007','S0011') AND bucket_ts > 1705363200""".stripMargin),
+    "r02_latest_n_per_key" -> Oracle.withCandles(
+      """SELECT symbol, bucket_ts, round(close, 6) AS close, rn FROM (
+        |  SELECT symbol, bucket_ts, close,
+        |         row_number() OVER (PARTITION BY symbol ORDER BY bucket_ts DESC) AS rn
+        |  FROM candles) WHERE rn <= 5""".stripMargin),
+    "r03_latest_per_key" -> Oracle.withCandles(
+      """SELECT symbol, max(bucket_ts) AS bucket_ts,
+        |  round(max_by(close, bucket_ts), 6) AS close,
+        |  round(max_by(volume, bucket_ts), 6) AS volume
+        |FROM candles GROUP BY symbol""".stripMargin),
+    "r04_rollup_5m" -> rollupOracle(300L),
+    "r04_rollup_1h" -> rollupOracle(3600L),
+    "r04_rollup_1d" -> rollupOracle(86400L),
+    "r04_rollup_1month" -> Oracle.withCandles(
+      """SELECT symbol,
+        |  CAST(epoch(date_trunc('month', to_timestamp(bucket_ts) AT TIME ZONE 'UTC')) AS BIGINT) AS bucket_ts,
+        |  round(min_by(open, bucket_ts), 6) AS open, round(max(high), 6) AS high,
+        |  round(min(low), 6) AS low, round(max_by(close, bucket_ts), 6) AS close,
+        |  round(sum(volume), 6) AS volume, round(sum(quote_volume), 6) AS quote_volume,
+        |  CAST(sum(trade_count) AS BIGINT) AS trade_count,
+        |  round(sum(taker_buy_volume), 6) AS taker_buy_volume
+        |FROM candles GROUP BY 1, 2""".stripMargin),
+    "r05_metrics_rollup_15m" -> Oracle.withMetrics(
+      """SELECT symbol, create_time // 900 * 900 AS create_time,
+        |  round(max_by(sum_open_interest, create_time), 6) AS sum_open_interest,
+        |  round(max_by(sum_open_interest_value, create_time), 4) AS sum_open_interest_value,
+        |  round(sum(count_toptrader_long_short_ratio), 6) AS count_toptrader_long_short_ratio,
+        |  round(sum(sum_toptrader_long_short_ratio), 6) AS sum_toptrader_long_short_ratio,
+        |  round(sum(sum_taker_long_short_vol_ratio) / nullif(sum(count_long_short_ratio), 0.0), 6) AS taker_ratio
+        |FROM metrics GROUP BY 1, 2""".stripMargin),
+    "r06_meta_join_5m" -> Oracle.withCandlesAndMetrics(
+      """SELECT c.symbol, c.bucket_ts, round(c.close, 6) AS close,
+        |  round(c.volume, 6) AS volume,
+        |  round(c.quote_volume / nullif(c.volume, 0.0), 6) AS vwap,
+        |  round((c.high - c.low) / nullif(c.close, 0.0), 6) AS amplitude_ratio,
+        |  round(m.sum_open_interest, 6) AS open_interest,
+        |  round(m.sum_toptrader_long_short_ratio / nullif(m.count_toptrader_long_short_ratio, 0.0), 6) AS top_long_short_ratio
+        |FROM (SELECT symbol, bucket_ts // 300 * 300 AS bucket_ts,
+        |        min_by(open, bucket_ts) AS open, max(high) AS high, min(low) AS low,
+        |        max_by(close, bucket_ts) AS close, sum(volume) AS volume,
+        |        sum(quote_volume) AS quote_volume
+        |      FROM candles GROUP BY 1, 2) c
+        |LEFT JOIN metrics m ON c.symbol = m.symbol AND c.bucket_ts = m.create_time""".stripMargin),
+    "r07_topk_union" -> Oracle.withCandles(
+      """, win AS (
+        |  SELECT symbol, sum(quote_volume) AS qv,
+        |         avg((high - low) / nullif(close, 0.0)) AS amp,
+        |         sum(trade_count) AS n
+        |  FROM candles
+        |  WHERE bucket_ts > (SELECT max(bucket_ts) FROM candles) - 604800
+        |  GROUP BY symbol)
+        |SELECT symbol FROM (SELECT symbol FROM win ORDER BY qv DESC, symbol LIMIT 10) q
+        |UNION
+        |SELECT symbol FROM (SELECT symbol FROM win ORDER BY amp DESC, symbol LIMIT 10) a
+        |UNION
+        |SELECT symbol FROM (SELECT symbol FROM win ORDER BY n DESC, symbol LIMIT 10) n""".stripMargin),
+    "r08_market_share" -> Oracle.withMetrics(
+      """, latest AS (
+        |  SELECT symbol, max_by(sum_open_interest, create_time) AS oi
+        |  FROM metrics GROUP BY symbol)
+        |SELECT symbol, round(oi, 6) AS oi,
+        |  round(oi / nullif((SELECT sum(oi) FROM latest), 0.0), 6) AS share
+        |FROM latest""".stripMargin),
+    "r09_gap_days" -> Oracle.withCandles(
+      """SELECT symbol, bucket_ts // 86400 * 86400 AS day_ts,
+        |  count(*) AS bars
+        |FROM candles GROUP BY 1, 2 HAVING count(*) < 3""".stripMargin),
+    "r10_gap_segments" -> Oracle.withCandles(
+      """SELECT symbol,
+        |  CAST(sum(CASE WHEN delta > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS gap_segments,
+        |  count(*) AS bars
+        |FROM (SELECT symbol,
+        |        bucket_ts - lag(bucket_ts) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS delta
+        |      FROM candles)
+        |GROUP BY symbol""".stripMargin),
+    "r11_symbol_stats" -> Oracle.withCandles(
+      """SELECT symbol, min(bucket_ts) AS min_ts, max(bucket_ts) AS max_ts,
+        |  count(*) AS bars
+        |FROM candles GROUP BY symbol""".stripMargin),
+    "r13_limit_desc" -> Oracle.withCandles(
+      """SELECT symbol, bucket_ts, round(close, 6) AS close
+        |FROM candles ORDER BY bucket_ts DESC, symbol LIMIT 100""".stripMargin),
+    "r15_mart_join" -> Oracle.withCandlesAndMetrics(
+      """, base AS (
+        |  SELECT symbol, round(max_by(close, bucket_ts), 6) AS price,
+        |         round(sum(quote_volume), 4) AS total_qv
+        |  FROM candles GROUP BY symbol),
+        |metric AS (
+        |  SELECT symbol, round(max_by(sum_open_interest, create_time), 6) AS oi
+        |  FROM metrics GROUP BY symbol)
+        |SELECT m.symbol, m.oi, b.price, b.total_qv
+        |FROM metric m LEFT JOIN base b ON m.symbol = b.symbol
+        |ORDER BY m.oi DESC, m.symbol LIMIT 20""".stripMargin),
+    "r17_rank_except" -> Oracle.withCandles(
+      """, agg AS (
+        |  SELECT symbol, sum(quote_volume) AS qv,
+        |         avg((high - low) / nullif(close, 0.0)) AS amp
+        |  FROM candles GROUP BY symbol)
+        |SELECT symbol FROM (SELECT symbol FROM agg ORDER BY qv DESC, symbol LIMIT 8)
+        |EXCEPT
+        |SELECT symbol FROM (SELECT symbol FROM agg ORDER BY amp DESC, symbol LIMIT 8)""".stripMargin))
+}

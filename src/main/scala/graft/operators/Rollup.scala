@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tumbling-interval roll-ups — the reference's single most load-bearing
+  * operator (13 TimescaleDB continuous aggregates built from one
+  * parameterized `time_bucket` GROUP BY,
+  * reference libs/database/db/schema/004_continuous_aggregates.sql:24-46).
+  *
+  * Spark-first restatement: one hash aggregation per interval. The shuffle
+  * key (symbol, bucket) matches the fact table's clustering, so with a
+  * bucketed source table every roll-up is shuffle-free; partial aggregation
+  * (map-side combine) makes the shuffle that does happen carry only one row
+  * per (symbol, bucket) — at 100 TB the exchanged data is the *output* size,
+  * not the input size. `min_by`/`max_by` give TimescaleDB's ordered
+  * `first()`/`last()` without a sort.
+  */
+object Rollup {
+  /** Interval vocabulary (001_timescaledb.sql:61-65) minus the calendar
+    * month, which is not fixed-width — see [[rollupMonth]].
+    */
+  val IntervalSeconds: Map[String, Long] = Map(
+    "1m" -> 60L, "3m" -> 180L, "5m" -> 300L, "15m" -> 900L, "30m" -> 1800L,
+    "1h" -> 3600L, "2h" -> 7200L, "4h" -> 14400L, "6h" -> 21600L,
+    "8h" -> 28800L, "12h" -> 43200L, "1d" -> 86400L, "3d" -> 259200L,
+    "1w" -> 604800L)
+
+  private def ohlcvAggs = Seq(
+    min_by(col("open"), col("bucket_ts")).as("open"),
+    max(col("high")).as("high"),
+    min(col("low")).as("low"),
+    max_by(col("close"), col("bucket_ts")).as("close"),
+    sum(col("volume")).as("volume"),
+    sum(col("quote_volume")).as("quote_volume"),
+    sum(col("trade_count")).as("trade_count"),
+    sum(col("taker_buy_volume")).as("taker_buy_volume"))
+
+  /** Roll candles up to a fixed-width interval. Input: any candle frame with
+    * the [[graft.Tables.candles]] schema whose bucket_ts is already aligned
+    * to a divisor of `seconds`.
+    */
+  def rollup(candles: DataFrame, seconds: Long): DataFrame =
+    candles
+      .groupBy(col("symbol"),
+        (expr(s"bucket_ts DIV $seconds") * seconds).as("bts"))
+      .agg(ohlcvAggs.head, ohlcvAggs.tail: _*)
+      .withColumnRenamed("bts", "bucket_ts")
+
+  /** Calendar-month roll-up (the `1M` interval): bucket = epoch of the UTC
+    * month start. Session timezone is pinned UTC so
+    * `date_trunc('MONTH', timestamp_seconds(...))` is calendar-correct.
+    */
+  def rollupMonth(candles: DataFrame): DataFrame =
+    candles
+      .groupBy(col("symbol"),
+        unix_timestamp(date_trunc("MONTH", timestamp_seconds(col("bucket_ts"))))
+          .as("bts"))
+      .agg(ohlcvAggs.head, ohlcvAggs.tail: _*)
+      .withColumnRenamed("bts", "bucket_ts")
+
+  /** Metrics roll-up (R5; 007_metrics_cagg_from_5m.sql:27-43): `last()` for
+    * point-in-time gauges, ratio-of-sums for the ratio columns.
+    */
+  def rollupMetrics(metrics: DataFrame, seconds: Long): DataFrame =
+    metrics
+      .groupBy(col("symbol"),
+        (expr(s"create_time DIV $seconds") * seconds).as("ct"))
+      .agg(
+        max_by(col("sum_open_interest"), col("create_time")).as("sum_open_interest"),
+        max_by(col("sum_open_interest_value"), col("create_time")).as("sum_open_interest_value"),
+        sum(col("count_toptrader_long_short_ratio")).as("count_toptrader_long_short_ratio"),
+        sum(col("sum_toptrader_long_short_ratio")).as("sum_toptrader_long_short_ratio"),
+        sum(col("count_long_short_ratio")).as("count_long_short_ratio"),
+        sum(col("sum_taker_long_short_vol_ratio")).as("sum_taker_long_short_vol_ratio"))
+      .withColumnRenamed("ct", "create_time")
+
+  /** Joined candles×metrics "meta" view (R6;
+    * 006_candles_meta_views.sql:29-93): bucketed equi-join plus the two
+    * derived columns. The metrics side is one row per (symbol, bucket) — at
+    * reference scale (~600 symbols) it broadcasts; at 100 TB both sides
+    * share the (symbol, bucket) partitioning so the join is co-located.
+    */
+  def metaView(candles5m: DataFrame, metrics5m: DataFrame): DataFrame = {
+    val m = metrics5m.select(
+      col("symbol"), col("create_time").as("bucket_ts"),
+      col("sum_open_interest").as("open_interest"),
+      col("sum_open_interest_value").as("open_interest_value"),
+      (col("sum_toptrader_long_short_ratio") /
+        nullif(col("count_toptrader_long_short_ratio"), lit(0.0)))
+        .as("top_long_short_ratio"),
+      (col("sum_taker_long_short_vol_ratio") /
+        nullif(col("count_long_short_ratio"), lit(0.0)))
+        .as("taker_long_short_vol_ratio"))
+    candles5m
+      .join(m, Seq("symbol", "bucket_ts"), "left")
+      .withColumn("amplitude_ratio",
+        (col("high") - col("low")) / nullif(col("close"), lit(0.0)))
+      .withColumn("vwap", col("quote_volume") / nullif(col("volume"), lit(0.0)))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General relational breadth on the star schema: multi-way joins,
+  * semi/anti joins, grouped aggregation with full agg-function coverage.
+  * These are the query shapes the reference's SQL surface implies (filters,
+  * joins, group-bys, top-k) exercised at TPC-H-like complexity so the
+  * engine is complete for users beyond the candle tables.
+  *
+  * Scale discipline: dimension tables (region/nation/customer/supplier/part)
+  * are broadcast; only lineitem-sized facts shuffle, always on their join
+  * key. Dates are output as `CAST(... AS DATE)` strings to stay
+  * engine-neutral.
+  */
+object Tpch {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped pricing summary: the canonical wide aggregation. */
+  private val q1: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Q3-shaped shipping priority: 3-way join, group, top-k. The customer
+    * dimension is broadcast; orders⋈lineitem shuffles on orderkey only.
+    */
+  private val q3: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-shaped 5-way join down the region→nation→customer→orders→lineitem
+    * chain; everything but orders⋈lineitem broadcasts.
+    */
+  private val q5: Q = (s, dir) => {
+    val dims = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Anti join: customers with no urgent orders (NOT EXISTS). */
+  private val qAnti: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** Semi join + grouped having: parts that appear in lineitem more than
+    * twice (EXISTS + aggregate filter).
+    */
+  private val qSemi: Q = (s, dir) => {
+    val hot = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("uses"))
+      .filter(col("uses") > 2)
+    Tables.part(s, dir)
+      .join(hot, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+  }
+
+  /** Agg-function coverage: count distinct, conditional aggregation,
+    * min/max over strings and numerics, grouped on a computed key.
+    */
+  private val qAggFns: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+          .otherwise(lit(0.0))), 4).as("urgent_value"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        min(col("o_orderpriority")).as("first_priority"))
+
+  /** Correlated-scalar shape: each order vs its customer's average order
+    * value (decorrelates to an aggregate + self-join).
+    */
+  private val qAboveAvg: Q = (s, dir) => {
+    val ord = Tables.orders(s, dir)
+    val custAvg = ord.groupBy(col("o_custkey").as("k"))
+      .agg(avg(col("o_totalprice")).as("avg_price"), count(lit(1)).as("n_ord"))
+      .filter(col("n_ord") >= 3)
+    ord.join(custAvg, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("avg_price"), 6).as("cust_avg"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "h01_pricing_summary" -> q1,
+    "h03_shipping_priority" -> q3,
+    "h05_region_revenue" -> q5,
+    "h08_customers_no_orders" -> qAnti,
+    "h09_hot_parts_semi" -> qSemi,
+    "h10_agg_functions" -> qAggFns,
+    "h11_above_avg_orders" -> qAboveAvg)
+
+  val oracle: Map[String, String] = Map(
+    "h01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "h03_shipping_priority" ->
+      """SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "h05_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "h08_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "h09_hot_parts_semi" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+        |WHERE p_partkey IN (
+        |  SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) > 2)""".stripMargin,
+    "h10_agg_functions" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 4) AS urgent_value,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  min(o_orderpriority) AS first_priority
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "h11_above_avg_orders" ->
+      """WITH custavg AS (
+        |  SELECT o_custkey AS k, avg(o_totalprice) AS avg_price, count(*) AS n_ord
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 3)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  round(avg_price, 6) AS cust_avg
+        |FROM orders JOIN custavg ON o_custkey = k
+        |WHERE o_totalprice > avg_price * 1.5""".stripMargin)
+}
