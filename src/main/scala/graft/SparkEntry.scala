@@ -29,12 +29,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-      operators.Tpch.queries
+      operators.Tpch.queries ++
+      indicators.Rolling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
-      operators.Tpch.oracle
+      operators.Tpch.oracle ++
+      indicators.Rolling.oracle
 }
