@@ -30,7 +30,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Tpch.queries ++
-      indicators.Rolling.queries
+      indicators.Rolling.queries ++
+      indicators.Ewma.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.Tpch.oracle ++
-      indicators.Rolling.oracle
+      indicators.Rolling.oracle ++
+      indicators.Ewma.oracle
 }
