@@ -31,7 +31,11 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Tpch.queries ++
       indicators.Rolling.queries ++
-      indicators.Ewma.queries
+      indicators.Ewma.queries ++
+      pipeline.Dedup.queries ++
+      pipeline.Similarity.queries ++
+      pipeline.Text.queries ++
+      pipeline.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops.
@@ -40,5 +44,9 @@ object SparkEntry {
     operators.Relational.oracle ++
       operators.Tpch.oracle ++
       indicators.Rolling.oracle ++
-      indicators.Ewma.oracle
+      indicators.Ewma.oracle ++
+      pipeline.Dedup.oracle ++
+      pipeline.Similarity.oracle ++
+      pipeline.Text.oracle ++
+      pipeline.Multimodal.oracle
 }

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, mirroring a production ANN pipeline:
+  *  - [[cosineTopK]]: brute-force exact top-k for a bounded query set —
+  *    the correctness baseline. The query side broadcasts; the corpus scan
+  *    stays distributed, so this is one pass over N vectors per batch of
+  *    queries (never a full N² materialization).
+  *  - [[lshAnn]]: sign-random-projection LSH — bucket by the sign pattern
+  *    of 8 fixed coordinates, search only within the bucket. At 100 TB the
+  *    bucket join replaces the cross join entirely; recall is tunable by
+  *    bucket count / multi-probe.
+  *
+  * All dot products fold the vector sequentially in double precision —
+  * the DuckDB oracle replays the identical op sequence on
+  * `embedding::DOUBLE[]`.
+  */
+object Similarity {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential dot product of two pre-cast double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** S1 — exact cosine top-5 neighbors for query vectors vec_id < 10. */
+  private val cosineTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("n").as("qn"))
+    val pairs = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("e"), col("qe")) /
+        nullif(col("n") * col("qn"), lit(0.0)))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** S2 — sign-LSH ANN: 8-bit bucket from the signs of dims 1,9,…,57;
+    * nearest neighbor within bucket (top-1 by cosine).
+    */
+  private val lshAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val bucketed = emb.withColumn("bucket",
+      (0 until 8).map { k =>
+        when(element_at(col("e"), k * 8 + 1) >= 0.0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
+      col("e").as("ae"), col("n").as("an"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
+      col("e").as("be"), col("n").as("bn"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", dot(col("ae"), col("be")) /
+        nullif(col("an") * col("bn"), lit(0.0)))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("a_id"), col("b_id").as("nn_id"), col("bucket"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** S3 — embedding-cosine near-duplicate detection: same-bucket pairs with
+    * cosine above threshold (the embedding analogue of D2/D3).
+    */
+  private val cosineNearDup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val bucketed = emb.withColumn("bucket",
+      (0 until 8).map { k =>
+        when(element_at(col("e"), k * 8 + 1) >= 0.0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
+      col("e").as("ae"), col("n").as("an"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
+      col("e").as("be"), col("n").as("bn"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("ae"), col("be")) /
+        nullif(col("an") * col("bn"), lit(0.0)))
+      .filter(col("cos") >= 0.3)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_cosine_topk" -> cosineTopK,
+    "s02_lsh_ann" -> lshAnn,
+    "s03_embedding_near_dup" -> cosineNearDup)
+
+  private val EMB =
+    """emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         sqrt(list_reduce(list_prepend(0.0,
+      |           list_transform(embedding::DOUBLE[], x -> x * x)),
+      |           (acc, x) -> acc + x)) AS n
+      |  FROM embeddings)""".stripMargin
+
+  private val DOT =
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(%s, %s), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+
+  private val BUCKET =
+    (0 until 8).map { k =>
+      s"CASE WHEN e[${k * 8 + 1}] >= 0.0 THEN ${1 << k} ELSE 0 END"
+    }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      s"""WITH $EMB,
+         |q AS (SELECT vec_id AS q_id, e AS qe, n AS qn FROM emb WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.q_id, emb.vec_id,
+         |         ${DOT.format("emb.e", "q.qe")} / nullif(emb.n * q.qn, 0.0) AS cos
+         |  FROM emb JOIN q ON emb.vec_id != q.q_id)
+         |SELECT q_id, vec_id AS neighbor_id, round(cos, 6) AS cos, rank FROM (
+         |  SELECT q_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 5""".stripMargin,
+    "s02_lsh_ann" ->
+      s"""WITH $EMB,
+         |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+         |         ${DOT.format("a.e", "b.e")} / nullif(a.n * b.n, 0.0) AS cos
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+         |SELECT a_id, b_id AS nn_id, bucket, round(cos, 6) AS cos FROM (
+         |  SELECT a_id, b_id, bucket, cos,
+         |         row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
+         |  FROM pairs)
+         |WHERE rank = 1""".stripMargin,
+    "s03_embedding_near_dup" ->
+      s"""WITH $EMB,
+         |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       round(${DOT.format("a.e", "b.e")} / nullif(a.n * b.n, 0.0), 6) AS cos
+         |FROM bucketed a JOIN bucketed b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${DOT.format("a.e", "b.e")} / nullif(a.n * b.n, 0.0) >= 0.3""".stripMargin)
+}

@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-hit heuristic), quality scoring, token statistics, and
+  * document fingerprinting. All pure column expressions — one scan, no
+  * shuffle except the grouped stats — with DuckDB oracles.
+  */
+object Text {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "una", "y", "es"),
+    "zh" -> Seq("的", "了", "是", "在", "和"))
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private def hitRate(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => words.map(t === _).reduce(_ || _))).cast("double") /
+      nullif(size(tokens).cast("double"), lit(0.0))
+
+  /** T1 — language ID: stopword hit-rate per language, argmax with a fixed
+    * priority ladder (en→de→fr→es→zh on ties).
+    */
+  private val langid: Q = (s, dir) => {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val base = Tables.documents(s, dir)
+      .withColumn("tk", toks(col("text")))
+    val rated = langs.foldLeft(base) { (df, l) =>
+      df.withColumn(s"r_$l", hitRate(col("tk"), stop(l)))
+    }
+    val best = langs.tail.foldLeft((col("r_en"), lit("en"))) {
+      case ((bestRate, bestLang), l) =>
+        (when(col(s"r_$l") > bestRate, col(s"r_$l")).otherwise(bestRate),
+          when(col(s"r_$l") > bestRate, lit(l)).otherwise(bestLang))
+    }
+    rated.select(col("doc_id"), col("lang").as("actual"),
+      best._2.as("predicted"),
+      round(col("r_en"), 6).as("rate_en"),
+      (best._2 === col("lang")).cast("int").as("hit"))
+  }
+
+  /** T2 — quality scoring: length, token, stopword and diversity features
+    * folded into a 0–100 score.
+    */
+  private val quality: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("mean_tok_len",
+        aggregate(transform(col("tk"), t => length(t)), lit(0),
+          (a, x) => a + x).cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0)))
+      .withColumn("stop_ratio", hitRate(col("tk"), stop("en")))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("tk"))).cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0)))
+      .withColumn("score",
+        lit(100.0) * (lit(0.25) * least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
+          lit(0.25) * least(col("mean_tok_len") / 6.0, lit(1.0)) +
+          lit(0.25) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.25) * col("distinct_ratio")))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mean_tok_len"), 6).as("mean_tok_len"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("distinct_ratio"), 6).as("distinct_ratio"),
+        round(col("score"), 6).as("quality_score"))
+
+  /** T3 — corpus token statistics per source (grouped aggregation over the
+    * token explosion; partial aggregation keeps the shuffle at
+    * one-row-per-(source,stat)).
+    */
+  private val tokenStats: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("tk", toks(col("text")))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(col("tk"))).cast("bigint").as("total_tokens"),
+        round(avg(size(col("tk")).cast("double")), 6).as("avg_tokens_per_doc"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(size(array_distinct(col("tk"))).cast("double") /
+          nullif(size(col("tk")).cast("double"), lit(0.0))), 6)
+          .as("avg_distinct_ratio"))
+  }
+
+  /** T4 — document fingerprint: md5 over the sorted distinct token set
+    * (canonical bag-of-words identity) + collision groups.
+    */
+  private val fingerprint: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("fp",
+        md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")))
+    val w = Window.partitionBy(col("fp"))
+    d.select(col("doc_id"), col("fp"),
+      substring(col("fp"), 1, 16).as("fp_short"),
+      count(lit(1)).over(w).as("fp_group"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t01_langid" -> langid,
+    "t02_quality_score" -> quality,
+    "t03_token_stats" -> tokenStats,
+    "t04_fingerprint" -> fingerprint)
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private def rateSql(l: String): String =
+    s"""CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(stop(l))}))) AS DOUBLE) /
+       |    nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t01_langid" -> {
+      // fixed argmax ladder: strictly-greater wins, ties keep earlier lang
+      s"""WITH rated AS (
+         |  SELECT doc_id, lang,
+         |         ${rateSql("en")} AS r_en, ${rateSql("de")} AS r_de,
+         |         ${rateSql("fr")} AS r_fr, ${rateSql("es")} AS r_es,
+         |         ${rateSql("zh")} AS r_zh
+         |  FROM documents),
+         |picked AS (
+         |  SELECT doc_id, lang, r_en,
+         |    CASE
+         |      WHEN r_zh > greatest(r_en, r_de, r_fr, r_es) THEN 'zh'
+         |      WHEN r_es > greatest(r_en, r_de, r_fr) THEN 'es'
+         |      WHEN r_fr > greatest(r_en, r_de) THEN 'fr'
+         |      WHEN r_de > r_en THEN 'de'
+         |      ELSE 'en' END AS predicted
+         |  FROM rated)
+         |SELECT doc_id, lang AS actual, predicted, round(r_en, 6) AS rate_en,
+         |  CAST(predicted = lang AS INT) AS hit
+         |FROM picked""".stripMargin
+    },
+    "t02_quality_score" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '), t -> len(t))),
+         |         (a, x) -> a + x) AS DOUBLE) /
+         |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0) AS mean_tok_len,
+         |    ${rateSql("en")} AS stop_ratio,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+         |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0) AS distinct_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  round(mean_tok_len, 6) AS mean_tok_len,
+         |  round(stop_ratio, 6) AS stop_ratio,
+         |  round(distinct_ratio, 6) AS distinct_ratio,
+         |  round(100.0 * (0.25 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) +
+         |        0.25 * least(mean_tok_len / 6.0, 1.0) +
+         |        0.25 * (1.0 - stop_ratio) +
+         |        0.25 * distinct_ratio), 6) AS quality_score
+         |FROM feat""".stripMargin,
+    "t03_token_stats" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens_per_doc,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |        nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)), 6) AS avg_distinct_ratio
+        |FROM documents GROUP BY source""".stripMargin,
+    "t04_fingerprint" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, substr(fp, 1, 16) AS fp_short,
+        |  count(*) OVER (PARTITION BY fp) AS fp_group
+        |FROM fps""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness gates for the oracle-less pipeline operators: the dedup
+  * queries run over documents ∪ perturbed clones (every 3rd doc, id+1e6),
+  * so ground truth is known — every injected clone pair must be recovered.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  /** Clone pairs whose perturbation is genuinely small: the clone rewrites
+    * the last 20 chars (+22-char marker), so short docs lose most of their
+    * shingles and are correctly NOT near-duplicates — exclude them from the
+    * recall expectation.
+    */
+  private def clonePairs: Set[(Long, Long)] = {
+    val ids = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0 && col("n_chars") >= 150).select("doc_id")
+      .collect().map(_.getLong(0))
+    ids.map(i => (i, i + 1000000L)).toSet
+  }
+
+  test("minhash LSH recovers every injected clone pair") {
+    val got = pipeline.Dedup.queries("d03_dedup_minhash_lsh")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = clonePairs
+    val missed = expected -- got
+    assert(missed.isEmpty, s"missed ${missed.size} of ${expected.size} clone pairs: ${missed.take(5)}")
+  }
+
+  test("minhash LSH pairs all verify above the jaccard threshold") {
+    val bad = pipeline.Dedup.queries("d03_dedup_minhash_lsh")(spark, sf)
+      .filter(col("jaccard") < 0.5).count()
+    assert(bad == 0)
+  }
+
+  test("simhash recovers the recoverable clone pairs (recall floor) and respects the threshold") {
+    val df = pipeline.Dedup.queries("d04_dedup_simhash")(spark, sf)
+    val got = df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = clonePairs
+    // clone-pair hamming on this corpus: median 5, max 17 — pairs above the
+    // 12 threshold are correctly excluded; LSH recall below it is ≥95% here.
+    val found = (expected & got).size
+    assert(found >= (expected.size * 0.85).toInt,
+      s"found only $found of ${expected.size} clone pairs")
+    assert(df.filter(col("hamming") > 12).count() == 0)
+  }
+
+  test("exact dedup marks exactly the injected clones' groups") {
+    val df = pipeline.Dedup.queries("d01_dedup_exact")(spark, sf)
+    // clones are perturbed, so no exact dups exist: every group has size 1
+    assert(df.filter(col("group_size") =!= 1).count() == 0)
+    // and re-uniting the corpus with *itself* must find every doc duplicated
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val self = docs.unionAll(docs.select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val groups = self.select(count(lit(1)).over(w).as("gs")).filter(col("gs") === 2).count()
+    assert(groups == docs.count() * 2)
+  }
+
+  test("cosine top-k ranks are exact against brute force on a sample") {
+    val df = pipeline.Similarity.queries("s01_cosine_topk")(spark, sf)
+    val byQ = df.groupBy("q_id").count().collect()
+    assert(byQ.forall(_.getLong(1) == 5), "every query gets exactly 5 neighbors")
+    val cosRange = df.agg(min("cos"), max("cos")).head
+    assert(cosRange.getDouble(0) >= -1.0001 && cosRange.getDouble(1) <= 1.0001)
+  }
+
+  test("multimodal decode features match direct byte arithmetic") {
+    val row = pipeline.Multimodal.queries("m01_multimodal_decode")(spark, sf)
+      .filter(col("doc_id") === 0).head
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").head.getString(0)
+    val bytes = text.getBytes("UTF-8")
+    assert(row.getLong(1) == bytes.length.toLong)
+    assert(row.getLong(2) == bytes.map(_ & 0xFF).map(_.toLong).sum % 997)
+    assert(row.getInt(3) == (bytes(0) & 0xFF))
+  }
+}
