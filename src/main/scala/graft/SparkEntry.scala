@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Tpch.queries ++
       indicators.Rolling.queries ++
       indicators.Ewma.queries ++
+      indicators.Stateful.queries ++
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.Text.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       operators.Tpch.oracle ++
       indicators.Rolling.oracle ++
       indicators.Ewma.oracle ++
+      indicators.Stateful.oracle ++
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.Text.oracle ++
