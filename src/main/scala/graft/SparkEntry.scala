@@ -33,6 +33,7 @@ object SparkEntry {
       indicators.Rolling.queries ++
       indicators.Ewma.queries ++
       indicators.Stateful.queries ++
+      indicators.Futures.queries ++
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.Text.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       indicators.Rolling.oracle ++
       indicators.Ewma.oracle ++
       indicators.Stateful.oracle ++
+      indicators.Futures.oracle ++
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.Text.oracle ++

@@ -1,0 +1,406 @@
+package graft.indicators
+
+import graft.{Oracle, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import Series.r6
+
+/** Futures-sentiment operators over the metrics fact table (SURVEY.md §2.4:
+  * I7, I9, I34).
+  *
+  * I9 is a latest-per-key aggregation (max_by over the bucket key — no
+  * window, no second shuffle). I34 consumes each symbol's ordered metrics
+  * history in one per-group pass, mirroring the reference's 240-row window
+  * (batch/futures_aggregate.py:136); group state is bounded by the same cap
+  * as the candle series. I7 is a last-bar projection over candles.
+  */
+object Futures {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------- I7
+  /** I7 — taker buy/sell split of the latest bar
+    * (incremental/buy_sell_ratio.py:7-25). Pure aggregation: max_by picks
+    * the last bar per symbol map-side; rows with zero volume are dropped
+    * exactly like the reference's early return.
+    */
+  private val buySellRatio: Q = (s, dir) =>
+    Tables.candles(s, dir)
+      .groupBy(col("symbol"))
+      .agg(
+        max(col("bucket_ts")).as("bucket_ts"),
+        max_by(col("volume"), col("bucket_ts")).as("vol"),
+        max_by(col("taker_buy_volume"), col("bucket_ts")).as("buy"),
+        max_by(col("close"), col("bucket_ts")).as("price"))
+      .where(col("vol") > 0)
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("buy"), 6).as("buy_volume"),
+        round(greatest(col("vol") - col("buy"), lit(0.0)), 6).as("sell_volume"),
+        round(col("buy") / col("vol"), 6).as("buy_ratio"),
+        round(col("price"), 6).as("price"))
+
+  // ------------------------------------------------------------- I9
+  /** I9 — latest futures-metrics snapshot per symbol
+    * (incremental/futures_sentiment.py:31-104, the DISTINCT ON read): one
+    * row per symbol with the raw sum/count fields, exactly the reference's
+    * field mapping.
+    */
+  private val sentiment: Q = (s, dir) =>
+    Tables.metrics5m(s, dir)
+      .groupBy(col("symbol"))
+      .agg(
+        max(col("create_time")).as("create_time"),
+        round(max_by(col("sum_open_interest"), col("create_time")), 6).as("oi"),
+        round(max_by(col("sum_open_interest_value"), col("create_time")), 6).as("oiv"),
+        round(max_by(col("count_toptrader_long_short_ratio"), col("create_time")), 6).as("ctlsr"),
+        round(max_by(col("sum_toptrader_long_short_ratio"), col("create_time")), 6).as("tlsr"),
+        round(max_by(col("count_long_short_ratio"), col("create_time")), 6).as("lsr"),
+        round(max_by(col("sum_taker_long_short_vol_ratio"), col("create_time")), 6).as("tlsvr"))
+
+  // ------------------------------------------------------------- I34
+  final case class MRow(symbol: String, create_time: Long, oi: Double,
+    oiv: Double, ctlsr: Double, tlsr: Double, lsr: Double, tlsvr: Double)
+
+  final case class AggOut(symbol: String, create_time: Long,
+    oi: Option[Double], oiv: Option[Double], tlsr: Option[Double],
+    lsr: Option[Double], tlsvr: Option[Double],
+    oi_change: Option[Double], oi_change_pct: Option[Double],
+    top_dev: Option[Double], retail_dev: Option[Double],
+    taker_dev: Option[Double], bias_diff: Option[Double],
+    bias_spread: Option[Double], volatility: Option[Double],
+    oi_streak: Int, taker_streak: Int, risk_score: Option[Double],
+    top_vol: Option[Double], retail_vol: Option[Double],
+    oi_slope_pct: Option[Double], oi_z: Option[Double],
+    top_momentum: Option[Double], taker_momentum: Option[Double],
+    flip_signal: Int, taker_jump: Option[Double],
+    stability_pct: Option[Double])
+  private implicit val encAggOut: Encoder[AggOut] = Encoders.product[AggOut]
+  private implicit val encMRow: Encoder[MRow] = Encoders.product[MRow]
+
+  /** Population mean then pstdev/mean, the reference's `_std_over_mean`
+    * (futures_aggregate.py:44-48): sequential sum order kept for oracle
+    * bit-parity.
+    */
+  private def stdOverMean(xs: Array[Double]): Option[Double] = {
+    if (xs.length < 2) return None
+    val m = Series.mean(xs)
+    if (m == 0.0) return None
+    var ss = 0.0; var i = 0
+    while (i < xs.length) { ss += (xs(i) - m) * (xs(i) - m); i += 1 }
+    Some(math.sqrt(ss / xs.length) / m)
+  }
+
+  /** `_z_score` (futures_aggregate.py:51-56): (latest−μ)/σ_pop, 0 when σ=0. */
+  private def zScore(latest: Double, xs: Array[Double]): Option[Double] = {
+    if (xs.length < 2) return None
+    val m = Series.mean(xs)
+    var ss = 0.0; var i = 0
+    while (i < xs.length) { ss += (xs(i) - m) * (xs(i) - m); i += 1 }
+    val sd = math.sqrt(ss / xs.length)
+    Some(if (sd == 0.0) 0.0 else (latest - m) / sd)
+  }
+
+  /** `_linreg_slope_pct` (futures_aggregate.py:18-41): closed-form least
+    * squares on x=0..n−1, as percent of the latest value.
+    */
+  private def slopePct(xs: Array[Double]): Option[Double] = {
+    val n = xs.length
+    if (n < 2) return None
+    val xSum = (n - 1).toDouble * n / 2.0
+    val x2Sum = (n - 1).toDouble * n * (2.0 * n - 1) / 6.0
+    var ySum = 0.0; var xySum = 0.0; var i = 0
+    while (i < n) { ySum += xs(i); xySum += i * xs(i); i += 1 }
+    val denom = n * x2Sum - xSum * xSum
+    if (denom == 0.0) return None
+    val slope = (n * xySum - xSum * ySum) / denom
+    val latest = xs(n - 1)
+    if (latest == 0.0) None else Some(slope / latest * 100.0)
+  }
+
+  /** `_尾部连续根数` (futures_aggregate.py:67-80): signed length of the
+    * trailing same-sign run; zeros extend the run, the first opposite sign
+    * breaks it, all-zero tails score 0.
+    */
+  private def tailStreak(signs: Array[Int]): Int = {
+    var count = 0
+    var lastSign = 0
+    var i = signs.length - 1
+    while (i >= 0) {
+      val s = signs(i)
+      if (s == 0) count += 1
+      else if (lastSign == 0) { lastSign = s; count += 1 }
+      else if (s == lastSign) count += 1
+      else i = -1 // break
+      if (i >= 0) i -= 1
+    }
+    if (lastSign == 0) 0 else if (lastSign > 0) count else -count
+  }
+
+  /** I34 — futures sentiment aggregate (batch/futures_aggregate.py:128-259):
+    * ~26 derived fields over each symbol's metrics history — deviations from
+    * parity, σ/μ volatility, linreg slope%, z-scores, tail streaks, risk
+    * score (sum of three z-scores), momentum/flip/jump, stability
+    * percentile. The reference's truthiness guards (`if oiv and prev_oiv`)
+    * are kept: zero behaves like missing.
+    */
+  private val aggregate: Q = (s, dir) => {
+    import s.implicits._
+    Tables.metrics5m(s, dir)
+      .select(col("symbol"), col("create_time"),
+        col("sum_open_interest").as("oi"),
+        col("sum_open_interest_value").as("oiv"),
+        col("count_toptrader_long_short_ratio").as("ctlsr"),
+        col("sum_toptrader_long_short_ratio").as("tlsr"),
+        col("count_long_short_ratio").as("lsr"),
+        col("sum_taker_long_short_vol_ratio").as("tlsvr"))
+      .as[MRow]
+      .groupByKey(_.symbol)
+      .flatMapGroups { (sym, it) =>
+        val rows = it.toArray
+        java.util.Arrays.sort(rows, Ordering.by((r: MRow) => r.create_time))
+        if (rows.length < 2) Iterator.empty
+        else {
+          val latest = rows.last
+          val prev = rows(rows.length - 2)
+          def t(x: Double): Option[Double] = if (x == 0.0) None else Some(x)
+          val oiv = t(latest.oiv); val tlsr = t(latest.tlsr)
+          val lsr = t(latest.lsr); val tlsvr = t(latest.tlsvr)
+          val prevOiv = t(prev.oiv); val prevTlsr = t(prev.tlsr)
+          val prevTlsvr = t(prev.tlsvr)
+          val oiChange = for (a <- oiv; b <- prevOiv) yield a - b
+          val oiChangePct =
+            for (c <- oiChange.filter(_ != 0.0); b <- prevOiv) yield c / b
+          val topDev = tlsr.map(v => math.abs(v - 1.0))
+          val retailDev = lsr.map(v => math.abs(v - 1.0))
+          val takerDev = tlsvr.map(v => math.abs(v - 1.0))
+          val biasDiff = for (a <- tlsr; b <- lsr) yield a - b
+          val biasSpread = biasDiff.filter(_ != 0.0).map(math.abs)
+          val oiSeries = rows.map(_.oiv).filter(_ != 0.0)
+          val topSeries = rows.map(_.tlsr).filter(_ != 0.0)
+          val retailSeries = rows.map(_.lsr).filter(_ != 0.0)
+          val takerSeries = rows.map(_.tlsvr).filter(_ != 0.0)
+          val volatility = stdOverMean(oiSeries)
+          val oiSlope = slopePct(oiSeries)
+          val oiZ = oiv.flatMap(v => zScore(v, oiSeries))
+          val stabilityPct = volatility.filter(_ != 0.0).map { v =>
+            oiSeries.count(_ <= v).toDouble / oiSeries.length
+          }
+          val oiDeltas = oiSeries.sliding(2).collect {
+            case Array(a, b) =>
+              val d = if (a != 0.0 && b != 0.0) b - a else 0.0
+              if (d == 0.0) 0 else if (d > 0.0) 1 else -1
+          }.toArray
+          val oiStreak = tailStreak(oiDeltas)
+          val takerSigns = takerSeries.map(v =>
+            if (math.abs(v - 1.0) < 1e-9) 0 else if (v > 1.0) 1 else -1)
+          val takerStreak = tailStreak(takerSigns)
+          val topVol = stdOverMean(topSeries)
+          val retailVol = stdOverMean(retailSeries)
+          val deltaPct = oiSeries.sliding(2).collect {
+            case Array(a, b) if a != 0.0 && b != 0.0 => (b - a) / a
+          }.toArray
+          val zDelta = oiChangePct.flatMap(v => zScore(v, deltaPct))
+          val zTop = topDev.filter(_ != 0.0)
+            .flatMap(v => zScore(v, topSeries.map(x => math.abs(x - 1.0))))
+          val zTaker = takerDev.filter(_ != 0.0)
+            .flatMap(v => zScore(v, takerSeries.map(x => math.abs(x - 1.0))))
+          val comps = Seq(zDelta, zTop, zTaker).flatten
+          val risk = if (comps.isEmpty) None else Some(comps.sum)
+          val topMomentum = for (a <- tlsr; b <- prevTlsr) yield a - b
+          val takerMomentum = for (a <- tlsvr; b <- prevTlsvr) yield a - b
+          val flip = (for (p <- prevTlsr; c <- tlsr) yield
+            if (p < 1.0 && 1.0 < c) 1 else if (p > 1.0 && 1.0 > c) -1 else 0
+          ).getOrElse(0)
+          val takerJump =
+            for (a <- tlsvr; b <- prevTlsvr) yield math.abs(a - b)
+          Iterator.single(AggOut(sym, latest.create_time,
+            t(latest.oi).flatMap(r6), oiv.flatMap(r6),
+            tlsr.flatMap(r6), lsr.flatMap(r6), tlsvr.flatMap(r6),
+            oiChange.flatMap(r6), oiChangePct.flatMap(r6),
+            topDev.flatMap(r6), retailDev.flatMap(r6), takerDev.flatMap(r6),
+            biasDiff.flatMap(r6), biasSpread.flatMap(r6),
+            volatility.flatMap(r6), oiStreak, takerStreak,
+            risk.flatMap(r6), topVol.flatMap(r6), retailVol.flatMap(r6),
+            oiSlope.flatMap(r6), oiZ.flatMap(r6), topMomentum.flatMap(r6),
+            takerMomentum.flatMap(r6), flip, takerJump.flatMap(r6),
+            stabilityPct.flatMap(r6)))
+        }
+      }
+      .toDF()
+  }
+
+  val queries: Map[String, Q] = Map(
+    "i07_buy_sell_ratio" -> buySellRatio,
+    "i09_futures_sentiment" -> sentiment,
+    "i34_futures_aggregate" -> aggregate)
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Per-symbol ordered metrics-series CTE (lists filtered of zero values,
+    * matching the reference's truthy-series comprehension).
+    */
+  private val MSERIES =
+    """mseries AS (
+      |  SELECT symbol, max(create_time) AS create_time,
+      |         max_by(sum_open_interest, create_time) AS l_oi,
+      |         max_by(sum_open_interest_value, create_time) AS l_oiv,
+      |         max_by(sum_toptrader_long_short_ratio, create_time) AS l_tlsr,
+      |         max_by(count_long_short_ratio, create_time) AS l_lsr,
+      |         max_by(sum_taker_long_short_vol_ratio, create_time) AS l_tlsvr,
+      |         list(sum_open_interest_value ORDER BY create_time)
+      |           FILTER (WHERE sum_open_interest_value != 0.0) AS oiv_s,
+      |         list(sum_toptrader_long_short_ratio ORDER BY create_time)
+      |           FILTER (WHERE sum_toptrader_long_short_ratio != 0.0) AS top_s,
+      |         list(count_long_short_ratio ORDER BY create_time)
+      |           FILTER (WHERE count_long_short_ratio != 0.0) AS retail_s,
+      |         list(sum_taker_long_short_vol_ratio ORDER BY create_time)
+      |           FILTER (WHERE sum_taker_long_short_vol_ratio != 0.0) AS taker_s,
+      |         max_by(prev_oiv, create_time) AS p_oiv,
+      |         max_by(prev_tlsr, create_time) AS p_tlsr,
+      |         max_by(prev_tlsvr, create_time) AS p_tlsvr,
+      |         count(*) AS n
+      |  FROM (
+      |    SELECT *,
+      |      lag(sum_open_interest_value) OVER w AS prev_oiv,
+      |      lag(sum_toptrader_long_short_ratio) OVER w AS prev_tlsr,
+      |      lag(sum_taker_long_short_vol_ratio) OVER w AS prev_tlsvr
+      |    FROM metrics
+      |    WINDOW w AS (PARTITION BY symbol ORDER BY create_time))
+      |  GROUP BY symbol HAVING count(*) >= 2)""".stripMargin
+
+  private def seqSum(l: String): String =
+    s"list_reduce(list_prepend(0.0, $l), (acc, x) -> acc + x)"
+  private def seqMean(l: String): String = s"${seqSum(l)} / len($l)"
+
+  /** pstdev with the same op sequence as [[stdOverMean]]/[[zScore]]. */
+  private def pstd(l: String, m: String): String =
+    s"sqrt(${seqSum(s"list_transform($l, x -> (x - ($m)) * (x - ($m)))")} / len($l))"
+
+  private def zSql(latest: String, l: String, m: String, sd: String): String =
+    s"""CASE WHEN len($l) < 2 THEN NULL
+       |     WHEN $sd = 0.0 THEN 0.0
+       |     ELSE (($latest) - ($m)) / ($sd) END""".stripMargin
+
+  /** Signed tail streak over an INT list (see [[tailStreak]]): the run ends
+    * at the last element whose sign opposes the final non-zero sign —
+    * `list_position(list_reverse(l), -lastSign) - 1` trailing elements.
+    * Written without column references inside lambdas: DuckDB 1.0 mis-binds
+    * captured outer expressions in lambda bodies (same class of bug as the
+    * STRUCT-fold nondeterminism noted in [[graft.indicators.Stateful]]).
+    */
+  private def streakSql(l: String): String =
+    s"""CASE WHEN len(list_filter($l, x -> x != 0)) = 0 THEN 0
+       |ELSE list_filter($l, x -> x != 0)[-1] *
+       |  coalesce(list_position(list_reverse($l),
+       |             -(list_filter($l, x -> x != 0)[-1])) - 1, len($l))
+       |END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "i07_buy_sell_ratio" -> Oracle.withCandles(
+      """SELECT symbol, bucket_ts,
+        |  round(buy, 6) AS buy_volume,
+        |  round(greatest(vol - buy, 0.0), 6) AS sell_volume,
+        |  round(buy / vol, 6) AS buy_ratio,
+        |  round(price, 6) AS price
+        |FROM (
+        |  SELECT symbol, max(bucket_ts) AS bucket_ts,
+        |         max_by(volume, bucket_ts) AS vol,
+        |         max_by(taker_buy_volume, bucket_ts) AS buy,
+        |         max_by(close, bucket_ts) AS price
+        |  FROM candles GROUP BY symbol)
+        |WHERE vol > 0""".stripMargin),
+    "i09_futures_sentiment" -> Oracle.withMetrics(
+      """SELECT symbol, max(create_time) AS create_time,
+        |  round(max_by(sum_open_interest, create_time), 6) AS oi,
+        |  round(max_by(sum_open_interest_value, create_time), 6) AS oiv,
+        |  round(max_by(count_toptrader_long_short_ratio, create_time), 6) AS ctlsr,
+        |  round(max_by(sum_toptrader_long_short_ratio, create_time), 6) AS tlsr,
+        |  round(max_by(count_long_short_ratio, create_time), 6) AS lsr,
+        |  round(max_by(sum_taker_long_short_vol_ratio, create_time), 6) AS tlsvr
+        |FROM metrics GROUP BY symbol""".stripMargin),
+    "i34_futures_aggregate" -> Oracle.withMetrics(
+      s""", $MSERIES,
+         |derived AS (
+         |  SELECT *,
+         |    ${seqMean("oiv_s")} AS oiv_m,
+         |    ${seqMean("top_dev_s")} AS top_dev_m,
+         |    ${seqMean("taker_dev_s")} AS taker_dev_m,
+         |    CASE WHEN len(delta_s) >= 2 THEN ${seqMean("delta_s")} END AS delta_m,
+         |    CASE WHEN l_oiv != 0.0 AND p_oiv IS NOT NULL AND p_oiv != 0.0
+         |              AND l_oiv - p_oiv != 0.0
+         |         THEN (l_oiv - p_oiv) / p_oiv END AS oi_change_pct
+         |  FROM (
+         |    SELECT *,
+         |      list_transform(top_s, x -> abs(x - 1.0)) AS top_dev_s,
+         |      list_transform(taker_s, x -> abs(x - 1.0)) AS taker_dev_s,
+         |      list_transform(generate_series(1, len(oiv_s) - 1), i ->
+         |        (oiv_s[i+1] - oiv_s[i]) / oiv_s[i]) AS delta_s,
+         |      list_transform(generate_series(1, len(oiv_s) - 1), i ->
+         |        CASE WHEN oiv_s[i+1] - oiv_s[i] > 0.0 THEN 1
+         |             WHEN oiv_s[i+1] - oiv_s[i] < 0.0 THEN -1 ELSE 0 END) AS oi_sign_s,
+         |      list_transform(taker_s, x ->
+         |        CASE WHEN abs(x - 1.0) < 1e-9 THEN 0
+         |             WHEN x > 1.0 THEN 1 ELSE -1 END) AS taker_sign_s
+         |    FROM mseries)),
+         |scored AS (
+         |  SELECT *,
+         |    CASE WHEN oi_change_pct IS NOT NULL AND len(delta_s) >= 2
+         |         THEN ${zSql("oi_change_pct", "delta_s", "delta_m", s"${pstd("delta_s", "delta_m")}")} END AS z_delta,
+         |    CASE WHEN l_tlsr != 0.0 AND abs(l_tlsr - 1.0) != 0.0
+         |         THEN ${zSql("abs(l_tlsr - 1.0)", "top_dev_s", "top_dev_m", s"${pstd("top_dev_s", "top_dev_m")}")} END AS z_top,
+         |    CASE WHEN l_tlsvr != 0.0 AND abs(l_tlsvr - 1.0) != 0.0
+         |         THEN ${zSql("abs(l_tlsvr - 1.0)", "taker_dev_s", "taker_dev_m", s"${pstd("taker_dev_s", "taker_dev_m")}")} END AS z_taker,
+         |    CASE WHEN len(oiv_s) >= 2 AND oiv_m != 0.0
+         |         THEN ${pstd("oiv_s", "oiv_m")} / oiv_m END AS volatility
+         |  FROM derived)
+         |SELECT symbol, create_time,
+         |  round(nullif(l_oi, 0.0), 6) AS oi,
+         |  round(nullif(l_oiv, 0.0), 6) AS oiv,
+         |  round(nullif(l_tlsr, 0.0), 6) AS tlsr,
+         |  round(nullif(l_lsr, 0.0), 6) AS lsr,
+         |  round(nullif(l_tlsvr, 0.0), 6) AS tlsvr,
+         |  round(CASE WHEN l_oiv != 0.0 AND p_oiv IS NOT NULL AND p_oiv != 0.0
+         |        THEN l_oiv - p_oiv END, 6) AS oi_change,
+         |  round(oi_change_pct, 6) AS oi_change_pct,
+         |  round(CASE WHEN l_tlsr != 0.0 THEN abs(l_tlsr - 1.0) END, 6) AS top_dev,
+         |  round(CASE WHEN l_lsr != 0.0 THEN abs(l_lsr - 1.0) END, 6) AS retail_dev,
+         |  round(CASE WHEN l_tlsvr != 0.0 THEN abs(l_tlsvr - 1.0) END, 6) AS taker_dev,
+         |  round(CASE WHEN l_tlsr != 0.0 AND l_lsr != 0.0
+         |        THEN l_tlsr - l_lsr END, 6) AS bias_diff,
+         |  round(CASE WHEN l_tlsr != 0.0 AND l_lsr != 0.0 AND l_tlsr - l_lsr != 0.0
+         |        THEN abs(l_tlsr - l_lsr) END, 6) AS bias_spread,
+         |  round(volatility, 6) AS volatility,
+         |  CAST(${streakSql("oi_sign_s")} AS INT) AS oi_streak,
+         |  CAST(${streakSql("taker_sign_s")} AS INT) AS taker_streak,
+         |  round(CASE WHEN z_delta IS NULL AND z_top IS NULL AND z_taker IS NULL THEN NULL
+         |        ELSE coalesce(z_delta, 0.0) + coalesce(z_top, 0.0) + coalesce(z_taker, 0.0)
+         |        END, 6) AS risk_score,
+         |  round(CASE WHEN len(top_s) >= 2 AND ${seqMean("top_s")} != 0.0
+         |        THEN ${pstd("top_s", seqMean("top_s"))} / (${seqMean("top_s")}) END, 6) AS top_vol,
+         |  round(CASE WHEN len(retail_s) >= 2 AND ${seqMean("retail_s")} != 0.0
+         |        THEN ${pstd("retail_s", seqMean("retail_s"))} / (${seqMean("retail_s")}) END, 6) AS retail_vol,
+         |  round(CASE WHEN len(oiv_s) >= 2 AND oiv_s[-1] != 0.0
+         |             AND len(oiv_s) * ((len(oiv_s) - 1) * len(oiv_s) * (2.0 * len(oiv_s) - 1) / 6.0)
+         |               - ((len(oiv_s) - 1) * len(oiv_s) / 2.0) * ((len(oiv_s) - 1) * len(oiv_s) / 2.0) != 0.0
+         |        THEN (len(oiv_s) * ${seqSum("list_transform(generate_series(1, len(oiv_s)), i -> (i - 1) * oiv_s[i])")}
+         |              - ((len(oiv_s) - 1) * len(oiv_s) / 2.0) * ${seqSum("oiv_s")})
+         |             / (len(oiv_s) * ((len(oiv_s) - 1) * len(oiv_s) * (2.0 * len(oiv_s) - 1) / 6.0)
+         |                - ((len(oiv_s) - 1) * len(oiv_s) / 2.0) * ((len(oiv_s) - 1) * len(oiv_s) / 2.0))
+         |             / oiv_s[-1] * 100.0 END, 6) AS oi_slope_pct,
+         |  round(CASE WHEN l_oiv != 0.0
+         |        THEN ${zSql("l_oiv", "oiv_s", "oiv_m", s"${pstd("oiv_s", "oiv_m")}")} END, 6) AS oi_z,
+         |  round(CASE WHEN l_tlsr != 0.0 AND p_tlsr IS NOT NULL AND p_tlsr != 0.0
+         |        THEN l_tlsr - p_tlsr END, 6) AS top_momentum,
+         |  round(CASE WHEN l_tlsvr != 0.0 AND p_tlsvr IS NOT NULL AND p_tlsvr != 0.0
+         |        THEN l_tlsvr - p_tlsvr END, 6) AS taker_momentum,
+         |  CASE WHEN l_tlsr != 0.0 AND p_tlsr IS NOT NULL AND p_tlsr != 0.0
+         |            AND p_tlsr < 1.0 AND l_tlsr > 1.0 THEN 1
+         |       WHEN l_tlsr != 0.0 AND p_tlsr IS NOT NULL AND p_tlsr != 0.0
+         |            AND p_tlsr > 1.0 AND l_tlsr < 1.0 THEN -1
+         |       ELSE 0 END AS flip_signal,
+         |  round(CASE WHEN l_tlsvr != 0.0 AND p_tlsvr IS NOT NULL AND p_tlsvr != 0.0
+         |        THEN abs(l_tlsvr - p_tlsvr) END, 6) AS taker_jump,
+         |  round(CASE WHEN volatility IS NOT NULL AND volatility != 0.0
+         |        THEN len(list_filter(oiv_s, x -> x <= volatility)) * 1.0 / len(oiv_s)
+         |        END, 6) AS stability_pct
+         |FROM scored""".stripMargin))
+}
