@@ -34,6 +34,7 @@ object SparkEntry {
       indicators.Ewma.queries ++
       indicators.Stateful.queries ++
       indicators.Futures.queries ++
+      indicators.Market.queries ++
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.Text.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       indicators.Ewma.oracle ++
       indicators.Stateful.oracle ++
       indicators.Futures.oracle ++
+      indicators.Market.oracle ++
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.Text.oracle ++

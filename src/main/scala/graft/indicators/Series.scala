@@ -93,12 +93,21 @@ object Series {
     out
   }
 
-  /** Spark-`round(_, 6)`-equivalent HALF_UP rounding (DuckDB round matches
-    * for finite values); non-finite → None → SQL NULL.
+  /** DuckDB-`round(x, 6)`-equivalent rounding; non-finite → None → SQL NULL.
+    *
+    * DuckDB rounds the SCALED double half-away-from-zero
+    * (`round(x·10⁶)/10⁶`), which differs from decimal-exact HALF_UP exactly
+    * on terminating-decimal boundaries (e.g. 2.675 → 2.68 because
+    * 2.675·100 == 267.5 in binary). Mirroring the scaled-double sequence
+    * keeps boundary values (VPVR bucket centers, price mids) hash-equal.
     */
   def r6(x: Double): Option[Double] =
-    if (x.isNaN || x.isInfinite) None
-    else Some(BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    if (x.isNaN || x.isInfinite) None else Some(rp(x, 1e6))
+
+  private[indicators] def rp(x: Double, pow: Double): Double = {
+    val t = x * pow
+    (if (t >= 0.0) math.floor(t + 0.5) else math.ceil(t - 0.5)) / pow
+  }
 
   def r6v(x: Double): Double = r6(x).getOrElse(Double.NaN)
 
