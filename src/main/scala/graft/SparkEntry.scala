@@ -30,6 +30,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Tpch.queries ++
+      operators.Signals.queries ++
+      operators.Maintenance.queries ++
       indicators.Rolling.queries ++
       indicators.Ewma.queries ++
       indicators.Stateful.queries ++
@@ -46,6 +48,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.Tpch.oracle ++
+      operators.Signals.oracle ++
+      operators.Maintenance.oracle ++
       indicators.Rolling.oracle ++
       indicators.Ewma.oracle ++
       indicators.Stateful.oracle ++

@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.{Oracle, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage-maintenance operators: the upsert MERGE (S3), retention trim
+  * (S7), and the point-probe reads (R12, R16) from SURVEY.md §2.1-2.2.
+  */
+object Maintenance {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** S3 — candle upsert with field-level merge, the reference's
+    * `ON CONFLICT DO UPDATE` semantics (001_timescaledb.sql:106-119):
+    * `open` kept when the stored bar is closed and the incoming is not,
+    * `high=GREATEST`, `low=LEAST`, `close/volume` taken from incoming,
+    * `quote_volume/trade_count/taker_buy_volume` coalesced incoming-first,
+    * `is_closed=OR`.
+    *
+    * Batch form: full-outer join on the conflict key. In production this is
+    * a Delta `MERGE INTO` inside `foreachBatch` (same expressions in the
+    * UPDATE SET clause); the join form is the pure-parquet fallback and the
+    * semantic spec both share. Scale: one shuffle on (symbol, bucket_ts) —
+    * the fact table's natural key — and AQE broadcast when the incoming
+    * micro-batch is small.
+    */
+  def mergeCandles(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val t = existing.alias("t")
+    val e = incoming.alias("e")
+    val both = col("t.symbol").isNotNull && col("e.symbol").isNotNull
+    def tc(f: String) = col(s"t.$f")
+    def ec(f: String) = col(s"e.$f")
+    def merged(f: String, whenBoth: Column) =
+      when(both, whenBoth).otherwise(coalesce(tc(f), ec(f))).as(f)
+    t.join(e, col("t.symbol") === col("e.symbol") &&
+        col("t.bucket_ts") === col("e.bucket_ts"), "full_outer")
+      .select(
+        coalesce(col("t.symbol"), col("e.symbol")).as("symbol"),
+        coalesce(col("t.bucket_ts"), col("e.bucket_ts")).as("bucket_ts"),
+        merged("open", when(tc("is_closed") && !ec("is_closed"), tc("open"))
+          .otherwise(ec("open"))),
+        merged("high", greatest(tc("high"), ec("high"))),
+        merged("low", least(tc("low"), ec("low"))),
+        merged("close", ec("close")),
+        merged("volume", ec("volume")),
+        merged("quote_volume", coalesce(ec("quote_volume"), tc("quote_volume"))),
+        merged("trade_count", coalesce(ec("trade_count"), tc("trade_count"))),
+        merged("taker_buy_volume", coalesce(ec("taker_buy_volume"), tc("taker_buy_volume"))),
+        merged("is_closed", tc("is_closed") || ec("is_closed")))
+  }
+
+  /** u01 — exercise [[mergeCandles]] deterministically: batch A = candles
+    * from even events (closed), batch B = candles from odd events (open,
+    * quote_volume nulled on every 5th minute) — overlapping buckets get the
+    * field-wise merge, disjoint ones pass through.
+    */
+  private val upsert: Q = (s, dir) => {
+    def half(parity: Int, closed: Column) =
+      Tables.events(s, dir)
+        .where(col("event_id") % 2 === parity)
+        .groupBy(
+          format_string("S%04d", col("user_id")).as("symbol"),
+          (expr("ts DIV 60000000000") * 60).as("bucket_ts"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("event_id")).as("close"),
+          sum(col("value")).as("volume"),
+          sum(col("value") * col("value")).as("quote_volume"),
+          count(lit(1)).as("trade_count"),
+          sum(when(col("event_id") % 3 === 0, col("value")).otherwise(lit(0.0)))
+            .as("taker_buy_volume"))
+        .withColumn("is_closed", closed)
+    val a = half(0, lit(true))
+    val b = half(1, lit(false))
+      .withColumn("quote_volume",
+        when((col("bucket_ts") / 60) % 5 === 0, lit(null)).otherwise(col("quote_volume")))
+    mergeCandles(a, b).select(
+      col("symbol"), col("bucket_ts"),
+      round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+      round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+      round(col("volume"), 6).as("volume"),
+      round(col("quote_volume"), 6).as("quote_volume"),
+      col("trade_count"), round(col("taker_buy_volume"), 6).as("taker_buy_volume"),
+      col("is_closed"))
+  }
+
+  /** S7 — retention trim (db/reader.py:298-332): keep the newest N rows per
+    * symbol, report what remains. `row_number <= N` is the trim predicate
+    * the mart rewrite uses.
+    */
+  private val retention: Q = (s, dir) => {
+    val w = Window.partitionBy("symbol").orderBy(col("bucket_ts").desc)
+    Tables.candles(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 30)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("kept"),
+        min("bucket_ts").as("oldest_ts"),
+        max("bucket_ts").as("newest_ts"))
+  }
+
+  /** R12 — max-timestamp probe (reader.py:214-225). */
+  private val maxTs: Q = (s, dir) =>
+    Tables.candles(s, dir).agg(
+      max(col("bucket_ts")).as("max_ts"),
+      count(lit(1)).cast("long").as("row_count"))
+
+  /** R16 — period/symbol point read with symbol normalization
+    * (data_provider.py:343-409): `S0007USDT` → `S0007`, latest row.
+    */
+  private val pointRead: Q = (s, dir) => {
+    val wanted = Seq("S0007USDT", "S0010", "S0042USDT")
+    Tables.candles(s, dir)
+      .where(col("symbol").isin(wanted.map(_.stripSuffix("USDT")): _*))
+      .groupBy("symbol")
+      .agg(max("bucket_ts").as("bucket_ts"),
+        round(max_by(col("close"), col("bucket_ts")), 6).as("close"),
+        round(max_by(col("volume"), col("bucket_ts")), 6).as("volume"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "u01_upsert_merge" -> upsert,
+    "u02_retention_trim" -> retention,
+    "r12_max_ts" -> maxTs,
+    "r16_point_read" -> pointRead)
+
+  // ---------------------------------------------------------------- oracle
+
+  private def halfSql(parity: Int, closed: String): String =
+    s"""SELECT printf('S%04d', user_id) AS symbol,
+       |       CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+       |       min_by(value, event_id) AS open,
+       |       max(value) AS high, min(value) AS low,
+       |       max_by(value, event_id) AS close,
+       |       sum(value) AS volume,
+       |       sum(value * value) AS quote_volume,
+       |       count(*) AS trade_count,
+       |       sum(CASE WHEN event_id % 3 = 0 THEN value ELSE 0.0 END) AS taker_buy_volume,
+       |       $closed AS is_closed
+       |FROM events WHERE event_id % 2 = $parity
+       |GROUP BY 1, 2""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "u01_upsert_merge" ->
+      s"""WITH a AS (${halfSql(0, "TRUE")}),
+         |b0 AS (${halfSql(1, "FALSE")}),
+         |b AS (SELECT * REPLACE (CASE WHEN (bucket_ts / 60) % 5 = 0 THEN NULL
+         |                             ELSE quote_volume END AS quote_volume) FROM b0)
+         |SELECT
+         |  coalesce(t.symbol, e.symbol) AS symbol,
+         |  coalesce(t.bucket_ts, e.bucket_ts) AS bucket_ts,
+         |  round(CASE WHEN t.symbol IS NOT NULL AND e.symbol IS NOT NULL THEN
+         |          CASE WHEN t.is_closed AND NOT e.is_closed THEN t.open ELSE e.open END
+         |        ELSE coalesce(t.open, e.open) END, 6) AS open,
+         |  round(CASE WHEN t.symbol IS NOT NULL AND e.symbol IS NOT NULL
+         |        THEN greatest(t.high, e.high) ELSE coalesce(t.high, e.high) END, 6) AS high,
+         |  round(CASE WHEN t.symbol IS NOT NULL AND e.symbol IS NOT NULL
+         |        THEN least(t.low, e.low) ELSE coalesce(t.low, e.low) END, 6) AS low,
+         |  round(CASE WHEN t.symbol IS NOT NULL AND e.symbol IS NOT NULL
+         |        THEN e.close ELSE coalesce(t.close, e.close) END, 6) AS close,
+         |  round(CASE WHEN t.symbol IS NOT NULL AND e.symbol IS NOT NULL
+         |        THEN e.volume ELSE coalesce(t.volume, e.volume) END, 6) AS volume,
+         |  round(CASE WHEN t.symbol IS NOT NULL AND e.symbol IS NOT NULL
+         |        THEN coalesce(e.quote_volume, t.quote_volume)
+         |        ELSE coalesce(t.quote_volume, e.quote_volume) END, 6) AS quote_volume,
+         |  CAST(CASE WHEN t.symbol IS NOT NULL AND e.symbol IS NOT NULL
+         |       THEN coalesce(e.trade_count, t.trade_count)
+         |       ELSE coalesce(t.trade_count, e.trade_count) END AS BIGINT) AS trade_count,
+         |  round(CASE WHEN t.symbol IS NOT NULL AND e.symbol IS NOT NULL
+         |        THEN coalesce(e.taker_buy_volume, t.taker_buy_volume)
+         |        ELSE coalesce(t.taker_buy_volume, e.taker_buy_volume) END, 6) AS taker_buy_volume,
+         |  CASE WHEN t.symbol IS NOT NULL AND e.symbol IS NOT NULL
+         |       THEN t.is_closed OR e.is_closed
+         |       ELSE coalesce(t.is_closed, e.is_closed) END AS is_closed
+         |FROM a t FULL OUTER JOIN b e
+         |  ON t.symbol = e.symbol AND t.bucket_ts = e.bucket_ts""".stripMargin,
+    "u02_retention_trim" -> Oracle.withCandles(
+      """SELECT symbol, CAST(count(*) AS BIGINT) AS kept,
+        |       min(bucket_ts) AS oldest_ts, max(bucket_ts) AS newest_ts
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY bucket_ts DESC) AS rn
+        |  FROM candles)
+        |WHERE rn <= 30 GROUP BY symbol""".stripMargin),
+    "r12_max_ts" -> Oracle.withCandles(
+      """SELECT max(bucket_ts) AS max_ts, CAST(count(*) AS BIGINT) AS row_count
+        |FROM candles""".stripMargin),
+    "r16_point_read" -> Oracle.withCandles(
+      """SELECT symbol, max(bucket_ts) AS bucket_ts,
+        |       round(max_by(close, bucket_ts), 6) AS close,
+        |       round(max_by(volume, bucket_ts), 6) AS volume
+        |FROM candles
+        |WHERE symbol IN (regexp_replace('S0007USDT', 'USDT$', ''),
+        |                 regexp_replace('S0010', 'USDT$', ''),
+        |                 regexp_replace('S0042USDT', 'USDT$', ''))
+        |GROUP BY symbol""".stripMargin))
+}
