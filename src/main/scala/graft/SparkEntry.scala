@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Tpch.queries ++
       operators.Signals.queries ++
       operators.Maintenance.queries ++
+      functions.EwmaWindow.queries ++
       indicators.Rolling.queries ++
       indicators.Ewma.queries ++
       indicators.Stateful.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.Tpch.oracle ++
       operators.Signals.oracle ++
       operators.Maintenance.oracle ++
+      functions.EwmaWindow.oracle ++
       indicators.Rolling.oracle ++
       indicators.Ewma.oracle ++
       indicators.Stateful.oracle ++

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.operators.Maintenance
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming path (SURVEY.md §2.7): the reference's continuous
+  * 1m→5m aggregate and batched upsert, re-expressed as streaming queries.
+  *
+  * The reference repairs lateness by re-materializing a trailing window
+  * (cagg `start_offset`, 004_continuous_aggregates.sql:66-81), so the
+  * watermark here is generous (1 h) and batch recompute stays the semantic
+  * ground truth; the streaming path covers the freshness SLO (<10 s
+  * roll-ups, README.md:637).
+  *
+  * Scale notes: the aggregation state is keyed by (symbol, 5m window) —
+  * ~615 symbols × a handful of open windows, trivially small; the shuffle
+  * key matches the batch roll-up so a 1000-executor cluster partitions
+  * identically. The upsert sink runs [[Maintenance.mergeCandles]] per
+  * micro-batch — the same expressions a Delta `MERGE INTO` would carry,
+  * with the 3 s trigger playing the reference's flush window
+  * (ws.py:37-38).
+  */
+object StreamRollup {
+
+  /** Streaming 1m→5m OHLCV roll-up (R4 on a stream). Input: a streaming
+    * DataFrame with the candle schema (bucket_ts epoch seconds). Event time
+    * is the bucket itself; `min_by`/`max_by` give ordered first/last like
+    * the batch roll-up, and `min(is_closed)` is `bool_and`.
+    */
+  def rollup5m(candles1m: DataFrame): DataFrame =
+    candles1m
+      .withColumn("event_time", timestamp_seconds(col("bucket_ts")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("symbol"), window(col("event_time"), "5 minutes"))
+      .agg(
+        min_by(col("open"), col("bucket_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("bucket_ts")).as("close"),
+        sum(col("volume")).as("volume"),
+        sum(col("quote_volume")).as("quote_volume"),
+        sum(col("trade_count")).as("trade_count"),
+        sum(col("taker_buy_volume")).as("taker_buy_volume"))
+      .select(col("symbol"),
+        unix_timestamp(col("window.start")).as("bucket_ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"),
+        col("quote_volume"), col("trade_count"), col("taker_buy_volume"))
+
+  /** The S2/S3 sink: merge each micro-batch into the stored table with the
+    * reference's field-level upsert semantics. `store`/`load` abstract the
+    * table (parquet dir, Delta table, or a test harness).
+    */
+  def upsertBatch(stored: DataFrame, batch: DataFrame): DataFrame =
+    Maintenance.mergeCandles(stored, batch)
+}

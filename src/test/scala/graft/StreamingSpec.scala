@@ -1,0 +1,87 @@
+package graft
+
+import graft.streaming.StreamRollup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class C1m(symbol: String, bucket_ts: Long, open: Double, high: Double,
+  low: Double, close: Double, volume: Double, quote_volume: Double,
+  trade_count: Long, taker_buy_volume: Double)
+
+/** §2.7 — the streaming 1m→5m roll-up must agree with the batch roll-up on
+  * the same rows, and the foreachBatch upsert must reproduce the reference's
+  * field-level merge across micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkEntry.configure(
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  private def bar(sym: String, m: Long, px: Double): C1m =
+    C1m(sym, m * 60, px, px + 1, px - 1, px + 0.5, 10.0, 10.0 * px, 3L, 4.0)
+
+  test("streaming 5m rollup matches the batch rollup") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[C1m](implicitly[org.apache.spark.sql.Encoder[C1m]], s)
+    val bars = (0L until 12L).flatMap(m => Seq(bar("A", m, 100 + m), bar("B", m, 50 + m)))
+    input.addData(bars)
+
+    val q = StreamRollup.rollup5m(input.toDF())
+      .writeStream.format("memory").queryName("agg5m").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("agg5m")
+        .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+
+      val batch = bars.toDF()
+        .withColumn("b5", col("bucket_ts") - col("bucket_ts") % 300)
+        .groupBy("symbol", "b5")
+        .agg(min_by(col("open"), col("bucket_ts")).as("open"), max("high").as("high"),
+          min("low").as("low"), max_by(col("close"), col("bucket_ts")).as("close"),
+          sum("volume").as("volume"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+
+      assert(got.nonEmpty)
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert merges micro-batches with field-level semantics") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[C1m](implicitly[org.apache.spark.sql.Encoder[C1m]], s)
+
+    var stored = Seq.empty[C1m].toDF().withColumn("is_closed", lit(true))
+    val q = input.toDF().writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+      val withFlag = batch.withColumn("is_closed", lit(id > 0))
+      stored = StreamRollup.upsertBatch(stored, withFlag).cache()
+      stored.count() // materialize before the next batch mutates inputs
+      ()
+    }.start()
+    try {
+      // batch 0: open bar (is_closed=false per flag id>0 → false)
+      input.addData(bar("A", 1L, 100.0))
+      q.processAllAvailable()
+      // batch 1: same bucket, higher high, lower low, new close (closed)
+      input.addData(bar("A", 1L, 104.0).copy(low = 90.0, close = 101.0))
+      q.processAllAvailable()
+
+      val row = stored.where(col("symbol") === "A").collect().head
+      val m = row.getValuesMap[Any](Seq("high", "low", "close", "is_closed"))
+      assert(m("high") == 105.0) // greatest(101, 105)
+      assert(m("low") == 90.0)   // least(99, 90)
+      assert(m("close") == 101.0) // EXCLUDED.close
+      assert(m("is_closed") == true) // OR
+    } finally q.stop()
+  }
+}
