@@ -38,6 +38,7 @@ object SparkEntry {
       indicators.Stateful.queries ++
       indicators.Futures.queries ++
       indicators.Market.queries ++
+      indicators.Patterns.queries ++
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.Text.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       indicators.Stateful.oracle ++
       indicators.Futures.oracle ++
       indicators.Market.oracle ++
+      indicators.Patterns.oracle ++
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.Text.oracle ++

@@ -281,6 +281,26 @@ object Ewma {
     }
   }
 
+  final case class KeltnerOut(symbol: String, bucket_ts: Long,
+    mid: Option[Double], upper: Option[Double], lower: Option[Double],
+    position: Option[Double])
+  private implicit val encKeltnerOut: Encoder[KeltnerOut] = Encoders.product[KeltnerOut]
+
+  /** I33 — Keltner channel (lean_indicators.py:217-246): EMA20(close) ±
+    * 2·ATR(10, Wilder), close position within the band.
+    */
+  private val keltner: Q = (s, dir) => mapSeries[KeltnerOut](s, dir) { (sym, bars) =>
+    val n = bars.length
+    if (n < 35) None
+    else {
+      val mid = ewmaLast(bars.map(_.close), 2.0 / 21.0)
+      val a = ewmaLast(trueRanges(bars), 1.0 / 10.0)
+      val (up, lo) = (mid + 2.0 * a, mid - 2.0 * a)
+      val pos = if (up == lo) Double.NaN else (bars(n - 1).close - lo) / (up - lo)
+      Some(KeltnerOut(sym, bars(n - 1).bucket_ts, r6(mid), r6(up), r6(lo), r6(pos)))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "i04_macd" -> macd,
     "i22_rsi" -> rsi,
@@ -290,7 +310,8 @@ object Ewma {
     "i30_adx" -> adx,
     "i27_ema_ribbon" -> ribbon,
     "i15_harmonic" -> harmonic,
-    "i24_fib_sniper" -> fib)
+    "i24_fib_sniper" -> fib,
+    "i33_keltner" -> keltner)
 
   // ---------------------------------------------------------------- oracle
 
@@ -501,5 +522,16 @@ object Ewma {
          |                       list_reduce(list_prepend(0.0, vol[n-29:n]), (acc, x) -> acc + x)
          |             END AS vwma,
          |             ${seqMean("cl[n-29:n]")} AS cm
-         |      FROM series WHERE n >= 35)))""".stripMargin))
+         |      FROM series WHERE n >= 35)))""".stripMargin),
+    "i33_keltner" -> withSeries(
+      s"""SELECT symbol, bucket_ts, round(mid, 6) AS mid,
+         |  round(mid + 2.0 * a, 6) AS upper, round(mid - 2.0 * a, 6) AS lower,
+         |  round(CASE WHEN a = 0.0 THEN NULL
+         |        ELSE (cl_last - (mid - 2.0 * a)) / (4.0 * a) END, 6) AS position
+         |FROM (
+         |  SELECT symbol, bucket_ts, cl[n] AS cl_last,
+         |         ${red("cl", "2.0/21.0")} AS mid,
+         |         ${red("trs", "1.0/10.0")} AS a
+         |  FROM (SELECT symbol, bucket_ts, n, cl, $TRS AS trs
+         |        FROM series WHERE n >= 35))""".stripMargin))
 }
