@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: JIT + codegen + parquet footer reads land outside the timings
+    // (otherwise the first query absorbs ~5 s of JVM warmup)
+    Tables.candles(spark, sfDir).count()
+    Tables.metrics5m(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Canonical table access for the graft engine.
   *
@@ -68,6 +69,35 @@ object Tables {
         count(lit(1)).as("trade_count"),
         sum(when(col("event_id") % 2 === 0, col("value")).otherwise(lit(0.0)))
           .as("taker_buy_volume"))
+
+  /** Candle schema for external ingest (the `candles_1m` contract,
+    * reference 001_timescaledb.sql:9-28, with epoch-second Long time).
+    */
+  val CandleSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("bucket_ts", LongType, nullable = false),
+    StructField("open", DoubleType), StructField("high", DoubleType),
+    StructField("low", DoubleType), StructField("close", DoubleType),
+    StructField("volume", DoubleType), StructField("quote_volume", DoubleType),
+    StructField("trade_count", LongType),
+    StructField("taker_buy_volume", DoubleType),
+    StructField("is_closed", BooleanType)))
+
+  /** S5 — ZIP/CSV historical backfill (reference
+    * data-service/src/collectors/backfill.py:300-520: Binance Vision daily
+    * CSVs → parse → upsert). Schema is pinned, never inferred — at backfill
+    * scale (thousands of daily files) schema inference would read every
+    * file twice; malformed rows route to `_corrupt_record`-free drop via
+    * DROPMALFORMED, matching the reference's skip-and-log behavior. The
+    * result feeds the same MERGE path as streaming ingest
+    * ([[graft.streaming.StreamRollup.upsertBatch]]).
+    */
+  def candlesFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(CandleSchema)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
 
   /** 5-minute futures-sentiment fact derived from `events`
     * (reference: binance_futures_metrics_5m, 005_metrics_5m.sql:5-23).

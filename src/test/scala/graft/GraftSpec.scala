@@ -63,3 +63,47 @@ class RollupSpec extends AnyFunSuite {
     assert(up.filter(expr("bucket_ts % 300 != 0")).count() == 0)
   }
 }
+
+/** S5 — CSV backfill ingest: pinned schema, malformed-row drop, and the
+  * shared merge path (backfill repairs holes without clobbering closed
+  * bars — reference backfill.py:300-520 + 001_timescaledb.sql:106-119).
+  */
+class CsvBackfillSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("csv backfill parses pinned schema, drops malformed rows, merges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "day1.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("symbol,bucket_ts,open,high,low,close,volume,quote_volume,trade_count,taker_buy_volume,is_closed")
+    w.println("S0001,60,1.0,3.0,0.5,2.0,10.0,20.0,4,6.0,true")
+    w.println("S0001,120,2.0,4.0,1.5,3.0,11.0,22.0,5,7.0,true")
+    w.println("S0002,not_a_ts,garbage,4.0,1.5,3.0,11.0,22.0,5,7.0,true")
+    w.close()
+
+    val batch = Tables.candlesFromCsv(spark, f.getAbsolutePath)
+    // collect, not count: CSV column pruning means count() parses no
+    // columns and so never sees the malformed fields
+    assert(batch.collect().length == 2, "malformed row must be dropped")
+    // CSV sources relax nullability; names and types must pin exactly
+    assert(batch.schema.map(f => (f.name, f.dataType)) ==
+      Tables.CandleSchema.map(f => (f.name, f.dataType)))
+
+    // stored bar at ts=60 is open: merge takes greatest/least/new close
+    val stored = batch.filter(col("bucket_ts") === 60)
+      .select(col("symbol"), col("bucket_ts"), lit(9.9).as("open"),
+        lit(2.5).as("high"), lit(1.0).as("low"), lit(1.5).as("close"),
+        lit(5.0).as("volume"), lit(9.0).as("quote_volume"),
+        lit(2L).as("trade_count"), lit(3.0).as("taker_buy_volume"),
+        lit(false).as("is_closed"))
+    val merged = streaming.StreamRollup.upsertBatch(stored, batch)
+      .filter(col("bucket_ts") === 60).head
+    assert(merged.getAs[Double]("high") == 3.0)   // greatest
+    assert(merged.getAs[Double]("low") == 0.5)    // least
+    assert(merged.getAs[Double]("close") == 2.0)  // incoming close wins
+    assert(merged.getAs[Double]("open") == 1.0)   // stored bar not closed -> incoming open
+    assert(merged.getAs[Boolean]("is_closed"))    // OR
+    assert(streaming.StreamRollup.upsertBatch(stored, batch).count() == 2)
+  }
+}
