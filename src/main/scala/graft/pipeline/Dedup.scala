@@ -73,7 +73,12 @@ object Dedup {
   private val ngramJaccard: Q = (s, dir) => {
     val uni = withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
-    val sh8 = uni.select(col("doc_id"), explode(charShingles(col("text"), 8)).as("sh"))
+    // the inverted index carries xxhash64'd shingles: 8-byte join keys
+    // instead of 8-char strings (df counts and the candidate set are
+    // identical modulo 64-bit collisions, ~1e-7 at corpus scale)
+    val sh8 = uni.select(col("doc_id"),
+      explode(charShingles(col("text"), 8)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val rare = sh8.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 4)
     val cands = sh8.join(rare, "sh")
@@ -81,18 +86,16 @@ object Dedup {
       .join(sh8.join(rare, "sh").select(col("doc_id").as("b"), col("sh")), "sh")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val tri = uni.select(col("doc_id"), explode(charShingles(col("text"), 3)).as("g"))
-    val triN = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n3"))
-    val inter = cands
-      .join(tri.select(col("doc_id").as("a"), col("g")), "a")
-      .join(tri.select(col("doc_id").as("b"), col("g").as("g2")), "b")
-      .filter(col("g") === col("g2"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(triN.select(col("doc_id").as("a"), col("n3").as("na")), "a")
-      .join(triN.select(col("doc_id").as("b"), col("n3").as("nb")), "b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+    // exact verify: intersect hashed 3-gram arrays row-locally per pair —
+    // no pair×gram explode, no 3-gram shuffle (same shape as D3's verify)
+    val tri = uni.select(col("doc_id"),
+      transform(charShingles(col("text"), 3), g => xxhash64(g)).as("g3"))
+    cands
+      .join(tri.select(col("doc_id").as("a"), col("g3").as("ga")), "a")
+      .join(tri.select(col("doc_id").as("b"), col("g3").as("gb")), "b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("inter")))
       .filter(col("jaccard") >= 0.6)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
