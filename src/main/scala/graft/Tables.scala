@@ -70,6 +70,48 @@ object Tables {
         sum(when(col("event_id") % 2 === 0, col("value")).otherwise(lit(0.0)))
           .as("taker_buy_volume"))
 
+  /** Physical-layout writer for candle-shaped facts: date-partitioned
+    * parquet, sorted within partitions by (symbol, bucket_ts) so parquet
+    * row-group min/max stats give symbol+time skipping on top of partition
+    * pruning — the Spark restatement of the reference's Timescale chunking
+    * + compression ordering (001_timescaledb.sql:30-47). At 100 TB this is
+    * the table every operator reads: `filter(date)` prunes directories,
+    * `filter(symbol)` skips row groups, and a per-symbol window's shuffle
+    * is the only exchange any indicator pays.
+    */
+  def writeCandles(candles: DataFrame, path: String): Unit =
+    candles
+      .withColumn("dt", to_date(timestamp_seconds(col("bucket_ts"))))
+      .repartition(col("dt"))
+      .sortWithinPartitions(col("dt"), col("symbol"), col("bucket_ts"))
+      .write.mode("overwrite")
+      .partitionBy("dt")
+      .parquet(path)
+
+  def readCandles(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Retention = partition drop (reference 001_timescaledb.sql:49-54 chunk
+    * drop policy): deleting `dt=...` directories is an O(partitions)
+    * metadata operation, no data rewrite — unlike the row-level DELETE a
+    * non-partitioned layout would force.
+    */
+  def dropPartitionsBefore(spark: SparkSession, path: String,
+      cutoff: java.time.LocalDate): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("dt=") &&
+          java.time.LocalDate.parse(p.getName.stripPrefix("dt="))
+            .isBefore(cutoff)
+      }
+    dropped.foreach(fs.delete(_, true))
+    dropped.map(_.getName)
+  }
+
   /** Candle schema for external ingest (the `candles_1m` contract,
     * reference 001_timescaledb.sql:9-28, with epoch-second Long time).
     */

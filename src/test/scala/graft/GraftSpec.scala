@@ -107,3 +107,40 @@ class CsvBackfillSpec extends AnyFunSuite {
     assert(streaming.StreamRollup.upsertBatch(stored, batch).count() == 2)
   }
 }
+
+/** Physical layout: date-partitioned write, partition pruning on read,
+  * retention as partition drop (SURVEY §1.3/§4 storage contract).
+  */
+class StorageLayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("partitioned write round-trips, prunes partitions, drops retention") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toFile.getAbsolutePath
+    val candles = Tables.candles(spark, TestSession.sf)
+    Tables.writeCandles(candles, dir)
+
+    val back = Tables.readCandles(spark, dir)
+    assert(back.count() == candles.count())
+
+    // round-trip equality on a sample key
+    val a = candles.filter(col("symbol") === "S0003")
+      .agg(sum("volume"), max("high")).head
+    val b = back.filter(col("symbol") === "S0003")
+      .agg(sum("volume"), max("high")).head
+    assert(math.abs(a.getDouble(0) - b.getDouble(0)) < 1e-9 && a.getDouble(1) == b.getDouble(1))
+
+    // a date filter must reach the scan as a partition filter
+    val pruned = back.filter(col("dt") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"),
+      s"date filter not pushed to partition pruning:\n$scan")
+
+    // retention: drop everything before Jan 10, only later partitions remain
+    val dropped = Tables.dropPartitionsBefore(spark, dir, java.time.LocalDate.parse("2024-01-10"))
+    assert(dropped.nonEmpty && dropped.forall(_ < "dt=2024-01-10"))
+    val left = Tables.readCandles(spark, dir)
+    assert(left.agg(min(col("dt").cast("string"))).head.getString(0) >= "2024-01-10")
+    assert(left.count() < candles.count())
+  }
+}
