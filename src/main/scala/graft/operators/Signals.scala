@@ -134,7 +134,8 @@ object Signals {
   /** Fired signals after per-(symbol, rule) cooldown (pg_engine.py:612-636):
     * a signal emits only if ≥ `cooldownSec` after the previously EMITTED
     * one — a per-key greedy scan (stateful, not window-expressible), the
-    * batch twin of `flatMapGroupsWithState` in the streaming path.
+    * batch twin of the streaming
+    * [[graft.streaming.StreamRollup.cooldownStream]].
     */
   private val cooled: Q = (s, dir) => {
     import s.implicits._

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import graft.operators.Maintenance
-import org.apache.spark.sql.DataFrame
+import graft.operators.{Maintenance, Signals}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Structured Streaming path (SURVEY.md §2.7): the reference's continuous
   * 1m→5m aggregate and batched upsert, re-expressed as streaming queries.
@@ -53,4 +54,36 @@ object StreamRollup {
     */
   def upsertBatch(stored: DataFrame, batch: DataFrame): DataFrame =
     Maintenance.mergeCandles(stored, batch)
+
+  /** §2.5 cooldown on a stream of fired signals: per-(symbol, rule) the
+    * last-EMITTED timestamp lives in the state store and survives across
+    * micro-batches (the reference keeps it in `signal_cooldowns`,
+    * pg_engine.py:612-636,655-665). Same greedy scan as the batch
+    * `g02_signal_cooldown`, with `flatMapGroupsWithState` carrying the
+    * state; per-key volume is one long — state size is #(symbol, rule),
+    * thousands of entries at reference scale.
+    */
+  def cooldownStream(fired: Dataset[Signals.Fired],
+      cooldownSec: Long): Dataset[Signals.Fired] = {
+    implicit val encOut: Encoder[Signals.Fired] = Encoders.product[Signals.Fired]
+    implicit val encKey: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val encState: Encoder[Long] = Encoders.scalaLong
+    fired
+      .groupByKey(f => (f.symbol, f.rule))
+      .flatMapGroupsWithState[Long, Signals.Fired](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+        val fs = it.toArray.sortBy(_.bucket_ts)
+        var last = state.getOption.getOrElse(Long.MinValue)
+        val out = Seq.newBuilder[Signals.Fired]
+        fs.foreach { f =>
+          if (last == Long.MinValue || f.bucket_ts >= last + cooldownSec) {
+            out += f
+            last = f.bucket_ts
+          }
+        }
+        if (last != Long.MinValue) state.update(last)
+        out.result().iterator
+      }
+  }
 }

@@ -84,4 +84,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(m("is_closed") == true) // OR
     } finally q.stop()
   }
+
+  test("streaming cooldown carries last-emit state across micro-batches") {
+    val s = spark
+    import graft.operators.Signals.Fired
+    val enc = org.apache.spark.sql.Encoders.product[Fired]
+    val input = MemoryStream[Fired](enc, s)
+    def f(ts: Long) = Fired("S1", ts, "price_surge", "up", 2)
+
+    val q = StreamRollup.cooldownStream(input.toDS(), 600L)
+      .writeStream.format("memory").queryName("cooled").outputMode("append").start()
+    try {
+      // batch 1: 0 emits, 300 inside cooldown
+      input.addData(f(0), f(300))
+      q.processAllAvailable()
+      // batch 2: 600 emits ONLY because last-emit=0 survived in the state
+      // store; 900 suppressed; 1200 emits
+      input.addData(f(600), f(900), f(1200))
+      q.processAllAvailable()
+      val got = s.table("cooled").collect().map(_.getAs[Long]("bucket_ts")).toSet
+      assert(got == Set(0L, 600L, 1200L), s"got $got")
+    } finally q.stop()
+  }
 }
