@@ -144,3 +144,26 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(left.count() < candles.count())
   }
 }
+
+/** Mart fidelity: the reference's fixed leading columns and registry
+  * table names (indicators/base.py:64-75,79-125).
+  */
+class MartSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("asMartRow pins the reference leading columns verbatim") {
+    val out = operators.Mart.asMartRow(
+      indicators.Rolling.queries("i10_bollinger")(spark, TestSession.sf), "1m")
+    assert(out.columns.take(3).toSeq == Seq("交易对", "周期", "数据时间"))
+    val row = out.limit(1).collect().head
+    assert(row.getAs[String]("周期") == "1m")
+    assert(row.getAs[String]("数据时间").matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
+  }
+
+  test("every indicator query has a registry table name") {
+    val iKeys = SparkEntry.queries.keySet.filter(_.startsWith("i"))
+      .filterNot(Set("i19_pivot_points", "i34_tail_streak")) // §2.3 primitives, not mart tables
+    val missing = iKeys -- operators.Mart.RegistryNames.keySet
+    assert(missing.isEmpty, s"indicator queries without registry names: $missing")
+  }
+}
