@@ -3,7 +3,7 @@
 
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
 
-Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+Reads each <verifyOutDir>/<name>.parquet (written by graft.Verify), runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with the
 sfDir tables registered as views, and compares as (column-name-sorted,
 row-sorted, 1e-9-rounded) multisets. Exit 1 on any mismatch.
@@ -52,11 +52,15 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     failed, passed, skipped = [], [], []
-    names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    names = sorted(d.name.removesuffix(".parquet")
+                   for d in Path(out_dir).iterdir() if d.is_dir())
     for name in names:
         if only and name not in only:
             continue
-        tbl = pq.read_table(str(Path(out_dir, name)))
+        d = Path(out_dir, name + ".parquet")
+        if not d.exists():
+            d = Path(out_dir, name)
+        tbl = pq.read_table(str(d))
         got_names = tbl.column_names
         got_rows = [tuple(r[c] for c in got_names) for r in tbl.to_pylist()]
         if name not in oracle:
