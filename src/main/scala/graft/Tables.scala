@@ -29,6 +29,37 @@ object Tables {
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Materialize-once registry for derived fact tables.
+    *
+    * Round-1 bench postmortem: every candle query re-ran the events→candles
+    * aggregation because the "table" was a live groupBy — the filter could
+    * never reach a parquet scan, so `r01_scan_filter` cost 4.1 s where a
+    * stored layout costs milliseconds. First access per (app, sfDir) now
+    * writes the fact table to a scratch parquet, hash-distributed by symbol
+    * and sorted by (symbol, time) within files, so row-group min/max stats
+    * give symbol+time skipping; every later query is a plain pushdown scan.
+    * This is the single-node stand-in for the 100 TB layout documented at
+    * [[writeCandles]] (dt-partitioned + sorted), where the write happens
+    * once at ingest, not per analysis session.
+    */
+  private val matCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def materialized(spark: SparkSession, dir: String, name: String,
+      sortCols: Seq[String])(derive: => DataFrame): DataFrame = {
+    val key = spark.sparkContext.applicationId + "|" + dir + "|" + name
+    matCache.computeIfAbsent(key, { _ =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft-mat/" +
+        spark.sparkContext.applicationId + "/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/" + name
+      derive
+        .repartition(8, col(sortCols.head))
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    })
+  }
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -55,6 +86,13 @@ object Tables {
     * downstream per-symbol window operator without further shuffles.
     */
   def candles(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "candles", Seq("symbol", "bucket_ts"))(
+      candlesDerived(spark, dir))
+
+  /** The raw events→candles derivation (see [[candles]] for the stored
+    * layout every query actually reads).
+    */
+  def candlesDerived(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(
         format_string("S%04d", col("user_id")).as("symbol"),
@@ -147,6 +185,11 @@ object Tables {
     * signs (FIXTURES.md §2).
     */
   def metrics5m(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "metrics5m", Seq("symbol", "create_time"))(
+      metrics5mDerived(spark, dir))
+
+  /** The raw events→metrics derivation (see [[metrics5m]]). */
+  def metrics5mDerived(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(
         format_string("S%04d", col("user_id")).as("symbol"),
