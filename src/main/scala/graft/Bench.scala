@@ -27,7 +27,10 @@ object Bench {
     // materialization land outside the timings
     Tables.candles(spark, sfDir).count()
     Tables.metrics5m(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name prefixes to run (iteration aid)
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -42,7 +45,13 @@ object Bench {
     Files.writeString(Paths.get("bench_queries_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt("%.6f")},"sf":"$sfDir"}""")
     spark.stop()
-    // LAST stdout line, compact (≈2.5 KB for 84 queries)
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt("%.3f")},"sf":"$sfDir"}""")
+    // Final summary, compact (≈2.3 KB for 84 queries — must sit whole
+    // inside the driver's ~4 KB stdout tail capture). Written straight to
+    // fd 1: sbt's logger would otherwise prepend "[info] " to println
+    // output, which breaks a strict json.loads of the line.
+    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt("%.3f")},"sf":"$sfDir"}"""
+    val fd1 = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    fd1.println(line)
   }
 }

@@ -19,6 +19,13 @@ object SparkEntry {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
+    // Runtime-measured broadcast decisions get a generous bar (executors
+    // have GiBs of headroom; hash-broadcasting a ≤64 MB side beats
+    // shuffling both). The STATIC threshold stays at Spark's default:
+    // compile-time size estimates don't model explode fan-out, and a 64 MB
+    // static bar made the planner broadcast a 2M-row shingle index whose
+    // estimate derived from a 600 KB parquet scan.
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full 5m OHLCV roll-up (the reference's load-bearing operator).

@@ -71,31 +71,54 @@ object Dedup {
     * otherwise quadratically explode the candidate join).
     */
   private val ngramJaccard: Q = (s, dir) => {
+    import graft.functions.TextHashCols.{hashedShingles, sortedIntersectCount}
     val uni = withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
     // the inverted index carries xxhash64'd shingles: 8-byte join keys
     // instead of 8-char strings (df counts and the candidate set are
-    // identical modulo 64-bit collisions, ~1e-7 at corpus scale)
-    val sh8 = uni.select(col("doc_id"),
-      explode(charShingles(col("text"), 8)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    // identical modulo 64-bit collisions, ~1e-7 at corpus scale). The
+    // shingle set is computed by the codegen'd [[graft.functions
+    // .HashedShingles]] kernel — one pass over the string, vs the
+    // interpreted sequence→transform→array_distinct lambda chain.
+    // the 3-gram set size rides along with every index row (one int), so
+    // the length-ratio prefilter needs no later size-lookup joins
+    // doc-level projection computed ONCE per doc and cached. The persist is
+    // also an optimizer barrier: without it, Catalyst plans a computed
+    // column that must survive an explode (here n3) into the Project ABOVE
+    // the Generate, re-evaluating the 3-gram kernel once per exploded
+    // shingle row — measured 300x the work (17.8 s vs 60 ms at sf0.1).
+    val docsIdx = uni.select(col("doc_id"), col("text"),
+      size(hashedShingles(col("text"), 3)).as("n3")).persist()
+    // the inverted index feeds the df counts and both sides of the
+    // candidate self-join (the materialized index table of a staged dedup
+    // pipeline — at scale THIS is what you keep, not the raw text)
+    val sh8 = docsIdx.select(col("doc_id"), col("n3"),
+      explode(hashedShingles(col("text"), 8)).as("sh"))
     val rare = sh8.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 4)
-    val cands = sh8.join(rare, "sh")
-      .select(col("doc_id").as("a"), col("sh"))
-      .join(sh8.join(rare, "sh").select(col("doc_id").as("b"), col("sh")), "sh")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // identical-plan self-join sides share one shuffle via ReusedExchange
+    val indexed = sh8.join(rare, "sh")
+    // length-ratio prefilter: J = I/(na+nb−I) and I ≤ min(na,nb) give
+    // J ≤ min/max, so J ≥ 0.6 requires min/max ≥ 0.6 — candidates that
+    // fail on set sizes alone never fetch their shingle arrays. Lossless.
+    val cands = indexed
+      .select(col("doc_id").as("a"), col("n3").as("na"), col("sh"))
+      .join(indexed.select(col("doc_id").as("b"), col("n3").as("nb"),
+        col("sh")), "sh")
+      .filter(col("a") < col("b") &&
+        least(col("na"), col("nb")).cast("double") /
+          greatest(col("na"), col("nb")) >= 0.6)
+      .select("a", "b", "na", "nb").distinct()
+    val tri = uni.select(col("doc_id"),
+      hashedShingles(col("text"), 3).as("g3"))
     // exact verify: intersect hashed 3-gram arrays row-locally per pair —
     // no pair×gram explode, no 3-gram shuffle (same shape as D3's verify)
-    val tri = uni.select(col("doc_id"),
-      transform(charShingles(col("text"), 3), g => xxhash64(g)).as("g3"))
     cands
       .join(tri.select(col("doc_id").as("a"), col("g3").as("ga")), "a")
       .join(tri.select(col("doc_id").as("b"), col("g3").as("gb")), "b")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("inter", sortedIntersectCount(col("ga"), col("gb")))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("ga")) + size(col("gb")) - col("inter")))
+        (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.6)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -110,48 +133,57 @@ object Dedup {
     * rather than a SQL oracle.
     */
   private val minhashLsh: Q = (s, dir) => {
+    import graft.functions.TextHashCols.{hashedShingles, minhashSig, sortedIntersectCount}
     val uni = withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
     val perms = 32
-    // minhash signature: hash each shingle STRING once (codegen'd
-    // xxhash64), then derive the 32 "permutations" by re-hashing that
-    // single long with the perm index — 8-byte hash input per perm instead
-    // of re-hashing the string 32 times (the MinHashLSH
-    // independent-permutation trick, ANSI-safe unlike affine h*a+b).
-    // Partial aggregation collapses the exploded shingles to 32 longs per
-    // doc map-side before any shuffle. (A row-local transform()/array_min()
-    // formulation shuffles nothing but runs the lambdas interpreted —
-    // measured 4x slower than this codegen'd path.)
-    val sh = uni
-      .select(col("doc_id"), explode(charShingles(col("text"), 8)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val hashCols = (0 until perms).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"h$i")
-    }
-    // one 32-long signature row per doc, referenced 4x downstream — persist
-    // (the materialized signature table of a staged dedup pipeline)
-    val sig = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+    // minhash signature: the codegen'd [[graft.functions.MinHashSig]]
+    // kernel hashes each shingle once and derives the 32 "permutations" by
+    // re-hashing that single long with the perm index (the MinHashLSH
+    // independent-permutation trick, ANSI-safe unlike affine h*a+b) — all
+    // row-local, so the signature stage is a pure projection over the
+    // document scan: no explode, no shuffle. (Round 1 shaped this as
+    // explode + 32 min aggregates: scale-safe, but it paid a 2M-row
+    // shingle shuffle for a per-row function, and wide aggregates fall
+    // out of whole-stage codegen.) Values are bit-equal to the SQL form.
+    // One signature row per doc, referenced 4x downstream — persist
+    // (the materialized signature table of a staged dedup pipeline).
+    val sig = uni
+      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+      // no isNotNull filter: the len>=8 guard already guarantees a
+      // shingle, and a filter on the computed column would be pushed into
+      // the parquet scan as isnotnull(minhash_sig(text)) — re-running the
+      // whole kernel once more per row inside the scan filter
       .persist()
     // 16 bands x 2 rows: band key = hash of the 2 row minima. One explode,
-    // not a 16-way unionAll — a union would re-execute the whole signature
-    // aggregation per band (16x the shingle shuffle at any scale).
-    val bands = sig.select(col("doc_id"), explode(array((0 until 16).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * 2 until (b + 1) * 2).map(i => col(s"h$i")): _*).as("key"))
-      }: _*)).as("bk"))
+    // not a 16-way unionAll — a union would re-execute the signature scan
+    // per band. The band rows stay NARROW (doc_id, band, key): carrying
+    // the 256-byte signature through the self-join was measured 1.5x
+    // slower — the join materializes ~1M pre-filter output rows, and
+    // copying two signature arrays into each costs more than re-attaching
+    // signatures to the 430k deduped pairs afterwards.
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until 16).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(element_at(col("sig"), b * 2 + 1),
+              element_at(col("sig"), b * 2 + 2)).as("key"))
+        }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cands = bands.alias("x").join(bands.alias("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     // 2-row bands keep recall high down to j~0.3 (shortest docs) but admit
-    // ~1% of all random pairs as candidates — quadratic noise. Prune it
-    // with a codegen'd signature-agreement prefilter (>=6 of 32 components
-    // equal; a random pair that collided in one band matches ~2+Binom(30,j)
-    // components, j<<0.1) before the exact verify ever sees a shingle.
-    val sigA = sig.toDF("a" +: (0 until perms).map(i => s"a$i"): _*)
-    val sigB = sig.toDF("b" +: (0 until perms).map(i => s"b$i"): _*)
+    // ~16j² of random pairs — same-language corpora sit at j≈0.1, so ~6%
+    // quadratic noise. The signature-agreement prefilter (>=6 of 32
+    // components equal; a random pair that collided in one band matches
+    // ~2+Binom(30,j) components) kills it before the exact verify ever
+    // sees a shingle. The cached 6.7k-row signature table broadcasts, so
+    // attaching both sides' signatures moves no pair data.
+    val sigA = sig.toDF("a", "siga")
+    val sigB = sig.toDF("b", "sigb")
     val matches = (0 until perms)
-      .map(i => (col(s"a$i") === col(s"b$i")).cast("int"))
+      .map(i => (element_at(col("siga"), i + 1) ===
+        element_at(col("sigb"), i + 1)).cast("int"))
       .reduce(_ + _)
     val likely = cands.join(sigA, "a").join(sigB, "b")
       .filter(matches >= 6).select("a", "b")
@@ -160,11 +192,11 @@ object Dedup {
     // hashed shingles — long arrays intersect ~10x cheaper than 8-char
     // string arrays and ship ~6x smaller through the join.
     val tri = uni.select(col("doc_id"),
-      transform(charShingles(col("text"), 8), sh => xxhash64(sh)).as("g8"))
+      hashedShingles(col("text"), 8).as("g8"))
     likely
       .join(tri.select(col("doc_id").as("a"), col("g8").as("ga")), "a")
       .join(tri.select(col("doc_id").as("b"), col("g8").as("gb")), "b")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("inter", sortedIntersectCount(col("ga"), col("gb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ga")) + size(col("gb")) - col("inter")))
       .filter(col("jaccard") >= 0.3)
@@ -178,45 +210,43 @@ object Dedup {
     * spec pins a deterministic floor on this fixed corpus).
     */
   private val simhash: Q = (s, dir) => {
+    import graft.functions.TextHashCols.simhash64
     val uni = withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
     // bit b of the signature is set when more than half the token hashes
-    // have bit b set (sum of +1/-1 > 0). Explode + 64 codegen'd sum
-    // aggregates; partial aggregation collapses tokens to 64 longs per doc
-    // map-side. (A row-local filter()/size() formulation makes 64
-    // interpreted passes over the token array — measured 5x slower.)
-    val toks = uni
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .filter(length(col("t")) > 0)
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val sigs = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    // one signature row per doc, referenced 4x downstream (both sides of
+    // have bit b set (sum of +1/-1 > 0) — computed row-locally by the
+    // codegen'd [[graft.functions.SimHash64]] kernel in one pass over the
+    // string. (Round 1 shaped this as explode + 64 sum aggregates: the 64
+    // aggregate columns fell out of whole-stage codegen and the token
+    // shuffle cost 28 s at sf0.1 for what is a per-row function; values
+    // are bit-equal.) trim filter = "has at least one token", matching
+    // the exploded form where token-less docs produced no signature row.
+    // One signature row per doc, referenced 4x downstream (both sides of
     // the band self-join and of the hamming verify) — persist it; at scale
-    // this is the materialized signature table between pipeline stages
-    val sim = sigs.select(col("doc_id"),
-      (0 until 64).map(b =>
-        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)).as("simhash"))
+    // this is the materialized signature table between pipeline stages.
+    val sim = uni
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
       .persist()
-    // one explode, not an 8-way unionAll (which would recompute the token
-    // aggregation per band)
-    val banded = sim.select(col("doc_id"), explode(array((0 until 8).map { k =>
-        struct(lit(k).as("band"),
-          shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cands = banded.alias("x").join(banded.alias("y"), Seq("band", "key"))
+    // one explode, not an 8-way unionAll (which would recompute the
+    // signature scan per band); the 8-byte signature rides along, so the
+    // hamming verify runs inline on the band join output — no signature
+    // re-joins (round 1 paid two extra shuffles for them), and the
+    // identical-plan self-join sides share one shuffle via ReusedExchange.
+    val banded = sim.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 8).map { k =>
+          struct(lit(k).as("band"),
+            shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    banded.alias("x").join(banded.alias("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val simA = sim.select(col("doc_id").as("a"), col("simhash").as("sa"))
-    val simB = sim.select(col("doc_id").as("b"), col("simhash").as("sb"))
-    cands.join(simA, "a").join(simB, "b")
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .withColumn("hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
       .filter(col("hamming") <= 12)
-      .select(col("a"), col("b"), col("hamming"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("hamming"))
+      .distinct()
   }
 
   val queries: Map[String, Q] = Map(
