@@ -12,61 +12,196 @@ import org.apache.spark.sql.functions._
   * they are closed-form window expressions: one per-symbol sort serves all
   * thirteen pattern flags, whole-stage-codegen end to end, per-bar output.
   */
+/** The I20 candlestick rule corpus: (name, SQL boolean, bull/bear weight).
+  *
+  * Column vocabulary (all non-null after the `o3 IS NOT NULL` gate):
+  * current bar `open/high/low/close`; lag-1 `po/ph/pl/pc`; lag-2
+  * `o2/h2/l2/c2`; lag-3 `o3/c3`; `ab` = mean body of the prior ≤10 bars.
+  * Each string parses identically in Spark SQL and DuckDB (comparisons,
+  * abs/greatest/least, AND/OR/NOT only) — the single source of truth for
+  * both engines. Weights: bullish +1, bearish −1, neutral/context 0.
+  */
+private[indicators] object KRules {
+  private val B = "abs(close - open)"
+  private val R = "(high - low)"
+  private val US = "(high - greatest(open, close))"
+  private val LS = "(least(open, close) - low)"
+  private val BP = "abs(pc - po)"
+  private val B2 = "abs(c2 - o2)"
+  private val DOJI = s"($R > 0 AND $B <= 0.1 * $R)"
+  private val DOJIP = "((ph - pl) > 0 AND abs(pc - po) <= 0.1 * (ph - pl))"
+  private val DOJI2 = "((h2 - l2) > 0 AND abs(c2 - o2) <= 0.1 * (h2 - l2))"
+
+  val RULES: Seq[(String, String, Int)] = Seq(
+    // -- single-bar: doji family (CDLDOJI, LONGLEGGED, DRAGONFLY,
+    //    GRAVESTONE, RICKSHAWMAN, TAKURI)
+    ("doji", DOJI, 0),
+    ("long_legged_doji", s"$DOJI AND $US >= 0.3 * $R AND $LS >= 0.3 * $R", 0),
+    ("dragonfly_doji", s"$DOJI AND $US <= 0.1 * $R AND $LS >= 0.6 * $R", 1),
+    ("gravestone_doji", s"$DOJI AND $LS <= 0.1 * $R AND $US >= 0.6 * $R", -1),
+    ("rickshaw_man", s"$DOJI AND $US >= 0.3 * $R AND $LS >= 0.3 * $R" +
+      s" AND abs((open + close) / 2 - (high + low) / 2) <= 0.1 * $R", 0),
+    ("takuri", s"$DOJI AND $US <= 0.1 * $R AND $LS >= 0.8 * $R", 1),
+    // -- single-bar: shadows + bodies (HAMMER, INVERTEDHAMMER, HANGINGMAN,
+    //    SHOOTINGSTAR, MARUBOZU, CLOSINGMARUBOZU, SPINNINGTOP, HIGHWAVE,
+    //    LONGLINE, SHORTLINE, BELTHOLD)
+    ("hammer", s"$B > 0 AND $LS >= 2.0 * $B AND $US <= $B", 1),
+    ("inverted_hammer", s"$B > 0 AND $US >= 2.0 * $B AND $LS <= $B AND pc < po", 1),
+    ("hanging_man", s"$B > 0 AND $LS >= 2.0 * $B AND $US <= $B AND pc > po", -1),
+    ("shooting_star", s"$B > 0 AND $US >= 2.0 * $B AND $LS <= $B", -1),
+    ("bull_marubozu", s"$R > 0 AND $B >= 0.95 * $R AND close > open", 1),
+    ("bear_marubozu", s"$R > 0 AND $B >= 0.95 * $R AND close < open", -1),
+    ("bull_closing_marubozu",
+      s"$R > 0 AND close > open AND $US <= 0.05 * $R AND $B >= 0.5 * $R", 1),
+    ("bear_closing_marubozu",
+      s"$R > 0 AND close < open AND $LS <= 0.05 * $R AND $B >= 0.5 * $R", -1),
+    ("spinning_top",
+      s"$R > 0 AND $B > 0 AND $B < 0.3 * $R AND $US > $B AND $LS > $B AND NOT $DOJI", 0),
+    ("high_wave",
+      s"$R > 0 AND $B > 0 AND $US >= 2.0 * $B AND $LS >= 2.0 * $B AND NOT $DOJI", 0),
+    ("long_line", s"$R > 0 AND $B > 1.5 * ab", 0),
+    ("short_line", s"$B > 0 AND $B < 0.5 * ab", 0),
+    ("bull_belt_hold", s"$R > 0 AND close > open AND $LS <= 0.05 * $R AND $B > ab", 1),
+    ("bear_belt_hold", s"$R > 0 AND close < open AND $US <= 0.05 * $R AND $B > ab", -1),
+    // -- two-bar (ENGULFING, HARAMI, HARAMICROSS, PIERCING, DARKCLOUDCOVER,
+    //    COUNTERATTACK, SEPARATINGLINES, MATCHINGLOW, HOMINGPIGEON, INNECK,
+    //    ONNECK, THRUSTING, KICKING, DOJISTAR)
+    ("bull_engulf", "pc < po AND close > open AND open <= pc AND close >= po", 1),
+    ("bear_engulf", "pc > po AND close < open AND open >= pc AND close <= po", -1),
+    ("bull_harami", "pc < po AND close > open AND open >= pc AND close <= po", 1),
+    ("bear_harami", "pc > po AND close < open AND open <= pc AND close >= po", -1),
+    ("bull_harami_cross",
+      s"pc < po AND $DOJI AND least(open, close) >= pc AND greatest(open, close) <= po", 1),
+    ("bear_harami_cross",
+      s"pc > po AND $DOJI AND least(open, close) >= po AND greatest(open, close) <= pc", -1),
+    ("piercing",
+      "pc < po AND close > open AND open < pl AND close > (po + pc) / 2 AND close < po", 1),
+    ("dark_cloud_cover",
+      "pc > po AND close < open AND open > ph AND close < (po + pc) / 2 AND close > po", -1),
+    ("bull_counterattack", s"pc < po AND close > open AND $BP > ab AND $B > ab" +
+      " AND abs(close - pc) <= 0.2 * ab", 1),
+    ("bear_counterattack", s"pc > po AND close < open AND $BP > ab AND $B > ab" +
+      " AND abs(close - pc) <= 0.2 * ab", -1),
+    ("bull_separating_lines",
+      s"pc < po AND close > open AND abs(open - po) <= 0.2 * ab AND $B > ab", 1),
+    ("bear_separating_lines",
+      s"pc > po AND close < open AND abs(open - po) <= 0.2 * ab AND $B > ab", -1),
+    ("matching_low", "pc < po AND close < open AND abs(close - pc) <= 0.2 * ab", 1),
+    ("homing_pigeon", "pc < po AND close < open AND open <= po AND close >= pc", 1),
+    ("in_neck", s"pc < po AND close > open AND open < pl AND close >= pc" +
+      s" AND close <= pc + 0.1 * $BP", -1),
+    ("on_neck", "pc < po AND close > open AND open < pl AND abs(close - pl) <= 0.2 * ab", -1),
+    ("thrusting", s"pc < po AND close > open AND open < pl AND close > pc + 0.1 * $BP" +
+      " AND close < (po + pc) / 2", -1),
+    ("bull_kicking", "(ph - pl) > 0 AND abs(pc - po) >= 0.95 * (ph - pl) AND pc < po" +
+      s" AND $R > 0 AND $B >= 0.95 * $R AND close > open AND low > ph", 1),
+    ("bear_kicking", "(ph - pl) > 0 AND abs(pc - po) >= 0.95 * (ph - pl) AND pc > po" +
+      s" AND $R > 0 AND $B >= 0.95 * $R AND close < open AND high < pl", -1),
+    ("doji_star", s"$DOJI AND ((pc > po AND least(open, close) > pc)" +
+      " OR (pc < po AND greatest(open, close) < pc))", 0),
+    // -- three-bar (3WHITESOLDIERS, 3BLACKCROWS, IDENTICAL3CROWS, 2CROWS,
+    //    UPSIDEGAP2CROWS, 3INSIDE, 3OUTSIDE, MORNINGSTAR, EVENINGSTAR,
+    //    MORNINGDOJISTAR, EVENINGDOJISTAR, TRISTAR, ABANDONEDBABY,
+    //    STICKSANDWICH, TASUKIGAP, GAPSIDESIDEWHITE, ADVANCEBLOCK,
+    //    STALLEDPATTERN) and four-bar 3LINESTRIKE
+    ("three_white", "close > open AND pc > po AND c2 > o2 AND close > pc AND pc > c2", 1),
+    ("three_black", "close < open AND pc < po AND c2 < o2 AND close < pc AND pc < c2", -1),
+    ("identical_three_crows", "close < open AND pc < po AND c2 < o2" +
+      " AND abs(po - c2) <= 0.2 * ab AND abs(open - pc) <= 0.2 * ab", -1),
+    ("two_crows", "c2 > o2 AND pc < po AND po > c2 AND close < open" +
+      " AND open >= pc AND open <= po AND close < c2 AND close > o2", -1),
+    ("upside_gap_two_crows", "c2 > o2 AND pc < po AND least(po, pc) > c2" +
+      " AND close < open AND open > po AND close < pc AND close > c2", -1),
+    ("three_inside_up", "c2 < o2 AND pc > po AND po >= c2 AND pc <= o2" +
+      " AND close > open AND close > o2", 1),
+    ("three_inside_down", "c2 > o2 AND pc < po AND po <= c2 AND pc >= o2" +
+      " AND close < open AND close < o2", -1),
+    ("three_outside_up", "c2 < o2 AND pc > po AND po <= c2 AND pc >= o2" +
+      " AND close > open AND close > pc", 1),
+    ("three_outside_down", "c2 > o2 AND pc < po AND po >= c2 AND pc <= o2" +
+      " AND close < open AND close < pc", -1),
+    ("morning_star",
+      s"c2 < o2 AND $BP <= 0.3 * $B2 AND close > open AND close >= (o2 + c2) / 2", 1),
+    ("evening_star",
+      s"c2 > o2 AND $BP <= 0.3 * $B2 AND close < open AND close <= (o2 + c2) / 2", -1),
+    ("morning_doji_star",
+      s"c2 < o2 AND $DOJIP AND close > open AND close >= (o2 + c2) / 2", 1),
+    ("evening_doji_star",
+      s"c2 > o2 AND $DOJIP AND close < open AND close <= (o2 + c2) / 2", -1),
+    ("tristar", s"$DOJI AND $DOJIP AND $DOJI2", 0),
+    ("bull_abandoned_baby",
+      s"c2 < o2 AND $DOJIP AND ph < l2 AND ph < low AND close > open", 1),
+    ("bear_abandoned_baby",
+      s"c2 > o2 AND $DOJIP AND pl > h2 AND pl > high AND close < open", -1),
+    ("stick_sandwich",
+      "c2 < o2 AND pc > po AND close < open AND abs(close - c2) <= 0.2 * ab", 1),
+    ("upside_tasuki_gap", "c2 > o2 AND pc > po AND po > c2 AND close < open" +
+      " AND open < pc AND open > po AND close < po AND close > c2", 0),
+    ("downside_tasuki_gap", "c2 < o2 AND pc < po AND po < c2 AND close > open" +
+      " AND open > pc AND open < po AND close > po AND close < c2", 0),
+    ("gap_side_side_white", "pc > po AND close > open" +
+      " AND least(open, po) > greatest(o2, c2) AND abs(open - po) <= 0.2 * ab", 1),
+    ("advance_block", "close > open AND pc > po AND c2 > o2 AND close > pc" +
+      s" AND pc > c2 AND $B < $BP AND $BP < $B2", -1),
+    ("stalled_pattern", "close > open AND pc > po AND c2 > o2 AND close > pc" +
+      s" AND pc > c2 AND $B <= 0.5 * $BP", -1),
+    ("bull_strike", "c3 < o3 AND c2 < o2 AND pc < po AND pc < c2 AND c2 < c3" +
+      " AND close > open AND close > o3", 1),
+    ("bear_strike", "c3 > o3 AND c2 > o2 AND pc > po AND pc > c2 AND c2 > c3" +
+      " AND close < open AND close < o3", -1))
+}
+
 object Patterns {
   private type Q = (SparkSession, String) => DataFrame
   import Windows._
 
   private def candles(s: SparkSession, dir: String) = Tables.candles(s, dir)
 
-  /** I20 — candlestick patterns (batch/k_pattern.py:9-31 CDL map; engulfing
-    * + three-line strike semantics per tv_trend_cloud.py:16-41). Emits one
-    * row per bar where ≥1 pattern fires: comma-joined pattern names and a
-    * net bull−bear strength. Runs on the 1d roll-up — the fixture's 1m
-    * bars hold ~1 event each (open=high=low=close, no body or shadow to
-    * pattern-match); daily bars have real OHLC shape. The expressions are
-    * interval-agnostic, exactly like the reference's per-interval scans.
+  /** I20 — candlestick pattern battery (batch/k_pattern.py:9-31 maps
+    * TA-Lib's ~61 CDL patterns; engulfing + three-line strike semantics per
+    * tv_trend_cloud.py:16-41). Emits one row per bar where ≥1 pattern
+    * fires: comma-joined pattern names, count, and net bull−bear strength.
+    *
+    * Every rule is defined ONCE as a SQL boolean over the lagged OHLC
+    * columns ([[KRules.RULES]]) and evaluated by BOTH engines — `expr()`
+    * here, spliced text in the DuckDB oracle — so cross-engine parity is
+    * by construction, not by hand-kept duplicates. Closed-form lag-window
+    * restatements, not TA-Lib ports: body/shadow thresholds are explicit
+    * (0.1·range doji, 0.95·range marubozu, avg-prior-body for long/short),
+    * where TA-Lib hides them behind per-pattern "body averages". The 4-5
+    * bar patterns that need trend confirmation state (BREAKAWAY, HIKKAKE,
+    * MATHOLD, RISEFALL3METHODS, LADDERBOTTOM, 3STARSINSOUTH,
+    * CONCEALBABYSWALL, XSIDEGAP3METHODS, UNIQUE3RIVER) are out of scope —
+    * everything else in the reference's CDL map has a flag here.
+    *
+    * Runs on the 1d roll-up — the fixture's 1m bars hold ~1 event each
+    * (open=high=low=close, no body or shadow to pattern-match); daily bars
+    * have real OHLC shape. The expressions are interval-agnostic, exactly
+    * like the reference's per-interval scans. One per-symbol sort serves
+    * all lags and the avg-body frame; all ~64 flags are plain codegen'd
+    * boolean columns on top.
     */
   private val kPattern: Q = (s, dir) => {
     val df = graft.operators.Rollup.rollup(candles(s, dir), 86400L)
       .withColumn("po", lag1(col("open"))).withColumn("pc", lag1(col("close")))
+      .withColumn("ph", lag1(col("high"))).withColumn("pl", lag1(col("low")))
       .withColumn("o2", lagN(col("open"), 2)).withColumn("c2", lagN(col("close"), 2))
+      .withColumn("h2", lagN(col("high"), 2)).withColumn("l2", lagN(col("low"), 2))
       .withColumn("o3", lagN(col("open"), 3)).withColumn("c3", lagN(col("close"), 3))
+      // avg body of the prior ≤10 bars as a sequential fold over the
+      // collected frame — the repo's bit-stable cross-engine idiom
+      // (Windows.meanOf): Spark and DuckDB then perform the identical
+      // IEEE op sequence, so threshold comparisons can't flip
+      .withColumn("abf", collect_list(abs(col("close") - col("open")))
+        .over(bySymbol.rowsBetween(-10, -1)))
+      // guarded: the first bar's empty frame would hit ANSI divide-by-zero
+      // when evaluated ahead of the o3 filter; such rows are dropped anyway
+      .withColumn("ab", when(size(col("abf")) > 0, meanOf(col("abf"))))
       .filter(col("o3").isNotNull)
-    val body = abs(col("close") - col("open"))
-    val rng = col("high") - col("low")
-    val upSh = col("high") - greatest(col("open"), col("close"))
-    val loSh = least(col("open"), col("close")) - col("low")
-    val bodyP = abs(col("pc") - col("po"))
-    val body2 = abs(col("c2") - col("o2"))
-    val bull = col("close") > col("open")
-    val bear = col("close") < col("open")
-    val bullP = col("pc") > col("po"); val bearP = col("pc") < col("po")
-    val bull2 = col("c2") > col("o2"); val bear2 = col("c2") < col("o2")
-    val bull3 = col("c3") > col("o3"); val bear3 = col("c3") < col("o3")
-
-    val flags: Seq[(String, Column, Int)] = Seq(
-      ("doji", rng > 0 && body <= lit(0.1) * rng, 0),
-      ("hammer", body > 0 && loSh >= lit(2.0) * body && upSh <= body, 1),
-      ("shooting_star", body > 0 && upSh >= lit(2.0) * body && loSh <= body, -1),
-      ("bull_engulf", bearP && bull && col("open") <= col("pc") && col("close") >= col("po"), 1),
-      ("bear_engulf", bullP && bear && col("open") >= col("pc") && col("close") <= col("po"), -1),
-      ("bull_harami", bearP && bull && col("open") >= col("pc") && col("close") <= col("po"), 1),
-      ("bear_harami", bullP && bear && col("open") <= col("pc") && col("close") >= col("po"), -1),
-      ("three_white", bull && bullP && bull2 && col("close") > col("pc") && col("pc") > col("c2"), 1),
-      ("three_black", bear && bearP && bear2 && col("close") < col("pc") && col("pc") < col("c2"), -1),
-      ("morning_star", bear2 && bodyP <= lit(0.3) * body2 && bull &&
-        col("close") >= (col("o2") + col("c2")) / 2, 1),
-      ("evening_star", bull2 && bodyP <= lit(0.3) * body2 && bear &&
-        col("close") <= (col("o2") + col("c2")) / 2, -1),
-      ("bull_strike", bear3 && bear2 && bearP && col("pc") < col("c2") &&
-        col("c2") < col("c3") && bull && col("close") > col("o3"), 1),
-      ("bear_strike", bull3 && bull2 && bullP && col("pc") > col("c2") &&
-        col("c2") > col("c3") && bear && col("close") < col("o3"), -1))
-
-    val nFlags = flags.map { case (_, cond, _) => cond.cast("int") }.reduce(_ + _)
-    val strength = flags.map { case (_, cond, w) => when(cond, w).otherwise(0) }.reduce(_ + _)
-    val names = concat_ws(",",
-      flags.map { case (nm, cond, _) => when(cond, nm) }: _*)
+    val conds = KRules.RULES.map { case (nm, sql, w) => (nm, expr(sql), w) }
+    val nFlags = conds.map { case (_, c, _) => c.cast("int") }.reduce(_ + _)
+    val strength = conds.map { case (_, c, w) => when(c, w).otherwise(0) }.reduce(_ + _)
+    val names = concat_ws(",", conds.map { case (nm, c, _) => when(c, nm) }: _*)
     df.withColumn("n_patterns", nFlags)
       .filter(col("n_patterns") > 0)
       .select(col("symbol"), col("bucket_ts"),
@@ -102,27 +237,6 @@ object Patterns {
   private val W = "PARTITION BY symbol ORDER BY bucket_ts"
   private def f(n: Int) = s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
 
-  private val FLAG_SQL: Seq[(String, String, Int)] = {
-    val body = "abs(close - open)"; val rng = "(high - low)"
-    val upSh = "(high - greatest(open, close))"
-    val loSh = "(least(open, close) - low)"
-    val bodyP = "abs(pc - po)"; val body2 = "abs(c2 - o2)"
-    Seq(
-      ("doji", s"$rng > 0 AND $body <= 0.1 * $rng", 0),
-      ("hammer", s"$body > 0 AND $loSh >= 2.0 * $body AND $upSh <= $body", 1),
-      ("shooting_star", s"$body > 0 AND $upSh >= 2.0 * $body AND $loSh <= $body", -1),
-      ("bull_engulf", "pc < po AND close > open AND open <= pc AND close >= po", 1),
-      ("bear_engulf", "pc > po AND close < open AND open >= pc AND close <= po", -1),
-      ("bull_harami", "pc < po AND close > open AND open >= pc AND close <= po", 1),
-      ("bear_harami", "pc > po AND close < open AND open <= pc AND close >= po", -1),
-      ("three_white", "close > open AND pc > po AND c2 > o2 AND close > pc AND pc > c2", 1),
-      ("three_black", "close < open AND pc < po AND c2 < o2 AND close < pc AND pc < c2", -1),
-      ("morning_star", s"c2 < o2 AND $bodyP <= 0.3 * $body2 AND close > open AND close >= (o2 + c2) / 2", 1),
-      ("evening_star", s"c2 > o2 AND $bodyP <= 0.3 * $body2 AND close < open AND close <= (o2 + c2) / 2", -1),
-      ("bull_strike", "c3 < o3 AND c2 < o2 AND pc < po AND pc < c2 AND c2 < c3 AND close > open AND close > o3", 1),
-      ("bear_strike", "c3 > o3 AND c2 > o2 AND pc > po AND pc > c2 AND c2 > c3 AND close < open AND close < o3", -1))
-  }
-
   val oracle: Map[String, String] = Map(
     "i20_k_pattern" -> Oracle.withCandles(
       s""", daily AS (
@@ -132,20 +246,26 @@ object Patterns {
          |           min(low) AS low, max_by(close, bucket_ts) AS close
          |    FROM candles GROUP BY 1, 2))
          |SELECT symbol, bucket_ts,
-         |  concat_ws(',', ${FLAG_SQL.map { case (nm, c, _) =>
+         |  concat_ws(',', ${KRules.RULES.map { case (nm, c, _) =>
              s"CASE WHEN $c THEN '$nm' END" }.mkString(",\n    ")}) AS patterns,
-         |  ${FLAG_SQL.map { case (_, c, _) =>
+         |  ${KRules.RULES.map { case (_, c, _) =>
              s"CAST($c AS INT)" }.mkString(" + ")} AS n_patterns,
-         |  ${FLAG_SQL.map { case (_, c, w) =>
+         |  ${KRules.RULES.map { case (_, c, w) =>
              s"CASE WHEN $c THEN $w ELSE 0 END" }.mkString(" + ")} AS strength
          |FROM (
          |  SELECT symbol, bucket_ts, open, high, low, close,
          |         lag(open) OVER ($W) AS po, lag(close) OVER ($W) AS pc,
+         |         lag(high) OVER ($W) AS ph, lag(low) OVER ($W) AS pl,
          |         lag(open, 2) OVER ($W) AS o2, lag(close, 2) OVER ($W) AS c2,
-         |         lag(open, 3) OVER ($W) AS o3, lag(close, 3) OVER ($W) AS c3
-         |  FROM daily)
+         |         lag(high, 2) OVER ($W) AS h2, lag(low, 2) OVER ($W) AS l2,
+         |         lag(open, 3) OVER ($W) AS o3, lag(close, 3) OVER ($W) AS c3,
+         |         list_reduce(list_prepend(0.0, abf), (a, x) -> a + x) / len(abf) AS ab
+         |  FROM (
+         |    SELECT *, list(abs(close - open))
+         |        OVER ($W ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS abf
+         |    FROM daily))
          |WHERE o3 IS NOT NULL
-         |  AND ${FLAG_SQL.map { case (_, c, _) =>
+         |  AND ${KRules.RULES.map { case (_, c, _) =>
              s"CAST($c AS INT)" }.mkString(" + ")} > 0""".stripMargin),
     "i33_ichimoku" -> Oracle.withCandles(
       s"""SELECT symbol, bucket_ts, round(tenkan, 6) AS tenkan,

@@ -91,9 +91,11 @@ object Relational {
   }
 
   /** R7 — multi-branch top-k ranking union (async_full_engine.py:69-108):
-    * per-symbol trailing-7d aggregates, three ORDER BY/LIMIT branches,
-    * UNION DISTINCT. The max-timestamp scalar stays in the plan as a
-    * broadcast cross join — no driver-side collect.
+    * per-symbol trailing-7d aggregates, three ORDER BY/LIMIT branches plus
+    * the change-rank branch (latest close vs the close ~24h earlier,
+    * async_full_engine.py:85-100), UNION DISTINCT. The max-timestamp
+    * scalar stays in the plan as a broadcast cross join — no driver-side
+    * collect.
     */
   private val r07: Q = (s, dir) => {
     val c = candles(s, dir)
@@ -107,7 +109,20 @@ object Relational {
     val byQv = win.orderBy(col("qv").desc, col("symbol")).limit(10).select("symbol")
     val byAmp = win.orderBy(col("amp").desc, col("symbol")).limit(10).select("symbol")
     val byN = win.orderBy(col("n").desc, col("symbol")).limit(10).select("symbol")
-    byQv.union(byAmp).union(byN).distinct()
+    // change rank: |pct change| of the latest close (≤1h old) vs the last
+    // close in the 23h–25h-ago window — the reference's DISTINCT ON pair
+    // of CTEs is max_by per symbol here
+    val latest = c.join(broadcast(maxTs))
+      .filter(col("bucket_ts") > col("max_ts") - 3600L)
+      .groupBy(col("symbol")).agg(max_by(col("close"), col("bucket_ts")).as("close"))
+    val prev = c.join(broadcast(maxTs))
+      .filter(col("bucket_ts").between(col("max_ts") - 90000L, col("max_ts") - 82800L))
+      .groupBy(col("symbol")).agg(max_by(col("close"), col("bucket_ts")).as("prev_close"))
+    val byChange = latest.join(prev, "symbol")
+      .orderBy(abs((col("close") - col("prev_close")) /
+        nullif(col("prev_close"), lit(0.0))).desc, col("symbol"))
+      .limit(10).select("symbol")
+    byQv.union(byAmp).union(byN).union(byChange).distinct()
   }
 
   /** R8 — global aggregate + per-row share (engine.py:288-330): latest OI
@@ -271,7 +286,19 @@ object Relational {
         |UNION
         |SELECT symbol FROM (SELECT symbol FROM win ORDER BY amp DESC, symbol LIMIT 10) a
         |UNION
-        |SELECT symbol FROM (SELECT symbol FROM win ORDER BY n DESC, symbol LIMIT 10) n""".stripMargin),
+        |SELECT symbol FROM (SELECT symbol FROM win ORDER BY n DESC, symbol LIMIT 10) n
+        |UNION
+        |SELECT symbol FROM (
+        |  SELECT l.symbol
+        |  FROM (SELECT symbol, max_by(close, bucket_ts) AS close FROM candles
+        |        WHERE bucket_ts > (SELECT max(bucket_ts) FROM candles) - 3600
+        |        GROUP BY symbol) l
+        |  JOIN (SELECT symbol, max_by(close, bucket_ts) AS prev_close FROM candles
+        |        WHERE bucket_ts BETWEEN (SELECT max(bucket_ts) FROM candles) - 90000
+        |                            AND (SELECT max(bucket_ts) FROM candles) - 82800
+        |        GROUP BY symbol) p USING (symbol)
+        |  ORDER BY abs((l.close - p.prev_close) / nullif(p.prev_close, 0.0)) DESC,
+        |           symbol LIMIT 10) ch""".stripMargin),
     "r08_market_share" -> Oracle.withMetrics(
       """, latest AS (
         |  SELECT symbol, max_by(sum_open_interest, create_time) AS oi

@@ -158,9 +158,34 @@ object Signals {
       .toDF()
   }
 
+  /** G3 — freshness gate (pg_engine.py:510-519 `_is_fresh`): a series is
+    * evaluated only when its latest row is younger than
+    * max(DATA_MAX_AGE_SECONDS=600, 1.5×timeframe) — the per-timeframe
+    * dynamic threshold. Batch restatement: "now" is the corpus max
+    * timestamp (kept in-plan as a broadcast scalar, no driver collect);
+    * one gate row per (symbol, timeframe) so downstream signal evaluation
+    * can semi-join `is_fresh = 1`.
+    */
+  private val freshness: Q = (s, dir) => {
+    val c = Tables.candles(s, dir)
+    val nowTs = c.agg(max(col("bucket_ts")).as("now_ts"))
+    val perTf = Seq(("1m", 60L), ("1h", 3600L)).map { case (name, secs) =>
+      val allowed = math.max(600L, secs * 3 / 2)
+      c.groupBy(col("symbol"))
+        .agg(max(expr(s"bucket_ts DIV $secs") * secs).as("latest_ts"))
+        .join(broadcast(nowTs))
+        .select(col("symbol"), lit(name).as("timeframe"), col("latest_ts"),
+          (col("now_ts") - col("latest_ts")).as("age_sec"),
+          lit(allowed).as("allowed_sec"),
+          ((col("now_ts") - col("latest_ts")) <= allowed).cast("int").as("is_fresh"))
+    }
+    perTf.reduce(_.unionAll(_))
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_signal_rules" -> fired,
-    "g02_signal_cooldown" -> cooled)
+    "g02_signal_cooldown" -> cooled,
+    "g03_freshness_gate" -> freshness)
 
   // ---------------------------------------------------------------- oracle
 
@@ -223,6 +248,19 @@ object Signals {
   }.mkString("\n UNION ALL\n")
 
   val oracle: Map[String, String] = Map(
+    "g03_freshness_gate" -> Oracle.withCandles(
+      """, nowt AS (SELECT max(bucket_ts) AS now_ts FROM candles)
+        |SELECT symbol, '1m' AS timeframe, latest_ts,
+        |  now_ts - latest_ts AS age_sec, CAST(600 AS BIGINT) AS allowed_sec,
+        |  CAST(now_ts - latest_ts <= 600 AS INT) AS is_fresh
+        |FROM (SELECT symbol, max(bucket_ts // 60 * 60) AS latest_ts
+        |      FROM candles GROUP BY symbol), nowt
+        |UNION ALL
+        |SELECT symbol, '1h' AS timeframe, latest_ts,
+        |  now_ts - latest_ts AS age_sec, CAST(5400 AS BIGINT) AS allowed_sec,
+        |  CAST(now_ts - latest_ts <= 5400 AS INT) AS is_fresh
+        |FROM (SELECT symbol, max(bucket_ts // 3600 * 3600) AS latest_ts
+        |      FROM candles GROUP BY symbol), nowt""".stripMargin),
     "g01_signal_rules" -> Oracle.withCandles(
       s""", $BASE,
          |fired AS (
