@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   *    stays distributed, so this is one pass over N vectors per batch of
   *    queries (never a full N² materialization).
   *  - [[lshAnn]]: sign-random-projection LSH — bucket by the sign pattern
-  *    of 8 fixed coordinates, search only within the bucket. At 100 TB the
-  *    bucket join replaces the cross join entirely; recall is tunable by
-  *    bucket count / multi-probe.
+  *    of 8 seeded random hyperplane projections ([[Planes]]), search only
+  *    within the bucket. At 100 TB the bucket join replaces the cross
+  *    join entirely; recall is tunable by plane count / multi-probe.
   *
   * All dot products fold the vector sequentially in double precision —
   * the DuckDB oracle replays the identical op sequence on
@@ -32,6 +32,37 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Seeded Rademacher hyperplanes for sign-LSH: plane k is a ±1 vector
+    * whose signs come from splitmix64(seed=7) — genuinely random
+    * directions (round 1 used the signs of 8 fixed coordinates: a toy
+    * projection whose recall claims were meaningless), yet fully
+    * deterministic and embedded as LITERALS in both the Spark plan and
+    * the DuckDB oracle, so there is no RNG at query time and parity is
+    * by construction. ±1 coefficients keep the literal compact and the
+    * projection a pure add/subtract fold.
+    */
+  private val Seed = 7L
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private[pipeline] val Planes: Seq[Seq[Double]] = (0 until 8).map { k =>
+    (0 until 64).map { i =>
+      if ((splitmix(Seed * 1000003L + k * 64 + i) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** 8-bit sign-LSH bucket of a 64-dim double array: bit k = sign of the
+    * projection onto plane k (sequential fold, oracle-parity exact).
+    */
+  private[graft] def bucketOf(e: Column): Column =
+    (0 until 8).map { k =>
+      val plane = array(Planes(k).map(lit): _*)
+      when(dot(e, plane) >= 0.0, lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** S1 — exact cosine top-5 neighbors for query vectors vec_id < 10. */
   private val cosineTopK: Q = (s, dir) => {
@@ -50,17 +81,15 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** S2 — sign-LSH ANN: 8-bit bucket from the signs of dims 1,9,…,57;
-    * nearest neighbor within bucket (top-1 by cosine).
+  /** S2 — sign-LSH ANN: 8-bit bucket from the signs of 8 seeded random
+    * hyperplane projections; nearest neighbor within bucket (top-1 by
+    * cosine).
     */
   private val lshAnn: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n", norm(col("e")))
-    val bucketed = emb.withColumn("bucket",
-      (0 until 8).map { k =>
-        when(element_at(col("e"), k * 8 + 1) >= 0.0, lit(1 << k)).otherwise(lit(0))
-      }.reduce(_ + _))
+    val bucketed = emb.withColumn("bucket", bucketOf(col("e")))
     val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
       col("e").as("ae"), col("n").as("an"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
@@ -82,10 +111,7 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n", norm(col("e")))
-    val bucketed = emb.withColumn("bucket",
-      (0 until 8).map { k =>
-        when(element_at(col("e"), k * 8 + 1) >= 0.0, lit(1 << k)).otherwise(lit(0))
-      }.reduce(_ + _))
+    val bucketed = emb.withColumn("bucket", bucketOf(col("e")))
     val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
       col("e").as("ae"), col("n").as("an"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
@@ -115,7 +141,10 @@ object Similarity {
 
   private val BUCKET =
     (0 until 8).map { k =>
-      s"CASE WHEN e[${k * 8 + 1}] >= 0.0 THEN ${1 << k} ELSE 0 END"
+      val plane = Planes(k).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      val proj = s"list_reduce(list_prepend(0.0, list_transform(" +
+        s"list_zip(e, $plane), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+      s"CASE WHEN $proj >= 0.0 THEN ${1 << k} ELSE 0 END"
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(

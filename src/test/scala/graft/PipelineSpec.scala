@@ -69,6 +69,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(cosRange.getDouble(0) >= -1.0001 && cosRange.getDouble(1) <= 1.0001)
   }
 
+  test("sign-LSH buckets keep perturbed embedding clones together (recall floor)") {
+    // deterministic small perturbation: e_i + 0.002·((i mod 7) − 3), ~2% of
+    // a unit vector's typical ±1-projection margin. A clone changes bucket
+    // only when a projection sits within the noise margin of a hyperplane,
+    // so the vast majority of clones must co-bucket with their original —
+    // the recall claim random hyperplanes make meaningful (the round-1
+    // fixed-coordinate projection had no such guarantee).
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val clones = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("e"), (x, i) => x + lit(0.002) * ((i % 7) - lit(3))).as("e"))
+    val bucketed = emb.unionAll(clones)
+      .withColumn("bucket", pipeline.Similarity.bucketOf(col("e")))
+    val together = bucketed.alias("x")
+      .join(bucketed.alias("y"),
+        col("x.vec_id") + 1000000 === col("y.vec_id") &&
+          col("x.bucket") === col("y.bucket"))
+      .count()
+    val total = emb.count()
+    assert(together >= (total * 0.9).toLong,
+      s"only $together of $total clones co-bucketed")
+  }
+
   test("multimodal decode features match direct byte arithmetic") {
     val row = pipeline.Multimodal.queries("m01_multimodal_decode")(spark, sf)
       .filter(col("doc_id") === 0).head
