@@ -1,7 +1,8 @@
 package graft.streaming
 
+import graft.Tables
 import graft.operators.{Maintenance, Signals}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -23,6 +24,24 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * (ws.py:37-38).
   */
 object StreamRollup {
+
+  /** S1/S5 hardening — replayed file ingest. The reference's ZIP backfill
+    * drops daily CSVs into a directory (backfill.py:300-520); here that
+    * directory IS the stream source: each new file becomes (part of) a
+    * micro-batch, with the same pinned-schema + DROPMALFORMED contract as
+    * the batch CSV path ([[Tables.candlesFromCsv]]) — schema inference on
+    * a stream would re-read files and drift. `maxFilesPerTrigger` bounds
+    * per-batch work when a large backfill lands at once, keeping state
+    * and shuffle sizes flat at scale.
+    */
+  def csvFileSource(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(Tables.CandleSchema)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
 
   /** Streaming 1m→5m OHLCV roll-up (R4 on a stream). Input: a streaming
     * DataFrame with the candle schema (bucket_ts epoch seconds). Event time

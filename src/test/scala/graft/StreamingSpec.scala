@@ -85,6 +85,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source replay: staged CSV batches stream through rollup + merge on a 3s trigger") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+    def writeCsv(name: String, rows: Seq[C1m]): Unit = {
+      val hdr = "symbol,bucket_ts,open,high,low,close,volume," +
+        "quote_volume,trade_count,taker_buy_volume,is_closed"
+      val body = rows.map(r => s"${r.symbol},${r.bucket_ts},${r.open}," +
+        s"${r.high},${r.low},${r.close},${r.volume},${r.quote_volume}," +
+        s"${r.trade_count},${r.taker_buy_volume},true")
+      java.nio.file.Files.write(dir.resolve(name),
+        (hdr +: body).mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    // two replayed "daily" files: second one extends the first's last 5m
+    // bucket (late bars) AND opens a new bucket — the merge must update
+    // the open bucket in place and insert the new one
+    val batch1 = (0L until 4L).map(m => bar("A", m, 100 + m))
+    val batch2 = Seq(bar("A", 4L, 120.0)) ++ (5L until 8L).map(m => bar("A", m, 105 + m))
+    writeCsv("day-000.csv", batch1)
+
+    var stored = Seq.empty[C1m].toDF().withColumn("is_closed", lit(true))
+    val src = StreamRollup.csvFileSource(s, dir.toString, maxFilesPerTrigger = 1)
+    val q = StreamRollup.rollup5m(src)
+      .withColumn("is_closed", lit(true))
+      .writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("3 seconds"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        stored = StreamRollup.upsertBatch(stored, b).cache()
+        stored.count() // materialize before the next batch mutates inputs
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      writeCsv("day-001.csv", batch2)
+      q.processAllAvailable()
+
+      val got = stored
+        .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+      val expected = (batch1 ++ batch2).toDF()
+        .withColumn("b5", col("bucket_ts") - col("bucket_ts") % 300)
+        .groupBy("symbol", "b5")
+        .agg(min_by(col("open"), col("bucket_ts")).as("open"), max("high").as("high"),
+          min("low").as("low"), max_by(col("close"), col("bucket_ts")).as("close"),
+          sum("volume").as("volume"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+      assert(got.nonEmpty)
+      assert(got == expected, s"stored=$got expected=$expected")
+    } finally q.stop()
+  }
+
   test("streaming cooldown carries last-emit state across micro-batches") {
     val s = spark
     import graft.operators.Signals.Fired
