@@ -50,6 +50,43 @@ object Maintenance {
         merged("is_closed", tc("is_closed") || ec("is_closed")))
   }
 
+  /** S3 at storage level — partition-scoped MERGE into a dt-partitioned
+    * parquet table ([[Tables.writeCandles]] layout). A 100 TB ingest MERGE
+    * must not rewrite the table: only the date partitions the batch
+    * actually touches are read, merged ([[mergeCandles]]) and replaced via
+    * dynamic partition overwrite — the plain-parquet analogue of Delta's
+    * file-level `MERGE INTO` (reference: per-chunk upserts on Timescale,
+    * services/data-service/src/adapters/timescale.py:53-130).
+    *
+    * The only driver-side materialization is the DISTINCT PARTITION KEY
+    * list (metadata-scale: a few dates per ingest batch, never row data) —
+    * the same listing a Delta commit does.
+    */
+  def mergeCandlesPartitioned(spark: SparkSession, path: String,
+      incoming: DataFrame): Seq[String] = {
+    val batch = incoming.withColumn("dt",
+      to_date(timestamp_seconds(col("bucket_ts"))))
+    val touched = batch.select(col("dt")).distinct()
+      .collect().map(_.get(0).toString).sorted.toSeq
+    val stored = spark.read.parquet(path)
+      .filter(col("dt").isin(touched: _*))
+    val cols = batch.columns.filter(_ != "dt").map(col).toSeq
+    val merged = mergeCandles(
+      stored.select(cols: _*), batch.select(cols: _*))
+      .withColumn("dt", to_date(timestamp_seconds(col("bucket_ts"))))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged
+      .repartition(col("dt"))
+      .sortWithinPartitions(col("dt"), col("symbol"), col("bucket_ts"))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    touched
+  }
+
   /** u01 — exercise [[mergeCandles]] deterministically: batch A = candles
     * from even events (closed), batch B = candles from odd events (open,
     * quote_volume nulled on every 5th minute) — overlapping buckets get the

@@ -123,10 +123,49 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** S4 — IVF-style ANN, the other standard scale path next to sign-LSH:
+    * a coarse quantizer (centroids = the deterministic vec_id % 53 == 0
+    * subset — a seeded sample standing in for trained k-means; ~2% of the
+    * corpus) assigns every vector to its nearest cell; queries then search
+    * ONLY their own cell (nprobe=1; multi-probe = union over the top-p
+    * cells). The build step is one broadcast-centroids × corpus pass —
+    * O(N·C) dot products, no N² anywhere — and the probe step touches
+    * ~N/C vectors per query. Cell assignment ties break by centroid id via
+    * row_number so both engines agree bit-for-bit.
+    */
+  private val ivfAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val cent = emb.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("n").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id"))
+    val assign = emb.join(broadcast(cent))
+      .withColumn("ccos", dot(col("e"), col("ce")) /
+        nullif(col("n") * col("cn"), lit(0.0)))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("e"), col("n"))
+    val q = assign.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("e").as("qe"), col("n").as("qn"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assign.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("e"), col("qe")) /
+        nullif(col("n") * col("qn"), lit(0.0)))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> cosineTopK,
     "s02_lsh_ann" -> lshAnn,
-    "s03_embedding_near_dup" -> cosineNearDup)
+    "s03_embedding_near_dup" -> cosineNearDup,
+    "s04_ivf_ann" -> ivfAnn)
 
   private val EMB =
     """emb AS (
@@ -173,6 +212,30 @@ object Similarity {
          |         row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
          |  FROM pairs)
          |WHERE rank = 1""".stripMargin,
+    "s04_ivf_ann" ->
+      s"""WITH $EMB,
+         |cent AS (SELECT vec_id AS c_id, e AS ce, n AS cn FROM emb
+         |         WHERE vec_id % 53 = 0),
+         |assign AS (
+         |  SELECT vec_id, c_id AS cell, e, n FROM (
+         |    SELECT emb.vec_id, c.c_id, emb.e, emb.n,
+         |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |             ${DOT.format("emb.e", "c.ce")} / nullif(emb.n * c.cn, 0.0) DESC,
+         |             c.c_id) AS rn
+         |    FROM emb CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, cell, e AS qe, n AS qn FROM assign
+         |      WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.q_id, a.vec_id, a.cell,
+         |         ${DOT.format("a.e", "q.qe")} / nullif(a.n * q.qn, 0.0) AS cos
+         |  FROM assign a JOIN q USING (cell)
+         |  WHERE a.vec_id != q.q_id)
+         |SELECT q_id, vec_id AS neighbor_id, cell, round(cos, 6) AS cos, rank FROM (
+         |  SELECT q_id, vec_id, cell, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 5""".stripMargin,
     "s03_embedding_near_dup" ->
       s"""WITH $EMB,
          |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb)

@@ -143,6 +143,51 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(left.agg(min(col("dt").cast("string"))).head.getString(0) >= "2024-01-10")
     assert(left.count() < candles.count())
   }
+
+  test("partition-scoped merge rewrites only the touched date partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toFile.getAbsolutePath
+    val candles = Tables.candles(spark, TestSession.sf)
+      .withColumn("is_closed", lit(true))
+    Tables.writeCandles(candles, dir)
+
+    def partFiles(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("dt="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    }
+    val before = partFiles()
+
+    // incoming batch: one bucket of one symbol on one day, higher high
+    val target = Tables.readCandles(spark, dir)
+      .filter(col("symbol") === "S0003").orderBy("bucket_ts").limit(1)
+      .drop("dt").cache()
+    val key = target.select("bucket_ts").head.getLong(0)
+    val oldHigh = target.select("high").head.getDouble(0)
+    val batch = target
+      .withColumn("high", col("high") + 1000.0)
+      .withColumn("is_closed", lit(true))
+    val touchedDt = java.time.Instant.ofEpochSecond(key)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+    val touched = graft.operators.Maintenance
+      .mergeCandlesPartitioned(spark, dir, batch)
+    assert(touched == Seq(touchedDt), s"touched=$touched")
+
+    // untouched partitions: identical files, identical mtimes
+    val after = partFiles()
+    assert(before.keySet == after.keySet)
+    before.keySet.filterNot(_ == s"dt=$touchedDt").foreach { p =>
+      assert(before(p) == after(p), s"partition $p was rewritten")
+    }
+    // merged partition reflects GREATEST(high)
+    val got = Tables.readCandles(spark, dir)
+      .filter(col("symbol") === "S0003" && col("bucket_ts") === key)
+      .select("high").head.getDouble(0)
+    assert(got == oldHigh + 1000.0)
+    // row count unchanged (update, not append)
+    assert(Tables.readCandles(spark, dir).count() == candles.count())
+  }
 }
 
 /** Mart fidelity: the reference's fixed leading columns and registry
