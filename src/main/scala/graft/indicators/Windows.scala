@@ -50,15 +50,14 @@ object Windows {
     * are not legal inside lambdas, hence the two-stage contract).
     */
   def madOf(lst: Column, m: Column): Column =
-    aggregate(transform(lst, x => abs(x - m)), lit(0.0), (a, x) => a + x) /
-      size(lst)
+    graft.functions.ArrayFoldCols.sumAbsDev(lst, m) / size(lst)
 
   /** Frame mean as an explicit sequential left fold (`0 + x0 + x1 + …`)/n.
     * See [[stdOf]] for why: bit-stability across the DuckDB oracle boundary
     * (oracle form: `list_reduce(list_prepend(0.0, frame), (a,x) -> a+x)/len`).
     */
   def meanOf(lst: Column): Column =
-    aggregate(lst, lit(0.0), (a, x) => a + x) / size(lst)
+    graft.functions.ArrayFoldCols.seqSum(lst) / size(lst)
 
   /** Frame standard deviation as an explicit sequential fold over the
     * collected frame (`ddof`=1 for pandas rolling.std, 0 for population).
@@ -69,8 +68,8 @@ object Windows {
     * sequence in both engines — bit-stable across the oracle boundary.
     */
   def stdOf(lst: Column, m: Column, ddof: Int): Column =
-    sqrt(aggregate(transform(lst, x => (x - m) * (x - m)), lit(0.0),
-      (a, x) => a + x) / nullif((size(lst) - lit(ddof)).cast("double"), lit(0.0)))
+    sqrt(graft.functions.ArrayFoldCols.sumSqDev(lst, m) /
+      nullif((size(lst) - lit(ddof)).cast("double"), lit(0.0)))
 
   /** True Range: max(h−l, |h−prev_close|, |l−prev_close|); first bar falls
     * back to h−l (reference incremental/atr.py:7-20).

@@ -24,12 +24,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential dot product of two pre-cast double arrays. */
+  /** Sequential dot product of two pre-cast double arrays — the codegen'd
+    * [[graft.functions.ArrayDot]] kernel, bit-equal to the
+    * `aggregate(zip_with(...))` fold the DuckDB oracle replays but ~10x
+    * cheaper per row (no interpreted closures, no intermediate array).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayFoldCols.arrayDot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
