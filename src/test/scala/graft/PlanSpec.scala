@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards — the automated form of PLANS_r02.md's
+  * "regression watch". These assert the properties that make the engine
+  * viable at 100 TB: filters reaching the stored fact-table scan,
+  * dimension sides broadcasting, signature kernels never leaking into scan
+  * filters, and one-sort window composition. A change that silently
+  * reintroduces a shuffle or a per-row kernel re-evaluation fails here,
+  * not three rounds later in a bench read.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("r01: symbol+time filters are pushed into the stored candle scan") {
+    val p = plan("r01_scan_filter")
+    assert(p.contains("PushedFilters") &&
+      p.contains("In(symbol") && p.contains("GreaterThan(bucket_ts"),
+      s"pushdown lost:\n${p.take(2000)}")
+  }
+
+  test("h05: every dimension side of the join tree broadcasts") {
+    val p = plan("h05_region_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!p.contains("CartesianProduct"), "cartesian product in h05")
+  }
+
+  test("signature kernels never run inside a scan filter") {
+    // round-2 postmortem: a filter on a computed signature column gets
+    // pushed into the parquet scan as isnotnull(kernel(text)), re-running
+    // the kernel once per row inside the scan
+    for (q <- Seq("d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
+        "d04_dedup_simhash")) {
+      val scans = SparkEntry.queries(q)(spark, sf).queryExecution
+        .executedPlan.toString.linesIterator
+        .filter(_.contains("FileScan")).mkString("\n")
+      for (kernel <- Seq("minhash_sig", "simhash64", "hashed_shingles"))
+        assert(!scans.contains(kernel),
+          s"$q: $kernel evaluated inside a scan filter")
+    }
+  }
+
+  test("d02: the n3 projection stays below the shingle explode") {
+    // hashed_shingles(text, 3) appearing in a Project ABOVE a Generate
+    // means the 3-gram kernel re-runs per exploded row (300x regression)
+    val p = plan("d02_dedup_ngram_jaccard")
+    val generateIdx = p.linesIterator.indexWhere(_.contains("Generate explode"))
+    if (generateIdx >= 0) {
+      val above = p.linesIterator.take(generateIdx).mkString("\n")
+      assert(!above.contains("hashed_shingles(text"),
+        "3-gram kernel re-planned above the explode")
+    }
+  }
+
+  test("w01: custom EWMA and lag share ONE Window node (one sort, one shuffle)") {
+    val p = plan("w01_ewma_window")
+    val windows = "\\bWindow\\b".r.findAllIn(
+      p.linesIterator.filter(_.contains("Window [")).mkString("\n")).size
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n${p.take(1500)}")
+  }
+
+  test("i10: both window stages share a single exchange on symbol") {
+    val p = plan("i10_bollinger")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"bollinger grew extra shuffles ($exchanges)")
+  }
+}
