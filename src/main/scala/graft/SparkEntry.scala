@@ -35,7 +35,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++
+    operators.AsOf.queries ++
+      operators.RangeJoin.queries ++
+      operators.Relational.queries ++
       operators.Tpch.queries ++
       operators.Signals.queries ++
       operators.Maintenance.queries ++
@@ -55,7 +57,9 @@ object SparkEntry {
     * the same parquet tables. Omitted only for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracle ++
+    operators.AsOf.oracle ++
+      operators.RangeJoin.oracle ++
+      operators.Relational.oracle ++
       operators.Tpch.oracle ++
       operators.Signals.oracle ++
       operators.Maintenance.oracle ++
