@@ -36,7 +36,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-query persists (signature/index tables) so later queries
+      // aren't timed under the accumulated memory pressure of earlier ones
+      spark.catalog.clearCache()
+      name -> dt
     }
     val total = results.map(_._2).sum
     def fmt(prec: String) = results
