@@ -49,8 +49,17 @@ object Tables {
       sortCols: Seq[String])(derive: => DataFrame): DataFrame = {
     val key = spark.sparkContext.applicationId + "|" + dir + "|" + name
     matCache.computeIfAbsent(key, { _ =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft-mat/" +
-        spark.sparkContext.applicationId + "/" +
+      val appRoot = new java.io.File(
+        System.getProperty("java.io.tmpdir") + "/graft-mat/" +
+          spark.sparkContext.applicationId)
+      if (matCache.isEmpty) { // first materialization: clean up on exit
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        Runtime.getRuntime.addShutdownHook(new Thread(() => rm(appRoot)))
+      }
+      val path = appRoot.getPath + "/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "/" + name
       derive
         .repartition(8, col(sortCols.head))
