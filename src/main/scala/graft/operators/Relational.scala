@@ -60,10 +60,23 @@ object Relational {
   /** R4 — tumbling OHLCV roll-ups (the 13-interval continuous-aggregate
     * family, 004_continuous_aggregates.sql:27-45).
     */
-  private val r04_5m: Q = (s, dir) => roundOhlcv(Rollup.rollup(candles(s, dir), 300L))
-  private val r04_1h: Q = (s, dir) => roundOhlcv(Rollup.rollup(candles(s, dir), 3600L))
-  private val r04_1d: Q = (s, dir) => roundOhlcv(Rollup.rollup(candles(s, dir), 86400L))
+  /** The reference's full 13-interval cagg grid (004_continuous_aggregates
+    * .sql:67-79) through the ONE generic roll-up. Fixed-width intervals
+    * are epoch-aligned integral buckets (`ts DIV w * w`) — identical to
+    * Timescale's `time_bucket` for every divisor-of-a-day width and for
+    * 3d (2000-01-03 origin is 3-day-aligned to epoch); `1w` is
+    * epoch-aligned (Thursday-start) where Timescale weeks start Monday —
+    * a documented alignment choice, replayed identically by the oracle.
+    * Calendar `1M` needs real month boundaries ([[Rollup.rollupMonth]]).
+    */
+  private def r04(seconds: Long): Q =
+    (s, dir) => roundOhlcv(Rollup.rollup(candles(s, dir), seconds))
   private val r04_1mo: Q = (s, dir) => roundOhlcv(Rollup.rollupMonth(candles(s, dir)))
+  val Intervals: Map[String, Long] = Map(
+    "3m" -> 180L, "5m" -> 300L, "15m" -> 900L, "30m" -> 1800L,
+    "1h" -> 3600L, "2h" -> 7200L, "4h" -> 14400L, "6h" -> 21600L,
+    "8h" -> 28800L, "12h" -> 43200L, "1d" -> 86400L, "3d" -> 259200L,
+    "1w" -> 604800L)
 
   /** R5 — metrics roll-up with ratio-of-sums (007:27-43). */
   private val r05: Q = (s, dir) => {
@@ -198,13 +211,11 @@ object Relational {
     byQv.join(byAmp, Seq("symbol"), "left_anti")
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] =
+    Intervals.map { case (n, secs) => s"r04_rollup_$n" -> r04(secs) } ++ Map(
     "r01_scan_filter" -> r01,
     "r02_latest_n_per_key" -> r02,
     "r03_latest_per_key" -> r03,
-    "r04_rollup_5m" -> r04_5m,
-    "r04_rollup_1h" -> r04_1h,
-    "r04_rollup_1d" -> r04_1d,
     "r04_rollup_1month" -> r04_1mo,
     "r05_metrics_rollup_15m" -> r05,
     "r06_meta_join_5m" -> r06,
@@ -226,7 +237,8 @@ object Relational {
        |  round(sum(taker_buy_volume), 6) AS taker_buy_volume
        |FROM candles GROUP BY 1, 2""".stripMargin)
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] =
+    Intervals.map { case (n, secs) => s"r04_rollup_$n" -> rollupOracle(secs) } ++ Map(
     "r01_scan_filter" -> Oracle.withCandles(
       """SELECT symbol, bucket_ts, round(close, 6) AS close, round(volume, 6) AS volume
         |FROM candles
@@ -241,9 +253,7 @@ object Relational {
         |  round(max_by(close, bucket_ts), 6) AS close,
         |  round(max_by(volume, bucket_ts), 6) AS volume
         |FROM candles GROUP BY symbol""".stripMargin),
-    "r04_rollup_5m" -> rollupOracle(300L),
-    "r04_rollup_1h" -> rollupOracle(3600L),
-    "r04_rollup_1d" -> rollupOracle(86400L),
+
     "r04_rollup_1month" -> Oracle.withCandles(
       """SELECT symbol,
         |  CAST(epoch(date_trunc('month', to_timestamp(bucket_ts) AT TIME ZONE 'UTC')) AS BIGINT) AS bucket_ts,
