@@ -249,11 +249,57 @@ object Dedup {
       .distinct()
   }
 
+  /** D5 — duplicate-cluster resolution: connected components over the D2
+    * near-dup pair graph, each doc labeled with its cluster's minimum
+    * doc_id (the canonical survivor a dedup pipeline keeps). Iterative
+    * min-label propagation: each round every node adopts the smallest
+    * label among itself and its neighbors — converges in O(component
+    * diameter) rounds (near-dup clusters are shallow; capped at 20). The
+    * per-round work is one equi-join + one min-aggregate, both
+    * shuffle-on-key — the standard large-graph CC shape (no driver-side
+    * graph, only a scalar convergence count per round). Oracle: DuckDB
+    * recursive CTE computing min reachable id.
+    */
+  private val components: Q = (s, dir) => {
+    val pairs = ngramJaccard(s, dir).select(col("a"), col("b"))
+    // localCheckpoint (not persist): an iterative join must TRUNCATE the
+    // lineage each round — caching alone leaves the logical plan growing
+    // by one join+aggregate per round until analysis/codegen blows the
+    // driver heap. Checkpointed partitions live on executors; only the
+    // convergence COUNT ever reaches the driver.
+    val edges = pairs
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), col("label"))
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("canonical"),
+        col("cluster_size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> exact,
     "d02_dedup_ngram_jaccard" -> ngramJaccard,
     "d03_dedup_minhash_lsh" -> minhashLsh,
-    "d04_dedup_simhash" -> simhash)
+    "d04_dedup_simhash" -> simhash,
+    "d05_dedup_components" -> components)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -265,31 +311,52 @@ object Dedup {
          |FROM uni WHERE len(text) >= 8""".stripMargin,
     "d02_dedup_ngram_jaccard" ->
       s"""WITH $CLONES_SQL,
-         |docs AS (SELECT doc_id, text FROM uni WHERE len(text) >= 8),
-         |sh8 AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(text) - 7), i -> substr(text, i, 8)))) AS sh
-         |  FROM docs),
-         |rare AS (SELECT sh FROM sh8 GROUP BY sh HAVING count(*) BETWEEN 2 AND 4),
-         |cands AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM sh8 x JOIN rare USING (sh) JOIN sh8 y USING (sh)
-         |  WHERE x.doc_id < y.doc_id),
-         |tri AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(text) - 2), i -> substr(text, i, 3)))) AS g
-         |  FROM docs),
-         |trin AS (SELECT doc_id, count(*) AS n3 FROM tri GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.a, c.b, count(*) AS inter
-         |  FROM cands c
-         |  JOIN tri ta ON ta.doc_id = c.a
-         |  JOIN tri tb ON tb.doc_id = c.b AND tb.g = ta.g
-         |  GROUP BY c.a, c.b)
-         |SELECT i.a, i.b,
-         |  round(CAST(i.inter AS DOUBLE) / (na.n3 + nb.n3 - i.inter), 6) AS jaccard
-         |FROM inter i
-         |JOIN trin na ON na.doc_id = i.a
-         |JOIN trin nb ON nb.doc_id = i.b
-         |WHERE CAST(i.inter AS DOUBLE) / (na.n3 + nb.n3 - i.inter) >= 0.6""".stripMargin)
+         |$D02_CTES
+         |$D02_SELECT""".stripMargin,
+    "d05_dedup_components" ->
+      s"""WITH RECURSIVE $CLONES_SQL,
+         |$D02_CTES,
+         |d2 AS ($D02_SELECT),
+         |edges AS (SELECT a, b FROM d2 UNION ALL SELECT b AS a, a AS b FROM d2),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |lab AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+         |SELECT l.id AS doc_id, l.canonical, s.cluster_size
+         |FROM lab l
+         |JOIN (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+         |      FROM lab GROUP BY canonical) s USING (canonical)""".stripMargin)
+
+  private lazy val D02_CTES: String =
+    """docs AS (SELECT doc_id, text FROM uni WHERE len(text) >= 8),
+      |sh8 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(text) - 7), i -> substr(text, i, 8)))) AS sh
+      |  FROM docs),
+      |rare AS (SELECT sh FROM sh8 GROUP BY sh HAVING count(*) BETWEEN 2 AND 4),
+      |cands AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM sh8 x JOIN rare USING (sh) JOIN sh8 y USING (sh)
+      |  WHERE x.doc_id < y.doc_id),
+      |tri AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(text) - 2), i -> substr(text, i, 3)))) AS g
+      |  FROM docs),
+      |trin AS (SELECT doc_id, count(*) AS n3 FROM tri GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.a, c.b, count(*) AS inter
+      |  FROM cands c
+      |  JOIN tri ta ON ta.doc_id = c.a
+      |  JOIN tri tb ON tb.doc_id = c.b AND tb.g = ta.g
+      |  GROUP BY c.a, c.b)""".stripMargin
+
+  private lazy val D02_SELECT: String =
+    """SELECT i.a, i.b,
+      |  round(CAST(i.inter AS DOUBLE) / (na.n3 + nb.n3 - i.inter), 6) AS jaccard
+      |FROM inter i
+      |JOIN trin na ON na.doc_id = i.a
+      |JOIN trin nb ON nb.doc_id = i.b
+      |WHERE CAST(i.inter AS DOUBLE) / (na.n3 + nb.n3 - i.inter) >= 0.6""".stripMargin
 }
