@@ -68,8 +68,13 @@ object Maintenance {
       to_date(timestamp_seconds(col("bucket_ts"))))
     val touched = batch.select(col("dt")).distinct()
       .collect().map(_.get(0).toString).sorted.toSeq
-    val stored = spark.read.parquet(path)
-      .filter(col("dt").isin(touched: _*))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bootstrap: first batch against an empty store is a plain write
+    val stored =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.parquet(path).filter(col("dt").isin(touched: _*))
+      else batch.filter(lit(false))
     val cols = batch.columns.filter(_ != "dt").map(col).toSeq
     val merged = mergeCandles(
       stored.select(cols: _*), batch.select(cols: _*))

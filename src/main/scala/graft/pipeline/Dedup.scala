@@ -74,19 +74,18 @@ object Dedup {
     import graft.functions.TextHashCols.{hashedShingles, sortedIntersectCount}
     val uni = withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
-    // the inverted index carries xxhash64'd shingles: 8-byte join keys
-    // instead of 8-char strings (df counts and the candidate set are
-    // identical modulo 64-bit collisions, ~1e-7 at corpus scale). The
-    // shingle set is computed by the codegen'd [[graft.functions
-    // .HashedShingles]] kernel — one pass over the string, vs the
-    // interpreted sequence→transform→array_distinct lambda chain.
-    // the 3-gram set size rides along with every index row (one int), so
-    // the length-ratio prefilter needs no later size-lookup joins
-    // doc-level projection computed ONCE per doc and cached. The persist is
-    // also an optimizer barrier: without it, Catalyst plans a computed
-    // column that must survive an explode (here n3) into the Project ABOVE
-    // the Generate, re-evaluating the 3-gram kernel once per exploded
-    // shingle row — measured 300x the work (17.8 s vs 60 ms at sf0.1).
+    // Doc-level projection, computed ONCE per doc and cached: the hashed
+    // shingle sets come from the codegen'd [[graft.functions
+    // .HashedShingles]] kernel (one pass over the string, vs the
+    // interpreted sequence→transform→array_distinct lambda chain), and the
+    // 3-gram set size n3 rides along so the length-ratio prefilter needs
+    // no later size-lookup joins. The persist is ALSO an optimizer
+    // barrier: without it Catalyst plans a computed column that must
+    // survive an explode (here n3) into the Project ABOVE the Generate,
+    // re-evaluating the 3-gram kernel once per exploded shingle row —
+    // measured 300x the work (17.8 s vs 60 ms at sf0.1). Hashed 8-byte
+    // join keys keep the index narrow; df counts and the candidate set
+    // are identical modulo 64-bit collisions (~1e-7 at corpus scale).
     val docsIdx = uni.select(col("doc_id"), col("text"),
       size(hashedShingles(col("text"), 3)).as("n3")).persist()
     // the inverted index feeds the df counts and both sides of the

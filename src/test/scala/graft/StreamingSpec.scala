@@ -140,6 +140,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end ingest: file replay -> 5m rollup -> partition-scoped merge into the dt store") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay2")
+    val store = java.nio.file.Files.createTempDirectory("graft_store2").toString + "/candles"
+    def writeCsv(name: String, rows: Seq[C1m]): Unit = {
+      val hdr = "symbol,bucket_ts,open,high,low,close,volume," +
+        "quote_volume,trade_count,taker_buy_volume,is_closed"
+      val body = rows.map(r => s"${r.symbol},${r.bucket_ts},${r.open}," +
+        s"${r.high},${r.low},${r.close},${r.volume},${r.quote_volume}," +
+        s"${r.trade_count},${r.taker_buy_volume},true")
+      java.nio.file.Files.write(dir.resolve(name),
+        (hdr +: body).mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    // day 1 then day 2 + a late day-1 bar: the second merge must touch
+    // BOTH days' partitions, and only ever the days present in the batch
+    val day2 = 1440L
+    val batch1 = (0L until 5L).map(m => bar("A", m, 100 + m))
+    val batch2 = Seq(bar("A", 4L, 150.0)) ++
+      (day2 until day2 + 5L).map(m => bar("A", m, 200 + m - day2))
+    writeCsv("day-000.csv", batch1)
+
+    val src = StreamRollup.csvFileSource(s, dir.toString, maxFilesPerTrigger = 1)
+    val q = StreamRollup.rollup5m(src)
+      .withColumn("is_closed", lit(true))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          graft.operators.Maintenance.mergeCandlesPartitioned(s, store, b)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      writeCsv("day-001.csv", batch2)
+      q.processAllAvailable()
+
+      val got = Tables.readCandles(s, store)
+        .select("symbol", "bucket_ts", "high", "close", "volume")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val expected = (batch1 ++ batch2).toDF()
+        .withColumn("b5", col("bucket_ts") - col("bucket_ts") % 300)
+        .groupBy("symbol", "b5")
+        .agg(max("high").as("high"),
+          max_by(col("close"), col("bucket_ts")).as("close"),
+          sum("volume").as("volume"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(got == expected, s"store=$got expected=$expected")
+      // the store is genuinely dt-partitioned (both days present)
+      val parts = new java.io.File(store).listFiles()
+        .filter(_.getName.startsWith("dt=")).map(_.getName).sorted
+      assert(parts.toSeq == Seq("dt=1970-01-01", "dt=1970-01-02"))
+    } finally q.stop()
+  }
+
   test("streaming cooldown carries last-emit state across micro-batches") {
     val s = spark
     import graft.operators.Signals.Fired
