@@ -48,7 +48,44 @@ object Multimodal {
     }(encFeatures).toDF()
   }
 
-  val queries: Map[String, Q] = Map("m01_multimodal_decode" -> decode)
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Long,
+    frame_len: Int, checksum: Long)
+  private implicit val encFrame: Encoder[Frame] = Encoders.product[Frame]
+
+  /** Frame-sampling stub: fixed 256-byte "frames", keep every 2nd (the
+    * video keyframe-sampling shape: one media payload fans out to many
+    * frame rows, each independently processable downstream).
+    */
+  def frameSampleStub(batch: Seq[Payload], stride: Int = 256,
+      every: Int = 2): Seq[Frame] =
+    batch.flatMap { p =>
+      val n = (p.bin.length + stride - 1) / stride
+      (0 until n).filter(_ % every == 0).map { f =>
+        val off = f * stride
+        val len = math.min(stride, p.bin.length - off)
+        var sum = 0L
+        var i = off
+        while (i < off + len) { sum += (p.bin(i) & 0xFF); i += 1 }
+        Frame(p.doc_id, f, off.toLong, len, sum % 997)
+      }
+    }
+
+  /** M2 — media → sampled frame rows: the explode-shaped half of a video
+    * pipeline (decode is [[decodeStub]]-style per frame afterwards).
+    */
+  private val frameSample: Q = (s, dir) => {
+    val payloads = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[Payload](encPayload)
+    payloads.mapPartitions { it =>
+      it.grouped(64).flatMap(g => frameSampleStub(g.toSeq))
+    }(encFrame).toDF()
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m01_multimodal_decode" -> decode,
+    "m02_frame_sample" -> frameSample)
 
   /** The corpus is ASCII, so UTF-8 bytes == character codes and DuckDB can
     * replay the byte features with `ascii`/`octet_length`.
@@ -62,5 +99,19 @@ object Multimodal {
         |       (a, x) -> a + x) % 997 AS BIGINT) AS checksum,
         |  CASE WHEN len(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS head_byte,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "m02_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(f * 256 AS BIGINT) AS offset,
+        |  CAST(least(256, blen - f * 256) AS INT) AS frame_len,
+        |  CAST(list_reduce(list_prepend(0, list_transform(
+        |         generate_series(f * 256 + 1, f * 256 + least(256, blen - f * 256)),
+        |         i -> ascii(substr(text, i, 1)))),
+        |       (a, x) -> a + x) % 997 AS BIGINT) AS checksum
+        |FROM (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS blen,
+        |         unnest(generate_series(0,
+        |           (octet_length(encode(text)) + 255) // 256 - 1)) AS f
+        |  FROM documents WHERE len(text) > 0)
+        |WHERE f % 2 = 0""".stripMargin)
 }

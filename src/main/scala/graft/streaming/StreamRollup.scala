@@ -43,6 +43,40 @@ object StreamRollup {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(dir)
 
+  /** S1 — exchange ws payload adapter: kline-event JSON (the public
+    * Binance ws shape: `{"e":"kline","s":…,"k":{"t":…,"o":…,…}}`) → candle
+    * rows. The reference's cryptofeed adapter does this dict→row mapping
+    * in Python per message (adapters/cryptofeed.py); here it is one
+    * codegen'd `from_json` + casts, applicable to a batch frame or a
+    * stream of raw strings (socket/Kafka value column) identically.
+    * Malformed payloads → null struct → dropped, the DROPMALFORMED twin.
+    */
+  val WsKlineSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "e STRING, s STRING, " +
+        "k STRUCT<t: LONG, i: STRING, o: STRING, h: STRING, " +
+        "l: STRING, c: STRING, v: STRING, q: STRING, n: LONG, x: BOOLEAN>")
+
+  def parseWsKline(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.select(col(valueCol).as("_raw"),
+        from_json(col(valueCol), WsKlineSchema).as("j"))
+      .filter(col("j.e") === "kline" && col("j.k.t").isNotNull)
+      .select(
+        col("j.s").as("symbol"),
+        (col("j.k.t") / 1000).cast("long").as("bucket_ts"),
+        col("j.k.o").cast("double").as("open"),
+        col("j.k.h").cast("double").as("high"),
+        col("j.k.l").cast("double").as("low"),
+        col("j.k.c").cast("double").as("close"),
+        col("j.k.v").cast("double").as("volume"),
+        col("j.k.q").cast("double").as("quote_volume"),
+        col("j.k.n").as("trade_count"),
+        // "V" collides case-insensitively with "v" in a struct schema, so
+        // the analyzer can't address it; JSONPath is case-exact
+        get_json_object(col("_raw"), "$.k.V").cast("double")
+          .as("taker_buy_volume"),
+        col("j.k.x").as("is_closed"))
+
   /** Streaming 1m→5m OHLCV roll-up (R4 on a stream). Input: a streaming
     * DataFrame with the candle schema (bucket_ts epoch seconds). Event time
     * is the bucket itself; `min_by`/`max_by` give ordered first/last like

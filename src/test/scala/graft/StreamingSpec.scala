@@ -198,6 +198,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ws kline JSON adapter parses exchange payloads into candle rows on a stream") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[String](
+      implicitly[org.apache.spark.sql.Encoder[String]], s)
+    def kline(sym: String, tMs: Long, o: Double, c: Double, closed: Boolean) =
+      s"""{"e":"kline","E":${tMs + 500},"s":"$sym","k":{"t":$tMs,"s":"$sym",""" +
+        s""""i":"1m","o":"$o","h":"${o + 1}","l":"${o - 1}","c":"$c",""" +
+        s""""v":"10.5","q":"1050.0","n":42,"x":$closed,"V":"4.2","Q":"420.0"}}"""
+    input.addData(
+      kline("BTCUSDT", 60000L, 100.0, 101.0, closed = true),
+      kline("ETHUSDT", 60000L, 50.0, 49.5, closed = false),
+      """{"e":"trade","s":"BTCUSDT"}""", // non-kline event: dropped
+      "not json at all")                 // malformed: dropped
+
+    val q = StreamRollup.parseWsKline(input.toDF())
+      .writeStream.format("memory").queryName("ws_parsed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.table("ws_parsed").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(5), r.getLong(8), r.getBoolean(10))).toSet
+      assert(rows == Set(
+        ("BTCUSDT", 60L, 100.0, 101.0, 42L, true),
+        ("ETHUSDT", 60L, 50.0, 49.5, 42L, false)))
+      // schema matches the candle contract, so it feeds rollup5m/merge as-is
+      assert(s.table("ws_parsed").schema.fieldNames.toSeq ==
+        Tables.CandleSchema.fieldNames.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming cooldown carries last-emit state across micro-batches") {
     val s = spark
     import graft.operators.Signals.Fired
