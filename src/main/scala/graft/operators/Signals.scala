@@ -137,10 +137,10 @@ object Signals {
     * batch twin of the streaming
     * [[graft.streaming.StreamRollup.cooldownStream]].
     */
-  private val cooled: Q = (s, dir) => {
+  /** Greedy per-(symbol, rule) cooldown scan over any fired-signal frame. */
+  private def cooldown(s: SparkSession, signals: DataFrame, cd: Long): DataFrame = {
     import s.implicits._
-    val cd = 600L
-    fired(s, dir).as[Fired]
+    signals.as[Fired]
       .groupByKey(f => (f.symbol, f.rule))
       .flatMapGroups { (_, it) =>
         val fs = it.toArray
@@ -157,6 +157,8 @@ object Signals {
       }
       .toDF()
   }
+
+  private val cooled: Q = (s, dir) => cooldown(s, fired(s, dir), 600L)
 
   /** G3 — freshness gate (pg_engine.py:510-519 `_is_fresh`): a series is
     * evaluated only when its latest row is younger than
@@ -182,10 +184,25 @@ object Signals {
     perTf.reduce(_.unionAll(_))
   }
 
+  /** G4 — the reference's full evaluation loop as ONE pipeline
+    * (pg_engine.py: freshness check → rule evaluation → cooldown dedup):
+    * signals fire only for symbols passing the 1h freshness gate, then
+    * the per-(symbol, rule) cooldown thins them. The gate side is ~150
+    * symbol ids — a broadcast semi-join, no shuffle of the signal stream.
+    */
+  private val gatedSignals: Q = (s, dir) => {
+    val freshSyms = freshness(s, dir)
+      .filter(col("timeframe") === "1h" && col("is_fresh") === 1)
+      .select("symbol")
+    cooldown(s, fired(s, dir).join(broadcast(freshSyms), Seq("symbol"),
+      "left_semi"), 600L)
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_signal_rules" -> fired,
     "g02_signal_cooldown" -> cooled,
-    "g03_freshness_gate" -> freshness)
+    "g03_freshness_gate" -> freshness,
+    "g04_gated_signals" -> gatedSignals)
 
   // ---------------------------------------------------------------- oracle
 
@@ -277,6 +294,34 @@ object Signals {
          |numbered AS (
          |  SELECT *, row_number() OVER (PARTITION BY symbol, rule ORDER BY bucket_ts) AS rn
          |  FROM fired),
+         |rec AS (
+         |  SELECT symbol, rule, direction, strength, bucket_ts, rn,
+         |         bucket_ts AS last_emit, TRUE AS emitted
+         |  FROM numbered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.symbol, n.rule, n.direction, n.strength, n.bucket_ts, n.rn,
+         |         CASE WHEN n.bucket_ts >= r.last_emit + 600 THEN n.bucket_ts
+         |              ELSE r.last_emit END,
+         |         n.bucket_ts >= r.last_emit + 600
+         |  FROM rec r JOIN numbered n
+         |    ON n.symbol = r.symbol AND n.rule = r.rule AND n.rn = r.rn + 1)
+         |SELECT symbol, bucket_ts, rule, direction, CAST(strength AS INT) AS strength
+         |FROM rec WHERE emitted""".stripMargin,
+    "g04_gated_signals" ->
+      s"""WITH RECURSIVE ${Oracle.CANDLES},
+         |$BASE,
+         |fresh AS (
+         |  SELECT symbol FROM (
+         |    SELECT symbol, max(bucket_ts // 3600 * 3600) AS lt
+         |    FROM candles GROUP BY symbol)
+         |  WHERE (SELECT max(bucket_ts) FROM candles) - lt <= 5400),
+         |fired AS (
+         |$BRANCHES
+         |),
+         |gated AS (SELECT f.* FROM fired f JOIN fresh USING (symbol)),
+         |numbered AS (
+         |  SELECT *, row_number() OVER (PARTITION BY symbol, rule ORDER BY bucket_ts) AS rn
+         |  FROM gated),
          |rec AS (
          |  SELECT symbol, rule, direction, strength, bucket_ts, rn,
          |         bucket_ts AS last_emit, TRUE AS emitted
