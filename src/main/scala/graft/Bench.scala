@@ -43,19 +43,23 @@ object Bench {
       name -> dt
     }
     val total = results.map(_._2).sum
-    def fmt(prec: String) = results
+    def fmt(rs: Seq[(String, Double)], prec: String) = rs
       .map { case (k, v) => "\"" + k + "\":" + prec.format(v) }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get("bench_queries_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt("%.6f")},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, "%.6f")},"sf":"$sfDir"}""")
     spark.stop()
-    // Final summary, compact (≈2.3 KB for 84 queries — must sit whole
-    // inside the driver's ~4 KB stdout tail capture). Written straight to
-    // fd 1: sbt's logger would otherwise prepend "[info] " to println
-    // output, which breaks a strict json.loads of the line.
-    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt("%.3f")},"sf":"$sfDir"}"""
+    // Output contract, round-2 postmortem: the driver json-parses the LAST
+    // line of a ~2 KB stdout tail. The full per-query map (~2.5 KB at 100+
+    // queries) overflows that window, so it goes first (humans, logs) and
+    // the LAST line is a compact summary — total plus the slowest 15
+    // queries — guaranteed to sit whole inside the tail. Both go straight
+    // to fd 1: sbt's logger would otherwise prepend "[info] ", which breaks
+    // a strict json.loads of the line.
     val fd1 = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
-    fd1.println(line)
+    fd1.println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt(results, "%.3f")},"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(15).sortBy(_._1)
+    fd1.println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${results.size},"queries":${fmt(slowest, "%.3f")},"sf":"$sfDir","full":"bench_queries_full.json"}""")
   }
 }

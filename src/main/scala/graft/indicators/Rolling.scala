@@ -37,7 +37,14 @@ object Rolling {
           nullif(lit(4.0) * col("sd"), lit(0.0)), 6).as("pct_b"),
         round((col("mid") - col("mid10")) / 10, 6).as("mid_slope"))
 
-  /** I32 — Williams %R(14) (lean_indicators.py:168-192). */
+  /** I32 — Williams %R(14) (lean_indicators.py:168-192).
+    *
+    * Rounding: %R = −100·(hh−close)/(hh−ll) lands on exact decimal halves
+    * whenever the quotient is dyadic (k/2ⁿ), and Spark's `round` (decimal
+    * HALF_UP) disagrees with DuckDB's scaled-double rounding exactly there.
+    * Both engines therefore emit the identical IEEE sequence
+    * `floor(x·10⁶ + 0.5)/10⁶` — parity by construction.
+    */
   private val williamsR: Q = (s, dir) =>
     candles(s, dir)
       .withColumn("hh", rollingMax(col("high"), 14))
@@ -45,8 +52,9 @@ object Rolling {
       .withColumn("nbars", barsIn(14))
       .filter(col("nbars") === 14)
       .select(col("symbol"), col("bucket_ts"),
-        round(lit(-100.0) * (col("hh") - col("close")) /
-          nullif(col("hh") - col("ll"), lit(0.0)), 6).as("williams_r"))
+        (floor((lit(-100.0) * (col("hh") - col("close")) /
+          nullif(col("hh") - col("ll"), lit(0.0))) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("williams_r"))
 
   /** I33 — Donchian channel(20) (lean_indicators.py:195-214). */
   private val donchian: Q = (s, dir) =>
@@ -284,7 +292,7 @@ object Rolling {
          |WHERE nbars = 20 AND mid10 IS NOT NULL""".stripMargin),
     "i32_williams_r" -> Oracle.withCandles(
       s"""SELECT symbol, bucket_ts,
-         |  round(-100.0 * (hh - close) / nullif(hh - ll, 0.0), 6) AS williams_r
+         |  floor((-100.0 * (hh - close) / nullif(hh - ll, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS williams_r
          |FROM (
          |  SELECT symbol, bucket_ts, close,
          |         max(high) OVER ($W ${f(14)}) AS hh,

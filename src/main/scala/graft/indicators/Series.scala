@@ -32,7 +32,15 @@ object Series {
     * per (symbol, interval), indicators/base.py:64-75).
     */
   def mapSeries[T: org.apache.spark.sql.Encoder](spark: SparkSession,
-    dir: String)(fn: (String, Array[Bar]) => Option[T]): DataFrame = {
+    dir: String)(fn: (String, Array[Bar]) => Option[T]): DataFrame =
+    mapSeriesCapped(spark, dir, Bars.cap)(fn)
+
+  /** [[mapSeries]] with an explicit cap — exposed so tests can exercise the
+    * bounded-state path with a small cap and an over-cap group.
+    */
+  private[graft] def mapSeriesCapped[T: org.apache.spark.sql.Encoder](
+    spark: SparkSession, dir: String, cap: Int)(
+    fn: (String, Array[Bar]) => Option[T]): DataFrame = {
     import spark.implicits._
     Tables.candles(spark, dir)
       .select(col("symbol"), col("bucket_ts"), col("open"), col("high"),
@@ -41,12 +49,31 @@ object Series {
       .as[Bar]
       .groupByKey(_.symbol)
       .flatMapGroups { (sym, it) =>
-        val bars = it.toArray
-        java.util.Arrays.sort(bars, Ordering.by((b: Bar) => b.bucket_ts))
-        val capped = if (bars.length > Bars.cap) bars.takeRight(Bars.cap) else bars
-        fn(sym, capped).iterator
+        fn(sym, latestBars(it, cap)).iterator
       }
       .toDF()
+  }
+
+  /** Fold an UNORDERED bar iterator into the time-ascending array of its
+    * `cap` most-recent bars, never holding more than `cap` bars: a bounded
+    * min-heap on bucket_ts replaces round-2's `it.toArray.takeRight(cap)`,
+    * which materialized the whole group before capping — the "bounded group
+    * state" claim is now enforced at O(cap) memory, O(n·log cap) time, so a
+    * symbol with years of over-cap history cannot OOM an executor.
+    */
+  private[graft] def latestBars(it: Iterator[Bar], cap: Int): Array[Bar] = {
+    val byTs = Ordering.by((b: Bar) => b.bucket_ts)
+    val heap = new java.util.PriorityQueue[Bar](math.min(cap, 1024),
+      byTs)
+    var n = 0
+    while (it.hasNext) {
+      val b = it.next()
+      if (n < cap) { heap.add(b); n += 1 }
+      else if (b.bucket_ts > heap.peek().bucket_ts) { heap.poll(); heap.add(b); () }
+    }
+    val bars = heap.toArray(new Array[Bar](n))
+    java.util.Arrays.sort(bars, byTs)
+    bars
   }
 
   /** Exact pandas `ewm(alpha, adjust=False).mean()`: y₀=x₀,

@@ -184,6 +184,22 @@ object Relational {
       .limit(100)
       .select(col("symbol"), col("bucket_ts"), round(col("close"), 6).as("close"))
 
+  /** R14 — in-proc leaderboard ranking (telegram-service/src/cards/
+    * 排行榜服务.py:156-168): sort the per-symbol mart rows by a metric,
+    * head k, attach the 1-based rank. The mart side is one row per symbol
+    * (bounded, ~hundreds at reference scale), so the global rank window is
+    * a single tiny partition — the heavy lifting is the map-side-combinable
+    * aggregate below it.
+    */
+  private val r14: Q = (s, dir) => {
+    val base = candles(s, dir).groupBy(col("symbol"))
+      .agg(round(max_by(col("close"), col("bucket_ts")), 6).as("price"),
+        round(avg((col("high") - col("low")) / nullif(col("close"), lit(0.0))) * 100, 6)
+          .as("avg_amplitude_pct"))
+    val w = Window.orderBy(col("avg_amplitude_pct").desc, col("symbol"))
+    base.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+  }
+
   /** R15/R16 — mart join: per-symbol metric row merged with base-data row,
     * then ranked (data_provider.py:510-543). Both sides are latest-per-key
     * aggregates; the join is a broadcast hash join at reference scale.
@@ -225,6 +241,7 @@ object Relational {
     "r10_gap_segments" -> r10,
     "r11_symbol_stats" -> r11,
     "r13_limit_desc" -> r13,
+    "r14_rank_head" -> r14,
     "r15_mart_join" -> r15,
     "r17_rank_except" -> r17)
 
@@ -335,6 +352,15 @@ object Relational {
     "r13_limit_desc" -> Oracle.withCandles(
       """SELECT symbol, bucket_ts, round(close, 6) AS close
         |FROM candles ORDER BY bucket_ts DESC, symbol LIMIT 100""".stripMargin),
+    "r14_rank_head" -> Oracle.withCandles(
+      """, base AS (
+        |  SELECT symbol, round(max_by(close, bucket_ts), 6) AS price,
+        |         round(avg((high - low) / nullif(close, 0.0)) * 100, 6) AS avg_amplitude_pct
+        |  FROM candles GROUP BY symbol)
+        |SELECT symbol, price, avg_amplitude_pct,
+        |       CAST(row_number() OVER (ORDER BY avg_amplitude_pct DESC, symbol) AS INT) AS rank
+        |FROM base
+        |QUALIFY rank <= 10""".stripMargin),
     "r15_mart_join" -> Oracle.withCandlesAndMetrics(
       """, base AS (
         |  SELECT symbol, round(max_by(close, bucket_ts), 6) AS price,
