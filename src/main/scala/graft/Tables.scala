@@ -117,6 +117,33 @@ object Tables {
         sum(when(col("event_id") % 2 === 0, col("value")).otherwise(lit(0.0)))
           .as("taker_buy_volume"))
 
+  /** NUMERIC(38,12), the reference's storage type for every price/volume
+    * column (001_timescaledb.sql:13-21). SURVEY §1.2: keep Decimal in
+    * STORAGE — an ingest pipeline accumulating volume sums over 100 TB in
+    * float64 drifts; decimal arithmetic does not — and cast to Double at
+    * the operator boundary (the reference's own compute layer does the
+    * same downcast, trading-service/src/db/reader.py:203-204).
+    */
+  val StorageDecimal: DecimalType = DecimalType(38, 12)
+
+  /** The columns stored as NUMERIC(38,12). */
+  val DecimalCols: Seq[String] = Seq("open", "high", "low", "close",
+    "volume", "quote_volume", "taker_buy_volume")
+
+  /** Cast price/volume columns (those present) to the storage decimal. */
+  private def toStorage(df: DataFrame): DataFrame =
+    DecimalCols.filter(df.columns.contains).foldLeft(df)(
+      (d, c) => d.withColumn(c, col(c).cast(StorageDecimal)))
+
+  /** Operator-boundary cast: decimal columns back to float64. */
+  private def toCompute(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case _: DecimalType => d.withColumn(c, col(c).cast(DoubleType))
+        case _ => d
+      }
+    }
+
   /** Physical-layout writer for candle-shaped facts: date-partitioned
     * parquet, sorted within partitions by (symbol, bucket_ts) so parquet
     * row-group min/max stats give symbol+time skipping on top of partition
@@ -124,10 +151,11 @@ object Tables {
     * + compression ordering (001_timescaledb.sql:30-47). At 100 TB this is
     * the table every operator reads: `filter(date)` prunes directories,
     * `filter(symbol)` skips row groups, and a per-symbol window's shuffle
-    * is the only exchange any indicator pays.
+    * is the only exchange any indicator pays. Prices/volumes persist as
+    * [[StorageDecimal]] per the reference DDL.
     */
   def writeCandles(candles: DataFrame, path: String): Unit =
-    candles
+    toStorage(candles)
       .withColumn("dt", to_date(timestamp_seconds(col("bucket_ts"))))
       .repartition(col("dt"))
       .sortWithinPartitions(col("dt"), col("symbol"), col("bucket_ts"))
@@ -135,8 +163,26 @@ object Tables {
       .partitionBy("dt")
       .parquet(path)
 
+  /** The stored table at the operator boundary: decimals cast to Double.
+    * Use [[readCandlesStored]] for the exact decimal view (audits, exact
+    * re-aggregation).
+    */
   def readCandles(spark: SparkSession, path: String): DataFrame =
+    toCompute(readCandlesStored(spark, path))
+
+  /** The stored table verbatim — Decimal(38,12) prices/volumes. */
+  def readCandlesStored(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Partition-scoped writer used by the MERGE path: same decimal + sorted
+    * layout as [[writeCandles]] but only replacing the partitions present
+    * in `df` (dynamic partition overwrite set by the caller).
+    */
+  private[graft] def writeCandlePartitions(df: DataFrame, path: String): Unit =
+    toStorage(df)
+      .repartition(col("dt"))
+      .sortWithinPartitions(col("dt"), col("symbol"), col("bucket_ts"))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
 
   /** Retention = partition drop (reference 001_timescaledb.sql:49-54 chunk
     * drop policy): deleting `dt=...` directories is an O(partitions)

@@ -70,10 +70,13 @@ object Maintenance {
       .collect().map(_.get(0).toString).sorted.toSeq
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bootstrap: first batch against an empty store is a plain write
+    // bootstrap: first batch against an empty store is a plain write.
+    // The stored side reads at the operator boundary (decimal → double,
+    // Tables.readCandles) so the merge expressions are type-uniform; the
+    // write below re-applies the Decimal(38,12) storage cast.
     val stored =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        spark.read.parquet(path).filter(col("dt").isin(touched: _*))
+        Tables.readCandles(spark, path).filter(col("dt").isin(touched: _*))
       else batch.filter(lit(false))
     val cols = batch.columns.filter(_ != "dt").map(col).toSeq
     val merged = mergeCandles(
@@ -81,10 +84,7 @@ object Maintenance {
       .withColumn("dt", to_date(timestamp_seconds(col("bucket_ts"))))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged
-      .repartition(col("dt"))
-      .sortWithinPartitions(col("dt"), col("symbol"), col("bucket_ts"))
-      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    try Tables.writeCandlePartitions(merged, path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

