@@ -36,28 +36,99 @@ object Rollup {
     sum(col("trade_count")).as("trade_count"),
     sum(col("taker_buy_volume")).as("taker_buy_volume"))
 
+  /** The roll-up aggregate list for `candles`: OHLCV always, plus
+    * `bool_and(is_closed)` when the input carries the completeness flag
+    * (004_continuous_aggregates.sql:38 — a bucket is closed only when all
+    * member bars are).
+    */
+  private def aggsFor(candles: DataFrame) =
+    ohlcvAggs ++ (if (candles.columns.contains("is_closed"))
+      Seq(min(col("is_closed")).as("is_closed")) else Nil)
+
   /** Roll candles up to a fixed-width interval. Input: any candle frame with
     * the [[graft.Tables.candles]] schema whose bucket_ts is already aligned
     * to a divisor of `seconds`.
     */
-  def rollup(candles: DataFrame, seconds: Long): DataFrame =
+  def rollup(candles: DataFrame, seconds: Long): DataFrame = {
+    val aggs = aggsFor(candles)
     candles
       .groupBy(col("symbol"),
         (expr(s"bucket_ts DIV $seconds") * seconds).as("bts"))
-      .agg(ohlcvAggs.head, ohlcvAggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("bts", "bucket_ts")
+  }
 
   /** Calendar-month roll-up (the `1M` interval): bucket = epoch of the UTC
     * month start. Session timezone is pinned UTC so
     * `date_trunc('MONTH', timestamp_seconds(...))` is calendar-correct.
     */
-  def rollupMonth(candles: DataFrame): DataFrame =
+  def rollupMonth(candles: DataFrame): DataFrame = {
+    val aggs = aggsFor(candles)
     candles
       .groupBy(col("symbol"),
         unix_timestamp(date_trunc("MONTH", timestamp_seconds(col("bucket_ts"))))
           .as("bts"))
-      .agg(ohlcvAggs.head, ohlcvAggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("bts", "bucket_ts")
+  }
+
+  /** Incremental roll-up refresh — the continuous-aggregate maintenance
+    * model (004_continuous_aggregates.sql:49-81: every interval's cagg
+    * re-materializes a trailing `start_offset` window on a 1–60 min
+    * schedule; effectively unlimited lateness inside the offset, SURVEY
+    * §2.7). This is the job a production deployment runs per interval
+    * every minute, instead of ever recomputing the full history:
+    *
+    *  1. align `now − startOffset` DOWN to an interval boundary;
+    *  2. recompute the roll-up from the base (1m) store for just that
+    *     trailing window — the base read prunes to the window's date
+    *     partitions, so the scan cost is O(offset), not O(history);
+    *  3. replace the recomputed buckets inside the touched date
+    *     partitions (recompute-is-truth, i.e. cagg refresh semantics —
+    *     NOT the field-level ingest merge, which could never lower a
+    *     restated high), via dynamic partition overwrite. Rows outside
+    *     the refresh window and partitions outside the date range are
+    *     untouched bytes on disk.
+    *
+    * At 100 TB: step 2 reads a few dates of one symbol-sorted store;
+    * step 3 rewrites only those same dates of the (much smaller)
+    * roll-up store. Returns the refreshed `dt=` partition names.
+    */
+  def refreshRollup(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, outPath: String, seconds: Long,
+      startOffsetSeconds: Long, nowTs: Long): Seq[String] = {
+    val alignedStart = ((nowTs - startOffsetSeconds) / seconds) * seconds
+    val base = graft.Tables.readCandles(spark, basePath)
+      .filter(col("bucket_ts") >= alignedStart && col("bucket_ts") <= nowTs)
+      .drop("dt")
+    val recomputed = rollup(base, seconds)
+      .withColumn("dt", to_date(timestamp_seconds(col("bucket_ts"))))
+    val dtStart = java.time.Instant.ofEpochSecond(alignedStart)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val dtEnd = java.time.Instant.ofEpochSecond(nowTs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val touched = Iterator.iterate(dtStart)(_.plusDays(1))
+      .takeWhile(!_.isAfter(dtEnd)).map(_.toString).toSeq
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      if (fs.exists(new org.apache.hadoop.fs.Path(outPath))) {
+        // keep the touched partitions' pre-window rows; buckets inside
+        // the window come exclusively from the recompute
+        val kept = graft.Tables.readCandles(spark, outPath)
+          .filter(col("dt").isin(touched: _*) &&
+            col("bucket_ts") < alignedStart)
+        recomputed.unionByName(kept, allowMissingColumns = true)
+      } else recomputed
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try graft.Tables.writeCandlePartitions(out, outPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    touched.map("dt=" + _)
+  }
 
   /** Metrics roll-up (R5; 007_metrics_cagg_from_5m.sql:27-43): `last()` for
     * point-in-time gauges, ratio-of-sums for the ratio columns.

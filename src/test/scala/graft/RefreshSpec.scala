@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental roll-up refresh (the cagg maintenance model,
+  * 004_continuous_aggregates.sql:49-81): a late 1m bar must propagate into
+  * the 5m and 1d stores by recomputing ONLY the trailing refresh window —
+  * partitions outside the window stay untouched bytes on disk.
+  */
+class RefreshSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  // two UTC days of 1m bars; integer-valued prices/volumes so every
+  // aggregate is IEEE-exact and store comparisons can be equality
+  private def bars = {
+    val s = spark
+    import s.implicits._
+    (0L until 2880L).map { m =>
+      C1m("A", m * 60, m.toDouble, m + 2.0, m - 2.0, m + 1.0,
+        1.0, 2.0, 1L, 1.0)
+    }.toDF().withColumn("is_closed", lit(true))
+  }
+
+  private def snap(path: String): Set[(String, Long, Double, Double, Double)] =
+    Tables.readCandles(spark, path)
+      .select("symbol", "bucket_ts", "high", "close", "volume")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+  test("late 1m bar propagates to 5m and 1d via trailing-window refresh only") {
+    val root = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+    val base = s"$root/c1m"; val p5 = s"$root/c5m"; val p1d = s"$root/c1d"
+    val nowTs = 2879L * 60
+
+    Tables.writeCandles(bars, base)
+    // bootstrap: offset covers all history
+    operators.Rollup.refreshRollup(spark, base, p5, 300L, nowTs + 300, nowTs)
+    operators.Rollup.refreshRollup(spark, base, p1d, 86400L, nowTs + 86400, nowTs)
+    assert(snap(p5) == snapOf(base, 300L) && snap(p1d) == snapOf(base, 86400L))
+
+    def partFiles(path: String, dt: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/dt=$dt")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val day1Before5 = partFiles(p5, "1970-01-01")
+    val day1Before1d = partFiles(p1d, "1970-01-01")
+
+    // a late day-2 bar restates minute 2800 with a 1000-higher high
+    val s = spark
+    import s.implicits._
+    val late = Seq(C1m("A", 2800L * 60, 2800.0, 2800.0 + 1002.0,
+      2798.0, 2801.0, 1.0, 2.0, 1L, 1.0)).toDF()
+      .withColumn("is_closed", lit(true))
+    operators.Maintenance.mergeCandlesPartitioned(spark, base, late)
+
+    // incremental refresh: 2h trailing window (covers the 79-min-late bar;
+    // lateness beyond start_offset is out of contract, 004:66-81) ⇒
+    // touches day 2 only
+    val t5 = operators.Rollup.refreshRollup(spark, base, p5, 300L, 7200L, nowTs)
+    val t1d = operators.Rollup.refreshRollup(spark, base, p1d, 86400L, 7200L, nowTs)
+    assert(t5 == Seq("dt=1970-01-02") && t1d == Seq("dt=1970-01-02"))
+
+    // day-1 partitions: identical files, identical mtimes — no full recompute
+    assert(partFiles(p5, "1970-01-01") == day1Before5)
+    assert(partFiles(p1d, "1970-01-01") == day1Before1d)
+
+    // the refreshed stores equal a from-scratch recompute of the merged base
+    assert(snap(p5) == snapOf(base, 300L))
+    assert(snap(p1d) == snapOf(base, 86400L))
+    // and the late high actually shows up in both
+    assert(snap(p5).exists(r => r._2 == (2800L * 60 / 300) * 300 && r._3 == 3802.0))
+    assert(snap(p1d).exists(r => r._2 == 86400L && r._3 == 3802.0))
+  }
+
+  private def snapOf(basePath: String,
+      seconds: Long): Set[(String, Long, Double, Double, Double)] =
+    operators.Rollup.rollup(
+      Tables.readCandles(spark, basePath).drop("dt"), seconds)
+      .select("symbol", "bucket_ts", "high", "close", "volume")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+}
