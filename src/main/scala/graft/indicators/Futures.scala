@@ -136,11 +136,24 @@ object Futures {
   }
 
   /** I34 — futures sentiment aggregate (batch/futures_aggregate.py:128-259):
-    * ~26 derived fields over each symbol's metrics history — deviations from
-    * parity, σ/μ volatility, linreg slope%, z-scores, tail streaks, risk
-    * score (sum of three z-scores), momentum/flip/jump, stability
-    * percentile. The reference's truthiness guards (`if oiv and prev_oiv`)
-    * are kept: zero behaves like missing.
+    * the reference's derived-field battery over each symbol's metrics
+    * history — deviations from parity, σ/μ volatility, linreg slope%,
+    * z-scores, tail streaks, risk score (sum of three z-scores),
+    * momentum/flip/jump, stability percentile. The reference's truthiness
+    * guards (`if oiv and prev_oiv`) are kept: zero behaves like missing.
+    *
+    * Global fields the reference defers to engine post-passes
+    * (futures_aggregate.py:246,249 `市场占比`/`贡献度排名` = None, filled
+    * by core/engine.py:288-330) are computed here in the same job — a
+    * window over the one-row-per-symbol output, metadata-scale:
+    *  - `market_share` = oiv / Σ oiv (R8's share),
+    *  - `contrib_rank` = rank by oiv desc,
+    *  - `freshness_sec`/`stale_flag` (py:157,226-229): age of the
+    *    symbol's latest row vs the newest create_time in the aggregate
+    *    (the deterministic stand-in for wall-clock now), stale at
+    *    3× the 5m interval.
+    * `是否闭合`/`大户样本` are not derivable from the metrics fact
+    * (no is_closed flag in FIXTURES §2; Redis-only field) and stay out.
     */
   private val aggregate: Q = (s, dir) => {
     import s.implicits._
@@ -226,6 +239,20 @@ object Futures {
         }
       }
       .toDF()
+      .transform { base =>
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .orderBy(col("oiv").desc_nulls_last, col("symbol"))
+        base
+          .withColumn("freshness_sec",
+            max(col("create_time")).over(wAll) - col("create_time"))
+          .withColumn("stale_flag",
+            when(col("freshness_sec") > 3 * 300, lit(1)).otherwise(lit(0)))
+          .withColumn("market_share",
+            round(col("oiv") / sum(col("oiv")).over(wAll), 6))
+          .withColumn("contrib_rank", row_number().over(wRank))
+      }
   }
 
   val queries: Map[String, Q] = Map(
@@ -401,6 +428,13 @@ object Futures {
          |        THEN abs(l_tlsvr - p_tlsvr) END, 6) AS taker_jump,
          |  round(CASE WHEN volatility IS NOT NULL AND volatility != 0.0
          |        THEN len(list_filter(oiv_s, x -> x <= volatility)) * 1.0 / len(oiv_s)
-         |        END, 6) AS stability_pct
+         |        END, 6) AS stability_pct,
+         |  max(create_time) OVER () - create_time AS freshness_sec,
+         |  CAST(CASE WHEN max(create_time) OVER () - create_time > 900
+         |       THEN 1 ELSE 0 END AS INT) AS stale_flag,
+         |  round(round(nullif(l_oiv, 0.0), 6) /
+         |        sum(round(nullif(l_oiv, 0.0), 6)) OVER (), 6) AS market_share,
+         |  CAST(row_number() OVER (ORDER BY round(nullif(l_oiv, 0.0), 6)
+         |       DESC NULLS LAST, symbol) AS INT) AS contrib_rank
          |FROM scored""".stripMargin))
 }
