@@ -216,6 +216,92 @@ object Patterns {
         names.as("patterns"), col("n_patterns"), strength.as("strength"))
   }
 
+  /** I20b — chart-pattern pack (batch/k_pattern.py:129-213: the
+    * tradingpatterns/patternpy price-shape detectors the CDL battery
+    * doesn't cover), re-expressed as pivot-sequence rules instead of the
+    * reference's per-symbol pandas library calls:
+    *
+    *  1. pivot highs/lows = centered 5-bar extrema on the daily roll-up
+    *     (full window required, so series edges can't fake pivots);
+    *  2. per symbol, the time-ordered pivot lists reduce to the trailing
+    *     pivot shape:
+    *     - 头肩顶 head&shoulders (−1.5): of the last 3 pivot highs the
+    *       middle is the head and the outer shoulders level within 2%;
+    *       头肩底 inverse (+1.5) mirrored on pivot lows;
+    *     - 双顶 double top (−1.2): last 2 pivot highs level within 1.5%
+    *       with a pivot-low neckline ≥2% below between them; 双底 double
+    *       bottom (+1.2) mirrored;
+    *     - 上升/下降/水平通道 channels (+1.0/−1.0/+0.5): joint direction
+    *       of the last two pivot highs AND lows (the trendln fallback
+    *       shape, k_pattern.py:168-213).
+    *
+    * One row per symbol — pattern names (Chinese, PRICE_PATTERN_NAMES
+    * verbatim), detected count, Σ|score| strength, latest price — the
+    * reference's output contract (k_pattern.py:232-241). Scale shape: the
+    * pivot flags are one per-symbol window pass; the reduction is a
+    * groupBy collecting only PIVOT rows (≲N/5 structs of 16 bytes; for a
+    * 500-bar working window ≤100 structs/symbol — bounded group state).
+    */
+  private val chartPattern: Q = (s, dir) => {
+    val daily = graft.operators.Rollup.rollup(candles(s, dir), 86400L)
+    val wc = centered(2)
+    val after = bySymbol.rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val piv = daily
+      .withColumn("nb", count(lit(1)).over(wc))
+      .withColumn("ph", col("nb") === 5 && col("high") === max(col("high")).over(wc))
+      .withColumn("pl", col("nb") === 5 && col("low") === min(col("low")).over(wc))
+      // "between the trailing two pivot highs" without array-lambda capture
+      // (DuckDB 1.0 mis-binds captured outer expressions in lambdas — see
+      // Futures.streakSql): a pivot low lies between the last two pivot
+      // highs iff exactly ONE pivot high follows it, and vice versa
+      .withColumn("highs_after",
+        coalesce(sum(col("ph").cast("int")).over(after), lit(0)))
+      .withColumn("lows_after",
+        coalesce(sum(col("pl").cast("int")).over(after), lit(0)))
+    val agg = piv.groupBy(col("symbol")).agg(
+      max(col("bucket_ts")).as("bucket_ts"),
+      max_by(col("close"), col("bucket_ts")).as("last_close"),
+      sort_array(collect_list(when(col("ph"),
+        struct(col("bucket_ts").as("ts"), col("high").as("v"))))).as("hs"),
+      sort_array(collect_list(when(col("pl"),
+        struct(col("bucket_ts").as("ts"), col("low").as("v"))))).as("ls"),
+      min(when(col("pl") && col("highs_after") === 1, col("low"))).as("neck_low"),
+      max(when(col("ph") && col("lows_after") === 1, col("high"))).as("neck_high"))
+    // try_element_at: NULL out of range (ANSI element_at throws), matching
+    // DuckDB's l[-i] semantics
+    def last(a: String, i: Int, f: String) = try_element_at(col(a), lit(-i)).getField(f)
+    val h1 = last("hs", 1, "v"); val h2 = last("hs", 2, "v"); val h3 = last("hs", 3, "v")
+    val l1 = last("ls", 1, "v"); val l2 = last("ls", 2, "v"); val l3 = last("ls", 3, "v")
+    val neckLow = col("neck_low")
+    val neckHigh = col("neck_high")
+    val flags: Seq[(String, Column, Double)] = Seq(
+      ("头肩顶", size(col("hs")) >= 3 && h2 > h3 && h2 > h1 &&
+        abs(h3 - h1) <= lit(0.02) * h2, -1.5),
+      ("头肩底", size(col("ls")) >= 3 && l2 < l3 && l2 < l1 &&
+        abs(l3 - l1) <= lit(0.02) * l2, 1.5),
+      ("双顶", size(col("hs")) >= 2 && abs(h1 - h2) <= lit(0.015) * greatest(h1, h2) &&
+        neckLow.isNotNull && neckLow <= lit(0.98) * least(h1, h2), -1.2),
+      ("双底", size(col("ls")) >= 2 && abs(l1 - l2) <= lit(0.015) * greatest(l1, l2) &&
+        neckHigh.isNotNull && neckHigh >= lit(1.02) * greatest(l1, l2), 1.2),
+      ("上升通道", size(col("hs")) >= 2 && size(col("ls")) >= 2 &&
+        h1 > h2 && l1 > l2, 1.0),
+      ("下降通道", size(col("hs")) >= 2 && size(col("ls")) >= 2 &&
+        h1 < h2 && l1 < l2, -1.0),
+      ("水平通道", size(col("hs")) >= 2 && size(col("ls")) >= 2 &&
+        !(h1 > h2 && l1 > l2) && !(h1 < h2 && l1 < l2), 0.5))
+    val withFlags = agg.withColumns(
+      flags.map { case (nm, c, _) => s"f_$nm" -> coalesce(c, lit(false)) }.toMap)
+    val names = concat_ws(",",
+      flags.map { case (nm, _, _) => when(col(s"f_$nm"), nm) }: _*)
+    val n = flags.map { case (nm, _, _) => col(s"f_$nm").cast("int") }.reduce(_ + _)
+    val strength = flags.map { case (nm, _, w) =>
+      when(col(s"f_$nm"), lit(math.abs(w))).otherwise(lit(0.0)) }.reduce(_ + _)
+    withFlags.select(col("symbol"), col("bucket_ts"),
+      when(n > 0, names).otherwise(lit("无形态")).as("patterns"),
+      n.as("n_patterns"), round(strength, 2).as("strength"),
+      round(col("last_close"), 6).as("price"))
+  }
+
   /** I33 — Ichimoku cloud (lean_indicators.py:249-281), parameterized; the
     * reference's (9, 26, 52, 26) needs 78 bars — deeper than the ~67-bar
     * fixture symbols — so the registered query runs the same expressions at
@@ -240,6 +326,7 @@ object Patterns {
 
   val queries: Map[String, Q] = Map(
     "i20_k_pattern" -> kPattern,
+    "i20b_chart_pattern" -> chartPattern,
     "i33_ichimoku" -> ichimoku(9, 13, 26, 13))
 
   private val W = "PARTITION BY symbol ORDER BY bucket_ts"
@@ -275,6 +362,67 @@ object Patterns {
          |WHERE o3 IS NOT NULL
          |  AND ${KRules.RULES.map { case (_, c, _) =>
              s"CAST($c AS INT)" }.mkString(" + ")} > 0""".stripMargin),
+    "i20b_chart_pattern" -> Oracle.withCandles {
+      val flags: Seq[(String, String, Double)] = Seq(
+        ("头肩顶", "nh >= 3 AND h2 > h3 AND h2 > h1 AND abs(h3 - h1) <= 0.02 * h2", 1.5),
+        ("头肩底", "nl >= 3 AND l2 < l3 AND l2 < l1 AND abs(l3 - l1) <= 0.02 * l2", 1.5),
+        ("双顶", "nh >= 2 AND abs(h1 - h2) <= 0.015 * greatest(h1, h2) " +
+          "AND neck_low <= 0.98 * least(h1, h2)", 1.2),
+        ("双底", "nl >= 2 AND abs(l1 - l2) <= 0.015 * greatest(l1, l2) " +
+          "AND neck_high >= 1.02 * greatest(l1, l2)", 1.2),
+        ("上升通道", "nh >= 2 AND nl >= 2 AND h1 > h2 AND l1 > l2", 1.0),
+        ("下降通道", "nh >= 2 AND nl >= 2 AND h1 < h2 AND l1 < l2", 1.0),
+        ("水平通道", "nh >= 2 AND nl >= 2 AND NOT (h1 > h2 AND l1 > l2) " +
+          "AND NOT (h1 < h2 AND l1 < l2)", 0.5))
+      def flag(c: String) = s"coalesce($c, FALSE)"
+      s""", daily AS (
+         |  SELECT symbol, dts AS bucket_ts, open, high, low, close FROM (
+         |    SELECT symbol, bucket_ts // 86400 * 86400 AS dts,
+         |           min_by(open, bucket_ts) AS open, max(high) AS high,
+         |           min(low) AS low, max_by(close, bucket_ts) AS close
+         |    FROM candles GROUP BY 1, 2)),
+         |piv AS (
+         |  SELECT symbol, bucket_ts, high, low, close,
+         |         count(*) OVER wc = 5 AND high = max(high) OVER wc AS ph,
+         |         count(*) OVER wc = 5 AND low = min(low) OVER wc AS pl
+         |  FROM daily
+         |  WINDOW wc AS (PARTITION BY symbol ORDER BY bucket_ts
+         |                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+         |piv2 AS (
+         |  SELECT *,
+         |    coalesce(sum(CASE WHEN ph THEN 1 ELSE 0 END) OVER wa, 0) AS highs_after,
+         |    coalesce(sum(CASE WHEN pl THEN 1 ELSE 0 END) OVER wa, 0) AS lows_after
+         |  FROM piv
+         |  WINDOW wa AS (PARTITION BY symbol ORDER BY bucket_ts
+         |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         |agg AS (
+         |  SELECT symbol, max(bucket_ts) AS bucket_ts,
+         |         max_by(close, bucket_ts) AS last_close,
+         |         list(high ORDER BY bucket_ts) FILTER (WHERE ph) AS hs,
+         |         list(low ORDER BY bucket_ts) FILTER (WHERE pl) AS ls,
+         |         min(CASE WHEN pl AND highs_after = 1 THEN low END) AS neck_low,
+         |         max(CASE WHEN ph AND lows_after = 1 THEN high END) AS neck_high
+         |  FROM piv2 GROUP BY symbol),
+         |cls AS (
+         |  SELECT symbol, bucket_ts, last_close, neck_low, neck_high,
+         |         coalesce(len(hs), 0) AS nh, coalesce(len(ls), 0) AS nl,
+         |         hs[-1] AS h1, hs[-2] AS h2, hs[-3] AS h3,
+         |         ls[-1] AS l1, ls[-2] AS l2, ls[-3] AS l3
+         |  FROM agg)
+         |SELECT symbol, bucket_ts,
+         |  CASE WHEN ${flags.map { case (_, c, _) =>
+                s"CAST(${flag(c)} AS INT)" }.mkString(" + ")} > 0
+         |  THEN concat_ws(',', ${flags.map { case (nm, c, _) =>
+                s"CASE WHEN ${flag(c)} THEN '$nm' END" }.mkString(",\n    ")})
+         |  ELSE '无形态' END AS patterns,
+         |  ${flags.map { case (_, c, _) =>
+              s"CAST(${flag(c)} AS INT)" }.mkString(" + ")} AS n_patterns,
+         |  round(CAST(${flags.map { case (_, c, w) =>
+              s"CASE WHEN ${flag(c)} THEN $w ELSE 0.0 END" }.mkString(" + ")}
+         |    AS DOUBLE), 2) AS strength,
+         |  round(last_close, 6) AS price
+         |FROM cls""".stripMargin
+    },
     "i33_ichimoku" -> Oracle.withCandles(
       s"""SELECT symbol, bucket_ts, round(tenkan, 6) AS tenkan,
          |  round(kijun, 6) AS kijun, round(senkou_a, 6) AS senkou_a,

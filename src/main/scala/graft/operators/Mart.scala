@@ -58,6 +58,7 @@ object Mart {
     "i18_liquidity" -> "流动性扫描器",
     "i19_trend_line" -> "趋势线榜单",
     "i20_k_pattern" -> "K线形态扫描器",
+    "i20b_chart_pattern" -> "K线形态扫描器", // price shapes land in the same mart table (k_pattern.py:232)
     "i21_vpvr" -> "VPVR排行生成器",
     "i22_rsi" -> "智能RSI扫描器",
     "i23_big_money" -> "大资金操盘扫描器",
