@@ -94,7 +94,7 @@ object Similarity {
     * than [[MaxPlanes]]. Bucket count 2^p scales linearly with N — the
     * within-bucket candidate set stays constant-size as the corpus grows.
     */
-  private[pipeline] def planesFor(n: Long): Int = {
+  private[graft] def planesFor(n: Long): Int = {
     val target = math.max(1.0, n / 32.0)
     val p = math.ceil(math.log(target) / math.log(2.0)).toInt
     math.min(MaxPlanes, math.max(8, p))

@@ -92,6 +92,42 @@ class PipelineSpec extends AnyFunSuite {
       s"only $together of $total clones co-bucketed")
   }
 
+  test("LSH plane count scales with corpus size (bucket cardinality ~ N/32)") {
+    // the scale contract from VERDICT r2 #3: 2^planes grows linearly with
+    // N so the within-bucket candidate set stays constant-size
+    import pipeline.Similarity.planesFor
+    assert(planesFor(500) == 8)            // driver corpora: oracle's 8 planes
+    assert(planesFor(8192) == 8)           // last corpus the 8-bit oracle covers
+    assert(planesFor(1000000) == 15)       // 1M vectors -> 32k buckets
+    assert(planesFor(1000000000L) == 24)   // 1B vectors -> capped at 16M buckets
+    assert(planesFor(1) == 8)              // floor
+    // monotone: more corpus never means fewer buckets
+    val ns = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+    assert(ns.map(planesFor) == ns.map(planesFor).sorted)
+  }
+
+  test("multi-probe recall: probed buckets recover clones that straddle one hyperplane") {
+    // same perturbed-clone corpus as the co-bucket test; with Hamming-1
+    // probing a clone is reachable unless it crosses >=2 hyperplanes, so
+    // probe-reachability must dominate exact co-bucketing
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val clones = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("e"), (x, i) => x + lit(0.002) * ((i % 7) - lit(3))).as("e"))
+    val bucketed = emb.unionAll(clones)
+      .withColumn("bucket", pipeline.Similarity.bucketOf(col("e")))
+    val pairs = bucketed.alias("x").join(bucketed.alias("y"),
+        col("x.vec_id") + 1000000 === col("y.vec_id"))
+      .select(col("x.bucket").as("bx"), col("y.bucket").as("by"))
+    val total = pairs.count()
+    val reachable = pairs
+      .filter(col("bx") === col("by") ||
+        bit_count(expr("bx ^ by").cast("long")) === 1)
+      .count()
+    assert(reachable >= (total * 0.97).toLong,
+      s"only $reachable of $total clones within one probe")
+  }
+
   test("multimodal decode features match direct byte arithmetic") {
     val row = pipeline.Multimodal.queries("m01_multimodal_decode")(spark, sf)
       .filter(col("doc_id") === 0).head
