@@ -174,14 +174,17 @@ object Tables {
   def readCandlesStored(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Partition-scoped writer used by the MERGE path: same decimal + sorted
-    * layout as [[writeCandles]] but only replacing the partitions present
-    * in `df` (dynamic partition overwrite set by the caller).
+  /** Partition-scoped writer used by the MERGE/refresh paths: same decimal
+    * + sorted layout as [[writeCandles]] but only replacing the partitions
+    * present in `df` (dynamic partition overwrite set by the caller).
+    * `timeCol` is the within-partition sort key after symbol — `bucket_ts`
+    * for candle-shaped facts, `create_time` for the metrics facts.
     */
-  private[graft] def writeCandlePartitions(df: DataFrame, path: String): Unit =
+  private[graft] def writeCandlePartitions(df: DataFrame, path: String,
+      timeCol: String = "bucket_ts"): Unit =
     toStorage(df)
       .repartition(col("dt"))
-      .sortWithinPartitions(col("dt"), col("symbol"), col("bucket_ts"))
+      .sortWithinPartitions(col("dt"), col("symbol"), col(timeCol))
       .write.mode("overwrite").partitionBy("dt").parquet(path)
 
   /** Retention = partition drop (reference 001_timescaledb.sql:49-54 chunk

@@ -78,9 +78,11 @@ object Relational {
     "8h" -> 28800L, "12h" -> 43200L, "1d" -> 86400L, "3d" -> 259200L,
     "1w" -> 604800L)
 
-  /** R5 — metrics roll-up with ratio-of-sums (007:27-43). */
-  private val r05: Q = (s, dir) => {
-    val m = Rollup.rollupMetrics(Tables.metrics5m(s, dir), 900L)
+  /** R5 — metrics roll-up with ratio-of-sums (007:27-43), parameterized
+    * over the reference's five cagg intervals (15m/1h/4h/1d/1w).
+    */
+  private def r05at(seconds: Long): Q = (s, dir) => {
+    val m = Rollup.rollupMetrics(Tables.metrics5m(s, dir), seconds)
     m.select(col("symbol"), col("create_time"),
       round(col("sum_open_interest"), 6).as("sum_open_interest"),
       round(col("sum_open_interest_value"), 4).as("sum_open_interest_value"),
@@ -242,7 +244,8 @@ object Relational {
     "r02_latest_n_per_key" -> r02,
     "r03_latest_per_key" -> r03,
     "r04_rollup_1month" -> r04_1mo,
-    "r05_metrics_rollup_15m" -> r05,
+    "r05_metrics_rollup_15m" -> r05at(900L),
+    "r05_metrics_rollup_1h" -> r05at(3600L),
     "r06_meta_join_5m" -> r06,
     "r07_topk_union" -> r07,
     "r08_market_share" -> r08,
@@ -291,6 +294,14 @@ object Relational {
         |FROM candles GROUP BY 1, 2""".stripMargin),
     "r05_metrics_rollup_15m" -> Oracle.withMetrics(
       """SELECT symbol, create_time // 900 * 900 AS create_time,
+        |  round(max_by(sum_open_interest, create_time), 6) AS sum_open_interest,
+        |  round(max_by(sum_open_interest_value, create_time), 4) AS sum_open_interest_value,
+        |  round(sum(count_toptrader_long_short_ratio), 6) AS count_toptrader_long_short_ratio,
+        |  round(sum(sum_toptrader_long_short_ratio), 6) AS sum_toptrader_long_short_ratio,
+        |  round(sum(sum_taker_long_short_vol_ratio) / nullif(sum(count_long_short_ratio), 0.0), 6) AS taker_ratio
+        |FROM metrics GROUP BY 1, 2""".stripMargin),
+    "r05_metrics_rollup_1h" -> Oracle.withMetrics(
+      """SELECT symbol, create_time // 3600 * 3600 AS create_time,
         |  round(max_by(sum_open_interest, create_time), 6) AS sum_open_interest,
         |  round(max_by(sum_open_interest_value, create_time), 4) AS sum_open_interest_value,
         |  round(sum(count_toptrader_long_short_ratio), 6) AS count_toptrader_long_short_ratio,

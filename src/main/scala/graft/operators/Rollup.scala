@@ -96,13 +96,32 @@ object Rollup {
     */
   def refreshRollup(spark: org.apache.spark.sql.SparkSession,
       basePath: String, outPath: String, seconds: Long,
-      startOffsetSeconds: Long, nowTs: Long): Seq[String] = {
+      startOffsetSeconds: Long, nowTs: Long): Seq[String] =
+    refreshGeneric(spark, basePath, outPath, seconds, startOffsetSeconds,
+      nowTs, "bucket_ts")(rollup(_, seconds))
+
+  /** [[refreshRollup]] for the metrics caggs (007_metrics_cagg_from_5m.sql
+    * — the reference refreshes 15m/1h/4h/1d/1w metrics aggregates on the
+    * same trailing-window schedule as the candle caggs). Identical refresh
+    * semantics; the recompute is [[rollupMetrics]] and the event-time
+    * column is `create_time`.
+    */
+  def refreshMetricsRollup(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, outPath: String, seconds: Long,
+      startOffsetSeconds: Long, nowTs: Long): Seq[String] =
+    refreshGeneric(spark, basePath, outPath, seconds, startOffsetSeconds,
+      nowTs, "create_time")(rollupMetrics(_, seconds))
+
+  private def refreshGeneric(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, outPath: String, seconds: Long,
+      startOffsetSeconds: Long, nowTs: Long, timeCol: String)(
+      recompute: DataFrame => DataFrame): Seq[String] = {
     val alignedStart = ((nowTs - startOffsetSeconds) / seconds) * seconds
     val base = graft.Tables.readCandles(spark, basePath)
-      .filter(col("bucket_ts") >= alignedStart && col("bucket_ts") <= nowTs)
+      .filter(col(timeCol) >= alignedStart && col(timeCol) <= nowTs)
       .drop("dt")
-    val recomputed = rollup(base, seconds)
-      .withColumn("dt", to_date(timestamp_seconds(col("bucket_ts"))))
+    val recomputed = recompute(base)
+      .withColumn("dt", to_date(timestamp_seconds(col(timeCol))))
     val dtStart = java.time.Instant.ofEpochSecond(alignedStart)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate
     val dtEnd = java.time.Instant.ofEpochSecond(nowTs)
@@ -117,12 +136,12 @@ object Rollup {
         // the window come exclusively from the recompute
         val kept = graft.Tables.readCandles(spark, outPath)
           .filter(col("dt").isin(touched: _*) &&
-            col("bucket_ts") < alignedStart)
+            col(timeCol) < alignedStart)
         recomputed.unionByName(kept, allowMissingColumns = true)
       } else recomputed
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try graft.Tables.writeCandlePartitions(out, outPath)
+    try graft.Tables.writeCandlePartitions(out, outPath, timeCol)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -74,6 +74,71 @@ class RefreshSpec extends AnyFunSuite {
     assert(snap(p1d).exists(r => r._2 == 86400L && r._3 == 3802.0))
   }
 
+  test("metrics cagg refresh: late 5m row propagates to the 15m store incrementally") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mref").toString
+    val base = s"$root/m5m"; val p15 = s"$root/m15m"
+    // two days of 5m metrics rows, integer-valued so sums are IEEE-exact
+    val rows = (0L until 576L).map { i =>
+      (("A"): String, i * 300, (i + 1).toDouble, 2.0 * (i + 1), 1.0, 1.0 + (i % 3),
+        1.0, 1.0 + (i % 2))
+    }.toDF("symbol", "create_time", "sum_open_interest",
+      "sum_open_interest_value", "count_toptrader_long_short_ratio",
+      "sum_toptrader_long_short_ratio", "count_long_short_ratio",
+      "sum_taker_long_short_vol_ratio")
+      .withColumn("dt", to_date(timestamp_seconds(col("create_time"))))
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    rows.repartition(col("dt")).write.mode("overwrite")
+      .partitionBy("dt").parquet(base)
+    val nowTs = 575L * 300
+    operators.Rollup.refreshMetricsRollup(spark, base, p15, 900L, nowTs + 900, nowTs)
+
+    def snapM(path: String): Set[(String, Long, Double, Double)] =
+      Tables.readCandles(spark, path)
+        .select("symbol", "create_time", "sum_open_interest",
+          "sum_toptrader_long_short_ratio")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+    def recomputed: Set[(String, Long, Double, Double)] =
+      operators.Rollup.rollupMetrics(
+        Tables.readCandles(spark, base).drop("dt"), 900L)
+        .select("symbol", "create_time", "sum_open_interest",
+          "sum_toptrader_long_short_ratio")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+    assert(snapM(p15) == recomputed)
+
+    val day1Files = new java.io.File(s"$p15/dt=1970-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified())).toSet
+
+    // restate a late day-2 5m row (higher OI) directly in the base store;
+    // i=572 is the LAST row of its 15m bucket, so the bucket's max_by
+    // gauge must become the restated value
+    val late = Seq(("A", 572L * 300, 9999.0, 2.0, 1.0, 3.0, 1.0, 2.0))
+      .toDF(rows.columns.filter(_ != "dt"): _*)
+      .withColumn("dt", to_date(timestamp_seconds(col("create_time"))))
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val day2 = Tables.readCandles(spark, base)
+        .filter(col("dt") === "1970-01-02" && col("create_time") =!= 572L * 300)
+      day2.unionByName(late).repartition(col("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(base)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    val touched = operators.Rollup.refreshMetricsRollup(
+      spark, base, p15, 900L, 7200L, nowTs)
+    assert(touched == Seq("dt=1970-01-02"))
+    val day1After = new java.io.File(s"$p15/dt=1970-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified())).toSet
+    assert(day1After == day1Files)
+    assert(snapM(p15) == recomputed) // equals from-scratch recompute of restated base
+    assert(snapM(p15).exists(r => r._2 == (572L * 300 / 900) * 900 && r._3 == 9999.0))
+  }
+
   private def snapOf(basePath: String,
       seconds: Long): Set[(String, Long, Double, Double, Double)] =
     operators.Rollup.rollup(
