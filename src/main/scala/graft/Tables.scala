@@ -34,13 +34,17 @@ object Tables {
     * Round-1 bench postmortem: every candle query re-ran the events→candles
     * aggregation because the "table" was a live groupBy — the filter could
     * never reach a parquet scan, so `r01_scan_filter` cost 4.1 s where a
-    * stored layout costs milliseconds. First access per (app, sfDir) now
-    * writes the fact table to a scratch parquet, hash-distributed by symbol
-    * and sorted by (symbol, time) within files, so row-group min/max stats
-    * give symbol+time skipping; every later query is a plain pushdown scan.
-    * This is the single-node stand-in for the 100 TB layout documented at
-    * [[writeCandles]] (dt-partitioned + sorted), where the write happens
-    * once at ingest, not per analysis session.
+    * stored layout costs milliseconds.
+    *
+    * Round 3: the scratch table is now a BUCKETED+SORTED catalog table
+    * (`bucketBy(8, symbol) sortBy(symbol, time)`, one file per bucket), so
+    * the scan itself reports hash-partitioning on symbol and per-bucket
+    * sort order — every per-symbol window/groupBy (the whole indicator
+    * family) runs with NO exchange and NO sort, not just pushdown. This is
+    * the single-node stand-in for the 100 TB layout ([[writeCandles]]
+    * dt-partitioned + bucketed by symbol), where the write happens once at
+    * ingest: co-locating the dominant key at write time is the prompt's
+    * "bucketing for co-located joins" made real, not a comment.
     */
   private val matCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -61,11 +65,18 @@ object Tables {
       }
       val path = appRoot.getPath + "/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "/" + name
+      val table = ("graft_" + name + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
+      // repartition on the bucket key first => exactly one file per bucket,
+      // which is what lets the scan report the per-bucket sort order
       derive
         .repartition(8, col(sortCols.head))
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(8, sortCols.head)
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .saveAsTable(table)
+      spark.table(table)
     })
   }
 

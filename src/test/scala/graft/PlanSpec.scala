@@ -76,4 +76,20 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning"))
     assert(exchanges <= 1, s"bollinger grew extra shuffles ($exchanges)")
   }
+
+  test("per-symbol family reads the bucketed fact table with ZERO exchanges") {
+    // the round-3 co-location contract: the materialized candle table is
+    // bucketed by symbol, so per-symbol windows (i10) and (symbol, bucket)
+    // aggregations (r04) need no shuffle at all. When another suite has
+    // .cache()d the table the scan is an InMemoryTableScan and bucketing
+    // is lost — only enforce on the parquet path.
+    for (q <- Seq("i10_bollinger", "r04_rollup_5m", "r02_latest_n_per_key")) {
+      val p = plan(q)
+      if (p.contains("FileScan parquet") && !p.contains("InMemoryTableScan")) {
+        assert(p.contains("Bucketed: true"), s"$q lost the bucketed scan")
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"$q shuffled despite the bucketed layout:\n${p.take(1500)}")
+      }
+    }
+  }
 }
