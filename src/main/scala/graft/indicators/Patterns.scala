@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   */
 /** The I20 candlestick rule corpus: (name, SQL boolean, bull/bear weight).
   *
-  * Column vocabulary (all non-null after the `o3 IS NOT NULL` gate):
-  * current bar `open/high/low/close`; lag-1 `po/ph/pl/pc`; lag-2
-  * `o2/h2/l2/c2`; lag-3 `o3/c3`; `ab` = mean body of the prior ≤10 bars.
-  * Each string parses identically in Spark SQL and DuckDB (comparisons,
-  * abs/greatest/least, AND/OR/NOT only) — the single source of truth for
-  * both engines. Weights: bullish +1, bearish −1, neutral/context 0.
+  * Column vocabulary (all non-null after the `o3 IS NOT NULL` gate except
+  * the lag-4 set, which its rules guard explicitly): current bar
+  * `open/high/low/close`; lag-1 `po/ph/pl/pc`; lag-2 `o2/h2/l2/c2`; lag-3
+  * `o3/c3/h3/l3`; lag-4 `o4/c4/h4/l4`; `ab` = mean body of the prior ≤10
+  * bars. Each string parses identically in Spark SQL and DuckDB
+  * (comparisons, abs/greatest/least, AND/OR/NOT only) — the single source
+  * of truth for both engines. Weights: bullish +1, bearish −1,
+  * neutral/context 0.
   */
 private[indicators] object KRules {
   private val B = "abs(close - open)"
@@ -148,7 +150,58 @@ private[indicators] object KRules {
     ("bull_strike", "c3 < o3 AND c2 < o2 AND pc < po AND pc < c2 AND c2 < c3" +
       " AND close > open AND close > o3", 1),
     ("bear_strike", "c3 > o3 AND c2 > o2 AND pc > po AND pc > c2 AND c2 > c3" +
-      " AND close < open AND close < o3", -1))
+      " AND close < open AND close < o3", -1),
+    // -- 4-5-bar trend-confirmation family (RISEFALL3METHODS, MATHOLD,
+    //    BREAKAWAY, LADDERBOTTOM, 3STARSINSOUTH, CONCEALBABYSWALL,
+    //    XSIDEGAP3METHODS, HIKKAKE incl. MOD's immediate form,
+    //    UNIQUE3RIVER) — lag-4 columns o4/h4/l4/c4 are null on the first
+    //    post-gate row, so every lag-4 rule leads with the IS NOT NULL
+    //    guard (false AND null = false keeps the flag two-valued).
+    ("rising_three_methods", "o4 IS NOT NULL AND c4 > o4 AND abs(c4 - o4) > ab" +
+      " AND c3 < o3 AND c2 < o2 AND pc < po" +
+      " AND greatest(o3, c3) <= h4 AND least(o3, c3) >= l4" +
+      " AND greatest(o2, c2) <= h4 AND least(o2, c2) >= l4" +
+      " AND greatest(po, pc) <= h4 AND least(po, pc) >= l4" +
+      " AND close > open AND abs(close - open) > ab AND close > c4", 1),
+    ("falling_three_methods", "o4 IS NOT NULL AND c4 < o4 AND abs(c4 - o4) > ab" +
+      " AND c3 > o3 AND c2 > o2 AND pc > po" +
+      " AND greatest(o3, c3) <= h4 AND least(o3, c3) >= l4" +
+      " AND greatest(o2, c2) <= h4 AND least(o2, c2) >= l4" +
+      " AND greatest(po, pc) <= h4 AND least(po, pc) >= l4" +
+      " AND close < open AND abs(close - open) > ab AND close < c4", -1),
+    ("mat_hold", "o4 IS NOT NULL AND c4 > o4 AND abs(c4 - o4) > ab" +
+      " AND c3 < o3 AND o3 > c4 AND c2 < o2 AND pc < po" +
+      " AND least(c3, least(c2, pc)) >= (o4 + c4) / 2" +
+      " AND close > open AND close > greatest(h3, greatest(h2, ph))", 1),
+    ("bull_breakaway", "o4 IS NOT NULL AND c4 < o4 AND abs(c4 - o4) > ab" +
+      " AND c3 < o3 AND o3 < c4 AND c2 < c3 AND pc < c2" +
+      " AND close > open AND close > o3 AND close < c4", 1),
+    ("bear_breakaway", "o4 IS NOT NULL AND c4 > o4 AND abs(c4 - o4) > ab" +
+      " AND c3 > o3 AND o3 > c4 AND c2 > c3 AND pc > c2" +
+      " AND close < open AND close < o3 AND close > c4", -1),
+    ("ladder_bottom", "o4 IS NOT NULL AND c4 < o4 AND c3 < o3 AND c2 < o2" +
+      " AND o3 < o4 AND o2 < o3 AND c3 < c4 AND c2 < c3" +
+      " AND pc < po AND (ph - greatest(po, pc)) > 0.3 * abs(pc - po)" +
+      " AND close > open AND open > po AND close > ph", 1),
+    ("three_stars_in_south", "c2 < o2 AND abs(c2 - o2) > ab" +
+      " AND (least(o2, c2) - l2) >= abs(c2 - o2)" +
+      " AND pc < po AND po <= o2 AND pl >= l2 AND abs(pc - po) < abs(c2 - o2)" +
+      " AND close < open AND abs(close - open) < abs(pc - po)" +
+      " AND low >= pl AND high <= ph", 1),
+    ("concealing_baby_swallow", "o4 IS NOT NULL" +
+      " AND c4 < o4 AND (h4 - l4) > 0 AND abs(c4 - o4) >= 0.95 * (h4 - l4)" +
+      " AND c3 < o3 AND (h3 - l3) > 0 AND abs(c3 - o3) >= 0.95 * (h3 - l3)" +
+      " AND pc < po AND po < c3 AND ph > c3" +
+      " AND close < open AND high >= ph AND low <= pl", 1),
+    ("upside_gap_three_methods", "c2 > o2 AND pc > po AND po > c2" +
+      " AND close < open AND open >= po AND close <= c2", 1),
+    ("downside_gap_three_methods", "c2 < o2 AND pc < po AND po < c2" +
+      " AND close > open AND open <= po AND close >= c2", -1),
+    ("bull_hikkake", "ph < h2 AND pl > l2 AND low < pl AND close > pl", 1),
+    ("bear_hikkake", "ph < h2 AND pl > l2 AND high > ph AND close < ph", -1),
+    ("unique_three_river", "c2 < o2 AND abs(c2 - o2) > ab" +
+      " AND pc < po AND po <= o2 AND pl < l2" +
+      " AND close > open AND abs(close - open) < abs(pc - po) AND close < pc", 1))
 }
 
 object Patterns {
@@ -168,11 +221,12 @@ object Patterns {
     * by construction, not by hand-kept duplicates. Closed-form lag-window
     * restatements, not TA-Lib ports: body/shadow thresholds are explicit
     * (0.1·range doji, 0.95·range marubozu, avg-prior-body for long/short),
-    * where TA-Lib hides them behind per-pattern "body averages". The 4-5
-    * bar patterns that need trend confirmation state (BREAKAWAY, HIKKAKE,
-    * MATHOLD, RISEFALL3METHODS, LADDERBOTTOM, 3STARSINSOUTH,
-    * CONCEALBABYSWALL, XSIDEGAP3METHODS, UNIQUE3RIVER) are out of scope —
-    * everything else in the reference's CDL map has a flag here.
+    * where TA-Lib hides them behind per-pattern "body averages". Round 3
+    * added the 4-5-bar trend-confirmation family (RISEFALL3METHODS,
+    * MATHOLD, BREAKAWAY, LADDERBOTTOM, 3STARSINSOUTH, CONCEALBABYSWALL,
+    * XSIDEGAP3METHODS, HIKKAKE — the immediate-bar form, which also
+    * stands in for HIKKAKEMOD — and UNIQUE3RIVER) as lag-4 expressions,
+    * so every entry in the reference's CDL map now has a flag here.
     *
     * Runs on the 1d roll-up — the fixture's 1m bars hold ~1 event each
     * (open=high=low=close, no body or shadow to pattern-match); daily bars
@@ -188,6 +242,9 @@ object Patterns {
       .withColumn("o2", lagN(col("open"), 2)).withColumn("c2", lagN(col("close"), 2))
       .withColumn("h2", lagN(col("high"), 2)).withColumn("l2", lagN(col("low"), 2))
       .withColumn("o3", lagN(col("open"), 3)).withColumn("c3", lagN(col("close"), 3))
+      .withColumn("h3", lagN(col("high"), 3)).withColumn("l3", lagN(col("low"), 3))
+      .withColumn("o4", lagN(col("open"), 4)).withColumn("c4", lagN(col("close"), 4))
+      .withColumn("h4", lagN(col("high"), 4)).withColumn("l4", lagN(col("low"), 4))
       // avg body of the prior ≤10 bars as a sequential fold over the
       // collected frame — the repo's bit-stable cross-engine idiom
       // (Windows.meanOf): Spark and DuckDB then perform the identical
@@ -354,6 +411,9 @@ object Patterns {
          |         lag(open, 2) OVER ($W) AS o2, lag(close, 2) OVER ($W) AS c2,
          |         lag(high, 2) OVER ($W) AS h2, lag(low, 2) OVER ($W) AS l2,
          |         lag(open, 3) OVER ($W) AS o3, lag(close, 3) OVER ($W) AS c3,
+         |         lag(high, 3) OVER ($W) AS h3, lag(low, 3) OVER ($W) AS l3,
+         |         lag(open, 4) OVER ($W) AS o4, lag(close, 4) OVER ($W) AS c4,
+         |         lag(high, 4) OVER ($W) AS h4, lag(low, 4) OVER ($W) AS l4,
          |         list_reduce(list_prepend(0.0, abf), (a, x) -> a + x) / len(abf) AS ab
          |  FROM (
          |    SELECT *, list(abs(close - open))
