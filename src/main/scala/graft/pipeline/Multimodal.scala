@@ -83,9 +83,44 @@ object Multimodal {
     }(encFrame).toDF()
   }
 
+  final case class Resized(doc_id: Long, out_len: Int, stride: Int,
+    checksum: Long)
+  private implicit val encResized: Encoder[Resized] = Encoders.product[Resized]
+
+  /** Resize stub: stride-sample the payload down to ≤`target` bytes — the
+    * image-thumbnail shape (a real resize kernel replaces the byte picker;
+    * the batching, stride arithmetic and bounded output size are the real
+    * plumbing).
+    */
+  def resizeStub(batch: Seq[Payload], target: Int = 64): Seq[Resized] =
+    batch.map { p =>
+      val blen = p.bin.length
+      val stride = math.max(1, blen / target)
+      val n = math.min(target, (blen - 1) / stride + 1)
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (p.bin(i * stride) & 0xFF); i += 1 }
+      Resized(p.doc_id, n, stride, sum % 997)
+    }
+
+  /** M3 — media → fixed-budget downsample ("resize"): one bounded-size
+    * derived payload per input, the third plumbing shape next to decode
+    * (M1) and frame fan-out (M2).
+    */
+  private val resize: Q = (s, dir) => {
+    val payloads = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[Payload](encPayload)
+    payloads.mapPartitions { it =>
+      it.grouped(64).flatMap(g => resizeStub(g.toSeq))
+    }(encResized).toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_decode" -> decode,
-    "m02_frame_sample" -> frameSample)
+    "m02_frame_sample" -> frameSample,
+    "m03_resize_sample" -> resize)
 
   /** The corpus is ASCII, so UTF-8 bytes == character codes and DuckDB can
     * replay the byte features with `ascii`/`octet_length`.
@@ -113,5 +148,17 @@ object Multimodal {
         |         unnest(generate_series(0,
         |           (octet_length(encode(text)) + 255) // 256 - 1)) AS f
         |  FROM documents WHERE len(text) > 0)
-        |WHERE f % 2 = 0""".stripMargin)
+        |WHERE f % 2 = 0""".stripMargin,
+    "m03_resize_sample" ->
+      """SELECT doc_id,
+        |  CAST(least(64, (blen - 1) // stride + 1) AS INT) AS out_len,
+        |  CAST(stride AS INT) AS stride,
+        |  CAST(list_reduce(list_prepend(0, list_transform(
+        |         generate_series(0, least(63, (blen - 1) // stride)),
+        |         i -> ascii(substr(text, i * stride + 1, 1)))),
+        |       (a, x) -> a + x) % 997 AS BIGINT) AS checksum
+        |FROM (
+        |  SELECT doc_id, text, blen, greatest(blen // 64, 1) AS stride
+        |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS blen
+        |        FROM documents WHERE len(text) > 0))""".stripMargin)
 }
