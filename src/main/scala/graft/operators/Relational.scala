@@ -92,10 +92,16 @@ object Relational {
         nullif(col("count_long_short_ratio"), lit(0.0)), 6).as("taker_ratio"))
   }
 
-  /** R6 — bucketed left join + derived columns (006:88-92). */
-  private val r06: Q = (s, dir) => {
+  /** R6 — bucketed left join + derived columns (006:88-92), parameterized
+    * like the reference's per-interval meta caggs (006:29-93 builds one
+    * joined view per interval). At 5m the metrics side is the raw fact;
+    * coarser views join the metrics roll-up at the same width.
+    */
+  private def r06at(seconds: Long): Q = (s, dir) => {
+    val m5 = Tables.metrics5m(s, dir)
     val meta = Rollup.metaView(
-      Rollup.rollup(candles(s, dir), 300L), Tables.metrics5m(s, dir))
+      Rollup.rollup(candles(s, dir), seconds),
+      if (seconds == 300L) m5 else Rollup.rollupMetrics(m5, seconds))
     meta.select(col("symbol"), col("bucket_ts"),
       round(col("close"), 6).as("close"),
       round(col("volume"), 6).as("volume"),
@@ -246,7 +252,8 @@ object Relational {
     "r04_rollup_1month" -> r04_1mo,
     "r05_metrics_rollup_15m" -> r05at(900L),
     "r05_metrics_rollup_1h" -> r05at(3600L),
-    "r06_meta_join_5m" -> r06,
+    "r06_meta_join_5m" -> r06at(300L),
+    "r06_meta_join_1h" -> r06at(3600L),
     "r07_topk_union" -> r07,
     "r08_market_share" -> r08,
     "r09_gap_days" -> r09,
@@ -321,6 +328,24 @@ object Relational {
         |        sum(quote_volume) AS quote_volume
         |      FROM candles GROUP BY 1, 2) c
         |LEFT JOIN metrics m ON c.symbol = m.symbol AND c.bucket_ts = m.create_time""".stripMargin),
+    "r06_meta_join_1h" -> Oracle.withCandlesAndMetrics(
+      """SELECT c.symbol, c.bucket_ts, round(c.close, 6) AS close,
+        |  round(c.volume, 6) AS volume,
+        |  round(c.quote_volume / nullif(c.volume, 0.0), 6) AS vwap,
+        |  round((c.high - c.low) / nullif(c.close, 0.0), 6) AS amplitude_ratio,
+        |  round(m.soi, 6) AS open_interest,
+        |  round(m.stlsr / nullif(m.ctlsr, 0.0), 6) AS top_long_short_ratio
+        |FROM (SELECT symbol, bucket_ts // 3600 * 3600 AS bucket_ts,
+        |        min_by(open, bucket_ts) AS open, max(high) AS high, min(low) AS low,
+        |        max_by(close, bucket_ts) AS close, sum(volume) AS volume,
+        |        sum(quote_volume) AS quote_volume
+        |      FROM candles GROUP BY 1, 2) c
+        |LEFT JOIN (SELECT symbol, create_time // 3600 * 3600 AS create_time,
+        |        max_by(sum_open_interest, create_time) AS soi,
+        |        sum(sum_toptrader_long_short_ratio) AS stlsr,
+        |        sum(count_toptrader_long_short_ratio) AS ctlsr
+        |      FROM metrics GROUP BY 1, 2) m
+        |  ON c.symbol = m.symbol AND c.bucket_ts = m.create_time""".stripMargin),
     "r07_topk_union" -> Oracle.withCandles(
       """, win AS (
         |  SELECT symbol, sum(quote_volume) AS qv,
