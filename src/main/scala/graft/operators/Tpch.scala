@@ -123,10 +123,66 @@ object Tpch {
         round(col("avg_price"), 6).as("cust_avg"))
   }
 
+  /** Q4-shaped order-priority check: correlated EXISTS whose predicate
+    * spans both sides (lineitem shipped after its order's date) — the
+    * decorrelated form is a semi join with a mixed condition.
+    */
+  private val q4: Q = (s, dir) => {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    ord.join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q6-shaped forecasting revenue: the highly selective scan-only
+    * aggregate — every predicate must reach the parquet scan.
+    */
+  private val q6: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 10)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Q7-shaped volume shipping: supplier-nation × customer-nation trade
+    * volume per ship year — a 6-way join where only orders⋈lineitem
+    * shuffles; both nation sides and supplier/customer broadcast.
+    */
+  private val q7: Q = (s, dir) => {
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("volume"))
+      .filter(col("supp_nation") < col("cust_nation"))
+  }
+
   val queries: Map[String, Q] = Map(
     "h01_pricing_summary" -> q1,
     "h03_shipping_priority" -> q3,
+    "h04_order_priority" -> q4,
     "h05_region_revenue" -> q5,
+    "h06_forecast_revenue" -> q6,
+    "h07_volume_shipping" -> q7,
     "h08_customers_no_orders" -> qAnti,
     "h09_hot_parts_semi" -> qSemi,
     "h10_agg_functions" -> qAggFns,
@@ -157,6 +213,35 @@ object Tpch {
         |  AND l_shipdate > TIMESTAMP '1998-03-15'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "h04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "h06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10""".stripMargin,
+    "h07_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2, 3
+        |HAVING sn.n_name < cn.n_name""".stripMargin,
     "h05_region_revenue" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
