@@ -34,6 +34,49 @@ object Mart {
         rest.map(col): _*)
   }
 
+  /** S7 mart sink with the reference's schema-on-write DRIFT TOLERANCE
+    * (db/reader.py:262-279): the writer aligns the incoming frame to the
+    * union of stored+incoming columns — columns the batch lacks pad with
+    * NULL, new columns extend the table (old rows read NULL there) — and
+    * upserts by the mart key (`交易对, 周期, 数据时间`): stored rows with
+    * an incoming key are replaced (the reference's DELETE-then-INSERT,
+    * reader.py:253-260), others kept. The rewrite lands in a scratch dir
+    * and swaps in atomically — the parquet analogue of SQLite's
+    * transactional table rewrite. Mart tables are latest-snapshot sized
+    * (≤ retention × symbols rows), so the rewrite is small by
+    * construction; the 100 TB fact stores never go through this path.
+    */
+  def upsertMart(spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame): Unit = {
+    val keys = Seq("交易对", "周期", "数据时间")
+    require(keys.forall(incoming.columns.contains),
+      s"mart frame must carry the ${keys.mkString("/")} contract")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      incoming.write.parquet(path)
+      return
+    }
+    val stored = spark.read.parquet(path)
+    val allCols = stored.columns ++
+      incoming.columns.filterNot(stored.columns.contains)
+    val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
+      (stored.schema.fields ++ incoming.schema.fields)
+        .map(f => f.name -> f.dataType).toMap
+    def align(df: DataFrame) = df.select(allCols.toSeq.map(c =>
+      if (df.columns.contains(c)) col(c)
+      else lit(null).cast(typeOf(c)).as(c)): _*)
+    val kept = align(stored)
+      .join(incoming.select(keys.map(col): _*), keys, "left_anti")
+    val out = kept.unionByName(align(incoming))
+    val tmp = new org.apache.hadoop.fs.Path(path + "__rewrite")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dest, true)
+    fs.rename(tmp, dest)
+    ()
+  }
+
   /** Query key → reference registry table name (indicators/base.py:79-125;
     * the lean-indicator set registers under ASCII names).
     */

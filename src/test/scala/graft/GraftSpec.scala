@@ -219,6 +219,28 @@ class MartSpec extends AnyFunSuite {
     assert(row.getAs[String]("数据时间").matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
   }
 
+  test("mart upsert tolerates schema drift and replaces by key") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mart").toString + "/t"
+    val v1 = Seq(("S1", "1m", "2024-01-01 00:00:00", 1.0, 10.0),
+        ("S2", "1m", "2024-01-01 00:00:00", 2.0, 20.0))
+      .toDF("交易对", "周期", "数据时间", "a", "b")
+    operators.Mart.upsertMart(s, dir, v1)
+    // v2 drops column b, adds column c, restates S1's row
+    val v2 = Seq(("S1", "1m", "2024-01-01 00:00:00", 9.0, 99.0))
+      .toDF("交易对", "周期", "数据时间", "a", "c")
+    operators.Mart.upsertMart(s, dir, v2)
+    val got = s.read.parquet(dir)
+    assert(got.columns.toSet == Set("交易对", "周期", "数据时间", "a", "b", "c"))
+    val rows = got.collect().map(r =>
+      r.getAs[String]("交易对") -> (r.getAs[Any]("a"), r.getAs[Any]("b"),
+        r.getAs[Any]("c"))).toMap
+    assert(rows("S1") == ((9.0, null, 99.0)))  // replaced, b padded null
+    assert(rows("S2") == ((2.0, 20.0, null)))  // kept, c padded null
+    assert(got.count() == 2)
+  }
+
   test("every indicator query has a registry table name") {
     val iKeys = SparkEntry.queries.keySet.filter(_.startsWith("i"))
       .filterNot(Set("i19_pivot_points", "i34_tail_streak")) // §2.3 primitives, not mart tables
