@@ -77,6 +77,21 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"bollinger grew extra shuffles ($exchanges)")
   }
 
+  test("h06: every predicate reaches the lineitem scan; no join anywhere") {
+    val p = plan("h06_forecast_revenue")
+    val scan = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.contains("l_shipdate") && scan.contains("l_discount") &&
+      scan.contains("l_quantity"), s"filters missing from scan:\n$scan")
+    assert(!p.contains("Join"), "h06 must be a scan-only aggregate")
+  }
+
+  test("h07: both nation sides and supplier/customer broadcast") {
+    val p = plan("h07_volume_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "dimension sides must broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian product in h07")
+  }
+
   test("per-symbol family reads the bucketed fact table with ZERO exchanges") {
     // the round-3 co-location contract: the materialized candle table is
     // bucketed by symbol, so per-symbol windows (i10) and (symbol, bucket)
