@@ -176,6 +176,151 @@ object Tpch {
       .filter(col("supp_nation") < col("cust_nation"))
   }
 
+  /** Q10-shaped returned-item revenue: which customers returned the most
+    * value. Fact⋈fact shuffles on orderkey; the customer⋈nation dimension
+    * broadcasts; final top-k is driver-safe (|customers| rows).
+    */
+  private val q10: Q = (s, dir) => {
+    val custDim = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q13-shaped customer order-count distribution: left outer join then a
+    * double aggregation (orders per customer → customers per order count).
+    * Second agg is over |customers| rows — cheap at any scale.
+    */
+  private val q13: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q14-shaped promo revenue share: global conditional-sum ratio over a
+    * date-windowed fact scan with a broadcast part dimension.
+    */
+  private val q14: Q = (s, dir) => {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+        .otherwise(lit(0.0))) / sum(rev), 6).as("promo_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q15-shaped top supplier: per-supplier revenue, keep the max-revenue
+    * row(s) via a scalar-max self-comparison — the decorrelated form of
+    * `HAVING total = (SELECT max(...))`. The window over the aggregated
+    * (|suppliers|-row) side is single-partition but tiny.
+    */
+  private val q15: Q = (s, dir) => {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    val mx = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    rev.withColumn("mx", max(col("total_revenue")).over(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** Q17-shaped small-quantity revenue: lines under 50% of their part's
+    * average quantity — correlated aggregate decorrelated to a per-part
+    * aggregate joined back to the fact.
+    */
+  private val q17: Q = (s, dir) => {
+    val partAvg = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    val brand = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+    Tables.lineitem(s, dir)
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q18-shaped large-volume orders: group-having on the fact, then joins
+    * back to orders and customer for context — the "top buyers" report.
+    */
+  private val q18: Q = (s, dir) => {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("bk"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("bk"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      // NB: o_totalprice here is already the rounded output column, so the
+      // sort key is identical in both engines (DuckDB ORDER BY resolves the
+      // output alias).
+  }
+
+  /** Q19-shaped disjunctive predicates: OR-of-ANDs across the fact and a
+    * broadcast dimension — exercises CNF conversion / partial pushdown
+    * (the common-conjunct `p_size >= 1` and the join key still reach the
+    * scans even though the disjunction can't).
+    */
+  private val q19: Q = (s, dir) => {
+    val j = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+    val c1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 20)
+    val c2 = col("p_brand") === "Brand#7" && col("p_size").between(1, 25) &&
+      col("l_quantity").between(10, 30)
+    val c3 = col("p_brand") === "Brand#13" && col("p_size").between(1, 35) &&
+      col("l_quantity").between(20, 40)
+    j.filter(c1 || c2 || c3)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q22-shaped idle wealthy customers: scalar-subquery threshold (global
+    * average positive balance) + anti join against orders, grouped by
+    * segment. The scalar aggregate broadcasts as a 1-row cross join.
+    */
+  private val q22: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+  }
+
   val queries: Map[String, Q] = Map(
     "h01_pricing_summary" -> q1,
     "h03_shipping_priority" -> q3,
@@ -186,7 +331,15 @@ object Tpch {
     "h08_customers_no_orders" -> qAnti,
     "h09_hot_parts_semi" -> qSemi,
     "h10_agg_functions" -> qAggFns,
-    "h11_above_avg_orders" -> qAboveAvg)
+    "h11_above_avg_orders" -> qAboveAvg,
+    "h12_returned_revenue" -> q10,
+    "h13_order_histogram" -> q13,
+    "h14_promo_share" -> q14,
+    "h15_top_supplier" -> q15,
+    "h17_small_qty_revenue" -> q17,
+    "h18_large_orders" -> q18,
+    "h19_disjunctive_preds" -> q19,
+    "h22_idle_customers" -> q22)
 
   val oracle: Map[String, String] = Map(
     "h01_pricing_summary" ->
@@ -275,5 +428,77 @@ object Tpch {
         |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  round(avg_price, 6) AS cust_avg
         |FROM orders JOIN custavg ON o_custkey = k
-        |WHERE o_totalprice > avg_price * 1.5""".stripMargin)
+        |WHERE o_totalprice > avg_price * 1.5""".stripMargin,
+    "h12_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "h13_order_histogram" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "h14_promo_share" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-09-01'""".stripMargin,
+    "h15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "h17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) ON l_partkey = pk
+        |WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty""".stripMargin,
+    "h18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS bk, round(sum(l_quantity), 2) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 2) > 150) ON o_orderkey = bk
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "h19_disjunctive_preds" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "h22_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_mktsegment""".stripMargin)
 }
