@@ -51,6 +51,7 @@ object SparkEntry {
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.Text.queries ++
+      pipeline.Curation.queries ++
       pipeline.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +74,6 @@ object SparkEntry {
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.Text.oracle ++
+      pipeline.Curation.oracle ++
       pipeline.Multimodal.oracle
 }

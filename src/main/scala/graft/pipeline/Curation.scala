@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines, beyond the
+  * dedup/similarity families: sequence packing (the concat-and-chunk
+  * layout pretraining loaders use), deterministic stratified sampling
+  * (language-balanced subcorpora), and benchmark decontamination (n-gram
+  * overlap against a held-out eval slice).
+  *
+  * Scale design: packing and sampling are one window pass over each
+  * shard/stratum — the partition key (source / lang) is the shuffle key a
+  * 100 TB corpus is already laid out by. Decontamination broadcasts the
+  * benchmark shingle set (eval suites are MBs, corpora are TBs), so the
+  * corpus is scanned exactly once with no self-join.
+  */
+object Curation {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens per packed training sequence (the "context length" of the
+    * packing layout; a power of two keeps chunk ids integral).
+    */
+  private val PackBudget = 512L
+
+  /** p01 — sequence packing, concat-and-chunk: within each source shard,
+    * documents are laid end-to-end in doc_id order and cut into
+    * fixed-`PackBudget` chunks. Emits each doc's global token offset and
+    * the first/last chunk it lands in — the index a training loader needs
+    * to materialize sequence i without scanning the corpus. Exact integer
+    * arithmetic end-to-end (window cumsum + integer division), so the
+    * oracle matches bit-for-bit.
+    */
+  private val packChunks: Q = (s, dir) => {
+    val before = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset DIV $PackBudget").as("chunk_first"),
+        expr(s"(tok_offset + n_tokens - 1) DIV $PackBudget").as("chunk_last"))
+      .withColumn("chunks_spanned", col("chunk_last") - col("chunk_first") + 1)
+  }
+
+  /** p02 — deterministic stratified sample: per language stratum, rank
+    * docs by a Knuth multiplicative hash of doc_id and keep the top
+    * ceil(20%) — a reproducible, seedless reservoir that any engine (or a
+    * re-run on different hardware) selects identically. One window pass
+    * per stratum; the stratum key is the shuffle key.
+    */
+  private val stratifiedSample: Q = (s, dir) => {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val byLang = Window.partitionBy(col("lang"))
+    val rk = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("h", h)
+      .withColumn("stratum_docs", count(lit(1)).over(byLang))
+      .withColumn("sample_rank", row_number().over(rk))
+      .withColumn("quota",
+        ceil(col("stratum_docs").cast("double") * lit(0.2)).cast("bigint"))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("h"),
+        col("sample_rank"), col("quota"), col("stratum_docs"))
+  }
+
+  /** c01 — benchmark decontamination: flag corpus docs sharing ≥2 distinct
+    * 3-token shingles with the held-out benchmark slice (doc_id ≡ 0 mod
+    * 97 stands in for the eval suite). The benchmark side explodes to its
+    * shingle set and BROADCASTS — the corpus is scanned once, shingled
+    * row-locally, and hash-joined; no corpus self-join, no shuffle of the
+    * corpus beyond the final per-pair count.
+    */
+  private val contamination: Q = (s, dir) => {
+    val tk = split(col("text"), " ")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), size(tk) - 3),
+      i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
+    val ex = Tables.documents(s, dir)
+      .filter(size(tk) >= 3)
+      .select(col("doc_id"), explode(shingles).as("s"),
+        size(shingles).as("n_shingles"))
+    val bench = ex.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_doc"), col("s"))
+    val corpus = ex.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("corpus_doc"), col("s"), col("n_shingles"))
+    corpus.join(broadcast(bench), "s")
+      .groupBy(col("corpus_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("n_shingles")).as("n_shingles"))
+      .filter(col("n_shared") >= 2)
+      .select(col("corpus_doc"), col("bench_doc"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          col("n_shingles").cast("double"), 6).as("contamination"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "p01_pack_chunks" -> packChunks,
+    "p02_stratified_sample" -> stratifiedSample,
+    "c01_contamination" -> contamination)
+
+  val oracle: Map[String, String] = Map(
+    "p01_pack_chunks" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |offs AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM sized)
+         |SELECT doc_id, source, n_tokens, tok_offset,
+         |  tok_offset // $PackBudget AS chunk_first,
+         |  (tok_offset + n_tokens - 1) // $PackBudget AS chunk_last,
+         |  (tok_offset + n_tokens - 1) // $PackBudget - tok_offset // $PackBudget + 1
+         |    AS chunks_spanned
+         |FROM offs""".stripMargin,
+    "p02_stratified_sample" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS stratum_docs,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, h, sample_rank,
+        |  CAST(ceil(CAST(stratum_docs AS DOUBLE) * 0.2) AS BIGINT) AS quota,
+        |  stratum_docs
+        |FROM hashed
+        |WHERE sample_rank <= CAST(ceil(CAST(stratum_docs AS DOUBLE) * 0.2) AS BIGINT)""".stripMargin,
+    "c01_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS ss
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (
+        |  SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_shingles, unnest(ss) AS s
+        |  FROM sh)
+        |SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
+        |  CAST(count(*) AS BIGINT) AS n_shared,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(max(c.n_shingles) AS DOUBLE), 6)
+        |    AS contamination
+        |FROM (SELECT * FROM ex WHERE doc_id % 97 <> 0) c
+        |JOIN (SELECT * FROM ex WHERE doc_id % 97 = 0) b ON c.s = b.s
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin)
+}
