@@ -27,6 +27,8 @@ object Bench {
     // materialization land outside the timings
     Tables.candles(spark, sfDir).count()
     Tables.metrics5m(spark, sfDir).count()
+    Tables.documents(spark, sfDir).count()
+    Tables.embeddings(spark, sfDir).count()
     // optional args = query-name prefixes to run (iteration aid)
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }

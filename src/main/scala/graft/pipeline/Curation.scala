@@ -79,10 +79,18 @@ object Curation {
     val shingles = array_distinct(transform(
       sequence(lit(0), size(tk) - 3),
       i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
-    val ex = Tables.documents(s, dir)
+    // Doc-level projection computed ONCE per doc, persist as the optimizer
+    // barrier (the d02 lesson, Dedup.scala:77-88): without it Catalyst
+    // hoists any column that must survive the explode (n_shingles) into
+    // the Project ABOVE the Generate and re-evaluates the whole shingle
+    // lambda chain once per exploded row — measured 135 s vs 1 s at sf0.1.
+    val docSh = Tables.documents(s, dir)
       .filter(size(tk) >= 3)
-      .select(col("doc_id"), explode(shingles).as("s"),
-        size(shingles).as("n_shingles"))
+      .select(col("doc_id"), shingles.as("ss"))
+      .withColumn("n_shingles", size(col("ss")))
+      .persist()
+    val ex = docSh.select(col("doc_id"), explode(col("ss")).as("s"),
+      col("n_shingles"))
     val bench = ex.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("bench_doc"), col("s"))
     val corpus = ex.filter(col("doc_id") % 97 =!= 0)
