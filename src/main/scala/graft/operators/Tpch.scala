@@ -123,6 +123,33 @@ object Tpch {
         round(col("avg_price"), 6).as("cust_avg"))
   }
 
+  /** Q2-shaped min-cost supplier: for each part in a size slice, the
+    * supplier(s) offering the lowest observed unit price. The correlated
+    * `= (SELECT min(...))` decorrelates to a per-part window-min over the
+    * already-aggregated (part, supplier) offer set — one shuffle on
+    * (partkey, suppkey) for the aggregate, one on partkey for the window,
+    * both over offer-cardinality (≪ fact) data. (The classic Q2 runs on
+    * partsupp, absent from this star schema; lineitem-observed prices are
+    * the equivalent supply relation.)
+    */
+  private val q2: Q = (s, dir) => {
+    val offers = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    offers.withColumn("best_price", min(col("unit_price")).over(w))
+      .filter(col("unit_price") === col("best_price"))
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 10)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        (floor(col("unit_price") * 1e6 + 0.5) / 1e6).as("unit_price"))
+  }
+
   /** Q4-shaped order-priority check: correlated EXISTS whose predicate
     * spans both sides (lineitem shipped after its order's date) — the
     * decorrelated form is a semi join with a mixed condition.
@@ -244,6 +271,26 @@ object Tpch {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** Q16-shaped supplier-count distribution: distinct suppliers per part
+    * attribute bucket, excluding a brand and a NOT-IN supplier blacklist
+    * (negative balances). The blacklist anti join and the filtered part
+    * dimension both broadcast; the fact shuffles once for the distinct
+    * aggregation. (partsupp-less variant — lineitem is the supply
+    * relation, as in h02.)
+    */
+  private val q16: Q = (s, dir) => {
+    val badSupp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val dims = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    Tables.lineitem(s, dir)
+      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** Q17-shaped small-quantity revenue: lines under 50% of their part's
     * average quantity — correlated aggregate decorrelated to a per-part
     * aggregate joined back to the fact.
@@ -303,6 +350,71 @@ object Tpch {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Q8-shaped national market share: one nation's share of yearly trade
+    * volume into a region, for one part type. Every dimension side
+    * (filtered part, region-restricted customer keys, supplier→nation)
+    * broadcasts; the only shuffles are orders⋈lineitem on orderkey and the
+    * per-year aggregate. The share ratio uses the half-up floor idiom for
+    * cross-engine rounding parity.
+    */
+  private val q8: Q = (s, dir) => {
+    val custInRegion = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custInRegion),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (floor(sum(when(col("supp_nation") === "NATION_7", vol)
+          .otherwise(lit(0.0))) / sum(vol) * 1e6 + 0.5) / 1e6).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q21-shaped waiting-supplier report: suppliers who were the ONLY
+    * supplier with returned ('R') lines on a finalized multi-supplier
+    * order — the hardest TPC-H decorrelation (EXISTS + NOT EXISTS both
+    * correlated to the outer lineitem with an inequality). Decorrelates to
+    * a semi join and an anti join on orderkey with a suppkey-inequality
+    * residual; all three sides are distinct (orderkey, suppkey) pairs, so
+    * every shuffle is on orderkey over deduplicated data.
+    */
+  private val q21: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val anySupp = li.select(col("l_orderkey").as("ok2"),
+      col("l_suppkey").as("sk2")).distinct()
+    val otherReturned = returned.select(col("l_orderkey").as("ok3"),
+      col("l_suppkey").as("sk3"))
+    returned
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(anySupp,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(otherReturned,
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   /** Q22-shaped idle wealthy customers: scalar-subquery threshold (global
     * average positive balance) + anti join against orders, grouped by
     * segment. The scalar aggregate broadcasts as a 1-row cross join.
@@ -314,7 +426,7 @@ object Tpch {
     cust.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(Tables.orders(s, dir)
-          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          .filter(col("o_orderdate") >= lit("1998-09-01").cast("timestamp")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("numcust"),
@@ -323,6 +435,7 @@ object Tpch {
 
   val queries: Map[String, Q] = Map(
     "h01_pricing_summary" -> q1,
+    "h02_min_cost_supplier" -> q2,
     "h03_shipping_priority" -> q3,
     "h04_order_priority" -> q4,
     "h05_region_revenue" -> q5,
@@ -336,9 +449,12 @@ object Tpch {
     "h13_order_histogram" -> q13,
     "h14_promo_share" -> q14,
     "h15_top_supplier" -> q15,
+    "h16_supplier_counts" -> q16,
     "h17_small_qty_revenue" -> q17,
     "h18_large_orders" -> q18,
     "h19_disjunctive_preds" -> q19,
+    "h20_market_share" -> q8,
+    "h21_waiting_supplier" -> q21,
     "h22_idle_customers" -> q22)
 
   val oracle: Map[String, String] = Map(
@@ -354,6 +470,22 @@ object Tpch {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "h02_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_price
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT l_partkey, l_suppkey, unit_price,
+        |    min(unit_price) OVER (PARTITION BY l_partkey) AS best_price
+        |  FROM offers)
+        |SELECT p_partkey, p_brand, s_name, n_name,
+        |  floor(unit_price * 1e6 + 0.5) / 1e6 AS unit_price
+        |FROM best
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE unit_price = best_price AND p_size <= 10""".stripMargin,
     "h03_shipping_priority" ->
       """SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
         |  o_orderpriority,
@@ -465,6 +597,13 @@ object Tpch {
         |SELECT s_suppkey, s_name, total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "h16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "h17_small_qty_revenue" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
         |  count(*) AS n_lines
@@ -493,12 +632,45 @@ object Tpch {
         |       AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "h20_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  floor(sum(CASE WHEN sn.n_name = 'NATION_7'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)) * 1e6 + 0.5) / 1e6
+        |    AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'STANDARD'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |              JOIN region ON cn.n_regionkey = r_regionkey
+        |              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+        |GROUP BY 1""".stripMargin,
+    "h21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait FROM (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1
+        |  JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |  WHERE l1.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_returnflag = 'R'))
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "h22_idle_customers" ->
       """SELECT c_mktsegment, count(*) AS numcust,
         |  round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |                  AND o_orderdate >= TIMESTAMP '1998-09-01')
         |GROUP BY c_mktsegment""".stripMargin)
 }
