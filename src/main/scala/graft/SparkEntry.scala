@@ -39,6 +39,7 @@ object SparkEntry {
       operators.RangeJoin.queries ++
       operators.Relational.queries ++
       operators.Tpch.queries ++
+      operators.Events.queries ++
       operators.Signals.queries ++
       operators.Maintenance.queries ++
       functions.EwmaWindow.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       operators.RangeJoin.oracle ++
       operators.Relational.oracle ++
       operators.Tpch.oracle ++
+      operators.Events.oracle ++
       operators.Signals.oracle ++
       operators.Maintenance.oracle ++
       functions.EwmaWindow.oracle ++

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the raw `events` table: sessionization,
+  * ordered funnels, cohort retention. These are the canonical large-scale
+  * clickstream shapes a training-data/analytics pipeline needs alongside the
+  * candle operators — each plans as ONE shuffle on `user_id` (window or
+  * aggregate), so at 100 TB the event log is hash-partitioned by user once
+  * and every stage after that is co-partitioned.
+  *
+  * Time axis: `events.ts` is parquet TIMESTAMP(NANOS) read as a nanosecond
+  * Long (see [[graft.SparkEntry.configure]]); seconds = `ts DIV 1e9`, which
+  * matches DuckDB's `floor(epoch(ts))` on the same files exactly.
+  */
+object Events {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Session gap: a >6h silence starts a new session (tuned to the test
+    * corpus density; the operator is gap-parametric).
+    */
+  val SessionGapS = 21600L
+
+  /** Funnel conversion window: each stage must occur within 24h of the
+    * previous stage's first completion.
+    */
+  val FunnelWindowNs: Long = 86400L * 1000000000L
+
+  /** The funnel stage sequence (event_type values). */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  private def evSeconds(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("ts DIV 1000000000").as("ts_s"), col("value"))
+
+  /** e01 — gap-based sessionization: lag + running sum of session-start
+    * flags inside one per-user window, then a per-session aggregate. The
+    * window and the aggregate share the user_id partitioning: one shuffle
+    * total, no driver state — the distributed restatement of the classic
+    * sessionize-in-a-loop.
+    */
+  val sessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    val flagged = evSeconds(s, dir)
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > SessionGapS,
+          1L).otherwise(0L))
+    flagged
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts_s")).as("session_start"),
+        (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"),
+        count(lit(1)).as("n_events"),
+        (floor(sum(col("value")) * 1e6 + 0.5) / 1e6).as("total_value"))
+  }
+
+  /** e02 — ordered funnel with a conversion window: stage N counts users
+    * whose first stage-N event falls within [[FunnelWindowNs]] after their
+    * first stage-(N-1) completion. Decorrelates to a chain of per-user min
+    * aggregates joined on user_id — all co-partitioned after one shuffle;
+    * the per-stage outputs are single rows.
+    */
+  val funnel: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts").as("tns"))
+    def stage(prev: DataFrame, prevT: String, eventType: String, t: String): DataFrame =
+      e.filter(col("event_type") === eventType)
+        .join(prev.select(col("user_id"), col(prevT)), "user_id")
+        .filter(col("tns") > col(prevT) &&
+          col("tns") <= col(prevT) + lit(FunnelWindowNs))
+        .groupBy(col("user_id")).agg(min(col("tns")).as(t))
+    val s1 = e.filter(col("event_type") === FunnelStages.head)
+      .groupBy(col("user_id")).agg(min(col("tns")).as("t1"))
+    val s2 = stage(s1, "t1", FunnelStages(1), "t2")
+    val s3 = stage(s2, "t2", FunnelStages(2), "t3")
+    def counted(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    counted(s1, FunnelStages.head)
+      .union(counted(s2, FunnelStages(1)))
+      .union(counted(s3, FunnelStages(2)))
+  }
+
+  /** e03 — cohort retention: cohort = a user's first active day; each
+    * (cohort_day, day_offset) cell counts users active `offset` days after
+    * their first day. Distinct user-days shuffle once on user_id; the final
+    * cell aggregate is over |users|×|days| rows at most.
+    */
+  val retention: Q = (s, dir) => {
+    val days = evSeconds(s, dir)
+      .select(col("user_id"), expr("ts_s DIV 86400").as("day")).distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e01_sessionize" -> sessionize,
+    "e02_funnel" -> funnel,
+    "e03_retention" -> retention)
+
+  val oracle: Map[String, String] = Map(
+    "e01_sessionize" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+        |                   OR ts_s - lag(ts_s) OVER w > $SessionGapS
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, min(ts_s) AS session_start,
+        |  max(ts_s) - min(ts_s) AS duration_s,
+        |  count(*) AS n_events,
+        |  floor(sum(value) * 1e6 + 0.5) / 1e6 AS total_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "e02_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |s1 AS (SELECT user_id, min(tns) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tns) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tns > t1
+        |         AND tns <= t1 + $FunnelWindowNs GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tns) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tns > t2
+        |         AND tns <= t2 + $FunnelWindowNs GROUP BY 1)
+        |SELECT 'view' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 'click', count(*) FROM s2
+        |UNION ALL SELECT 'purchase', count(*) FROM s3""".stripMargin,
+    "e03_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT days.user_id) AS n_users
+        |FROM days JOIN first ON days.user_id = first.user_id
+        |GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the event-stream analytics family (e01–e03). */
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("e01 sessions partition the event log exactly") {
+    val total = Tables.events(spark, TestSession.sf).count()
+    val sess = operators.Events.sessionize(spark, TestSession.sf).cache()
+    // every event lands in exactly one session
+    assert(sess.agg(sum("n_events")).head.getLong(0) == total)
+    // no session spans a gap: duration < gap * n_events (loose but
+    // direction-correct: a session of n events has n-1 gaps ≤ gap each)
+    val bad = sess.filter(col("duration_s") >
+      lit(operators.Events.SessionGapS) * (col("n_events") - 1)).count()
+    assert(bad == 0, s"$bad sessions span a silence longer than the gap")
+    sess.unpersist()
+  }
+
+  test("e01 session_idx is dense from 1 per user") {
+    val sess = operators.Events.sessionize(spark, TestSession.sf)
+    val perUser = sess.groupBy("user_id")
+      .agg(min("session_idx").as("lo"), max("session_idx").as("hi"),
+        count(lit(1)).as("n"))
+    assert(perUser.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+  }
+
+  test("e02 funnel counts are monotone non-increasing down the stages") {
+    val rows = operators.Events.funnel(spark, TestSession.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = operators.Events.FunnelStages.map(rows)
+    assert(counts == counts.sorted.reverse, s"not monotone: $counts")
+    assert(counts.head > 0)
+  }
+
+  test("e03 retention day_offset 0 row covers every cohort member once") {
+    val ret = operators.Events.retention(spark, TestSession.sf).cache()
+    // offset-0 cells sum to the number of distinct users
+    val users = Tables.events(spark, TestSession.sf)
+      .select("user_id").distinct().count()
+    val atZero = ret.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).head.getLong(0)
+    assert(atZero == users)
+    // no negative offsets; no cell exceeds its cohort's size
+    assert(ret.filter(col("day_offset") < 0).count() == 0)
+    val zero = ret.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    assert(ret.join(zero, "cohort_day")
+      .filter(col("n_users") > col("cohort_size")).count() == 0)
+    ret.unpersist()
+  }
+}
