@@ -104,11 +104,42 @@ object Text {
       count(lit(1)).over(w).as("fp_group"))
   }
 
+  /** T5 — repetition signals (the Gopher-class quality rules adapted to
+    * newline-free word streams): most-frequent-token share and duplicate
+    * bi/tri-gram fractions. Pure row-local array expressions — n-grams are
+    * built by zipping shifted slices of the token array, never exploded, so
+    * the operator is one scan with zero shuffle at any corpus size.
+    */
+  private val repetition: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).withColumn("tk", toks(col("text")))
+    val n = size(col("tk"))
+    val bigrams = zip_with(
+      slice(col("tk"), lit(1), n - 1), slice(col("tk"), lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val withB = d.withColumn("bg", bigrams)
+    val trigrams = zip_with(
+      slice(col("bg"), lit(1), size(col("bg")) - 1), slice(col("tk"), lit(3), n - 2),
+      (a, b) => concat(a, lit(" "), b))
+    def dupFrac(c: Column): Column =
+      when(size(c) > 0, floor((lit(1.0) -
+        size(array_distinct(c)).cast("double") / size(c).cast("double")) * 1e6
+        + 0.5) / 1e6).otherwise(lit(0.0))
+    withB.withColumn("tg", trigrams)
+      .select(col("doc_id"), n.as("n_tokens"),
+        (floor(array_max(transform(array_distinct(col("tk")),
+          w => size(filter(col("tk"), t => t === w)))).cast("double") /
+          nullif(n.cast("double"), lit(0.0)) * 1e6 + 0.5) / 1e6)
+          .as("top_token_frac"),
+        dupFrac(col("bg")).as("dup_bigram_frac"),
+        dupFrac(col("tg")).as("dup_trigram_frac"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> langid,
     "t02_quality_score" -> quality,
     "t03_token_stats" -> tokenStats,
-    "t04_fingerprint" -> fingerprint)
+    "t04_fingerprint" -> fingerprint,
+    "t05_repetition" -> repetition)
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -167,6 +198,31 @@ object Text {
         |  round(avg(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
         |        nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)), 6) AS avg_distinct_ratio
         |FROM documents GROUP BY source""".stripMargin,
+    "t05_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id, tk,
+        |    list_transform(list_zip(tk[:len(tk)-1], tk[2:]),
+        |                   s -> s[1] || ' ' || s[2]) AS bg
+        |  FROM base),
+        |tri AS (
+        |  SELECT doc_id, tk, bg,
+        |    list_transform(list_zip(bg[:len(bg)-1], tk[3:]),
+        |                   s -> s[1] || ' ' || s[2]) AS tg
+        |  FROM grams)
+        |SELECT doc_id, len(tk) AS n_tokens,
+        |  floor(CAST(list_max(list_transform(list_distinct(tk),
+        |        w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE) /
+        |      nullif(CAST(len(tk) AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
+        |    AS top_token_frac,
+        |  CASE WHEN len(bg) > 0 THEN floor((1.0 -
+        |      CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN len(tg) > 0 THEN floor((1.0 -
+        |      CAST(len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS dup_trigram_frac
+        |FROM tri""".stripMargin,
     "t04_fingerprint" ->
       """WITH fps AS (
         |  SELECT doc_id,
