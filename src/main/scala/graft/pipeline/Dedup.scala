@@ -272,6 +272,13 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // Convergence probe: labels only ever DECREASE under min-propagation,
+    // so the label sum is strictly monotone until fixpoint — comparing
+    // sums is an exact changed-row test that costs one scalar aggregate
+    // per round instead of a join against the previous labels.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -281,10 +288,10 @@ object Dedup {
       val next = labels.unionAll(viaNeighbors)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       rounds += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
