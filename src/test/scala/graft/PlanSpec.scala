@@ -92,6 +92,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian product in h07")
   }
 
+  test("e01: sessionize pays ONE shuffle (window and session agg co-partitioned)") {
+    // Window partitions by user_id; the session aggregate groups by
+    // (user_id, session_idx) — HashPartitioning(user_id) satisfies that
+    // clustering (subset rule), so no second exchange may appear.
+    val p = plan("e01_sessionize")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"sessionize grew extra shuffles ($exchanges):\n${p.take(1500)}")
+  }
+
+  test("h20/h02/h21: dimension sides broadcast, no cartesian anywhere") {
+    val p20 = plan("h20_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p20).size >= 3,
+      "h20 dimension sides must broadcast")
+    val p02 = plan("h02_min_cost_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p02).size >= 3,
+      "h02 part/supplier/nation must broadcast")
+    for ((n, p) <- Seq("h20" -> p20, "h02" -> p02, "h21" -> plan("h21_waiting_supplier")))
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $n")
+  }
+
   test("per-symbol family reads the bucketed fact table with ZERO exchanges") {
     // the round-3 co-location contract: the materialized candle table is
     // bucketed by symbol, so per-symbol windows (i10) and (symbol, bucket)
