@@ -67,6 +67,40 @@ object Curation {
         col("sample_rank"), col("quota"), col("stratum_docs"))
   }
 
+  /** p03 — source-mix rebalancing: subsample the corpus so the per-source
+    * share matches a target weight vector, keeping as many documents as the
+    * LIMITING source allows (the standard pretraining "data mixing" step).
+    * With target weight w_s (out of W = Σw), the achievable corpus size is
+    * N = min_s floor(avail_s·W / w_s) and each source keeps
+    * quota_s = floor(N·w_s / W), chosen by the same deterministic
+    * multiplicative-hash ranking as p02. All-integer arithmetic → exact
+    * cross-engine parity. Scale shape: per-source stats are |sources| rows
+    * (metadata), broadcast back; the corpus pays one window pass per
+    * stratum on its existing source layout.
+    */
+  private val mixRebalance: Q = (s, dir) => {
+    val weight = (regexp_extract(col("source"), "(\\d+)", 1).cast("bigint") % 5
+      + lit(1L)).as("target_w")
+    val d = Tables.documents(s, dir).withColumn("target_w", weight)
+    val all = Window.partitionBy(lit(1))
+    val stats = d.groupBy(col("source"), col("target_w"))
+      .agg(count(lit(1)).as("avail"))
+      .withColumn("total_w", sum(col("target_w")).over(all))
+      .withColumn("cap", expr("avail * total_w DIV target_w"))
+      .withColumn("n_total", min(col("cap")).over(all))
+      .withColumn("quota", expr("n_total * target_w DIV total_w"))
+      .select(col("source").as("src"), col("quota"), col("avail"))
+    val byHash = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    d.withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("sample_rank", row_number().over(byHash))
+      .join(broadcast(stats), col("source") === col("src"))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("target_w"),
+        col("sample_rank").cast("bigint").as("sample_rank"),
+        col("quota"), col("avail"))
+  }
+
   /** c01 — benchmark decontamination: flag corpus docs sharing ≥2 distinct
     * 3-token shingles with the held-out benchmark slice (doc_id ≡ 0 mod
     * 97 stands in for the eval suite). The benchmark side explodes to its
@@ -108,6 +142,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "p01_pack_chunks" -> packChunks,
     "p02_stratified_sample" -> stratifiedSample,
+    "p03_mix_rebalance" -> mixRebalance,
     "c01_contamination" -> contamination)
 
   val oracle: Map[String, String] = Map(
@@ -140,6 +175,29 @@ object Curation {
         |  stratum_docs
         |FROM hashed
         |WHERE sample_rank <= CAST(ceil(CAST(stratum_docs AS DOUBLE) * 0.2) AS BIGINT)""".stripMargin,
+    "p03_mix_rebalance" ->
+      """WITH weighted AS (
+        |  SELECT doc_id, source,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 5 + 1
+        |      AS target_w,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |stats AS (
+        |  SELECT source, target_w, CAST(count(*) AS BIGINT) AS avail
+        |  FROM weighted GROUP BY 1, 2),
+        |quotas AS (
+        |  SELECT source, avail,
+        |    min(avail * sum_w // target_w) OVER () * target_w // sum_w AS quota
+        |  FROM (SELECT *, CAST(sum(target_w) OVER () AS BIGINT) AS sum_w
+        |        FROM stats)),
+        |ranked AS (
+        |  SELECT doc_id, source, target_w,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS BIGINT) AS sample_rank
+        |  FROM weighted)
+        |SELECT doc_id, ranked.source, target_w, sample_rank, quota, avail
+        |FROM ranked JOIN quotas ON ranked.source = quotas.source
+        |WHERE sample_rank <= quota""".stripMargin,
     "c01_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
