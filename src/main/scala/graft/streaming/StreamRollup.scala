@@ -108,6 +108,27 @@ object StreamRollup {
   def upsertBatch(stored: DataFrame, batch: DataFrame): DataFrame =
     Maintenance.mergeCandles(stored, batch)
 
+  /** e01 on a stream: per-user gap sessions via Spark's native
+    * `session_window` — the state store merges/extends open sessions as
+    * events arrive and the watermark closes them `gap` after the last
+    * event. Works on a batch frame identically (the spec cross-checks it
+    * against the batch [[graft.operators.Events.sessionize]]). State is one
+    * open window per active user — bounded by the watermark at any scale.
+    * Input: raw events rows (`ts` nanosecond Long, as read by
+    * [[Tables.events]]).
+    */
+  def sessionizeStream(events: DataFrame,
+      gapSec: Long = graft.operators.Events.SessionGapS): DataFrame =
+    events
+      .withColumn("event_time", timestamp_seconds(expr("ts DIV 1000000000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** §2.5 cooldown on a stream of fired signals: per-(symbol, rule) the
     * last-EMITTED timestamp lives in the state store and survives across
     * micro-batches (the reference keeps it in `signal_cooldowns`,

@@ -10,6 +10,8 @@ case class C1m(symbol: String, bucket_ts: Long, open: Double, high: Double,
   low: Double, close: Double, volume: Double, quote_volume: Double,
   trade_count: Long, taker_buy_volume: Double)
 
+case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
+
 /** §2.7 — the streaming 1m→5m roll-up must agree with the batch roll-up on
   * the same rows, and the foreachBatch upsert must reproduce the reference's
   * field-level merge across micro-batches.
@@ -227,6 +229,39 @@ class StreamingSpec extends AnyFunSuite {
       // schema matches the candle contract, so it feeds rollup5m/merge as-is
       assert(s.table("ws_parsed").schema.fieldNames.toSeq ==
         Tables.CandleSchema.fieldNames.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming session_window sessions agree with the batch sessionize") {
+    val s = spark
+    import s.implicits._
+    // (user_id, ts_ns, value): two users, gaps straddling the 6h threshold
+    val gap = graft.operators.Events.SessionGapS
+    val base = 1700000000L
+    val rows = Seq(
+      Ev(1, (base) * 1000000000L, 1L, 1.0),
+      Ev(2, (base + gap) * 1000000000L, 1L, 2.0),       // exactly gap: same session in e01
+      Ev(3, (base + 3 * gap + 10) * 1000000000L, 1L, 3.0), // > gap later: new session
+      Ev(4, (base) * 1000000000L, 2L, 5.0),
+      Ev(5, (base + 4 * gap) * 1000000000L, 2L, 6.0))
+    val enc = org.apache.spark.sql.Encoders.product[Ev]
+    val input = MemoryStream[Ev](enc, s)
+    input.addData(rows)
+
+    val q = StreamRollup.sessionizeStream(input.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("sessions")
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // session_window merges events whose windows touch ([t, t+gap) then
+      // [t+gap, ...) overlap at the boundary), matching e01's `delta > gap
+      // starts new` rule: user 1 → {e1,e2} then {e3}; user 2 → two singletons
+      assert(got == Set(
+        (1L, base, 2L), (1L, base + 3 * gap + 10, 1L),
+        (2L, base, 1L), (2L, base + 4 * gap, 1L)), s"got $got")
     } finally q.stop()
   }
 
