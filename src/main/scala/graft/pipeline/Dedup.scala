@@ -300,12 +300,35 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** D6 — survivor selection: within each near-dup cluster (d05's labels)
+    * keep the best document — longest text, ties to the smallest doc_id —
+    * and flag the rest for deletion. This is the decision step an actual
+    * dedup pipeline runs after clustering; emitting every clustered doc
+    * with a survivor flag makes the keep/drop sets explicit. One broadcast
+    * join (labels are cluster-membership scale, ≪ corpus) + one
+    * cluster-partitioned window.
+    */
+  private val survivors: Q = (s, dir) => {
+    val uni = withClones(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 8)
+    val w = Window.partitionBy(col("canonical"))
+      .orderBy(col("n_len").desc, col("doc_id"))
+    components(s, dir)
+      .join(uni.select(col("doc_id"), length(col("text")).as("n_len")),
+        "doc_id")
+      .withColumn("survivor",
+        (row_number().over(w) === 1).cast("int"))
+      .select(col("doc_id"), col("canonical"), col("cluster_size"),
+        col("n_len"), col("survivor"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> exact,
     "d02_dedup_ngram_jaccard" -> ngramJaccard,
     "d03_dedup_minhash_lsh" -> minhashLsh,
     "d04_dedup_simhash" -> simhash,
-    "d05_dedup_components" -> components)
+    "d05_dedup_components" -> components,
+    "d06_dedup_survivors" -> survivors)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -333,7 +356,27 @@ object Dedup {
          |SELECT l.id AS doc_id, l.canonical, s.cluster_size
          |FROM lab l
          |JOIN (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
-         |      FROM lab GROUP BY canonical) s USING (canonical)""".stripMargin)
+         |      FROM lab GROUP BY canonical) s USING (canonical)""".stripMargin,
+    "d06_dedup_survivors" ->
+      s"""WITH RECURSIVE $CLONES_SQL,
+         |$D02_CTES,
+         |d2 AS ($D02_SELECT),
+         |edges AS (SELECT a, b FROM d2 UNION ALL SELECT b AS a, a AS b FROM d2),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |lab AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+         |cs AS (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY canonical),
+         |sized AS (
+         |  SELECT lab.id, lab.canonical, CAST(len(uni.text) AS INT) AS n_len
+         |  FROM lab JOIN uni ON lab.id = uni.doc_id)
+         |SELECT id AS doc_id, canonical, cluster_size, n_len,
+         |  CAST(row_number() OVER (PARTITION BY canonical
+         |    ORDER BY n_len DESC, id) = 1 AS INT) AS survivor
+         |FROM sized JOIN cs USING (canonical)""".stripMargin)
 
   private lazy val D02_CTES: String =
     """docs AS (SELECT doc_id, text FROM uni WHERE len(text) >= 8),
