@@ -244,6 +244,26 @@ object Relational {
     byQv.join(byAmp, Seq("symbol"), "left_anti")
   }
 
+  /** W2 — the rank-function window suite (row_number / dense_rank / ntile /
+    * percent_rank / cume_dist) per symbol, ordered by volume with a
+    * deterministic tie-break. One symbol-partitioned window on the bucketed
+    * fact table — zero exchanges on the parquet path.
+    */
+  private val w02: Q = (s, dir) => {
+    val w = Window.partitionBy(col("symbol"))
+      .orderBy(col("volume").desc, col("bucket_ts"))
+    candles(s, dir)
+      .select(col("symbol"), col("bucket_ts"), col("volume"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dr", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank",
+        floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6)
+      .withColumn("cume",
+        floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6)
+      .drop("volume")
+  }
+
   val queries: Map[String, Q] =
     Intervals.map { case (n, secs) => s"r04_rollup_$n" -> r04(secs) } ++ Map(
     "r01_scan_filter" -> r01,
@@ -262,7 +282,8 @@ object Relational {
     "r13_limit_desc" -> r13,
     "r14_rank_head" -> r14,
     "r15_mart_join" -> r15,
-    "r17_rank_except" -> r17)
+    "r17_rank_except" -> r17,
+    "w02_rank_suite" -> w02)
 
   private def rollupOracle(seconds: Long): String = Oracle.withCandles(
     s"""SELECT symbol, bucket_ts // $seconds * $seconds AS bucket_ts,
@@ -424,5 +445,14 @@ object Relational {
         |  FROM candles GROUP BY symbol)
         |SELECT symbol FROM (SELECT symbol FROM agg ORDER BY qv DESC, symbol LIMIT 8)
         |EXCEPT
-        |SELECT symbol FROM (SELECT symbol FROM agg ORDER BY amp DESC, symbol LIMIT 8)""".stripMargin))
+        |SELECT symbol FROM (SELECT symbol FROM agg ORDER BY amp DESC, symbol LIMIT 8)""".stripMargin),
+    "w02_rank_suite" -> Oracle.withCandles(
+      """SELECT symbol, bucket_ts,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(dense_rank() OVER w AS INT) AS dr,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+        |FROM candles
+        |WINDOW w AS (PARTITION BY symbol ORDER BY volume DESC, bucket_ts)""".stripMargin))
 }

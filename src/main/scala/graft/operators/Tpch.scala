@@ -433,6 +433,36 @@ object Tpch {
         round(sum(col("c_acctbal")), 2).as("totacctbal"))
   }
 
+  /** Grouping-set aggregation: ROLLUP over (returnflag, linestatus) with
+    * subtotal rows — the OLAP cube surface. Spark plans this as one Expand
+    * + hash aggregate: still a single fact scan and one shuffle.
+    */
+  private val qRollup: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_price"))
+
+  /** Exact grouped quantiles (linear interpolation — `percentile` in Spark,
+    * `quantile_cont` in DuckDB share the (n-1)·q rank formula). Exact
+    * quantiles sort within the aggregate; at 100 TB swap in
+    * `percentile_approx` (t-digest) — same plan shape, bounded state.
+    */
+  private val qQuantiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (floor(expr("percentile(l_extendedprice, 0.5)") * 1e6 + 0.5) / 1e6)
+          .as("p50_price"),
+        (floor(expr("percentile(l_extendedprice, 0.95)") * 1e6 + 0.5) / 1e6)
+          .as("p95_price"),
+        (floor(expr("percentile(l_quantity, 0.5)") * 1e6 + 0.5) / 1e6)
+          .as("p50_qty"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, Q] = Map(
     "h01_pricing_summary" -> q1,
     "h02_min_cost_supplier" -> q2,
@@ -455,7 +485,9 @@ object Tpch {
     "h19_disjunctive_preds" -> q19,
     "h20_market_share" -> q8,
     "h21_waiting_supplier" -> q21,
-    "h22_idle_customers" -> q22)
+    "h22_idle_customers" -> q22,
+    "h23_rollup_agg" -> qRollup,
+    "h24_group_quantiles" -> qQuantiles)
 
   val oracle: Map[String, String] = Map(
     "h01_pricing_summary" ->
@@ -665,6 +697,19 @@ object Tpch {
         |                      AND l3.l_returnflag = 'R'))
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+    "h23_rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "h24_group_quantiles" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6 AS p50_price,
+        |  floor(quantile_cont(l_extendedprice, 0.95) * 1e6 + 0.5) / 1e6 AS p95_price,
+        |  floor(quantile_cont(l_quantity, 0.5) * 1e6 + 0.5) / 1e6 AS p50_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "h22_idle_customers" ->
       """SELECT c_mktsegment, count(*) AS numcust,
         |  round(sum(c_acctbal), 2) AS totacctbal
