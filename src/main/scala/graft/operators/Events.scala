@@ -100,10 +100,28 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** e04 — event-type transition matrix (first-order Markov counts): each
+    * user's chronological event stream contributes (prev → next) pairs via
+    * one lag window; the count aggregate over |types|² cells is
+    * metadata-scale. Same single user_id shuffle as e01.
+    */
+  val transitions: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("tns"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("tns"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e01_sessionize" -> sessionize,
     "e02_funnel" -> funnel,
-    "e03_retention" -> retention)
+    "e03_retention" -> retention,
+    "e04_transitions" -> transitions)
 
   val oracle: Map[String, String] = Map(
     "e01_sessionize" ->
@@ -139,6 +157,18 @@ object Events {
         |SELECT 'view' AS stage, count(*) AS n_users FROM s1
         |UNION ALL SELECT 'click', count(*) FROM s2
         |UNION ALL SELECT 'purchase', count(*) FROM s3""".stripMargin,
+    "e04_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns
+        |  FROM events),
+        |seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        |      AS prev_type
+        |  FROM ev)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "e03_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

@@ -264,6 +264,19 @@ object Relational {
       .drop("volume")
   }
 
+  /** R18 — pivot: per-symbol volume by day-of-week spread into columns
+    * (the `groupBy().pivot()` API surface). With explicit pivot values the
+    * plan is a single conditional-sum hash aggregate — one shuffle, no
+    * second pass to discover the pivot domain.
+    */
+  private val r18: Q = (s, dir) =>
+    candles(s, dir)
+      .withColumn("dow", expr("((bucket_ts DIV 86400) + 4) % 7"))
+      .groupBy(col("symbol"))
+      .pivot("dow", (0 to 6).map(Integer.valueOf))
+      .agg(round(sum(col("volume")), 4))
+      .toDF("symbol" +: (0 to 6).map(d => s"dow$d"): _*)
+
   val queries: Map[String, Q] =
     Intervals.map { case (n, secs) => s"r04_rollup_$n" -> r04(secs) } ++ Map(
     "r01_scan_filter" -> r01,
@@ -283,6 +296,7 @@ object Relational {
     "r14_rank_head" -> r14,
     "r15_mart_join" -> r15,
     "r17_rank_except" -> r17,
+    "r18_pivot_dow" -> r18,
     "w02_rank_suite" -> w02)
 
   private def rollupOracle(seconds: Long): String = Oracle.withCandles(
@@ -446,6 +460,19 @@ object Relational {
         |SELECT symbol FROM (SELECT symbol FROM agg ORDER BY qv DESC, symbol LIMIT 8)
         |EXCEPT
         |SELECT symbol FROM (SELECT symbol FROM agg ORDER BY amp DESC, symbol LIMIT 8)""".stripMargin),
+    "r18_pivot_dow" -> Oracle.withCandles(
+      """, dowed AS (
+        |  SELECT symbol, volume, (bucket_ts // 86400 + 4) % 7 AS dow
+        |  FROM candles)
+        |SELECT symbol,
+        |  round(sum(CASE WHEN dow = 0 THEN volume END), 4) AS dow0,
+        |  round(sum(CASE WHEN dow = 1 THEN volume END), 4) AS dow1,
+        |  round(sum(CASE WHEN dow = 2 THEN volume END), 4) AS dow2,
+        |  round(sum(CASE WHEN dow = 3 THEN volume END), 4) AS dow3,
+        |  round(sum(CASE WHEN dow = 4 THEN volume END), 4) AS dow4,
+        |  round(sum(CASE WHEN dow = 5 THEN volume END), 4) AS dow5,
+        |  round(sum(CASE WHEN dow = 6 THEN volume END), 4) AS dow6
+        |FROM dowed GROUP BY symbol""".stripMargin),
     "w02_rank_suite" -> Oracle.withCandles(
       """SELECT symbol, bucket_ts,
         |  CAST(row_number() OVER w AS INT) AS rn,
