@@ -168,7 +168,23 @@ object Dedup {
               element_at(col("sig"), b * 2 + 2)).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cands = bands.alias("x").join(bands.alias("y"), Seq("band", "key"))
+    // Band-bucket cap (the LSH twin of d02's df≤4 shingle cap): a band key
+    // shared by k docs contributes k²/2 candidate pairs, and on a
+    // same-language corpus the handful of popular band keys carry most of
+    // the quadratic noise — measured at sf0.1: buckets >16 docs were 68%
+    // of all candidates while every injected clone pair collides in a
+    // bucket of ≤8 docs (popular keys = common shingle structure, not
+    // near-duplication). Dropping buckets over the cap makes the self-join
+    // output ≤ cap·|bands| — LINEAR in the corpus, the property that lets
+    // this run at 100 TB. Cap 16 = 2× the observed worst clone bucket;
+    // PipelineSpec's full-recall pin guards the margin.
+    val BandBucketCap = 16
+    val capped = bands
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("df") <= BandBucketCap)
+      .select(col("doc_id"), col("band"), col("key"))
+    val cands = capped.alias("x").join(capped.alias("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     // 2-row bands keep recall high down to j~0.3 (shortest docs) but admit
