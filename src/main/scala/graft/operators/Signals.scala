@@ -98,12 +98,20 @@ object Signals {
   private def baseFrame(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("bucket_ts")
     val w20 = w.rowsBetween(-19, 0)
+    // nullif guards: a zero-volume bar (one zero-value event in a minute)
+    // or a zero prior close exists in any large corpus — unguarded ANSI
+    // division aborts the whole job there. NULL ratios make every rule
+    // condition false in BOTH engines (NULL comparisons), so the guarded
+    // form is the semantic the rules want.
     val withDerived = Tables.candles(s, dir)
-      .withColumn("taker_ratio", col("taker_buy_volume") / col("volume"))
+      .withColumn("taker_ratio",
+        col("taker_buy_volume") / nullif(col("volume"), lit(0.0)))
       .withColumn("ma20", avg("close").over(w20))
-      .withColumn("vol_ratio", col("volume") / avg("volume").over(w20))
+      .withColumn("vol_ratio",
+        col("volume") / nullif(avg("volume").over(w20), lit(0.0)))
       .withColumn("change_pct",
-        (col("close") - lag("close", 1).over(w)) / lag("close", 1).over(w) * 100)
+        (col("close") - lag("close", 1).over(w)) /
+          nullif(lag("close", 1).over(w), lit(0.0)) * 100)
       .withColumn("activity",
         when(col("vol_ratio") >= 1.5, "high")
           .when(col("vol_ratio") <= 0.5, "low").otherwise("normal"))
@@ -247,12 +255,12 @@ object Signals {
       |    SELECT *,
       |      CASE WHEN vol_ratio >= 1.5 THEN 'high'
       |           WHEN vol_ratio <= 0.5 THEN 'low' ELSE 'normal' END AS activity,
-      |      (close - lag(close) OVER w) / lag(close) OVER w * 100 AS change_pct
+      |      (close - lag(close) OVER w) / nullif(lag(close) OVER w, 0.0) * 100 AS change_pct
       |    FROM (
       |      SELECT symbol, bucket_ts, close,
-      |             taker_buy_volume / volume AS taker_ratio,
+      |             taker_buy_volume / nullif(volume, 0.0) AS taker_ratio,
       |             avg(close) OVER w20 AS ma20,
-      |             volume / avg(volume) OVER w20 AS vol_ratio
+      |             volume / nullif(avg(volume) OVER w20, 0.0) AS vol_ratio
       |      FROM candles
       |      WINDOW w20 AS (PARTITION BY symbol ORDER BY bucket_ts
       |                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
