@@ -91,4 +91,58 @@ object PropertySpec extends Properties("graft") {
       val want = ts.sorted.takeRight(cap)
       got == want
     }
+
+  // ------------------------------------------- sessionization properties
+  /** Random event streams: a few users, second-resolution timestamps spread
+    * so that gaps straddle the session threshold.
+    */
+  private val evGen: Gen[Seq[Ev]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 4L),
+      Gen.choose(0L, 10L * operators.Events.SessionGapS)))
+  } yield rows.zipWithIndex.map { case ((u, t), i) =>
+    Ev(i.toLong, t * 1000000000L, u, 1.0)
+  }
+
+  property("sessionize: sessions partition events and never span a gap") =
+    forAll(evGen.suchThat(_.nonEmpty)) { evs =>
+      val s = spark
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+      evs.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val sess = operators.Events.sessionize(spark, dir).collect()
+      val gap = operators.Events.SessionGapS
+      // exact cover of the event log
+      sess.map(_.getAs[Long]("n_events")).sum == evs.length &&
+        // per-user session starts reproduce a reference fold over sorted times
+        evs.groupBy(_.user_id).forall { case (u, rows) =>
+          val ts = rows.map(_.ts / 1000000000L).sorted
+          val wantStarts = ts.tail.foldLeft((List(ts.head), ts.head)) {
+            case ((starts, prev), t) =>
+              if (t - prev > gap) (t :: starts, t) else (starts, t)
+          }._1.sorted
+          val gotStarts = sess.filter(_.getAs[Long]("user_id") == u)
+            .map(_.getAs[Long]("session_start")).sorted.toList
+          gotStarts == wantStarts
+        }
+    }
+
+  property("mix rebalance: quotas respected, shares within one doc of target") =
+    forAll(Gen.const(())) { _ =>
+      val out = pipeline.Curation.queries("p03_mix_rebalance")(
+        spark, TestSession.sf).collect()
+      val bySrc = out.groupBy(_.getAs[String]("source"))
+      // every source's kept count equals its quota, and quota ∝ weight
+      bySrc.forall { case (_, rows) =>
+        rows.length == rows.head.getAs[Long]("quota") &&
+          rows.forall(_.getAs[Long]("sample_rank") <= rows.head.getAs[Long]("quota"))
+      } && {
+        // shares track target weights: quota_s * W within W of N_total * w_s
+        val w = bySrc.map { case (_, r) =>
+          (r.head.getAs[Long]("target_w"), r.head.getAs[Long]("quota")) }
+        val totW = w.map(_._1).sum
+        val totQ = w.map(_._2).sum
+        w.forall { case (tw, q) => (q * totW - totQ * tw).abs <= totW }
+      }
+    }
 }
