@@ -292,8 +292,10 @@ object Dedup {
     // so the label sum is strictly monotone until fixpoint — comparing
     // sums is an exact changed-row test that costs one scalar aggregate
     // per round instead of a join against the previous labels.
+    // coalesce: a clean corpus (zero near-dup edges) makes sum(label) NULL
+    // over the empty frame — the probe must read 0, not NPE.
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("label"))).head.getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0

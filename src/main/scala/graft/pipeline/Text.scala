@@ -113,12 +113,17 @@ object Text {
   private val repetition: Q = (s, dir) => {
     val d = Tables.documents(s, dir).withColumn("tk", toks(col("text")))
     val n = size(col("tk"))
+    // slice lengths clamp to 0: a 0/1/2-token doc would otherwise feed a
+    // negative length into slice, which aborts the whole job at scale
+    // (DuckDB's tk[3:] slices degrade gracefully — parity requires the clamp).
     val bigrams = zip_with(
-      slice(col("tk"), lit(1), n - 1), slice(col("tk"), lit(2), n - 1),
+      slice(col("tk"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("tk"), lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
     val withB = d.withColumn("bg", bigrams)
     val trigrams = zip_with(
-      slice(col("bg"), lit(1), size(col("bg")) - 1), slice(col("tk"), lit(3), n - 2),
+      slice(col("bg"), lit(1), greatest(size(col("bg")) - 1, lit(0))),
+      slice(col("tk"), lit(3), greatest(n - 2, lit(0))),
       (a, b) => concat(a, lit(" "), b))
     def dupFrac(c: Column): Column =
       when(size(c) > 0, floor((lit(1.0) -

@@ -128,6 +128,45 @@ class PipelineSpec extends AnyFunSuite {
       s"only $reachable of $total clones within one probe")
   }
 
+  /** Tiny corpus written to a temp dir so queries exercise the real read
+    * path. Doc ids avoid multiples of 3 → no clones injected → guaranteed
+    * edge-free corpus for the d05/d06 empty-graph test.
+    */
+  private lazy val tinyDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tiny").toString
+    val session = spark
+    import session.implicits._
+    Seq(
+      (1L, "", "en", "web"),
+      (2L, "solitary", "en", "web"),
+      (4L, "exactly two tokens here", "en", "web"),
+      (5L, "alpha beta gamma delta alpha beta gamma epsilon zeta eta", "en", "web"),
+      (7L, "completely different words about ships and navigation at sea", "en", "web"),
+      (8L, "unrelated paragraph concerning volcanic geology and mineral strata", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("t05 repetition survives 0/1/2-token documents") {
+    val out = pipeline.Text.queries("t05_repetition")(spark, tinyDir)
+      .orderBy("doc_id").collect()
+    assert(out.length == 6)
+    // the 1-token doc has no bigrams/trigrams: fractions must be 0, not a crash
+    val one = out.find(_.getLong(0) == 2L).get
+    assert(one.getDouble(3) == 0.0 && one.getDouble(4) == 0.0)
+    // the repetitive doc still reports a positive top-token share
+    val rep = out.find(_.getLong(0) == 5L).get
+    assert(rep.getDouble(2) > 0.0)
+  }
+
+  test("d05/d06 handle a clean corpus with zero near-dup edges") {
+    // previously: sum(label) over the empty edge frame returned NULL → NPE
+    assert(pipeline.Dedup.queries("d05_dedup_components")(spark, tinyDir).count() == 0)
+    assert(pipeline.Dedup.queries("d06_dedup_survivors")(spark, tinyDir).count() == 0)
+  }
+
   test("multimodal decode features match direct byte arithmetic") {
     val row = pipeline.Multimodal.queries("m01_multimodal_decode")(spark, sf)
       .filter(col("doc_id") === 0).head

@@ -20,12 +20,16 @@ class ViewsSpec extends AnyFunSuite {
     assert(n > 0)
 
     // candle view agrees with the typed roll-up operator
+    // floor-1e6 both sides: double summation order differs between the two
+    // plans, so exact equality on raw sums is flaky-prone.
     val sqlRollup = spark.sql(
       """SELECT symbol, CAST(bucket_ts / 300 AS BIGINT) * 300 AS b5,
-        |  sum(volume) AS v FROM candles GROUP BY 1, 2""".stripMargin)
+        |  floor(sum(volume) * 1e6 + 0.5) / 1e6 AS v
+        |FROM candles GROUP BY 1, 2""".stripMargin)
     val typed = operators.Rollup.rollup(
       Tables.candles(spark, TestSession.sf), 300L)
-      .selectExpr("symbol", "bucket_ts AS b5", "volume AS v")
+      .selectExpr("symbol", "bucket_ts AS b5",
+        "floor(volume * 1e6 + 0.5) / 1e6 AS v")
     assert(sqlRollup.exceptAll(typed).count() == 0)
     assert(typed.exceptAll(sqlRollup).count() == 0)
 
