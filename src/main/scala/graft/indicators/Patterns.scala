@@ -24,47 +24,62 @@ import org.apache.spark.sql.functions._
   * neutral/context 0.
   */
 private[indicators] object KRules {
-  private val B = "abs(close - open)"
-  private val R = "(high - low)"
-  private val US = "(high - greatest(open, close))"
-  private val LS = "(least(open, close) - low)"
-  private val BP = "abs(pc - po)"
-  private val B2 = "abs(c2 - o2)"
-  private val DOJI = s"($R > 0 AND $B <= 0.1 * $R)"
-  private val DOJIP = "((ph - pl) > 0 AND abs(pc - po) <= 0.1 * (ph - pl))"
-  private val DOJI2 = "((h2 - l2) > 0 AND abs(c2 - o2) <= 0.1 * (h2 - l2))"
+  /** Shared sub-expression vocabulary, hoisted into real columns that BOTH
+    * engines compute once (Spark: two `withColumns` stages below the flag
+    * projection; DuckDB: two nested SELECT levels). Round-3 postmortem: with
+    * every rule re-expanding these macros inline, the 77-flag projection's
+    * generated `processNext()` blew Janino's hard 64 KB method limit, so the
+    * whole stage silently fell back to interpreted mode — 5× run-to-run
+    * swings and a 23.6 s driver bench. Short comparisons over precomputed
+    * columns keep the generated code an order of magnitude smaller.
+    * Level 2 may reference level-1 names; rules may reference both.
+    */
+  val VOCAB1: Seq[(String, String)] = Seq(
+    "bd" -> "abs(close - open)",            // current body
+    "rg" -> "(high - low)",                 // current range
+    "us" -> "(high - greatest(open, close))",   // upper shadow
+    "lsd" -> "(least(open, close) - low)",      // lower shadow
+    "bp" -> "abs(pc - po)",                 // lag-1 body
+    "b2" -> "abs(c2 - o2)",                 // lag-2 body
+    "rp" -> "(ph - pl)",                    // lag-1 range
+    "r2" -> "(h2 - l2)",                    // lag-2 range
+    "b4" -> "abs(c4 - o4)")                 // lag-4 body (null pre-gate)
+  val VOCAB2: Seq[(String, String)] = Seq(
+    "doji" -> "(rg > 0 AND bd <= 0.1 * rg)",
+    "dojip" -> "(rp > 0 AND bp <= 0.1 * rp)",
+    "doji2" -> "(r2 > 0 AND b2 <= 0.1 * r2)")
 
   val RULES: Seq[(String, String, Int)] = Seq(
     // -- single-bar: doji family (CDLDOJI, LONGLEGGED, DRAGONFLY,
     //    GRAVESTONE, RICKSHAWMAN, TAKURI)
-    ("doji", DOJI, 0),
-    ("long_legged_doji", s"$DOJI AND $US >= 0.3 * $R AND $LS >= 0.3 * $R", 0),
-    ("dragonfly_doji", s"$DOJI AND $US <= 0.1 * $R AND $LS >= 0.6 * $R", 1),
-    ("gravestone_doji", s"$DOJI AND $LS <= 0.1 * $R AND $US >= 0.6 * $R", -1),
-    ("rickshaw_man", s"$DOJI AND $US >= 0.3 * $R AND $LS >= 0.3 * $R" +
-      s" AND abs((open + close) / 2 - (high + low) / 2) <= 0.1 * $R", 0),
-    ("takuri", s"$DOJI AND $US <= 0.1 * $R AND $LS >= 0.8 * $R", 1),
+    ("doji", "doji", 0),
+    ("long_legged_doji", "doji AND us >= 0.3 * rg AND lsd >= 0.3 * rg", 0),
+    ("dragonfly_doji", "doji AND us <= 0.1 * rg AND lsd >= 0.6 * rg", 1),
+    ("gravestone_doji", "doji AND lsd <= 0.1 * rg AND us >= 0.6 * rg", -1),
+    ("rickshaw_man", "doji AND us >= 0.3 * rg AND lsd >= 0.3 * rg" +
+      " AND abs((open + close) / 2 - (high + low) / 2) <= 0.1 * rg", 0),
+    ("takuri", "doji AND us <= 0.1 * rg AND lsd >= 0.8 * rg", 1),
     // -- single-bar: shadows + bodies (HAMMER, INVERTEDHAMMER, HANGINGMAN,
     //    SHOOTINGSTAR, MARUBOZU, CLOSINGMARUBOZU, SPINNINGTOP, HIGHWAVE,
     //    LONGLINE, SHORTLINE, BELTHOLD)
-    ("hammer", s"$B > 0 AND $LS >= 2.0 * $B AND $US <= $B", 1),
-    ("inverted_hammer", s"$B > 0 AND $US >= 2.0 * $B AND $LS <= $B AND pc < po", 1),
-    ("hanging_man", s"$B > 0 AND $LS >= 2.0 * $B AND $US <= $B AND pc > po", -1),
-    ("shooting_star", s"$B > 0 AND $US >= 2.0 * $B AND $LS <= $B", -1),
-    ("bull_marubozu", s"$R > 0 AND $B >= 0.95 * $R AND close > open", 1),
-    ("bear_marubozu", s"$R > 0 AND $B >= 0.95 * $R AND close < open", -1),
+    ("hammer", "bd > 0 AND lsd >= 2.0 * bd AND us <= bd", 1),
+    ("inverted_hammer", "bd > 0 AND us >= 2.0 * bd AND lsd <= bd AND pc < po", 1),
+    ("hanging_man", "bd > 0 AND lsd >= 2.0 * bd AND us <= bd AND pc > po", -1),
+    ("shooting_star", "bd > 0 AND us >= 2.0 * bd AND lsd <= bd", -1),
+    ("bull_marubozu", "rg > 0 AND bd >= 0.95 * rg AND close > open", 1),
+    ("bear_marubozu", "rg > 0 AND bd >= 0.95 * rg AND close < open", -1),
     ("bull_closing_marubozu",
-      s"$R > 0 AND close > open AND $US <= 0.05 * $R AND $B >= 0.5 * $R", 1),
+      "rg > 0 AND close > open AND us <= 0.05 * rg AND bd >= 0.5 * rg", 1),
     ("bear_closing_marubozu",
-      s"$R > 0 AND close < open AND $LS <= 0.05 * $R AND $B >= 0.5 * $R", -1),
+      "rg > 0 AND close < open AND lsd <= 0.05 * rg AND bd >= 0.5 * rg", -1),
     ("spinning_top",
-      s"$R > 0 AND $B > 0 AND $B < 0.3 * $R AND $US > $B AND $LS > $B AND NOT $DOJI", 0),
+      "rg > 0 AND bd > 0 AND bd < 0.3 * rg AND us > bd AND lsd > bd AND NOT doji", 0),
     ("high_wave",
-      s"$R > 0 AND $B > 0 AND $US >= 2.0 * $B AND $LS >= 2.0 * $B AND NOT $DOJI", 0),
-    ("long_line", s"$R > 0 AND $B > 1.5 * ab", 0),
-    ("short_line", s"$B > 0 AND $B < 0.5 * ab", 0),
-    ("bull_belt_hold", s"$R > 0 AND close > open AND $LS <= 0.05 * $R AND $B > ab", 1),
-    ("bear_belt_hold", s"$R > 0 AND close < open AND $US <= 0.05 * $R AND $B > ab", -1),
+      "rg > 0 AND bd > 0 AND us >= 2.0 * bd AND lsd >= 2.0 * bd AND NOT doji", 0),
+    ("long_line", "rg > 0 AND bd > 1.5 * ab", 0),
+    ("short_line", "bd > 0 AND bd < 0.5 * ab", 0),
+    ("bull_belt_hold", "rg > 0 AND close > open AND lsd <= 0.05 * rg AND bd > ab", 1),
+    ("bear_belt_hold", "rg > 0 AND close < open AND us <= 0.05 * rg AND bd > ab", -1),
     // -- two-bar (ENGULFING, HARAMI, HARAMICROSS, PIERCING, DARKCLOUDCOVER,
     //    COUNTERATTACK, SEPARATINGLINES, MATCHINGLOW, HOMINGPIGEON, INNECK,
     //    ONNECK, THRUSTING, KICKING, DOJISTAR)
@@ -73,33 +88,33 @@ private[indicators] object KRules {
     ("bull_harami", "pc < po AND close > open AND open >= pc AND close <= po", 1),
     ("bear_harami", "pc > po AND close < open AND open <= pc AND close >= po", -1),
     ("bull_harami_cross",
-      s"pc < po AND $DOJI AND least(open, close) >= pc AND greatest(open, close) <= po", 1),
+      "pc < po AND doji AND least(open, close) >= pc AND greatest(open, close) <= po", 1),
     ("bear_harami_cross",
-      s"pc > po AND $DOJI AND least(open, close) >= po AND greatest(open, close) <= pc", -1),
+      "pc > po AND doji AND least(open, close) >= po AND greatest(open, close) <= pc", -1),
     ("piercing",
       "pc < po AND close > open AND open < pl AND close > (po + pc) / 2 AND close < po", 1),
     ("dark_cloud_cover",
       "pc > po AND close < open AND open > ph AND close < (po + pc) / 2 AND close > po", -1),
-    ("bull_counterattack", s"pc < po AND close > open AND $BP > ab AND $B > ab" +
+    ("bull_counterattack", "pc < po AND close > open AND bp > ab AND bd > ab" +
       " AND abs(close - pc) <= 0.2 * ab", 1),
-    ("bear_counterattack", s"pc > po AND close < open AND $BP > ab AND $B > ab" +
+    ("bear_counterattack", "pc > po AND close < open AND bp > ab AND bd > ab" +
       " AND abs(close - pc) <= 0.2 * ab", -1),
     ("bull_separating_lines",
-      s"pc < po AND close > open AND abs(open - po) <= 0.2 * ab AND $B > ab", 1),
+      "pc < po AND close > open AND abs(open - po) <= 0.2 * ab AND bd > ab", 1),
     ("bear_separating_lines",
-      s"pc > po AND close < open AND abs(open - po) <= 0.2 * ab AND $B > ab", -1),
+      "pc > po AND close < open AND abs(open - po) <= 0.2 * ab AND bd > ab", -1),
     ("matching_low", "pc < po AND close < open AND abs(close - pc) <= 0.2 * ab", 1),
     ("homing_pigeon", "pc < po AND close < open AND open <= po AND close >= pc", 1),
-    ("in_neck", s"pc < po AND close > open AND open < pl AND close >= pc" +
-      s" AND close <= pc + 0.1 * $BP", -1),
+    ("in_neck", "pc < po AND close > open AND open < pl AND close >= pc" +
+      " AND close <= pc + 0.1 * bp", -1),
     ("on_neck", "pc < po AND close > open AND open < pl AND abs(close - pl) <= 0.2 * ab", -1),
-    ("thrusting", s"pc < po AND close > open AND open < pl AND close > pc + 0.1 * $BP" +
+    ("thrusting", "pc < po AND close > open AND open < pl AND close > pc + 0.1 * bp" +
       " AND close < (po + pc) / 2", -1),
-    ("bull_kicking", "(ph - pl) > 0 AND abs(pc - po) >= 0.95 * (ph - pl) AND pc < po" +
-      s" AND $R > 0 AND $B >= 0.95 * $R AND close > open AND low > ph", 1),
-    ("bear_kicking", "(ph - pl) > 0 AND abs(pc - po) >= 0.95 * (ph - pl) AND pc > po" +
-      s" AND $R > 0 AND $B >= 0.95 * $R AND close < open AND high < pl", -1),
-    ("doji_star", s"$DOJI AND ((pc > po AND least(open, close) > pc)" +
+    ("bull_kicking", "rp > 0 AND bp >= 0.95 * rp AND pc < po" +
+      " AND rg > 0 AND bd >= 0.95 * rg AND close > open AND low > ph", 1),
+    ("bear_kicking", "rp > 0 AND bp >= 0.95 * rp AND pc > po" +
+      " AND rg > 0 AND bd >= 0.95 * rg AND close < open AND high < pl", -1),
+    ("doji_star", "doji AND ((pc > po AND least(open, close) > pc)" +
       " OR (pc < po AND greatest(open, close) < pc))", 0),
     // -- three-bar (3WHITESOLDIERS, 3BLACKCROWS, IDENTICAL3CROWS, 2CROWS,
     //    UPSIDEGAP2CROWS, 3INSIDE, 3OUTSIDE, MORNINGSTAR, EVENINGSTAR,
@@ -123,18 +138,18 @@ private[indicators] object KRules {
     ("three_outside_down", "c2 > o2 AND pc < po AND po >= c2 AND pc <= o2" +
       " AND close < open AND close < pc", -1),
     ("morning_star",
-      s"c2 < o2 AND $BP <= 0.3 * $B2 AND close > open AND close >= (o2 + c2) / 2", 1),
+      "c2 < o2 AND bp <= 0.3 * b2 AND close > open AND close >= (o2 + c2) / 2", 1),
     ("evening_star",
-      s"c2 > o2 AND $BP <= 0.3 * $B2 AND close < open AND close <= (o2 + c2) / 2", -1),
+      "c2 > o2 AND bp <= 0.3 * b2 AND close < open AND close <= (o2 + c2) / 2", -1),
     ("morning_doji_star",
-      s"c2 < o2 AND $DOJIP AND close > open AND close >= (o2 + c2) / 2", 1),
+      "c2 < o2 AND dojip AND close > open AND close >= (o2 + c2) / 2", 1),
     ("evening_doji_star",
-      s"c2 > o2 AND $DOJIP AND close < open AND close <= (o2 + c2) / 2", -1),
-    ("tristar", s"$DOJI AND $DOJIP AND $DOJI2", 0),
+      "c2 > o2 AND dojip AND close < open AND close <= (o2 + c2) / 2", -1),
+    ("tristar", "doji AND dojip AND doji2", 0),
     ("bull_abandoned_baby",
-      s"c2 < o2 AND $DOJIP AND ph < l2 AND ph < low AND close > open", 1),
+      "c2 < o2 AND dojip AND ph < l2 AND ph < low AND close > open", 1),
     ("bear_abandoned_baby",
-      s"c2 > o2 AND $DOJIP AND pl > h2 AND pl > high AND close < open", -1),
+      "c2 > o2 AND dojip AND pl > h2 AND pl > high AND close < open", -1),
     ("stick_sandwich",
       "c2 < o2 AND pc > po AND close < open AND abs(close - c2) <= 0.2 * ab", 1),
     ("upside_tasuki_gap", "c2 > o2 AND pc > po AND po > c2 AND close < open" +
@@ -144,9 +159,9 @@ private[indicators] object KRules {
     ("gap_side_side_white", "pc > po AND close > open" +
       " AND least(open, po) > greatest(o2, c2) AND abs(open - po) <= 0.2 * ab", 1),
     ("advance_block", "close > open AND pc > po AND c2 > o2 AND close > pc" +
-      s" AND pc > c2 AND $B < $BP AND $BP < $B2", -1),
+      " AND pc > c2 AND bd < bp AND bp < b2", -1),
     ("stalled_pattern", "close > open AND pc > po AND c2 > o2 AND close > pc" +
-      s" AND pc > c2 AND $B <= 0.5 * $BP", -1),
+      " AND pc > c2 AND bd <= 0.5 * bp", -1),
     ("bull_strike", "c3 < o3 AND c2 < o2 AND pc < po AND pc < c2 AND c2 < c3" +
       " AND close > open AND close > o3", 1),
     ("bear_strike", "c3 > o3 AND c2 > o2 AND pc > po AND pc > c2 AND c2 > c3" +
@@ -157,39 +172,39 @@ private[indicators] object KRules {
     //    UNIQUE3RIVER) — lag-4 columns o4/h4/l4/c4 are null on the first
     //    post-gate row, so every lag-4 rule leads with the IS NOT NULL
     //    guard (false AND null = false keeps the flag two-valued).
-    ("rising_three_methods", "o4 IS NOT NULL AND c4 > o4 AND abs(c4 - o4) > ab" +
+    ("rising_three_methods", "o4 IS NOT NULL AND c4 > o4 AND b4 > ab" +
       " AND c3 < o3 AND c2 < o2 AND pc < po" +
       " AND greatest(o3, c3) <= h4 AND least(o3, c3) >= l4" +
       " AND greatest(o2, c2) <= h4 AND least(o2, c2) >= l4" +
       " AND greatest(po, pc) <= h4 AND least(po, pc) >= l4" +
-      " AND close > open AND abs(close - open) > ab AND close > c4", 1),
-    ("falling_three_methods", "o4 IS NOT NULL AND c4 < o4 AND abs(c4 - o4) > ab" +
+      " AND close > open AND bd > ab AND close > c4", 1),
+    ("falling_three_methods", "o4 IS NOT NULL AND c4 < o4 AND b4 > ab" +
       " AND c3 > o3 AND c2 > o2 AND pc > po" +
       " AND greatest(o3, c3) <= h4 AND least(o3, c3) >= l4" +
       " AND greatest(o2, c2) <= h4 AND least(o2, c2) >= l4" +
       " AND greatest(po, pc) <= h4 AND least(po, pc) >= l4" +
-      " AND close < open AND abs(close - open) > ab AND close < c4", -1),
-    ("mat_hold", "o4 IS NOT NULL AND c4 > o4 AND abs(c4 - o4) > ab" +
+      " AND close < open AND bd > ab AND close < c4", -1),
+    ("mat_hold", "o4 IS NOT NULL AND c4 > o4 AND b4 > ab" +
       " AND c3 < o3 AND o3 > c4 AND c2 < o2 AND pc < po" +
       " AND least(c3, least(c2, pc)) >= (o4 + c4) / 2" +
       " AND close > open AND close > greatest(h3, greatest(h2, ph))", 1),
-    ("bull_breakaway", "o4 IS NOT NULL AND c4 < o4 AND abs(c4 - o4) > ab" +
+    ("bull_breakaway", "o4 IS NOT NULL AND c4 < o4 AND b4 > ab" +
       " AND c3 < o3 AND o3 < c4 AND c2 < c3 AND pc < c2" +
       " AND close > open AND close > o3 AND close < c4", 1),
-    ("bear_breakaway", "o4 IS NOT NULL AND c4 > o4 AND abs(c4 - o4) > ab" +
+    ("bear_breakaway", "o4 IS NOT NULL AND c4 > o4 AND b4 > ab" +
       " AND c3 > o3 AND o3 > c4 AND c2 > c3 AND pc > c2" +
       " AND close < open AND close < o3 AND close > c4", -1),
     ("ladder_bottom", "o4 IS NOT NULL AND c4 < o4 AND c3 < o3 AND c2 < o2" +
       " AND o3 < o4 AND o2 < o3 AND c3 < c4 AND c2 < c3" +
-      " AND pc < po AND (ph - greatest(po, pc)) > 0.3 * abs(pc - po)" +
+      " AND pc < po AND (ph - greatest(po, pc)) > 0.3 * bp" +
       " AND close > open AND open > po AND close > ph", 1),
-    ("three_stars_in_south", "c2 < o2 AND abs(c2 - o2) > ab" +
-      " AND (least(o2, c2) - l2) >= abs(c2 - o2)" +
-      " AND pc < po AND po <= o2 AND pl >= l2 AND abs(pc - po) < abs(c2 - o2)" +
-      " AND close < open AND abs(close - open) < abs(pc - po)" +
+    ("three_stars_in_south", "c2 < o2 AND b2 > ab" +
+      " AND (least(o2, c2) - l2) >= b2" +
+      " AND pc < po AND po <= o2 AND pl >= l2 AND bp < b2" +
+      " AND close < open AND bd < bp" +
       " AND low >= pl AND high <= ph", 1),
     ("concealing_baby_swallow", "o4 IS NOT NULL" +
-      " AND c4 < o4 AND (h4 - l4) > 0 AND abs(c4 - o4) >= 0.95 * (h4 - l4)" +
+      " AND c4 < o4 AND (h4 - l4) > 0 AND b4 >= 0.95 * (h4 - l4)" +
       " AND c3 < o3 AND (h3 - l3) > 0 AND abs(c3 - o3) >= 0.95 * (h3 - l3)" +
       " AND pc < po AND po < c3 AND ph > c3" +
       " AND close < open AND high >= ph AND low <= pl", 1),
@@ -199,9 +214,9 @@ private[indicators] object KRules {
       " AND close > open AND open <= po AND close >= c2", -1),
     ("bull_hikkake", "ph < h2 AND pl > l2 AND low < pl AND close > pl", 1),
     ("bear_hikkake", "ph < h2 AND pl > l2 AND high > ph AND close < ph", -1),
-    ("unique_three_river", "c2 < o2 AND abs(c2 - o2) > ab" +
+    ("unique_three_river", "c2 < o2 AND b2 > ab" +
       " AND pc < po AND po <= o2 AND pl < l2" +
-      " AND close > open AND abs(close - open) < abs(pc - po) AND close < pc", 1))
+      " AND close > open AND bd < bp AND close < pc", 1))
 }
 
 object Patterns {
@@ -255,22 +270,47 @@ object Patterns {
       // when evaluated ahead of the o3 filter; such rows are dropped anyway
       .withColumn("ab", when(size(col("abf")) > 0, meanOf(col("abf"))))
       .filter(col("o3").isNotNull)
-    // each rule evaluates ONCE into a flag column; the three consumers
-    // (name list, count, strength) reference the flags. CollapseProject
-    // keeps multi-use non-cheap expressions materialized instead of
-    // inlining the 64 rule trees three times each (~2x faster here).
-    val withFlags = df.withColumns(
-      KRules.RULES.map { case (nm, sql, _) => s"f_$nm" -> expr(sql) }.toMap)
-    val nFlags = KRules.RULES.map { case (nm, _, _) =>
-      col(s"f_$nm").cast("int") }.reduce(_ + _)
-    val strength = KRules.RULES.map { case (nm, _, w) =>
-      when(col(s"f_$nm"), w).otherwise(0) }.reduce(_ + _)
+      // o3 non-null ⇒ ≥3 prior bars ⇒ every lag-1..3 column and ab are
+      // non-null too; telling codegen so elides every null branch in the
+      // rule battery below (≈half the generated code = half the one-time
+      // Janino compile). Lag-4 columns stay nullable — their rules guard.
+      .withColumns(
+        Seq("open", "high", "low", "close", "po", "pc", "ph", "pl",
+          "o2", "c2", "h2", "l2", "o3", "c3", "h3", "l3", "ab")
+          .map(c => c -> graft.functions.CodegenBarrierCol.assertNotNull(col(c)))
+          .toMap)
+    // vocabulary stages then flags: each shared sub-expression and each rule
+    // evaluates ONCE into a column; the three consumers (name list, count,
+    // strength) reference the flags. CollapseProject keeps multi-use
+    // non-cheap aliases materialized instead of inlining, so the plan is
+    // Project(vocab1) → Project(vocab2) → Project(flags) → consumers — each
+    // small enough that whole-stage codegen stays compiled (pre-vocab the
+    // fused projection blew Janino's 64 KB method limit and the stage ran
+    // interpreted; PlanSpec pins the compile now).
+    val vocab = df
+      .withColumns(KRules.VOCAB1.map { case (n, sql) => n -> expr(sql) }.toMap)
+      .withColumns(KRules.VOCAB2.map { case (n, sql) => n -> expr(sql) }.toMap)
+    // ONE standalone projection computes all three consumers directly over
+    // the rule trees: common-subexpression elimination evaluates each rule
+    // once, and the CodegenBarrier on the (trivial) symbol column keeps the
+    // projection OUT of whole-stage fusion — standalone it compiles via
+    // UnsafeProjection's expression splitting into many small JIT-able
+    // methods, where fused the 77 rules exceeded Janino's hard 64 KB
+    // method limit and the stage paid a failed multi-second compile then
+    // ran interpreted (the round-3 5× bench swings).
+    val nFlags = KRules.RULES.map { case (_, sql, _) =>
+      expr(sql).cast("int") }.reduce(_ + _)
+    val strength = KRules.RULES.map { case (_, sql, w) =>
+      when(expr(sql), w).otherwise(0) }.reduce(_ + _)
     val names = concat_ws(",",
-      KRules.RULES.map { case (nm, _, _) => when(col(s"f_$nm"), nm) }: _*)
-    withFlags.withColumn("n_patterns", nFlags)
+      KRules.RULES.map { case (nm, sql, _) => when(expr(sql), nm) }: _*)
+    // the barrier column is also what keeps the n_patterns filter from
+    // being pushed through (and re-expanded inside) this projection
+    vocab.select(
+        graft.functions.CodegenBarrierCol.barrier(col("symbol")).as("symbol"),
+        col("bucket_ts"),
+        names.as("patterns"), nFlags.as("n_patterns"), strength.as("strength"))
       .filter(col("n_patterns") > 0)
-      .select(col("symbol"), col("bucket_ts"),
-        names.as("patterns"), col("n_patterns"), strength.as("strength"))
   }
 
   /** I20b — chart-pattern pack (batch/k_pattern.py:129-213: the
@@ -405,6 +445,10 @@ object Patterns {
          |  ${KRules.RULES.map { case (_, c, w) =>
              s"CASE WHEN $c THEN $w ELSE 0 END" }.mkString(" + ")} AS strength
          |FROM (
+         |  SELECT *, ${KRules.VOCAB2.map { case (n, c) => s"$c AS $n" }.mkString(",\n    ")}
+         |  FROM (
+         |  SELECT *, ${KRules.VOCAB1.map { case (n, c) => s"$c AS $n" }.mkString(",\n    ")}
+         |  FROM (
          |  SELECT symbol, bucket_ts, open, high, low, close,
          |         lag(open) OVER ($W) AS po, lag(close) OVER ($W) AS pc,
          |         lag(high) OVER ($W) AS ph, lag(low) OVER ($W) AS pl,
@@ -418,7 +462,7 @@ object Patterns {
          |  FROM (
          |    SELECT *, list(abs(close - open))
          |        OVER ($W ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS abf
-         |    FROM daily))
+         |    FROM daily))))
          |WHERE o3 IS NOT NULL
          |  AND ${KRules.RULES.map { case (_, c, _) =>
              s"CAST($c AS INT)" }.mkString(" + ")} > 0""".stripMargin),

@@ -127,4 +127,35 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("i20: every whole-stage method compiles AND is small enough to JIT") {
+    // round-3 postmortem: the fused 77-rule projection blew Janino's hard
+    // 64 KB method limit — the stage paid a failed multi-second compile
+    // then ran interpreted, swinging the bench 5× run to run. The fix
+    // plants a CodegenBarrier so the rule battery compiles standalone.
+    // Pin both halves: (a) each remaining whole-stage subtree compiles
+    // (stats != UNAVAILABLE) with every method under the JVM's 8000-byte
+    // JIT ceiling; (b) the rule projection is actually outside fusion.
+    val df = SparkEntry.queries("i20_k_pattern")(spark, sf)
+    df.collect() // finalize THIS queryExecution's AQE stages (a write
+                 // would clone the execution and leave this plan unstaged)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    import org.apache.spark.sql.execution.debug._
+    val stats = codegenStringSeq(finalPlan)
+    assert(stats.nonEmpty, "no whole-stage subtrees found")
+    stats.foreach { case (subtree, _, s) =>
+      assert(s.maxMethodCodeSize > 0,
+        s"whole-stage subtree failed to compile:\n${subtree.take(800)}")
+      assert(s.maxMethodCodeSize <= 8000,
+        s"method of ${s.maxMethodCodeSize} bytes will never JIT:\n${subtree.take(800)}")
+    }
+    val plain = finalPlan.toString.linesIterator
+      .exists(l => l.contains("Project") && l.contains("n_patterns") &&
+        !l.trim.startsWith("*("))
+    assert(plain, "rule-battery projection was fused into whole-stage codegen")
+  }
 }
