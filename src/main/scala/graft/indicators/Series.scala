@@ -63,15 +63,28 @@ object Series {
     */
   private[graft] def latestBars(it: Iterator[Bar], cap: Int): Array[Bar] = {
     val byTs = Ordering.by((b: Bar) => b.bucket_ts)
-    val heap = new java.util.PriorityQueue[Bar](math.min(cap, 1024),
-      byTs)
-    var n = 0
+    // Fast path: plain append while the group is under cap — the
+    // overwhelmingly common case, where per-bar heap maintenance paid
+    // comparator + sift cost on EVERY bar for nothing (the round-3 ~2×
+    // mapSeries regression). The bounded min-heap only takes over at the
+    // moment a group actually crosses cap, preserving the O(cap) memory
+    // bound that keeps a years-deep symbol from OOMing an executor.
+    val buf = new scala.collection.mutable.ArrayBuffer[Bar](1024)
+    var heap: java.util.PriorityQueue[Bar] = null
     while (it.hasNext) {
       val b = it.next()
-      if (n < cap) { heap.add(b); n += 1 }
-      else if (b.bucket_ts > heap.peek().bucket_ts) { heap.poll(); heap.add(b); () }
+      if (heap != null) {
+        if (b.bucket_ts > heap.peek().bucket_ts) { heap.poll(); heap.add(b); () }
+      } else if (buf.length < cap) buf += b
+      else {
+        heap = new java.util.PriorityQueue[Bar](cap + 1, byTs)
+        buf.foreach(heap.add)
+        buf.clear()
+        if (b.bucket_ts > heap.peek().bucket_ts) { heap.poll(); heap.add(b); () }
+      }
     }
-    val bars = heap.toArray(new Array[Bar](n))
+    val bars = if (heap != null) heap.toArray(new Array[Bar](heap.size))
+      else buf.toArray
     java.util.Arrays.sort(bars, byTs)
     bars
   }
