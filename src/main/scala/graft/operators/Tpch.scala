@@ -448,8 +448,9 @@ object Tpch {
 
   /** Exact grouped quantiles (linear interpolation — `percentile` in Spark,
     * `quantile_cont` in DuckDB share the (n-1)·q rank formula). Exact
-    * quantiles sort within the aggregate; at 100 TB swap in
-    * `percentile_approx` (t-digest) — same plan shape, bounded state.
+    * quantiles buffer every value of a group inside the aggregate — fine at
+    * oracle scale, an executor OOM at 100 TB. [[qQuantilesApprox]] is the
+    * production form; this one exists for exact DuckDB parity.
     */
   private val qQuantiles: Q = (s, dir) =>
     Tables.lineitem(s, dir)
@@ -460,6 +461,25 @@ object Tpch {
         (floor(expr("percentile(l_extendedprice, 0.95)") * 1e6 + 0.5) / 1e6)
           .as("p95_price"),
         (floor(expr("percentile(l_quantity, 0.5)") * 1e6 + 0.5) / 1e6)
+          .as("p50_qty"),
+        count(lit(1)).as("n"))
+
+  /** The scale-safe twin of [[qQuantiles]]: `percentile_approx`
+    * (Greenwald-Khanna, bounded sketch state per group, map-side partial
+    * merge) — the form a 100 TB job registers. No DuckDB oracle: sketch
+    * implementations differ across engines, so the driver applies the
+    * rows+schema gate and TpchQuantileSpec pins the approx values against
+    * the exact aggregate within the sketch's rank-error bound.
+    */
+  private val qQuantilesApprox: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (floor(expr("percentile_approx(l_extendedprice, 0.5, 10000)") * 1e6 + 0.5) / 1e6)
+          .as("p50_price"),
+        (floor(expr("percentile_approx(l_extendedprice, 0.95, 10000)") * 1e6 + 0.5) / 1e6)
+          .as("p95_price"),
+        (floor(expr("percentile_approx(l_quantity, 0.5, 10000)") * 1e6 + 0.5) / 1e6)
           .as("p50_qty"),
         count(lit(1)).as("n"))
 
@@ -487,7 +507,8 @@ object Tpch {
     "h21_waiting_supplier" -> q21,
     "h22_idle_customers" -> q22,
     "h23_rollup_agg" -> qRollup,
-    "h24_group_quantiles" -> qQuantiles)
+    "h24_group_quantiles" -> qQuantiles,
+    "h24b_group_quantiles_approx" -> qQuantilesApprox)
 
   val oracle: Map[String, String] = Map(
     "h01_pricing_summary" ->

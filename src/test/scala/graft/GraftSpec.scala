@@ -241,6 +241,25 @@ class MartSpec extends AnyFunSuite {
     assert(got.count() == 2)
   }
 
+  test("h24b approx quantiles track the exact aggregate within sketch error") {
+    // the approx twin is the 100 TB form (bounded sketch state); no DuckDB
+    // oracle exists for a Greenwald-Khanna sketch, so pin it here against
+    // the exact percentile instead. Accuracy 10000 ⇒ rank error ≤ 1e-4;
+    // on sf0.001's value distributions that is well under 1% in value.
+    val exact = SparkEntry.queries("h24_group_quantiles")(spark, TestSession.sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = SparkEntry.queries("h24b_group_quantiles_approx")(spark, TestSession.sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, a) <- approx; e = exact(k); i <- 1 to 3) {
+      val (av, ev) = (a.getDouble(i), e.getDouble(i))
+      assert(math.abs(av - ev) <= 0.01 * math.abs(ev),
+        s"$k col $i: approx $av vs exact $ev")
+    }
+    for ((k, a) <- approx)
+      assert(a.getLong(4) == exact(k).getLong(4), s"$k count mismatch")
+  }
+
   test("every indicator query has a registry table name") {
     val iKeys = SparkEntry.queries.keySet.filter(_.startsWith("i"))
       .filterNot(Set("i19_pivot_points", "i34_tail_streak")) // §2.3 primitives, not mart tables
