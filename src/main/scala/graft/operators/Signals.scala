@@ -40,6 +40,14 @@ object Signals {
   final case class RangeEnter(field: String, min: Double, max: Double) extends Condition
   /** base.py:124-132 */
   final case class RangeExit(field: String, min: Double, max: Double) extends Condition
+  /** base.py:134-148 CUSTOM — the escape hatch: the reference accepts an
+    * arbitrary Python predicate over (prev, curr); the Spark-DSL
+    * equivalent is an arbitrary boolean [[Column]] over the base frame
+    * (current fields by name, lagged as `prev_<field>`, `has_prev` gate).
+    * `sql` is the DuckDB twin the oracle splices — library users who don't
+    * run the oracle harness can leave it empty.
+    */
+  final case class Custom(cond: Column, sql: String = "") extends Condition
 
   final case class SignalRule(name: String, direction: String, strength: Int,
     condition: Condition, cooldownSec: Long = 600L)
@@ -71,6 +79,7 @@ object Signals {
       case RangeExit(f, lo, hi) =>
         hasPrev && (z(prev(f)) >= lo && z(prev(f)) <= hi) &&
           !(z(cur(f)) >= lo && z(cur(f)) <= hi)
+      case Custom(cond, _) => cond
     }
   }
 
@@ -90,7 +99,17 @@ object Signals {
     SignalRule("balance_exit", "ALERT", 40, RangeExit("taker_ratio", 0.45, 0.55)),
     SignalRule("activity_jump", "ALERT", 55,
       StateChange("activity", Seq("normal", "low"), Seq("high"))),
-    SignalRule("activity_high", "ALERT", 10, Contains("activity", Seq("igh"))))
+    SignalRule("activity_high", "ALERT", 10, Contains("activity", Seq("igh"))),
+    // the CUSTOM escape hatch exercised in the registered corpus: price up
+    // while participation thins — not expressible as any single built-in
+    // condition type (the point of base.py's lambda)
+    SignalRule("thin_rally", "ALERT", 50, Custom(
+      col("has_prev") &&
+        coalesce(col("close"), lit(0.0)) > coalesce(col("prev_close"), lit(0.0)) &&
+        coalesce(col("vol_ratio"), lit(0.0)) <
+          coalesce(col("prev_vol_ratio"), lit(0.0)) - lit(0.5),
+      "has_prev AND coalesce(close, 0.0) > coalesce(prev_close, 0.0)" +
+        " AND coalesce(vol_ratio, 0.0) < coalesce(prev_vol_ratio, 0.0) - 0.5")))
 
   /** Candle frame + derived fields + one lag pass; the input every rule
     * evaluates against.
@@ -237,6 +256,9 @@ object Signals {
         s"has_prev AND NOT (${pz(f)} >= $lo AND ${pz(f)} <= $hi) AND (${z(f)} >= $lo AND ${z(f)} <= $hi)"
       case RangeExit(f, lo, hi) =>
         s"has_prev AND (${pz(f)} >= $lo AND ${pz(f)} <= $hi) AND NOT (${z(f)} >= $lo AND ${z(f)} <= $hi)"
+      case Custom(_, sql) =>
+        require(sql.nonEmpty, "Custom condition in the oracle corpus needs its SQL twin")
+        sql
     }
   }
 

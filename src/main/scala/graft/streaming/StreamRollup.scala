@@ -137,27 +137,63 @@ object StreamRollup {
     * state; per-key volume is one long — state size is #(symbol, rule),
     * thousands of entries at reference scale.
     */
+  /** [[Signals.Fired]] + the watermark column: the event-time attribute
+    * must flow INTO the stateful operator for event-time timeouts.
+    */
+  /* not `private`: the codegen'd row (de)serializer is a separate class
+   * and cannot access a JVM-private nested type */
+  private[graft] final case class FiredWm(symbol: String, bucket_ts: Long,
+    rule: String, direction: String, strength: Int,
+    event_time: java.sql.Timestamp)
+
   def cooldownStream(fired: Dataset[Signals.Fired],
       cooldownSec: Long): Dataset[Signals.Fired] = {
     implicit val encOut: Encoder[Signals.Fired] = Encoders.product[Signals.Fired]
+    implicit val encWm: Encoder[FiredWm] = Encoders.product[FiredWm]
     implicit val encKey: Encoder[(String, String)] =
       Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val encState: Encoder[Long] = Encoders.scalaLong
-    fired
+    // the watermark paces state eviction with EVENT time: a processing-time
+    // timeout would make the query run continuous empty batches (and hang
+    // processAllAvailable in tests); event-time timeouts only fire when
+    // data advances the watermark, and the eviction bound is exact in the
+    // signal clock the cooldown itself uses
+    val withWm = fired
+      .withColumn("event_time", timestamp_seconds(col("bucket_ts")))
+      .withWatermark("event_time", "1 second")
+      .as[FiredWm]
+    withWm
       .groupByKey(f => (f.symbol, f.rule))
       .flatMapGroupsWithState[Long, Signals.Fired](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
-        val fs = it.toArray.sortBy(_.bucket_ts)
-        var last = state.getOption.getOrElse(Long.MinValue)
-        val out = Seq.newBuilder[Signals.Fired]
-        fs.foreach { f =>
-          if (last == Long.MinValue || f.bucket_ts >= last + cooldownSec) {
-            out += f
-            last = f.bucket_ts
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (_, it, state) =>
+        // state hygiene (pg_engine.py:655-665 `_cleanup_cooldowns`): once
+        // the watermark passes last-emit + 2× cooldown, any future event is
+        // past the suppression window anyway, so evicting the entry cannot
+        // change emissions — state size stays #ACTIVE (symbol, rule) pairs
+        // instead of ever-seen pairs.
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val fs = it.toArray.sortBy(_.bucket_ts)
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[Signals.Fired]
+          fs.foreach { f =>
+            if (last == Long.MinValue || f.bucket_ts >= last + cooldownSec) {
+              out += Signals.Fired(f.symbol, f.bucket_ts, f.rule,
+                f.direction, f.strength)
+              last = f.bucket_ts
+            }
           }
+          if (last != Long.MinValue) {
+            state.update(last)
+            // clamp above the current watermark: a key whose last emit is
+            // already deep in the past would otherwise request a timeout
+            // behind the watermark, which Spark rejects
+            state.setTimeoutTimestamp(math.max(
+              (last + 2 * cooldownSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1000L))
+          }
+          out.result().iterator
         }
-        if (last != Long.MinValue) state.update(last)
-        out.result().iterator
       }
   }
 }

@@ -270,20 +270,53 @@ class StreamingSpec extends AnyFunSuite {
     import graft.operators.Signals.Fired
     val enc = org.apache.spark.sql.Encoders.product[Fired]
     val input = MemoryStream[Fired](enc, s)
-    def f(ts: Long) = Fired("S1", ts, "price_surge", "up", 2)
+    // realistic epochs: ts=0 would sit ON the initial watermark boundary
+    // and be dropped as late by the stateful operator's event-time filter
+    val b = 1700000000L
+    def f(ts: Long) = Fired("S1", b + ts, "price_surge", "up", 2)
 
     val q = StreamRollup.cooldownStream(input.toDS(), 600L)
       .writeStream.format("memory").queryName("cooled").outputMode("append").start()
     try {
-      // batch 1: 0 emits, 300 inside cooldown
+      // batch 1: +0 emits, +300 inside cooldown
       input.addData(f(0), f(300))
       q.processAllAvailable()
-      // batch 2: 600 emits ONLY because last-emit=0 survived in the state
-      // store; 900 suppressed; 1200 emits
+      // batch 2: +600 emits ONLY because last-emit=+0 survived in the state
+      // store; +900 suppressed; +1200 emits
       input.addData(f(600), f(900), f(1200))
       q.processAllAvailable()
       val got = s.table("cooled").collect().map(_.getAs[Long]("bucket_ts")).toSet
-      assert(got == Set(0L, 600L, 1200L), s"got $got")
+      assert(got == Set(b, b + 600L, b + 1200L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming cooldown over the replayed corpus equals batch g02") {
+    // the reference's production loop replayed: the corpus's fired signals
+    // arrive time-ordered across three micro-batches; the state store must
+    // make the stream emit EXACTLY the batch g02 rows (same greedy scan,
+    // state carried across batches instead of within one sort).
+    val s = spark
+    import graft.operators.Signals.Fired
+    implicit val enc: org.apache.spark.sql.Encoder[Fired] =
+      org.apache.spark.sql.Encoders.product[Fired]
+    val firedRows = SparkEntry.queries("g01_signal_rules")(s, TestSession.sf)
+      .as[Fired].collect().sortBy(_.bucket_ts)
+    assert(firedRows.nonEmpty)
+    val input = MemoryStream[Fired](enc, s)
+    val q = StreamRollup.cooldownStream(input.toDS(), 600L)
+      .writeStream.format("memory").queryName("cooled_corpus")
+      .outputMode("append").start()
+    try {
+      firedRows.grouped(firedRows.length / 3 + 1).foreach { b =>
+        input.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+      val got = s.table("cooled_corpus").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val expect = SparkEntry.queries("g02_signal_cooldown")(s, TestSession.sf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == expect,
+        s"stream minus batch: ${(got -- expect).take(5)}; batch minus stream: ${(expect -- got).take(5)}")
     } finally q.stop()
   }
 }
