@@ -42,6 +42,7 @@ object SparkEntry {
       operators.Events.queries ++
       operators.Signals.queries ++
       operators.Maintenance.queries ++
+      operators.Cycle.queries ++
       functions.EwmaWindow.queries ++
       indicators.Rolling.queries ++
       indicators.Ewma.queries ++

@@ -105,9 +105,24 @@ object Tables {
     * result can be persisted bucketed by symbol for reuse by every
     * downstream per-symbol window operator without further shuffles.
     */
+  /** Interval-frame override for the full-cycle job
+    * ([[graft.operators.Cycle]]): the reference evaluates the SAME
+    * indicator code against each interval's candle frame
+    * (simple_scheduler.py:47, core/engine.py:164-191); here every
+    * indicator's single entry point is [[candles]], so the cycle swaps the
+    * frame under it while the plans are CONSTRUCTED (DataFrames are lazy —
+    * the thread-local only needs to live for plan building).
+    */
+  private val candleOverride = new ThreadLocal[DataFrame]()
+  def withCandleFrame[T](frame: DataFrame)(build: => T): T = {
+    candleOverride.set(frame)
+    try build finally candleOverride.remove()
+  }
+
   def candles(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "candles", Seq("symbol", "bucket_ts"))(
-      candlesDerived(spark, dir))
+    Option(candleOverride.get).getOrElse(
+      materialized(spark, dir, "candles", Seq("symbol", "bucket_ts"))(
+        candlesDerived(spark, dir)))
 
   /** The raw events→candles derivation (see [[candles]] for the stored
     * layout every query actually reads).

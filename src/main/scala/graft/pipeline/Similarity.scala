@@ -134,6 +134,17 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Corpus row count, memoized per directory: a parquet-metadata count is
+    * cheap once, but at 100 TB with many files it is a per-query footer
+    * scan — pay it a single time per corpus like `Tables.matCache` does for
+    * materializations.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    countCache.computeIfAbsent(dir,
+      _ => Tables.embeddings(s, dir).count()).longValue()
+
   /** Corpus bucketed at the scale-appropriate plane count, with the
     * multi-probe list attached. One parquet scan, row-local kernels.
     */
@@ -141,8 +152,7 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n", norm(col("e")))
-    // metadata-scale action: parquet row-group counts, no data read
-    val p = planesFor(Tables.embeddings(s, dir).count())
+    val p = planesFor(corpusCount(s, dir))
     (emb.withColumn("bucket", bucketOf(col("e"), p)), p)
   }
 
@@ -210,9 +220,8 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n", norm(col("e")))
-    // metadata-scale action (row-group counts); stride keeps C constant
-    val stride = math.max(1L,
-      Tables.embeddings(s, dir).count() / IvfCentroids)
+    // cached corpus count (see corpusCount); stride keeps C constant
+    val stride = math.max(1L, corpusCount(s, dir) / IvfCentroids)
     val cent = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("n").as("cn"))
     val wAssign = Window.partitionBy("vec_id")

@@ -32,6 +32,10 @@ class KRulesSpec extends AnyFunSuite {
     val cols = m.keys.toSeq
     Seq(cols.map(m)).map(v => (v(0), v)).toDF("_x", "vs")
       .selectExpr(cols.zipWithIndex.map { case (c, i) => s"vs[$i] AS $c" }: _*)
+      // same two hoisted-vocabulary stages the battery applies
+      // (Patterns.scala) — rules reference these columns, not the macros
+      .withColumns(KRules.VOCAB1.map { case (n, e) => n -> expr(e) }.toMap)
+      .withColumns(KRules.VOCAB2.map { case (n, e) => n -> expr(e) }.toMap)
       .select(expr(rule(name)).as("f"))
       .head.getBoolean(0)
   }
