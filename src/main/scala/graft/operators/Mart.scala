@@ -77,6 +77,20 @@ object Mart {
     ()
   }
 
+  /** Filesystem name for a mart table directory. The reference's table
+    * names are Chinese SQLite identifiers (base.py:79-125); on a
+    * filesystem store the directory name must survive any JVM locale
+    * (a non-UTF-8 `sun.jnu.encoding` rejects raw CJK paths), so non-ASCII
+    * names are percent-encoded on disk and decoded on listing
+    * ([[tableName]]). ASCII names round-trip unchanged.
+    */
+  def tableDirName(table: String): String =
+    java.net.URLEncoder.encode(table, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Inverse of [[tableDirName]]. */
+  def tableName(dirName: String): String =
+    java.net.URLDecoder.decode(dirName, java.nio.charset.StandardCharsets.UTF_8)
+
   /** Query key → reference registry table name (indicators/base.py:79-125;
     * the lean-indicator set registers under ASCII names).
     */
