@@ -139,11 +139,61 @@ object Curation {
           col("n_shingles").cast("double"), 6).as("contamination"))
   }
 
+  /** c02 — bloom-filter decontamination: same answer as c01, produced the
+    * way a 100 TB run does it. The benchmark shingle set folds into ONE
+    * Bloom sketch (native Catalyst `BloomFilterAggregate` — a few MB for
+    * an eval suite, vs broadcasting the full shingle table); the corpus
+    * explosion then drops non-matching shingles ROW-LOCALLY
+    * (`BloomFilterMightContain` on xxhash64, codegen'd, no join) before
+    * the exact verify join — whose build side is bench-sized and whose
+    * probe side is now only the shingles that might hit. Bloom false
+    * positives die in the verify join, so the output is exactly c01's and
+    * shares its oracle. This is Spark's own runtime-filter machinery
+    * (InjectRuntimeFilter) applied as an explicit operator.
+    */
+  private val bloomDecontam: Q = (s, dir) => {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val tk = split(col("text"), " ")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), size(tk) - 3),
+      i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
+    val docSh = Tables.documents(s, dir)
+      .filter(size(tk) >= 3)
+      .select(col("doc_id"), shingles.as("ss"))
+      .withColumn("n_shingles", size(col("ss")))
+      .persist()
+    val ex = docSh.select(col("doc_id"), explode(col("ss")).as("s"),
+      col("n_shingles"))
+    val bench = ex.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_doc"), col("s"))
+    val sketch = bench.select(GraftBridge.column(
+        new BloomFilterAggregate(
+          GraftBridge.expression(xxhash64(col("s"))), 1000000L)
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val corpus = ex.filter(col("doc_id") % 97 =!= 0)
+      .filter(GraftBridge.column(BloomFilterMightContain(
+        GraftBridge.expression(lit(sketch)),
+        GraftBridge.expression(xxhash64(col("s"))))))
+      .select(col("doc_id").as("corpus_doc"), col("s"), col("n_shingles"))
+    corpus.join(broadcast(bench), "s")
+      .groupBy(col("corpus_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("n_shingles")).as("n_shingles"))
+      .filter(col("n_shared") >= 2)
+      .select(col("corpus_doc"), col("bench_doc"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          col("n_shingles").cast("double"), 6).as("contamination"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_pack_chunks" -> packChunks,
     "p02_stratified_sample" -> stratifiedSample,
     "p03_mix_rebalance" -> mixRebalance,
-    "c01_contamination" -> contamination)
+    "c01_contamination" -> contamination,
+    "c02_bloom_decontam" -> bloomDecontam)
 
   val oracle: Map[String, String] = Map(
     "p01_pack_chunks" ->
@@ -198,23 +248,28 @@ object Curation {
         |SELECT doc_id, ranked.source, target_w, sample_rank, quota, avail
         |FROM ranked JOIN quotas ON ranked.source = quotas.source
         |WHERE sample_rank <= quota""".stripMargin,
-    "c01_contamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(t) - 1),
-        |      i -> array_to_string(t[i:i+2], ' '))) AS ss
-        |  FROM toks WHERE len(t) >= 3),
-        |ex AS (
-        |  SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_shingles, unnest(ss) AS s
-        |  FROM sh)
-        |SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
-        |  CAST(count(*) AS BIGINT) AS n_shared,
-        |  round(CAST(count(*) AS DOUBLE) / CAST(max(c.n_shingles) AS DOUBLE), 6)
-        |    AS contamination
-        |FROM (SELECT * FROM ex WHERE doc_id % 97 <> 0) c
-        |JOIN (SELECT * FROM ex WHERE doc_id % 97 = 0) b ON c.s = b.s
-        |GROUP BY 1, 2
-        |HAVING count(*) >= 2""".stripMargin)
+    "c01_contamination" -> DECONTAM_SQL,
+    // c02 is the same relation computed through a Bloom prefilter; false
+    // positives are removed by the exact verify join, so one oracle fits both
+    "c02_bloom_decontam" -> DECONTAM_SQL)
+
+  private lazy val DECONTAM_SQL: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS ss
+      |  FROM toks WHERE len(t) >= 3),
+      |ex AS (
+      |  SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_shingles, unnest(ss) AS s
+      |  FROM sh)
+      |SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
+      |  CAST(count(*) AS BIGINT) AS n_shared,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(max(c.n_shingles) AS DOUBLE), 6)
+      |    AS contamination
+      |FROM (SELECT * FROM ex WHERE doc_id % 97 <> 0) c
+      |JOIN (SELECT * FROM ex WHERE doc_id % 97 = 0) b ON c.s = b.s
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 2""".stripMargin
 }

@@ -340,13 +340,53 @@ object Dedup {
         col("n_len"), col("survivor"))
   }
 
+  /** D7 — line-level exact dedup (the CCNet/RefinedWeb pass: drop every
+    * line already seen earlier in the corpus, first occurrence wins, then
+    * reassemble documents from their surviving lines). The synthetic corpus
+    * is newline-free, so the line structure is recovered deterministically
+    * first — each doc is cut into 12-token lines — and the clone union
+    * guarantees heavy cross-document line sharing for the pass to remove.
+    *
+    * Scale shape: one explode → one window keyed on the line (THE dedup
+    * shuffle; a 100 TB run keys it on xxhash64(line) — same cardinality,
+    * 8-byte keys) → one per-doc regroup, which co-partitions with the
+    * corpus's own doc layout. No joins, no candidate generation; linear in
+    * total line count at any corpus size.
+    */
+  private val lineDedup: Q = (s, dir) => {
+    val tk = split(col("text"), " ")
+    val lines = transform(
+      sequence(lit(0L), floor((size(tk) + 11) / lit(12)).cast("long") - 1),
+      i => concat_ws(" ", slice(tk, i.cast("int") * 12 + 1, lit(12))))
+    // doc-level projection persisted: the barrier keeps n_lines from being
+    // recomputed per exploded row (the d02/c01 Generate-hoist lesson)
+    val chunked = withClones(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), lines.as("lines"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .persist()
+    val ln = chunked.select(col("doc_id"), col("n_lines"),
+      posexplode(col("lines")).as(Seq("line_no", "line")))
+    val w = Window.partitionBy(col("line"))
+      .orderBy(col("doc_id"), col("line_no"))
+    ln.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"), col("n_lines"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line")), "\n").as("kept_text"))
+      .withColumn("is_trimmed", (col("n_kept") < col("n_lines")).cast("int"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> exact,
     "d02_dedup_ngram_jaccard" -> ngramJaccard,
     "d03_dedup_minhash_lsh" -> minhashLsh,
     "d04_dedup_simhash" -> simhash,
     "d05_dedup_components" -> components,
-    "d06_dedup_survivors" -> survivors)
+    "d06_dedup_survivors" -> survivors,
+    "d07_line_dedup" -> lineDedup)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -375,6 +415,30 @@ object Dedup {
          |FROM lab l
          |JOIN (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM lab GROUP BY canonical) s USING (canonical)""".stripMargin,
+    "d07_line_dedup" ->
+      s"""WITH $CLONES_SQL,
+         |docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM uni WHERE len(text) >= 8),
+         |chunked AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, (len(t) + 11) // 12),
+         |      i -> array_to_string(t[i*12+1 : i*12+12], ' ')) AS lines
+         |  FROM docs),
+         |ln AS (
+         |  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         |    unnest(lines) AS line,
+         |    generate_subscripts(lines, 1) AS line_no
+         |  FROM chunked),
+         |kept AS (
+         |  SELECT doc_id, n_lines, line, line_no,
+         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+         |  FROM ln)
+         |SELECT doc_id, n_lines, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(line, chr(10) ORDER BY line_no) AS kept_text,
+         |  CAST(count(*) < n_lines AS INT) AS is_trimmed
+         |FROM kept WHERE rn = 1
+         |GROUP BY doc_id, n_lines""".stripMargin,
     "d06_dedup_survivors" ->
       s"""WITH RECURSIVE $CLONES_SQL,
          |$D02_CTES,

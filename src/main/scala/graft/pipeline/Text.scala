@@ -139,12 +139,50 @@ object Text {
         dupFrac(col("tg")).as("dup_trigram_frac"))
   }
 
+  /** T6 — Gopher-style quality gate (the rule family from the Gopher /
+    * MassiveText filtering recipe, restated on word streams): word-count
+    * bounds, mean word length band, alphabetic-word fraction, symbol
+    * ratio, and required-stopword presence, folded into one pass/fail
+    * flag. Every feature is an exact integer ratio, so the cross-engine
+    * boolean agrees bit-for-bit (no rounding-boundary flips). Row-local —
+    * one scan, zero shuffle at any corpus size.
+    */
+  private val gopher: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+    val nD = nullif(col("n_words").cast("double"), lit(0.0))
+    val sumLen = aggregate(transform(col("tk"), t => length(t)), lit(0),
+      (a, x) => a + x)
+    d.withColumn("mean_word_len", sumLen.cast("double") / nD)
+      .withColumn("alpha_word_frac",
+        size(filter(col("tk"), t => t.rlike("[A-Za-z]"))).cast("double") / nD)
+      .withColumn("symbol_ratio",
+        (length(col("text")) -
+          length(translate(col("text"), "#…", ""))).cast("double") / nD)
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(col("tk")),
+          array(stop("en").map(lit): _*))).cast("long"))
+      .withColumn("gopher_pass",
+        (col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_word_frac") > 0.8 &&
+          col("symbol_ratio") < 0.1 &&
+          col("stop_hits") >= 2).cast("int"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
+        round(col("symbol_ratio"), 6).as("symbol_ratio"),
+        col("stop_hits"), col("gopher_pass"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> langid,
     "t02_quality_score" -> quality,
     "t03_token_stats" -> tokenStats,
     "t04_fingerprint" -> fingerprint,
-    "t05_repetition" -> repetition)
+    "t05_repetition" -> repetition,
+    "t06_gopher_rules" -> gopher)
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -228,6 +266,37 @@ object Text {
         |      CAST(len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE))
         |      * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS dup_trigram_frac
         |FROM tri""".stripMargin,
+    "t06_gopher_rules" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_prepend(0,
+         |        list_transform(string_split(text, ' '), t -> len(t))),
+         |        (a, x) -> a + x) AS DOUBLE) /
+         |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)
+         |      AS mean_word_len,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) /
+         |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)
+         |      AS alpha_word_frac,
+         |    CAST(len(text) - len(replace(replace(text, '#', ''), '…', ''))
+         |        AS DOUBLE) /
+         |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)
+         |      AS symbol_ratio,
+         |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+         |        [${inList(stop("en"))}])) AS BIGINT) AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words,
+         |  round(mean_word_len, 6) AS mean_word_len,
+         |  round(alpha_word_frac, 6) AS alpha_word_frac,
+         |  round(symbol_ratio, 6) AS symbol_ratio,
+         |  stop_hits,
+         |  CAST(n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND alpha_word_frac > 0.8
+         |    AND symbol_ratio < 0.1
+         |    AND stop_hits >= 2 AS INT) AS gopher_pass
+         |FROM feat""".stripMargin,
     "t04_fingerprint" ->
       """WITH fps AS (
         |  SELECT doc_id,

@@ -167,6 +167,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipeline.Dedup.queries("d06_dedup_survivors")(spark, tinyDir).count() == 0)
   }
 
+  test("d07 line dedup: first occurrence wins across and within documents") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lines").toString
+    val session = spark
+    import session.implicits._
+    // 12-token lines by construction; ids avoid %3==0 so withClones is a no-op
+    val lineA = (1 to 12).map(i => f"alpha$i%02d").mkString(" ")
+    val lineB = (13 to 24).map(i => f"alpha$i%02d").mkString(" ")
+    val lineX = (13 to 24).map(i => f"beta$i%02d").mkString(" ")
+    val lineY = (1 to 12).map(i => f"gamma$i%02d").mkString(" ")
+    Seq(
+      (1L, s"$lineA $lineB", "en", "web"),   // both lines novel → untouched
+      (2L, s"$lineA $lineX", "en", "web"),   // first line already seen → trimmed
+      (4L, lineA, "en", "web"),              // only line is a dup → doc drops
+      (5L, s"$lineY $lineY", "en", "web"))   // within-doc duplicate line
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Dedup.queries("d07_line_dedup")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4))).toMap
+    assert(out(1L) == (2L, 2L, s"$lineA\n$lineB", 0))
+    assert(out(2L) == (2L, 1L, lineX, 1))
+    assert(!out.contains(4L), "doc whose every line is a dup must drop")
+    assert(out(5L) == (2L, 1L, lineY, 1))
+  }
+
+  test("t06 gopher gate flips on the word-count boundary") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    val session = spark
+    import session.implicits._
+    // 4-letter words keep mean_word_len in band; 'the'/'and' cover stop_hits
+    def words(n: Int) = (Seq("the", "and") ++
+      (1 to n - 2).map(i => f"wrd$i%04d".take(7))).mkString(" ")
+    Seq((1L, words(50), "en", "web"), (2L, words(49), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Text.queries("t06_gopher_rules")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(out(1L) == 1, "50-word doc must pass the Gopher gate")
+    assert(out(2L) == 0, "49-word doc must fail the word-count rule")
+  }
+
+  test("c02 bloom decontamination returns exactly c01's relation") {
+    val c01 = pipeline.Curation.queries("c01_contamination")(spark, sf)
+    val c02 = pipeline.Curation.queries("c02_bloom_decontam")(spark, sf)
+    assert(c01.exceptAll(c02).count() == 0)
+    assert(c02.exceptAll(c01).count() == 0)
+    assert(c02.count() > 0)
+  }
+
   test("multimodal decode features match direct byte arithmetic") {
     val row = pipeline.Multimodal.queries("m01_multimodal_decode")(spark, sf)
       .filter(col("doc_id") === 0).head
