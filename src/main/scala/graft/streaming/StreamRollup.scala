@@ -129,6 +129,24 @@ object StreamRollup {
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** d01 on a stream: exact content dedup with BOUNDED state via
+    * `dropDuplicatesWithinWatermark` keyed on the content digest. The
+    * state store holds one digest per document seen inside the lateness
+    * horizon and the watermark evicts older entries, so state is
+    * O(arrival rate × horizon) — never O(corpus) — at any scale; the
+    * batch d01 pass stays the ground truth over full history, the same
+    * stream-freshness / batch-truth split as the roll-up path. First
+    * arrival wins, matching d01's min-doc_id canonical when the stream
+    * replays in doc order. Input needs an `ingest_ts` (epoch seconds)
+    * event-time column.
+    */
+  def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_seconds(col("ingest_ts")))
+      .withWatermark("event_time", horizon)
+      .withColumn("digest", md5(col("text")))
+      .dropDuplicatesWithinWatermark("digest")
+
   /** §2.5 cooldown on a stream of fired signals: per-(symbol, rule) the
     * last-EMITTED timestamp lives in the state store and survives across
     * micro-batches (the reference keeps it in `signal_cooldowns`,

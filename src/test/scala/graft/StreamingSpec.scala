@@ -12,6 +12,8 @@ case class C1m(symbol: String, bucket_ts: Long, open: Double, high: Double,
 
 case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
 
+case class Doc(doc_id: Long, text: String, ingest_ts: Long)
+
 /** §2.7 — the streaming 1m→5m roll-up must agree with the batch roll-up on
   * the same rows, and the foreachBatch upsert must reproduce the reference's
   * field-level merge across micro-batches.
@@ -317,6 +319,33 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
       assert(got == expect,
         s"stream minus batch: ${(got -- expect).take(5)}; batch minus stream: ${(expect -- got).take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops cross-batch duplicates, first arrival wins") {
+    val s = spark
+    import s.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[Doc] =
+      org.apache.spark.sql.Encoders.product[Doc]
+    val t0 = 1700000000L
+    val input = MemoryStream[Doc](enc, s)
+    val q = StreamRollup.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Doc(1L, "alpha beta gamma", t0),
+        Doc(2L, "delta epsilon zeta", t0 + 10)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Doc(3L, "alpha beta gamma", t0 + 60),   // dup of doc 1, later batch
+        Doc(4L, "eta theta iota", t0 + 70),
+        Doc(4L, "eta theta iota", t0 + 70)))    // dup within the batch
+      q.processAllAvailable()
+      val kept = s.table("dedup_stream").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 4L),
+        s"first arrival must win across and within micro-batches, got $kept")
     } finally q.stop()
   }
 }
