@@ -125,6 +125,46 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** xxhash64 of each distinct `n`-TOKEN shingle (tokens = split on the
+    * single space, SQL `split(text, " ")` semantics including empty tokens
+    * from consecutive spaces), SORTED ascending. The shingle string
+    * `concat_ws(" ", slice(tk, i, n))` is exactly the byte window from
+    * token i's start to token i+n-1's end, so each hash is one zero-copy
+    * window hash — equal to `xxhash64` of the reconstructed string, no
+    * string is ever built. Null when the text has fewer than n tokens.
+    */
+  def hashedWordShingles(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token start offsets: 0 and every position after a space
+    var t = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') t += 1; i += 1 }
+    if (t < n) return null
+    val starts = new Array[Int](t + 1)
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(t) = len + 1 // sentinel: "start" just past a virtual trailing space
+    val seen = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    while (i <= t - n) {
+      val from = starts(i)
+      val until = starts(i + n) - 1 // end of token i+n-1
+      seen.add(hashAt(bytes, from, until - from))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** |A ∩ B| for two ascending-sorted long arrays: one merge walk, no
     * allocation — safe to re-evaluate inside a join condition, where
     * Catalyst offers no subexpression elimination and `array_intersect`
@@ -219,6 +259,25 @@ case class HashedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `hashed_word_shingles(text, n)` — xxhash64 of each distinct n-token
+  * shingle, sorted; null for texts with fewer than n tokens.
+  */
+case class HashedWordShingles(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hashed_word_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.hashedWordShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextHash.hashedWordShingles($c, $n);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): HashedWordShingles =
+    copy(child = newChild)
+}
+
 /** `sorted_intersect_count(a, b)` — |A ∩ B| of two sorted long arrays. */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -245,6 +304,8 @@ object TextHashCols {
     GraftBridge.column(MinHashSig(GraftBridge.expression(c)))
   def hashedShingles(c: Column, n: Int): Column =
     GraftBridge.column(HashedShingles(GraftBridge.expression(c), n))
+  def hashedWordShingles(c: Column, n: Int): Column =
+    GraftBridge.column(HashedWordShingles(GraftBridge.expression(c), n))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -109,18 +109,20 @@ object Curation {
     * corpus beyond the final per-pair count.
     */
   private val contamination: Q = (s, dir) => {
-    val tk = split(col("text"), " ")
-    val shingles = array_distinct(transform(
-      sequence(lit(0), size(tk) - 3),
-      i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
+    import graft.functions.TextHashCols.hashedWordShingles
+    // 3-token shingles carried as 8-byte xxhash64 keys from the codegen'd
+    // one-pass kernel (functions/TextHash.hashedWordShingles) — no string
+    // is ever rebuilt and the explode + broadcast join move Longs. Join
+    // semantics are identical modulo 64-bit collisions (~1e-7 at corpus
+    // scale, the d02 inverted-index argument).
     // Doc-level projection computed ONCE per doc, persist as the optimizer
     // barrier (the d02 lesson, Dedup.scala:77-88): without it Catalyst
     // hoists any column that must survive the explode (n_shingles) into
     // the Project ABOVE the Generate and re-evaluates the whole shingle
-    // lambda chain once per exploded row — measured 135 s vs 1 s at sf0.1.
+    // kernel once per exploded row — measured 135 s vs 1 s at sf0.1.
     val docSh = Tables.documents(s, dir)
-      .filter(size(tk) >= 3)
-      .select(col("doc_id"), shingles.as("ss"))
+      .select(col("doc_id"), hashedWordShingles(col("text"), 3).as("ss"))
+      .filter(col("ss").isNotNull)
       .withColumn("n_shingles", size(col("ss")))
       .persist()
     val ex = docSh.select(col("doc_id"), explode(col("ss")).as("s"),
@@ -155,13 +157,10 @@ object Curation {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val tk = split(col("text"), " ")
-    val shingles = array_distinct(transform(
-      sequence(lit(0), size(tk) - 3),
-      i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
+    import graft.functions.TextHashCols.hashedWordShingles
     val docSh = Tables.documents(s, dir)
-      .filter(size(tk) >= 3)
-      .select(col("doc_id"), shingles.as("ss"))
+      .select(col("doc_id"), hashedWordShingles(col("text"), 3).as("ss"))
+      .filter(col("ss").isNotNull)
       .withColumn("n_shingles", size(col("ss")))
       .persist()
     val ex = docSh.select(col("doc_id"), explode(col("ss")).as("s"),
@@ -170,13 +169,13 @@ object Curation {
       .select(col("doc_id").as("bench_doc"), col("s"))
     val sketch = bench.select(GraftBridge.column(
         new BloomFilterAggregate(
-          GraftBridge.expression(xxhash64(col("s"))), 1000000L)
+          GraftBridge.expression(col("s")), 1000000L)
           .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
     val corpus = ex.filter(col("doc_id") % 97 =!= 0)
       .filter(GraftBridge.column(BloomFilterMightContain(
         GraftBridge.expression(lit(sketch)),
-        GraftBridge.expression(xxhash64(col("s"))))))
+        GraftBridge.expression(col("s")))))
       .select(col("doc_id").as("corpus_doc"), col("s"), col("n_shingles"))
     corpus.join(broadcast(bench), "s")
       .groupBy(col("corpus_doc"), col("bench_doc"))
