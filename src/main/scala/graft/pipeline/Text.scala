@@ -176,13 +176,35 @@ object Text {
         col("stop_hits"), col("gopher_pass"))
   }
 
+  /** T7 — corpus vocabulary: global token frequencies, top 100 by count
+    * (ties by token), with corpus share and rank — the vocabulary /
+    * tokenizer-prep step of a training pipeline. One explode + one hash
+    * aggregate whose map-side partial combine keeps the shuffle at
+    * |vocab| rows (not |tokens|); the grand total is a 1-row broadcast
+    * (the Q22 scalar idiom), and the top-k sort runs on |vocab| rows.
+    */
+  private val vocabTopk: Q = (s, dir) => {
+    val counted = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counted.agg(sum(col("n")).as("total"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    counted.crossJoin(broadcast(total))
+      .orderBy(col("n").desc, col("token")).limit(100)
+      .select(col("token"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        row_number().over(w).cast("bigint").as("vocab_rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> langid,
     "t02_quality_score" -> quality,
     "t03_token_stats" -> tokenStats,
     "t04_fingerprint" -> fingerprint,
     "t05_repetition" -> repetition,
-    "t06_gopher_rules" -> gopher)
+    "t06_gopher_rules" -> gopher,
+    "t07_vocab_topk" -> vocabTopk)
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -297,6 +319,18 @@ object Text {
          |    AND symbol_ratio < 0.1
          |    AND stop_hits >= 2 AS INT) AS gopher_pass
          |FROM feat""".stripMargin,
+    "t07_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |counted AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counted)
+        |SELECT token, n,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+        |    AS vocab_rank
+        |FROM counted, tot
+        |ORDER BY n DESC, token LIMIT 100""".stripMargin,
     "t04_fingerprint" ->
       """WITH fps AS (
         |  SELECT doc_id,

@@ -158,4 +158,24 @@ class PlanSpec extends AnyFunSuite {
         !l.trim.startsWith("*("))
     assert(plain, "rule-battery projection was fused into whole-stage codegen")
   }
+
+  test("c01/c02: the bench side broadcasts; the corpus is never shuffled pre-join") {
+    for (n <- Seq("c01_contamination", "c02_bloom_decontam")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n must broadcast the benchmark shingle side:\n${p.take(1500)}")
+      // the only hash exchange allowed is the final per-pair aggregation
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1,
+        s"$n shuffles the corpus before the broadcast join ($exchanges):\n${p.take(1500)}")
+    }
+  }
+
+  test("d07: line dedup pays exactly its two structural shuffles") {
+    // one exchange keyed on the line (the dedup window), one on doc_id
+    // (reassembly) — anything more means the plan regressed
+    val p = plan("d07_line_dedup")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"d07 grew extra shuffles ($exchanges):\n${p.take(1500)}")
+  }
 }
