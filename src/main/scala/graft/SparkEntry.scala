@@ -26,6 +26,13 @@ object SparkEntry {
     // static bar made the planner broadcast a 2M-row shingle index whose
     // estimate derived from a 600 KB parquet scan.
     .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+    // The full-cycle fan-out (Cycle.scala: ~41 indicators × 7 intervals)
+    // generates a few hundred distinct whole-stage sources per run; the
+    // default 100-entry Janino class cache thrashes and re-pays compilation
+    // on every branch (interval variants share SOURCE — literals live in
+    // the references array — so they hit this cache when it is big enough).
+    // Static conf: applies to sessions built through this configure().
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full 5m OHLCV roll-up (the reference's load-bearing operator).
