@@ -165,6 +165,38 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Cut the text into consecutive `n`-token lines (tokens = split on the
+    * single space, empty tokens included — SQL `split` semantics): line i
+    * is `concat_ws(" ", slice(tk, i*n+1, n))`, produced as zero-copy byte
+    * windows in one pass. The last line keeps the remainder tokens. Null
+    * for the empty token stream (never hit behind a length filter).
+    */
+  def tokenLines(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var t = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') t += 1; i += 1 }
+    val starts = new Array[Int](t + 1)
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(t) = len + 1 // sentinel: start just past a virtual trailing space
+    val nLines = (t + n - 1) / n
+    val out = new Array[AnyRef](nLines)
+    i = 0
+    while (i < nLines) {
+      val from = starts(i * n)
+      val until = starts(math.min(i * n + n, t)) - 1
+      out(i) = UTF8String.fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** |A ∩ B| for two ascending-sorted long arrays: one merge walk, no
     * allocation — safe to re-evaluate inside a join condition, where
     * Catalyst offers no subexpression elimination and `array_intersect`
@@ -278,6 +310,20 @@ case class HashedWordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `token_lines(text, n)` — the text cut into n-token lines. */
+case class TokenLines(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_lines"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenLines(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenLines($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenLines =
+    copy(child = newChild)
+}
+
 /** `sorted_intersect_count(a, b)` — |A ∩ B| of two sorted long arrays. */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -306,6 +352,8 @@ object TextHashCols {
     GraftBridge.column(HashedShingles(GraftBridge.expression(c), n))
   def hashedWordShingles(c: Column, n: Int): Column =
     GraftBridge.column(HashedWordShingles(GraftBridge.expression(c), n))
+  def tokenLines(c: Column, n: Int): Column =
+    GraftBridge.column(TokenLines(GraftBridge.expression(c), n))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -354,10 +354,10 @@ object Dedup {
     * total line count at any corpus size.
     */
   private val lineDedup: Q = (s, dir) => {
-    val tk = split(col("text"), " ")
-    val lines = transform(
-      sequence(lit(0L), floor((size(tk) + 11) / lit(12)).cast("long") - 1),
-      i => concat_ws(" ", slice(tk, i.cast("int") * 12 + 1, lit(12))))
+    // line recovery via the one-pass codegen'd kernel (zero-copy byte
+    // windows; exact concat_ws-of-slice parity incl. empty tokens) — the
+    // interpreted sequence→transform→slice chain cost 3× the whole query
+    val lines = graft.functions.TextHashCols.tokenLines(col("text"), 12)
     // doc-level projection persisted: the barrier keeps n_lines from being
     // recomputed per exploded row (the d02/c01 Generate-hoist lesson)
     val chunked = withClones(Tables.documents(s, dir))
