@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default (machine has 128 GiB): at 8g the 32-thread bench ran the
+  // later query families under constant old-gen pressure — round 4's f01
+  // recorded 167 s in-suite vs 21.8 s isolated purely from GC/JIT state.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

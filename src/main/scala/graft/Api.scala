@@ -104,6 +104,11 @@ object Api {
       try route(spark, dir, martDir, cooldown, ex.getRequestURI.getPath,
         query(ex.getRequestURI.getRawQuery))
       catch {
+        // Malformed numeric params (limit/startTime/endTime) are parameter
+        // errors, matching the reference's FastAPI Query validation — not
+        // internal failures.
+        case e: NumberFormatException =>
+          error(Code.ParamError, s"参数格式错误: ${e.getMessage}")
         case e: Throwable => error(Code.InternalError, s"查询失败: ${e.getMessage}")
       }
     val bytes = reply.getBytes(UTF_8)
@@ -282,8 +287,11 @@ object Api {
 
   private def timeBounded(df: DataFrame, timeCol: String,
       q: Map[String, String]): DataFrame = {
+    // The reference compares second-granular rows against the fractional
+    // ms bound (to_timestamp(ms / 1000.0)), so for integral-second ts:
+    // ts*1000 >= ms ⟺ ts >= ceil(ms/1000); ts*1000 <= ms ⟺ ts <= floor.
     val afterStart = q.get("startTime").map(_.toLong).fold(df)(ms =>
-      df.filter(col(timeCol) >= ms / 1000))
+      df.filter(col(timeCol) >= (ms + 999) / 1000))
     q.get("endTime").map(_.toLong).fold(afterStart)(ms =>
       afterStart.filter(col(timeCol) <= ms / 1000))
   }

@@ -113,6 +113,21 @@ object Tables {
     * frame under it while the plans are CONSTRUCTED (DataFrames are lazy —
     * the thread-local only needs to live for plan building).
     */
+  /** Optimizer barrier + reuse point for a derived frame referenced
+    * several times downstream (the staged-table pattern: dedup signature
+    * tables, doc-shingle projections). Same effect as `persist()` — the
+    * frame is computed once, and Catalyst cannot hoist its projections
+    * across the boundary (the d02/c01 Generate-hoist lesson, measured
+    * 300× re-evaluation without it) — but implemented as a lazy
+    * localCheckpoint, so the materialized blocks belong to the RDD rather
+    * than the session's CacheManager: the ContextCleaner frees them as
+    * soon as the query's frames are garbage collected. Repeated
+    * invocations (spec batteries, a long-lived serving session) no longer
+    * accumulate executor memory until someone calls clearCache()
+    * (round-4 ADVICE).
+    */
+  def barrier(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+
   private val candleOverride = new ThreadLocal[DataFrame]()
   def withCandleFrame[T](frame: DataFrame)(build: => T): T = {
     candleOverride.set(frame)

@@ -168,8 +168,9 @@ object TextHash {
   /** Cut the text into consecutive `n`-token lines (tokens = split on the
     * single space, empty tokens included — SQL `split` semantics): line i
     * is `concat_ws(" ", slice(tk, i*n+1, n))`, produced as zero-copy byte
-    * windows in one pass. The last line keeps the remainder tokens. Null
-    * for the empty token stream (never hit behind a length filter).
+    * windows in one pass. The last line keeps the remainder tokens. Empty
+    * text yields one empty line (split("") = [""]) — never null, so
+    * callers must length-filter empty docs themselves if they care.
     */
   def tokenLines(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes

@@ -115,16 +115,16 @@ object Curation {
     // is ever rebuilt and the explode + broadcast join move Longs. Join
     // semantics are identical modulo 64-bit collisions (~1e-7 at corpus
     // scale, the d02 inverted-index argument).
-    // Doc-level projection computed ONCE per doc, persist as the optimizer
-    // barrier (the d02 lesson, Dedup.scala:77-88): without it Catalyst
-    // hoists any column that must survive the explode (n_shingles) into
-    // the Project ABOVE the Generate and re-evaluates the whole shingle
-    // kernel once per exploded row — measured 135 s vs 1 s at sf0.1.
-    val docSh = Tables.documents(s, dir)
+    // Doc-level projection computed ONCE per doc, Tables.barrier as the
+    // optimizer barrier (the d02 lesson, Dedup.scala:77-88): without it
+    // Catalyst hoists any column that must survive the explode
+    // (n_shingles) into the Project ABOVE the Generate and re-evaluates
+    // the whole shingle kernel once per exploded row — measured 135 s vs
+    // 1 s at sf0.1.
+    val docSh = Tables.barrier(Tables.documents(s, dir)
       .select(col("doc_id"), hashedWordShingles(col("text"), 3).as("ss"))
       .filter(col("ss").isNotNull)
-      .withColumn("n_shingles", size(col("ss")))
-      .persist()
+      .withColumn("n_shingles", size(col("ss"))))
     val ex = docSh.select(col("doc_id"), explode(col("ss")).as("s"),
       col("n_shingles"))
     val bench = ex.filter(col("doc_id") % 97 === 0)
@@ -158,11 +158,10 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import graft.functions.TextHashCols.hashedWordShingles
-    val docSh = Tables.documents(s, dir)
+    val docSh = Tables.barrier(Tables.documents(s, dir)
       .select(col("doc_id"), hashedWordShingles(col("text"), 3).as("ss"))
       .filter(col("ss").isNotNull)
-      .withColumn("n_shingles", size(col("ss")))
-      .persist()
+      .withColumn("n_shingles", size(col("ss"))))
     val ex = docSh.select(col("doc_id"), explode(col("ss")).as("s"),
       col("n_shingles"))
     val bench = ex.filter(col("doc_id") % 97 === 0)

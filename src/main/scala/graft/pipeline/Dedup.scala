@@ -86,8 +86,8 @@ object Dedup {
     // measured 300x the work (17.8 s vs 60 ms at sf0.1). Hashed 8-byte
     // join keys keep the index narrow; df counts and the candidate set
     // are identical modulo 64-bit collisions (~1e-7 at corpus scale).
-    val docsIdx = uni.select(col("doc_id"), col("text"),
-      size(hashedShingles(col("text"), 3)).as("n3")).persist()
+    val docsIdx = graft.Tables.barrier(uni.select(col("doc_id"), col("text"),
+      size(hashedShingles(col("text"), 3)).as("n3")))
     // the inverted index feeds the df counts and both sides of the
     // candidate self-join (the materialized index table of a staged dedup
     // pipeline — at scale THIS is what you keep, not the raw text)
@@ -147,13 +147,12 @@ object Dedup {
     // out of whole-stage codegen.) Values are bit-equal to the SQL form.
     // One signature row per doc, referenced 4x downstream — persist
     // (the materialized signature table of a staged dedup pipeline).
-    val sig = uni
-      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+    val sig = graft.Tables.barrier(uni
+      .select(col("doc_id"), minhashSig(col("text")).as("sig")))
       // no isNotNull filter: the len>=8 guard already guarantees a
       // shingle, and a filter on the computed column would be pushed into
       // the parquet scan as isnotnull(minhash_sig(text)) — re-running the
       // whole kernel once more per row inside the scan filter
-      .persist()
     // 16 bands x 2 rows: band key = hash of the 2 row minima. One explode,
     // not a 16-way unionAll — a union would re-execute the signature scan
     // per band. The band rows stay NARROW (doc_id, band, key): carrying
@@ -239,10 +238,9 @@ object Dedup {
     // One signature row per doc, referenced 4x downstream (both sides of
     // the band self-join and of the hamming verify) — persist it; at scale
     // this is the materialized signature table between pipeline stages.
-    val sim = uni
+    val sim = graft.Tables.barrier(uni
       .filter(trim(col("text")) =!= "")
-      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
-      .persist()
+      .select(col("doc_id"), simhash64(col("text")).as("simhash")))
     // one explode, not an 8-way unionAll (which would recompute the
     // signature scan per band); the 8-byte signature rides along, so the
     // hamming verify runs inline on the band join output — no signature
@@ -358,13 +356,12 @@ object Dedup {
     // windows; exact concat_ws-of-slice parity incl. empty tokens) — the
     // interpreted sequence→transform→slice chain cost 3× the whole query
     val lines = graft.functions.TextHashCols.tokenLines(col("text"), 12)
-    // doc-level projection persisted: the barrier keeps n_lines from being
+    // doc-level projection behind Tables.barrier: keeps n_lines from being
     // recomputed per exploded row (the d02/c01 Generate-hoist lesson)
-    val chunked = withClones(Tables.documents(s, dir))
+    val chunked = Tables.barrier(withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), lines.as("lines"))
-      .withColumn("n_lines", size(col("lines")).cast("long"))
-      .persist()
+      .withColumn("n_lines", size(col("lines")).cast("long")))
     val ln = chunked.select(col("doc_id"), col("n_lines"),
       posexplode(col("lines")).as(Seq("line_no", "line")))
     val w = Window.partitionBy(col("line"))

@@ -129,10 +129,26 @@ object Text {
       when(size(c) > 0, floor((lit(1.0) -
         size(array_distinct(c)).cast("double") / size(c).cast("double")) * 1e6
         + 0.5) / 1e6).otherwise(lit(0.0))
+    // top-token count = longest equal run of the SORTED token array, via
+    // one linear fold (state: previous token, current run, best run). The
+    // obvious transform(array_distinct(tk), w -> count of w) is
+    // O(distinct × tokens) — quadratic for a pathological single long
+    // document (round-4 ADVICE); sort + run-length is O(n log n) and
+    // stays inside codegen.
+    val topCount = aggregate(
+      array_sort(col("tk")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     withB.withColumn("tg", trigrams)
       .select(col("doc_id"), n.as("n_tokens"),
-        (floor(array_max(transform(array_distinct(col("tk")),
-          w => size(filter(col("tk"), t => t === w)))).cast("double") /
+        (floor(topCount.cast("double") /
           nullif(n.cast("double"), lit(0.0)) * 1e6 + 0.5) / 1e6)
           .as("top_token_frac"),
         dupFrac(col("bg")).as("dup_bigram_frac"),
