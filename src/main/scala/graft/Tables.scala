@@ -91,6 +91,47 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  /** Deterministic `partsupp` derivation (FIXTURES.md pattern — the driver
+    * testdata ships no partsupp): 4 offers per part, supplier assignment by
+    * TPC-H's round-robin offset scheme over the live supplier count, and
+    * availqty/supplycost as pure integer arithmetic on (partkey, offer#).
+    * Both engines reproduce the relation bit-for-bit — the oracle SQL
+    * carries the same derivation as a WITH clause — which is what unlocks
+    * the partsupp-only TPC-H shapes (Q11 scalar-subquery share filter,
+    * Q20 nested semi over supply).
+    *
+    * Plan shape: part-scan × 4-element inline array explode, with the
+    * 1-row supplier count broadcast (the Q22 scalar idiom) — row-local,
+    * no shuffle, linear in |part| at any scale.
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nSup = supplier(spark, dir).agg(count(lit(1)).as("n_sup"))
+    part(spark, dir)
+      .crossJoin(broadcast(nSup))
+      .select(col("p_partkey"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("i"), col("n_sup"))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") + col("i") * (expr("n_sup DIV 4") + 1)) % col("n_sup"))
+          .as("ps_suppkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % 9999 + 1).as("ps_availqty"),
+        (((col("p_partkey") * 31 + col("i") * 47) % 90000)
+          .cast("double") / 100.0 + 100.0).as("ps_supplycost"))
+  }
+
+  /** The same derivation as DuckDB SQL, prepended to partsupp-shape
+    * oracles ([[graft.operators.Tpch]] h25/h26).
+    */
+  val PartsuppSql: String =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey + i * ((SELECT count(*) FROM supplier) // 4 + 1))
+      |      % (SELECT count(*) FROM supplier) AS ps_suppkey,
+      |    (p_partkey * 7 + i * 13) % 9999 + 1 AS ps_availqty,
+      |    CAST((p_partkey * 31 + i * 47) % 90000 AS DOUBLE) / 100.0 + 100.0
+      |      AS ps_supplycost
+      |  FROM part, (SELECT unnest(generate_series(0, 3)) AS i))""".stripMargin
+
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 

@@ -483,6 +483,70 @@ object Tpch {
           .as("p50_qty"),
         count(lit(1)).as("n"))
 
+  /** Q11-shaped important-stock identification over the derived partsupp
+    * ([[Tables.partsupp]]): per-part supply value within one nation,
+    * kept when above a fixed share of the nation's total — the classic
+    * scalar-subquery HAVING, decorrelated to a 1-row broadcast
+    * (`CROSS JOIN` against the grand total, the Q22 idiom).
+    *
+    * Scale: partsupp is row-local off the part scan; supplier and nation
+    * broadcast; the only shuffles are the two aggregations over
+    * offer-cardinality data. The shared nation-supply projection sits
+    * behind [[Tables.barrier]] so the per-part and grand-total aggregates
+    * read one materialization instead of re-deriving the relation.
+    */
+  private val q11: Q = (s, dir) => {
+    val natSupply = Tables.barrier(Tables.partsupp(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost") * col("ps_availqty")).as("v")))
+    val byPart = natSupply.groupBy(col("ps_partkey"))
+      .agg(sum(col("v")).as("value"))
+    val threshold = natSupply.agg((sum(col("v")) * 0.0002).as("threshold"))
+    byPart.crossJoin(broadcast(threshold))
+      .filter(col("value") > col("threshold"))
+      .select(col("ps_partkey"), round(col("value"), 2).as("value"))
+  }
+
+  /** Q20-shaped supply-surplus suppliers over the derived partsupp:
+    * suppliers of a part-name slice whose availqty exceeds half the 1997
+    * shipped quantity of that (part, supplier) pair — TPC-H's nested
+    * semi over supply (the correlated `> (SELECT 0.5*sum ...)` is the
+    * inner join against the pre-aggregated shipped relation; pairs with
+    * no shipments drop out, the reference NULL-compare semantics).
+    *
+    * Scale: the part-name slice broadcasts; `shipped` is the one fact
+    * shuffle, keyed (partkey, suppkey) and pre-aggregated map-side; the
+    * eligible set reduces to distinct suppkeys and semi-joins the small
+    * supplier dim.
+    */
+  private val q20: Q = (s, dir) => {
+    val hot = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("hot")).select(col("p_partkey"))
+    val shipped = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(col("l_quantity")) * 0.5).as("half_qty"))
+    val eligible = Tables.partsupp(s, dir)
+      .join(broadcast(hot), col("ps_partkey") === col("p_partkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > col("half_qty"))
+      .select(col("ps_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(eligible, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_19", "NATION_2", "NATION_8", "NATION_4"))
+      .select(col("s_name"), col("n_name"),
+        round(col("s_acctbal"), 2).as("s_acctbal"))
+  }
+
   val queries: Map[String, Q] = Map(
     "h01_pricing_summary" -> q1,
     "h02_min_cost_supplier" -> q2,
@@ -508,7 +572,9 @@ object Tpch {
     "h22_idle_customers" -> q22,
     "h23_rollup_agg" -> qRollup,
     "h24_group_quantiles" -> qQuantiles,
-    "h24b_group_quantiles_approx" -> qQuantilesApprox)
+    "h24b_group_quantiles_approx" -> qQuantilesApprox,
+    "h25_important_stock" -> q11,
+    "h26_surplus_suppliers" -> q20)
 
   val oracle: Map[String, String] = Map(
     "h01_pricing_summary" ->
@@ -738,5 +804,33 @@ object Tpch {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1998-09-01')
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "h25_important_stock" ->
+      s"""WITH ${graft.Tables.PartsuppSql},
+        |natsupp AS (
+        |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7')
+        |SELECT ps_partkey, round(sum(v), 2) AS value
+        |FROM natsupp GROUP BY ps_partkey
+        |HAVING sum(v) > (SELECT sum(v) * 0.0002 FROM natsupp)""".stripMargin,
+    "h26_surplus_suppliers" ->
+      s"""WITH ${graft.Tables.PartsuppSql},
+        |hot AS (SELECT p_partkey FROM part WHERE p_name LIKE 'hot%'),
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |eligible AS (
+        |  SELECT DISTINCT ps_suppkey FROM partsupp
+        |  JOIN hot ON ps_partkey = p_partkey
+        |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE ps_availqty > half_qty)
+        |SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT ps_suppkey FROM eligible)
+        |  AND n_name IN ('NATION_19', 'NATION_2', 'NATION_8', 'NATION_4')""".stripMargin)
 }

@@ -117,8 +117,57 @@ object Multimodal {
     }(encResized).toDF()
   }
 
+  final case class Decoded(doc_id: Long, width: Int, height: Int)
+  private implicit val encDecoded: Encoder[Decoded] = Encoders.product[Decoded]
+
+  /** Synthesize one real JPEG per doc: dims derived from doc_id, solid
+    * fill color likewise (setRGB, no AWT graphics pipeline — headless
+    * safe). This is the fixture/ingest half of m01b: the binary column
+    * exactly as it would arrive from object storage.
+    */
+  def encodeJpeg(id: Long): Array[Byte] = {
+    val w = 8 + (id % 24).toInt
+    val h = 8 + ((id * 7) % 24).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id * 37) % 256) << 16 | ((id * 59) % 256) << 8 |
+      ((id * 83) % 256)).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** M1b — REAL image decode (round-4 VERDICT item 6): the operator under
+    * test parses actual JPEG bytes with `javax.imageio` inside the same
+    * batched `mapPartitions` plumbing as [[decodeStub]] and emits the
+    * decoded dimensions. The oracle predicts width/height from doc_id
+    * (the fixture formula) — the Spark path can only satisfy it by
+    * round-tripping a real JPEG container. m01 keeps the stub codec for
+    * the byte-arithmetic feature oracle; this is its real-decode twin.
+    */
+  private val imageDecode: Q = (s, dir) => {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+      .as[Long](Encoders.scalaLong)
+    val payloads = ids.mapPartitions(it =>
+      it.map(id => Payload(id, encodeJpeg(id))))(encPayload)
+    payloads.mapPartitions { it =>
+      it.grouped(64).flatMap(_.map { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.bin))
+        Decoded(p.doc_id, img.getWidth, img.getHeight)
+      })
+    }(encDecoded).toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_decode" -> decode,
+    "m01b_image_decode" -> imageDecode,
     "m02_frame_sample" -> frameSample,
     "m03_resize_sample" -> resize)
 
@@ -126,6 +175,11 @@ object Multimodal {
     * replay the byte features with `ascii`/`octet_length`.
     */
   val oracle: Map[String, String] = Map(
+    "m01b_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 24 AS INT) AS width,
+        |  CAST(8 + (doc_id * 7) % 24 AS INT) AS height
+        |FROM documents""".stripMargin,
     "m01_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -218,6 +218,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(c02.count() > 0)
   }
 
+  test("m01b decodes real JPEG bytes back to the fixture dimensions") {
+    // unit level: the encode→decode roundtrip is a real JPEG container
+    val bytes = pipeline.Multimodal.encodeJpeg(5L)
+    assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8, // JPEG SOI
+      "encodeJpeg must emit a real JPEG stream")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 8 + 5 % 24 && img.getHeight == 8 + (5 * 7) % 24)
+    // operator level: every decoded dim matches the fixture formula
+    val wrong = pipeline.Multimodal.queries("m01b_image_decode")(spark, sf)
+      .filter(col("width") =!= (lit(8) + col("doc_id") % 24).cast("int") ||
+        col("height") =!= (lit(8) + (col("doc_id") * 7) % 24).cast("int"))
+      .count()
+    assert(wrong == 0)
+  }
+
   test("multimodal decode features match direct byte arithmetic") {
     val row = pipeline.Multimodal.queries("m01_multimodal_decode")(spark, sf)
       .filter(col("doc_id") === 0).head

@@ -124,8 +124,17 @@ class StreamingSpec extends AnyFunSuite {
       }.start()
     try {
       q.processAllAvailable()
+      // Latency pin (BASELINE.md rows 15-16: ingest <5 s end-to-end,
+      // roll-up visible <10 s): wall-clock from the replay file landing to
+      // its rows being merged and queryable in the store, across a live
+      // 3 s-trigger micro-batch boundary.
+      val t0 = System.nanoTime()
       writeCsv("day-001.csv", batch2)
       q.processAllAvailable()
+      val latencySec = (System.nanoTime() - t0) / 1e9
+      info(f"file-to-store latency: $latencySec%.2f s (SLOs: ingest <5 s, roll-up <10 s; 3 s trigger)")
+      assert(latencySec < 10.0,
+        f"file-to-store latency $latencySec%.2f s breaches the <10 s roll-up SLO")
 
       val got = stored
         .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume")
