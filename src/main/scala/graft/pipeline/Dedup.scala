@@ -419,6 +419,45 @@ object Dedup {
       .withColumn("is_trimmed", (col("n_kept") < col("n_lines")).cast("int"))
   }
 
+  /** D8 — duplicated-span detection (the exact-substring half of a
+    * training-data dedup stack — the "dedupe long common substrings" pass
+    * of Lee et al.'s deduplication recipe, restated on token windows):
+    * every 20-token window at stride 10 (tail window included, so every
+    * token is covered), keyed by md5, first occurrence wins corpus-wide;
+    * each doc reports how many of its spans were seen earlier and the
+    * duplicated fraction. Same linear shape as d07: one explode → one
+    * window on the span key (THE shuffle; 8-byte xxhash64 keys at 100 TB)
+    * → one per-doc regroup. No joins, no candidate generation.
+    */
+  private val spanDedup: Q = (s, dir) => {
+    val SpanTokens = 20
+    val Stride = 10
+    val chunked = Tables.barrier(withClones(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("nt", size(col("tk")))
+      .withColumn("n_spans",
+        when(col("nt") <= SpanTokens, lit(1L))
+          .otherwise(ceil((col("nt") - SpanTokens).cast("double") / Stride)
+            .cast("long") + 1L))
+      .withColumn("spans", transform(
+        sequence(lit(0L), col("n_spans") - 1),
+        i => md5(array_join(
+          slice(col("tk"), (i * Stride + 1).cast("int"), lit(SpanTokens)),
+          " "))))
+      .select(col("doc_id"), col("n_spans"), col("spans")))
+    val sp = chunked.select(col("doc_id"), col("n_spans"),
+      posexplode(col("spans")).as(Seq("span_no", "h")))
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("span_no"))
+    sp.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"), col("n_spans"))
+      .agg(sum((col("rn") > 1).cast("long")).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        round(col("n_dup_spans").cast("double") /
+          col("n_spans").cast("double"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> exact,
     "d02_dedup_ngram_jaccard" -> ngramJaccard,
@@ -426,7 +465,8 @@ object Dedup {
     "d04_dedup_simhash" -> simhash,
     "d05_dedup_components" -> components,
     "d06_dedup_survivors" -> survivors,
-    "d07_line_dedup" -> lineDedup)
+    "d07_line_dedup" -> lineDedup,
+    "d08_span_dedup" -> spanDedup)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -455,6 +495,35 @@ object Dedup {
          |FROM lab l
          |JOIN (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM lab GROUP BY canonical) s USING (canonical)""".stripMargin,
+    "d08_span_dedup" ->
+      s"""WITH $CLONES_SQL,
+         |docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM uni WHERE len(text) >= 8),
+         |chunked AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) <= 20 THEN 1
+         |         ELSE CAST(ceil(CAST(len(t) - 20 AS DOUBLE) / 10) AS BIGINT) + 1
+         |    END AS n_spans, t
+         |  FROM docs),
+         |spans AS (
+         |  SELECT doc_id, n_spans,
+         |    list_transform(range(0, CAST(n_spans AS INT)),
+         |      i -> md5(array_to_string(t[i*10+1 : i*10+20], ' '))) AS hs
+         |  FROM chunked),
+         |sp AS (
+         |  SELECT doc_id, n_spans, unnest(hs) AS h,
+         |    generate_subscripts(hs, 1) AS span_no
+         |  FROM spans),
+         |ranked AS (
+         |  SELECT doc_id, n_spans,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, span_no) AS rn
+         |  FROM sp)
+         |SELECT doc_id, n_spans,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(n_spans AS DOUBLE), 6) AS dup_span_frac
+         |FROM ranked GROUP BY doc_id, n_spans""".stripMargin,
     "d07_line_dedup" ->
       s"""WITH $CLONES_SQL,
          |docs AS (

@@ -213,6 +213,32 @@ object Text {
         row_number().over(w).cast("bigint").as("vocab_rank"))
   }
 
+  /** T8 — PII scrubbing (the privacy pass of a training pipeline): email
+    * and IPv4 detection + redaction with match counts. The synthetic
+    * corpus is PII-free, so every 5th doc gets a deterministic injected
+    * contact block (the clone-injection fixture pattern) — the operator
+    * must find and redact exactly those, and the full redacted text is
+    * oracle-compared byte-for-byte. Row-local regex over one scan, zero
+    * shuffle; patterns stay inside the RE2 ∩ Java-regex dialect so the
+    * DuckDB oracle replays them identically.
+    */
+  private val piiScrub: Q = (s, dir) => {
+    val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val injected = Tables.documents(s, dir).withColumn("txt",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@ex"), col("doc_id") % 7, lit(".com from 10."),
+          col("doc_id") % 250, lit("."), (col("doc_id") * 3) % 250,
+          lit(".77")))
+        .otherwise(col("text")))
+    injected.select(col("doc_id"),
+      regexp_count(col("txt"), lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count(col("txt"), lit(IpPat)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(col("txt"), lit(EmailPat), lit("<EMAIL>")),
+        lit(IpPat), lit("<IP>")).as("redacted"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> langid,
     "t02_quality_score" -> quality,
@@ -220,7 +246,8 @@ object Text {
     "t04_fingerprint" -> fingerprint,
     "t05_repetition" -> repetition,
     "t06_gopher_rules" -> gopher,
-    "t07_vocab_topk" -> vocabTopk)
+    "t07_vocab_topk" -> vocabTopk,
+    "t08_pii_scrub" -> piiScrub)
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -354,5 +381,24 @@ object Text {
         |  FROM documents)
         |SELECT doc_id, fp, substr(fp, 1, 16) AS fp_short,
         |  count(*) OVER (PARTITION BY fp) AS fp_group
-        |FROM fps""".stripMargin)
+        |FROM fps""".stripMargin,
+    "t08_pii_scrub" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      text || ' contact user' || doc_id || '@ex' || (doc_id % 7)
+        |           || '.com from 10.' || (doc_id % 250) || '.'
+        |           || ((doc_id * 3) % 250) || '.77'
+        |    ELSE text END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM injected""".stripMargin)
 }
