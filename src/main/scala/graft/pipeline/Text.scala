@@ -239,6 +239,29 @@ object Text {
         lit(IpPat), lit("<IP>")).as("redacted"))
   }
 
+  /** T9 — unigram-LM quality score (the perplexity-filter pass of a
+    * CCNet-style pipeline, with the corpus itself as the LM): per-doc
+    * mean token log-probability under the corpus unigram distribution.
+    * Low scores = rare-token-heavy documents, the quality-bucket signal.
+    *
+    * Scale shape: the frequency table is |vocab| rows — broadcast to the
+    * token stream (no token shuffle for the join); the grand total is the
+    * 1-row Q22 scalar idiom; the per-doc aggregate is the one shuffle,
+    * map-side-combined to |docs| rows.
+    */
+  private val lmScore: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    tok.join(broadcast(freq), "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") /
+          col("total").cast("double"))), 6).as("lm_logprob"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> langid,
     "t02_quality_score" -> quality,
@@ -247,7 +270,8 @@ object Text {
     "t05_repetition" -> repetition,
     "t06_gopher_rules" -> gopher,
     "t07_vocab_topk" -> vocabTopk,
-    "t08_pii_scrub" -> piiScrub)
+    "t08_pii_scrub" -> piiScrub,
+    "t09_lm_score" -> lmScore)
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -382,6 +406,17 @@ object Text {
         |SELECT doc_id, fp, substr(fp, 1, 16) AS fp_short,
         |  count(*) OVER (PARTITION BY fp) AS fp_group
         |FROM fps""".stripMargin,
+    "t09_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(cnt / total)), 6) AS lm_logprob
+        |FROM tok JOIN freq USING (token), tot
+        |GROUP BY doc_id""".stripMargin,
     "t08_pii_scrub" ->
       """WITH injected AS (
         |  SELECT doc_id,

@@ -178,4 +178,38 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"d07 grew extra shuffles ($exchanges):\n${p.take(1500)}")
   }
+
+  test("d08: span dedup keeps d07's linear two-shuffle shape") {
+    // one exchange on the span hash (the dedup window), one on doc_id
+    // (the per-doc regroup); no joins anywhere in the plan
+    val p = plan("d08_span_dedup")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"d08 grew extra shuffles ($exchanges):\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"d08 must not join:\n${p.take(1500)}")
+  }
+
+  test("h25/h26: dims broadcast; only aggregate/semi shuffles remain") {
+    // h25's dimension joins live inside the barrier'd supply projection
+    // (already materialized when this plan is built); what remains visible
+    // is the per-part aggregate and the 1-row broadcast threshold — which
+    // MUST be a BroadcastNestedLoopJoin (the Q22 scalar idiom), never a
+    // CartesianProduct of real relations.
+    val p25 = plan("h25_important_stock")
+    assert(p25.contains("BroadcastNestedLoopJoin"),
+      s"h25 lost the 1-row broadcast threshold shape:\n${p25.take(1500)}")
+    assert(!p25.contains("CartesianProduct"),
+      s"h25 planned a cartesian:\n${p25.take(1500)}")
+    assert(p25.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"h25 grew extra shuffles:\n${p25.take(1500)}")
+    // h26 joins its dims inline: the part slice and nation must broadcast,
+    // and only the shipped aggregate / distinct / semi shuffles remain — a
+    // sort-merge join of fact-sized sides would blow past this bound.
+    val p26 = plan("h26_surplus_suppliers")
+    assert(p26.contains("BroadcastHashJoin"),
+      s"h26 must broadcast its dimension sides:\n${p26.take(1500)}")
+    assert(!p26.contains("CartesianProduct"),
+      s"h26 planned a cartesian:\n${p26.take(1500)}")
+    assert(p26.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4,
+      s"h26 grew extra shuffles:\n${p26.take(1500)}")
+  }
 }
