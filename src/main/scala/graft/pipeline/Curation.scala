@@ -186,12 +186,55 @@ object Curation {
           col("n_shingles").cast("double"), 6).as("contamination"))
   }
 
+  /** c03 n-gram length. GPT-3's decontamination (Brown et al. 2020,
+    * appendix C) uses 13-gram collisions; the fixture's docs average 54
+    * tokens with only short cross-doc repeats, so the fixture runs at 4 —
+    * the operator is the same scan at any n.
+    */
+  private val DirtyN = 4
+
+  /** c03 — per-document n-gram-overlap decontamination (the GPT-3 recipe):
+    * a corpus doc is flagged when ANY of its n-grams appears anywhere in
+    * the benchmark slice, and reports the dirty fraction — unlike c01/c02,
+    * which score pairwise doc↔bench overlap, this scores each doc against
+    * the UNION of benchmark n-grams (the set a training run actually
+    * filters with). Every corpus doc is emitted, hit or not, so the
+    * operator doubles as the keep/drop manifest.
+    *
+    * Scale shape: the benchmark n-gram set is distinct-ed and BROADCAST
+    * (eval suites are MBs); the corpus is shingled row-locally by the
+    * codegen'd kernel (8-byte xxhash64 keys, no strings move), hit-counted
+    * in one map-side-combined aggregate on doc_id, and flag-joined back to
+    * the doc projection — one corpus scan, no self-join.
+    */
+  private val ngramDecontam: Q = (s, dir) => {
+    import graft.functions.TextHashCols.hashedWordShingles
+    val docSh = Tables.barrier(Tables.documents(s, dir)
+      .select(col("doc_id"), hashedWordShingles(col("text"), DirtyN).as("ss"))
+      .filter(col("ss").isNotNull)
+      .withColumn("n_grams", size(col("ss")).cast("bigint")))
+    val bench = docSh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("ss")).as("s")).distinct()
+    val corpus = docSh.filter(col("doc_id") % 97 =!= 0)
+    val hits = corpus.select(col("doc_id"), explode(col("ss")).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dirty"))
+    corpus.select(col("doc_id"), col("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_dirty", coalesce(col("n_dirty"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_dirty"),
+        round(col("n_dirty").cast("double") /
+          col("n_grams").cast("double"), 6).as("dirty_frac"),
+        (col("n_dirty") > 0).as("flagged"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_pack_chunks" -> packChunks,
     "p02_stratified_sample" -> stratifiedSample,
     "p03_mix_rebalance" -> mixRebalance,
     "c01_contamination" -> contamination,
-    "c02_bloom_decontam" -> bloomDecontam)
+    "c02_bloom_decontam" -> bloomDecontam,
+    "c03_ngram_decontam" -> ngramDecontam)
 
   val oracle: Map[String, String] = Map(
     "p01_pack_chunks" ->
@@ -246,6 +289,30 @@ object Curation {
         |SELECT doc_id, ranked.source, target_w, sample_rank, quota, avail
         |FROM ranked JOIN quotas ON ranked.source = quotas.source
         |WHERE sample_rank <= quota""".stripMargin,
+    "c03_ngram_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(t) - ${DirtyN - 2}),
+         |      i -> array_to_string(t[i:i+${DirtyN - 1}], ' '))) AS ss
+         |  FROM toks WHERE len(t) >= $DirtyN),
+         |bench AS (
+         |  SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id % 97 = 0),
+         |corpus AS (
+         |  SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_grams, ss
+         |  FROM sh WHERE doc_id % 97 <> 0),
+         |hits AS (
+         |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dirty
+         |  FROM (SELECT doc_id, unnest(ss) AS s FROM corpus) c
+         |  JOIN bench USING (s)
+         |  GROUP BY 1)
+         |SELECT c.doc_id, c.n_grams,
+         |  coalesce(h.n_dirty, 0) AS n_dirty,
+         |  round(CAST(coalesce(h.n_dirty, 0) AS DOUBLE) /
+         |    CAST(c.n_grams AS DOUBLE), 6) AS dirty_frac,
+         |  coalesce(h.n_dirty, 0) > 0 AS flagged
+         |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "c01_contamination" -> DECONTAM_SQL,
     // c02 is the same relation computed through a Bloom prefilter; false
     // positives are removed by the exact verify join, so one oracle fits both

@@ -246,11 +246,68 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Cosine threshold above which two embeddings in the same cell count as
+    * semantic duplicates (d09). The synthetic fixture's near-dup band sits
+    * at ~0.3 (same as s03); a production run tunes this per-embedding-model.
+    */
+  private val SemTau = 0.3
+
+  /** D9 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster drop every vector that has a more-central semantic duplicate.
+    * The clustering step reuses s04's deterministic IVF coarse quantizer
+    * (stride centroids standing in for trained k-means — same broadcast
+    * O(N·C) assignment); the keep rule is the paper's: among duplicates
+    * (cos ≥ τ within a cluster), the one closest to its centroid survives
+    * (ties broken by vec_id, so both engines agree bit-for-bit).
+    *
+    * Scale shape: assignment is one broadcast-centroids pass; the duplicate
+    * scan is a self-join on the cell key — per-cell occupancy is N/C, so a
+    * deployment raises C toward √N (the same dial as s04's IvfCentroids
+    * note) to keep the per-cell pair count bounded. No global pairwise
+    * term; cells are the shuffle key.
+    */
+  private val semanticDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val stride = math.max(1L, corpusCount(s, dir) / IvfCentroids)
+    val cent = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("n").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id"))
+    // barrier: the assignment (an O(N·C) pass) feeds three consumers
+    // (both self-join sides + the output projection) — without it Catalyst
+    // re-derives the full centroid pass per consumer
+    val assign = Tables.barrier(emb.join(broadcast(cent))
+      .withColumn("ccos", dot(col("e"), col("ce")) /
+        nullif(col("n") * col("cn"), lit(0.0)))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("e"), col("n"),
+        col("ccos")))
+    val other = assign.select(col("cell"), col("vec_id").as("b_id"),
+      col("e").as("be"), col("n").as("bn"), col("ccos").as("bccos"))
+    val dups = assign.join(other, Seq("cell"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .filter(dot(col("e"), col("be")) /
+        nullif(col("n") * col("bn"), lit(0.0)) >= SemTau)
+      .filter(col("bccos") > col("ccos") ||
+        (col("bccos") === col("ccos") && col("b_id") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("ccos"), 6).as("centroid_cos"),
+        not(coalesce(col("dup"), lit(false))).as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> cosineTopK,
     "s02_lsh_ann" -> lshAnn,
     "s03_embedding_near_dup" -> cosineNearDup,
-    "s04_ivf_ann" -> ivfAnn)
+    "s04_ivf_ann" -> ivfAnn,
+    "d09_semantic_dedup" -> semanticDedup)
 
   private val EMB =
     """emb AS (
@@ -334,6 +391,29 @@ object Similarity {
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM pairs)
          |WHERE rank <= 5""".stripMargin,
+    "d09_semantic_dedup" ->
+      s"""WITH $EMB,
+         |stride AS (SELECT greatest(count(*) // ${IvfCentroids}, 1) AS k FROM emb),
+         |cent AS (SELECT vec_id AS c_id, e AS ce, n AS cn FROM emb
+         |         WHERE vec_id % (SELECT k FROM stride) = 0),
+         |assign AS (
+         |  SELECT vec_id, c_id AS cell, e, n, ccos FROM (
+         |    SELECT emb.vec_id, c.c_id, emb.e, emb.n,
+         |           ${DOT.format("emb.e", "c.ce")} / nullif(emb.n * c.cn, 0.0) AS ccos,
+         |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |             ${DOT.format("emb.e", "c.ce")} / nullif(emb.n * c.cn, 0.0) DESC,
+         |             c.c_id) AS rn
+         |    FROM emb CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |dup AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assign a JOIN assign b USING (cell)
+         |  WHERE a.vec_id != b.vec_id
+         |    AND ${DOT.format("a.e", "b.e")} / nullif(a.n * b.n, 0.0) >= 0.3
+         |    AND (b.ccos > a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+         |SELECT a.vec_id, a.cell, round(a.ccos, 6) AS centroid_cos,
+         |       d.vec_id IS NULL AS kept
+         |FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
     "s03_embedding_near_dup" ->
       s"""WITH $EMB,
          |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),

@@ -188,6 +188,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"d08 must not join:\n${p.take(1500)}")
   }
 
+  test("d09: the dup scan is an equi-join on the cell key, never a cartesian") {
+    // the centroid-assignment broadcast lives inside the barrier'd
+    // materialization (invisible downstream); what this plan must
+    // guarantee is that the within-cell duplicate scan joins on cell —
+    // the shuffle key that keeps per-cell pair counts bounded — with the
+    // cosine threshold as a join condition, not a post-cartesian filter
+    val p = plan("d09_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d09 planned a cartesian dup scan:\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(cell"),
+      s"d09 lost the cell shuffle key:\n${p.take(1500)}")
+  }
+
+  test("c03: the benchmark n-gram set broadcasts; one corpus scan") {
+    // the eval-suite side must broadcast (it is MBs against a TB corpus);
+    // a sort-merge join here would shuffle every corpus n-gram
+    val p = plan("c03_ngram_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"c03 lost the benchmark-set broadcast:\n${p.take(1500)}")
+    // remaining shuffles: the per-doc hit aggregate + the flag-join back
+    // on doc_id — the bench-set join itself must contribute none
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 4, s"c03 grew extra shuffles ($exchanges):\n${p.take(1500)}")
+  }
+
   test("h25/h26: dims broadcast; only aggregate/semi shuffles remain") {
     // h25's dimension joins live inside the barrier'd supply projection
     // (already materialized when this plan is built); what remains visible
