@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** General relational breadth on the star schema: multi-way joins,
@@ -452,17 +452,47 @@ object Tpch {
     * oracle scale, an executor OOM at 100 TB. [[qQuantilesApprox]] is the
     * production form; this one exists for exact DuckDB parity.
     */
-  private val qQuantiles: Q = (s, dir) =>
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        (floor(expr("percentile(l_extendedprice, 0.5)") * 1e6 + 0.5) / 1e6)
-          .as("p50_price"),
-        (floor(expr("percentile(l_extendedprice, 0.95)") * 1e6 + 0.5) / 1e6)
-          .as("p95_price"),
-        (floor(expr("percentile(l_quantity, 0.5)") * 1e6 + 0.5) / 1e6)
-          .as("p50_qty"),
-        count(lit(1)).as("n"))
+  private val qQuantiles: Q = (s, dir) => {
+    // NOT the `percentile` aggregate: that buffers every group value in an
+    // in-memory map on both the partial and final aggregate (2.5 s at
+    // sf0.1, and the same executor-OOM shape at 100 TB the scaladoc above
+    // warns about). Instead rank the values with row_number windows — one
+    // shuffle on the group key, Tungsten external sorts (spillable) — and
+    // select the two boundary rows per quantile; interpolation is Spark's
+    // own `Percentile` formula (lower·(hi−pos) + upper·(pos−lo)), so the
+    // result is bit-identical to the aggregate it replaces.
+    import org.apache.spark.sql.expressions.Window
+    val byRf = Window.partitionBy("l_returnflag")
+    val ranked = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+        col("l_quantity").as("qty"))
+      .withColumn("n", count(lit(1)).over(byRf))
+      .withColumn("rp", row_number().over(byRf.orderBy(col("price"))))
+      .withColumn("rq", row_number().over(byRf.orderBy(col("qty"))))
+    def boundary(rn: Column, v: Column, q: Double, off: Int): Column =
+      max(when(rn === floor((col("n") - 1).cast("double") * q) + off, v))
+    val agged = ranked.groupBy(col("l_returnflag")).agg(
+      max(col("n")).as("n"),
+      boundary(col("rp"), col("price"), 0.5, 1).as("p50p_lo"),
+      boundary(col("rp"), col("price"), 0.5, 2).as("p50p_hi"),
+      boundary(col("rp"), col("price"), 0.95, 1).as("p95p_lo"),
+      boundary(col("rp"), col("price"), 0.95, 2).as("p95p_hi"),
+      boundary(col("rq"), col("qty"), 0.5, 1).as("p50q_lo"),
+      boundary(col("rq"), col("qty"), 0.5, 2).as("p50q_hi"))
+    def interp(q: Double, loC: String, hiC: String): Column = {
+      val pos = (col("n") - 1).cast("double") * q
+      val lo = floor(pos).cast("double")
+      val hi = ceil(pos).cast("double")
+      val v = when(lo === hi, col(loC))
+        .otherwise(col(loC) * (hi - pos) + col(hiC) * (pos - lo))
+      floor(v * 1e6 + 0.5) / 1e6
+    }
+    agged.select(col("l_returnflag"),
+      interp(0.5, "p50p_lo", "p50p_hi").as("p50_price"),
+      interp(0.95, "p95p_lo", "p95p_hi").as("p95_price"),
+      interp(0.5, "p50q_lo", "p50q_hi").as("p50_qty"),
+      col("n"))
+  }
 
   /** The scale-safe twin of [[qQuantiles]]: `percentile_approx`
     * (Greenwald-Khanna, bounded sketch state per group, map-side partial

@@ -267,11 +267,21 @@ object Similarity {
     * note) to keep the per-cell pair count bounded. No global pairwise
     * term; cells are the shuffle key.
     */
+  /** d09 cluster count: √N, floored at [[IvfCentroids]]. SemDeDup's
+    * within-cell pair count is (N/C)² per cell × C cells = N²/C; C ∝ √N
+    * keeps it N^1.5 with a tiny constant (the paper's k scales with the
+    * corpus for the same reason — and this is the d04 lesson applied
+    * BEFORE the 10× run exposes it, not after).
+    */
+  private[graft] def semCentroids(n: Long): Long =
+    math.max(IvfCentroids, math.ceil(math.sqrt(n.toDouble)).toLong)
+
   private val semanticDedup: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n", norm(col("e")))
-    val stride = math.max(1L, corpusCount(s, dir) / IvfCentroids)
+    val nVec = corpusCount(s, dir)
+    val stride = math.max(1L, nVec / semCentroids(nVec))
     val cent = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("n").as("cn"))
     val wAssign = Window.partitionBy("vec_id")
@@ -393,7 +403,9 @@ object Similarity {
          |WHERE rank <= 5""".stripMargin,
     "d09_semantic_dedup" ->
       s"""WITH $EMB,
-         |stride AS (SELECT greatest(count(*) // ${IvfCentroids}, 1) AS k FROM emb),
+         |stride AS (SELECT greatest(count(*) //
+         |  greatest(${IvfCentroids}, CAST(ceil(sqrt(count(*))) AS BIGINT)), 1)
+         |  AS k FROM emb),
          |cent AS (SELECT vec_id AS c_id, e AS ce, n AS cn FROM emb
          |         WHERE vec_id % (SELECT k FROM stride) = 0),
          |assign AS (

@@ -249,7 +249,7 @@ object Text {
     * 1-row Q22 scalar idiom; the per-doc aggregate is the one shuffle,
     * map-side-combined to |docs| rows.
     */
-  private val lmScore: Q = (s, dir) => {
+  private def lmScored(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -262,6 +262,33 @@ object Text {
           col("total").cast("double"))), 6).as("lm_logprob"))
   }
 
+  private val lmScore: Q = (s, dir) => lmScored(s, dir)
+
+  /** T10 — CCNet quality buckets (Wenzek et al. 2020 §4.3): split the
+    * corpus into head/middle/tail terciles of the LM score — the partition
+    * CCNet publishes and trainers sample from. Thresholds are the exact
+    * tercile boundaries of [[lmScored]]'s 6-dp-rounded score (quantile
+    * interpolation, rounded to 6 dp in BOTH engines so the >= comparisons
+    * agree); assignment is a row-local CASE against the 1-row broadcast
+    * threshold frame — the Q22 scalar idiom, no global sort, no
+    * single-partition window. A 100 TB run swaps the exact threshold
+    * aggregate for `percentile_approx` (the h24/h24b twin argument);
+    * everything downstream is unchanged.
+    */
+  private val qualityBuckets: Q = (s, dir) => {
+    val scored = lmScored(s, dir)
+    val thr = scored.agg(
+      (floor(expr("percentile(lm_logprob, 0.6666666666666666)") * 1e6 + 0.5)
+        / 1e6).as("t_hi"),
+      (floor(expr("percentile(lm_logprob, 0.3333333333333333)") * 1e6 + 0.5)
+        / 1e6).as("t_lo"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("lm_logprob"),
+        when(col("lm_logprob") >= col("t_hi"), lit("head"))
+          .when(col("lm_logprob") >= col("t_lo"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> langid,
     "t02_quality_score" -> quality,
@@ -271,7 +298,8 @@ object Text {
     "t06_gopher_rules" -> gopher,
     "t07_vocab_topk" -> vocabTopk,
     "t08_pii_scrub" -> piiScrub,
-    "t09_lm_score" -> lmScore)
+    "t09_lm_score" -> lmScore,
+    "t10_quality_buckets" -> qualityBuckets)
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -406,6 +434,30 @@ object Text {
         |SELECT doc_id, fp, substr(fp, 1, 16) AS fp_short,
         |  count(*) OVER (PARTITION BY fp) AS fp_group
         |FROM fps""".stripMargin,
+    "t10_quality_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(avg(ln(cnt / total)), 6) AS lm_logprob
+        |  FROM tok JOIN freq USING (token), tot
+        |  GROUP BY doc_id),
+        |thr AS (
+        |  SELECT
+        |    floor(quantile_cont(lm_logprob, 0.6666666666666666) * 1e6 + 0.5)
+        |      / 1e6 AS t_hi,
+        |    floor(quantile_cont(lm_logprob, 0.3333333333333333) * 1e6 + 0.5)
+        |      / 1e6 AS t_lo
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, lm_logprob,
+        |  CASE WHEN lm_logprob >= t_hi THEN 'head'
+        |       WHEN lm_logprob >= t_lo THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored, thr""".stripMargin,
     "t09_lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
