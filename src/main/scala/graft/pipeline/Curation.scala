@@ -228,13 +228,52 @@ object Curation {
         (col("n_dirty") > 0).as("flagged"))
   }
 
+  /** p05 — the curation manifest: the composed keep/drop decision a
+    * training-data run actually emits, one row per corpus doc with the
+    * reason flags — exact duplicate (not the first occurrence of its md5),
+    * Gopher-gate failure (t06's rules), LM-quality tail (t10's bottom
+    * tercile), benchmark contamination (c03's n-gram flag) — and
+    * `keep` = none of the above. Each ingredient REUSES the registered
+    * operator (same code, same oracle CTEs), so the manifest cannot drift
+    * from the gates it composes.
+    *
+    * Scale shape: the dup pass is one window on the md5 key; gopher is
+    * row-local; the LM tercile is a broadcast threshold; contamination is
+    * the broadcast bench set — the composition adds only doc_id-keyed
+    * joins, which co-partition after the first shuffle.
+    */
+  private val curationManifest: Q = (s, dir) => {
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0)
+    val dupW = Window.partitionBy(col("m")).orderBy(col("doc_id"))
+    val dup = corpus.select(col("doc_id"), md5(col("text")).as("m"))
+      .withColumn("exact_dup", row_number().over(dupW) > 1)
+      .select(col("doc_id"), col("exact_dup"))
+    val gop = Text.queries("t06_gopher_rules")(s, dir)
+      .select(col("doc_id"), (col("gopher_pass") === 0).as("gopher_fail"))
+    val lm = Text.queries("t10_quality_buckets")(s, dir)
+      .select(col("doc_id"), (col("bucket") === "tail").as("lm_tail"))
+    val con = ngramDecontam(s, dir)
+      .select(col("doc_id"), col("flagged").as("contaminated"))
+    corpus.select(col("doc_id"))
+      .join(dup, Seq("doc_id"))
+      .join(gop, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(con, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .select(col("doc_id"), col("exact_dup"), col("gopher_fail"),
+        col("lm_tail"), col("contaminated"),
+        (!col("exact_dup") && !col("gopher_fail") && !col("lm_tail") &&
+          !col("contaminated")).as("keep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_pack_chunks" -> packChunks,
     "p02_stratified_sample" -> stratifiedSample,
     "p03_mix_rebalance" -> mixRebalance,
     "c01_contamination" -> contamination,
     "c02_bloom_decontam" -> bloomDecontam,
-    "c03_ngram_decontam" -> ngramDecontam)
+    "c03_ngram_decontam" -> ngramDecontam,
+    "p05_curation_manifest" -> curationManifest)
 
   val oracle: Map[String, String] = Map(
     "p01_pack_chunks" ->
@@ -289,6 +328,46 @@ object Curation {
         |SELECT doc_id, ranked.source, target_w, sample_rank, quota, avail
         |FROM ranked JOIN quotas ON ranked.source = quotas.source
         |WHERE sample_rank <= quota""".stripMargin,
+    "p05_curation_manifest" ->
+      s"""WITH corp AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         |dup AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+         |    ORDER BY doc_id) > 1 AS exact_dup
+         |  FROM corp),
+         |${Text.GopherFeatCte},
+         |gop AS (
+         |  SELECT doc_id, NOT (${Text.GopherPassSql}) AS gopher_fail
+         |  FROM feat),
+         |${Text.LmScoredCtes},
+         |${Text.LmThrCte},
+         |toks4 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh4 AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(t) - ${DirtyN - 2}),
+         |      i -> array_to_string(t[i:i+${DirtyN - 1}], ' '))) AS ss
+         |  FROM toks4 WHERE len(t) >= $DirtyN),
+         |bench4 AS (
+         |  SELECT DISTINCT unnest(ss) AS s FROM sh4 WHERE doc_id % 97 = 0),
+         |hits4 AS (
+         |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dirty
+         |  FROM (SELECT doc_id, unnest(ss) AS s FROM sh4
+         |        WHERE doc_id % 97 <> 0) c
+         |  JOIN bench4 USING (s)
+         |  GROUP BY 1)
+         |SELECT c.doc_id, d.exact_dup, g.gopher_fail,
+         |  (s.lm_logprob < thr.t_lo) AS lm_tail,
+         |  coalesce(h.n_dirty > 0, FALSE) AS contaminated,
+         |  (NOT d.exact_dup AND NOT g.gopher_fail
+         |    AND NOT (s.lm_logprob < thr.t_lo)
+         |    AND NOT coalesce(h.n_dirty > 0, FALSE)) AS keep
+         |FROM corp c
+         |JOIN dup d ON c.doc_id = d.doc_id
+         |JOIN gop g ON c.doc_id = g.doc_id
+         |JOIN scored s ON c.doc_id = s.doc_id
+         |CROSS JOIN thr
+         |LEFT JOIN hits4 h ON c.doc_id = h.doc_id""".stripMargin,
     "c03_ngram_decontam" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

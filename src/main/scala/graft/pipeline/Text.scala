@@ -304,6 +304,66 @@ object Text {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
+  /** The t06 feature CTE, shared with Curation's p05 manifest oracle so the
+    * gopher rules cannot drift between the gate and the composed decision.
+    */
+  private[pipeline] lazy val GopherFeatCte: String =
+    s"""feat AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(list_reduce(list_prepend(0,
+       |        list_transform(string_split(text, ' '), t -> len(t))),
+       |        (a, x) -> a + x) AS DOUBLE) /
+       |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)
+       |      AS mean_word_len,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) /
+       |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)
+       |      AS alpha_word_frac,
+       |    CAST(len(text) - len(replace(replace(text, '#', ''), '…', ''))
+       |        AS DOUBLE) /
+       |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)
+       |      AS symbol_ratio,
+       |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+       |        [${inList(stop("en"))}])) AS BIGINT) AS stop_hits
+       |  FROM documents)""".stripMargin
+
+  /** The gopher pass predicate over [[GopherFeatCte]]'s columns — one
+    * definition for t06's flag and p05's fail reason.
+    */
+  private[pipeline] val GopherPassSql: String =
+    """n_words BETWEEN 50 AND 100000
+      |    AND mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND alpha_word_frac > 0.8
+      |    AND symbol_ratio < 0.1
+      |    AND stop_hits >= 2""".stripMargin
+
+  /** The t09 LM-score CTE chain (ends in `scored(doc_id, n_tokens,
+    * lm_logprob)`), shared by t09, t10 and p05.
+    */
+  private[pipeline] val LmScoredCtes: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |freq AS (
+      |  SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY token),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+      |scored AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    round(avg(ln(cnt / total)), 6) AS lm_logprob
+      |  FROM tok JOIN freq USING (token), tot
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** The t10 tercile-threshold CTE over `scored`, shared with p05. */
+  private[pipeline] val LmThrCte: String =
+    """thr AS (
+      |  SELECT
+      |    floor(quantile_cont(lm_logprob, 0.6666666666666666) * 1e6 + 0.5)
+      |      / 1e6 AS t_hi,
+      |    floor(quantile_cont(lm_logprob, 0.3333333333333333) * 1e6 + 0.5)
+      |      / 1e6 AS t_lo
+      |  FROM scored)""".stripMargin
+
   private def rateSql(l: String): String =
     s"""CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(stop(l))}))) AS DOUBLE) /
        |    nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)""".stripMargin
@@ -384,35 +444,13 @@ object Text {
         |      * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS dup_trigram_frac
         |FROM tri""".stripMargin,
     "t06_gopher_rules" ->
-      s"""WITH feat AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |    CAST(list_reduce(list_prepend(0,
-         |        list_transform(string_split(text, ' '), t -> len(t))),
-         |        (a, x) -> a + x) AS DOUBLE) /
-         |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)
-         |      AS mean_word_len,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) /
-         |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)
-         |      AS alpha_word_frac,
-         |    CAST(len(text) - len(replace(replace(text, '#', ''), '…', ''))
-         |        AS DOUBLE) /
-         |      nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)
-         |      AS symbol_ratio,
-         |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
-         |        [${inList(stop("en"))}])) AS BIGINT) AS stop_hits
-         |  FROM documents)
+      s"""WITH $GopherFeatCte
          |SELECT doc_id, n_words,
          |  round(mean_word_len, 6) AS mean_word_len,
          |  round(alpha_word_frac, 6) AS alpha_word_frac,
          |  round(symbol_ratio, 6) AS symbol_ratio,
          |  stop_hits,
-         |  CAST(n_words BETWEEN 50 AND 100000
-         |    AND mean_word_len BETWEEN 3.0 AND 10.0
-         |    AND alpha_word_frac > 0.8
-         |    AND symbol_ratio < 0.1
-         |    AND stop_hits >= 2 AS INT) AS gopher_pass
+         |  CAST($GopherPassSql AS INT) AS gopher_pass
          |FROM feat""".stripMargin,
     "t07_vocab_topk" ->
       """WITH tok AS (
@@ -435,40 +473,16 @@ object Text {
         |  count(*) OVER (PARTITION BY fp) AS fp_group
         |FROM fps""".stripMargin,
     "t10_quality_buckets" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |freq AS (
-        |  SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY token),
-        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
-        |scored AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    round(avg(ln(cnt / total)), 6) AS lm_logprob
-        |  FROM tok JOIN freq USING (token), tot
-        |  GROUP BY doc_id),
-        |thr AS (
-        |  SELECT
-        |    floor(quantile_cont(lm_logprob, 0.6666666666666666) * 1e6 + 0.5)
-        |      / 1e6 AS t_hi,
-        |    floor(quantile_cont(lm_logprob, 0.3333333333333333) * 1e6 + 0.5)
-        |      / 1e6 AS t_lo
-        |  FROM scored)
-        |SELECT doc_id, n_tokens, lm_logprob,
-        |  CASE WHEN lm_logprob >= t_hi THEN 'head'
-        |       WHEN lm_logprob >= t_lo THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM scored, thr""".stripMargin,
+      s"""WITH $LmScoredCtes,
+         |$LmThrCte
+         |SELECT doc_id, n_tokens, lm_logprob,
+         |  CASE WHEN lm_logprob >= t_hi THEN 'head'
+         |       WHEN lm_logprob >= t_lo THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored, thr""".stripMargin,
     "t09_lm_score" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |freq AS (
-        |  SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY token),
-        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(avg(ln(cnt / total)), 6) AS lm_logprob
-        |FROM tok JOIN freq USING (token), tot
-        |GROUP BY doc_id""".stripMargin,
+      s"""WITH $LmScoredCtes
+         |SELECT doc_id, n_tokens, lm_logprob FROM scored""".stripMargin,
     "t08_pii_scrub" ->
       """WITH injected AS (
         |  SELECT doc_id,
