@@ -228,6 +228,38 @@ object Curation {
         (col("n_dirty") > 0).as("flagged"))
   }
 
+  /** Output shard count for the p04 manifest. 16 suits the ≤5k-doc driver
+    * fixtures; a 100 TB run raises this to O(100k) shards — the operator
+    * shape is unchanged because the only shuffle key IS the shard id, so
+    * parallelism grows with the shard count.
+    */
+  private val NumShards = 16L
+
+  /** p04 — training-shard manifest: the deterministic "global shuffle" a
+    * pretraining run performs between curation and tokenization. Every doc
+    * gets a pseudo-random rank (the same Knuth multiplicative hash as
+    * p02/p03 — seedless, engine-independent), a shard assignment
+    * `h mod S`, a position within its shard, and the shard-local token
+    * offset a loader needs for random access. The pair (shard, position)
+    * defines a global shuffled order WITHOUT any global sort: shard
+    * assignment is row-local, and position/offset are one window pass
+    * keyed by shard — S-way parallel, linear at any corpus size. All
+    * integer arithmetic → bit-exact cross-engine parity.
+    */
+  private val shardManifest: Q = (s, dir) => {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("shard", pmod(col("h"), lit(NumShards)))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("position", row_number().over(w).cast("bigint"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("h"), col("position"),
+        col("n_tokens"), col("tok_offset"))
+  }
+
   /** p05 — the curation manifest: the composed keep/drop decision a
     * training-data run actually emits, one row per corpus doc with the
     * reason flags — exact duplicate (not the first occurrence of its md5),
@@ -270,6 +302,7 @@ object Curation {
     "p01_pack_chunks" -> packChunks,
     "p02_stratified_sample" -> stratifiedSample,
     "p03_mix_rebalance" -> mixRebalance,
+    "p04_shard_manifest" -> shardManifest,
     "c01_contamination" -> contamination,
     "c02_bloom_decontam" -> bloomDecontam,
     "c03_ngram_decontam" -> ngramDecontam,
@@ -328,6 +361,20 @@ object Curation {
         |SELECT doc_id, ranked.source, target_w, sample_rank, quota, avail
         |FROM ranked JOIN quotas ON ranked.source = quotas.source
         |WHERE sample_rank <= quota""".stripMargin,
+    "p04_shard_manifest" ->
+      s"""WITH hashed AS (
+         |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, h % $NumShards AS shard, h,
+         |  CAST(row_number() OVER (PARTITION BY h % $NumShards
+         |    ORDER BY h, doc_id) AS BIGINT) AS position,
+         |  n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % $NumShards
+         |    ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tok_offset
+         |FROM hashed""".stripMargin,
     "p05_curation_manifest" ->
       s"""WITH corp AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),

@@ -246,6 +246,56 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Probe count for s05: each query searches the union of its top-2 cells
+    * by centroid cosine. This is the IVF recall/cost dial: cost scales
+    * linearly in nprobe (each probe touches ~N/C vectors), and the
+    * overwhelming ANN failure mode — the true neighbor sitting just across
+    * the Voronoi boundary in the SECOND-closest cell — is recovered.
+    */
+  private[pipeline] val IvfProbes = 2
+
+  /** S5 — multi-probe IVF ANN: s04's coarse quantizer, nprobe=[[IvfProbes]].
+    * The centroid ranking is computed ONCE (barrier'd — it feeds both the
+    * corpus assignment rn=1 and the query probe list rn≤P); queries then
+    * fan out to their P probe cells and the candidate union is exact-cosine
+    * re-ranked. A corpus vector lives in exactly one cell, so the probe
+    * union is duplicate-free by construction — no DISTINCT pass. Scale
+    * shape is s04's with a P× query-side constant: assignment O(N·C)
+    * broadcast pass, probe join on the cell key, per-query candidates
+    * ~P·N/C, bounded by the same C→√N dial.
+    */
+  private val ivfMultiprobe: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val stride = math.max(1L, corpusCount(s, dir) / IvfCentroids)
+    val cent = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("n").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id"))
+    val ranked = Tables.barrier(emb.join(broadcast(cent))
+      .withColumn("ccos", dot(col("e"), col("ce")) /
+        nullif(col("n") * col("cn"), lit(0.0)))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id"), col("c_id").as("cell"), col("rn"),
+        col("e"), col("n")))
+    val assign = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("e"), col("n"))
+    val q = ranked.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cell"), col("rn").as("probe"),
+        col("e").as("qe"), col("n").as("qn"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assign.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("e"), col("qe")) /
+        nullif(col("n") * col("qn"), lit(0.0)))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("probe"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Cosine threshold above which two embeddings in the same cell count as
     * semantic duplicates (d09). The synthetic fixture's near-dup band sits
     * at ~0.3 (same as s03); a production run tunes this per-embedding-model.
@@ -317,6 +367,7 @@ object Similarity {
     "s02_lsh_ann" -> lshAnn,
     "s03_embedding_near_dup" -> cosineNearDup,
     "s04_ivf_ann" -> ivfAnn,
+    "s05_ivf_multiprobe" -> ivfMultiprobe,
     "d09_semantic_dedup" -> semanticDedup)
 
   private val EMB =
@@ -398,6 +449,33 @@ object Similarity {
          |  WHERE a.vec_id != q.q_id)
          |SELECT q_id, vec_id AS neighbor_id, cell, round(cos, 6) AS cos, rank FROM (
          |  SELECT q_id, vec_id, cell, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 5""".stripMargin,
+    "s05_ivf_multiprobe" ->
+      s"""WITH $EMB,
+         |stride AS (SELECT greatest(count(*) // ${IvfCentroids}, 1) AS k FROM emb),
+         |cent AS (SELECT vec_id AS c_id, e AS ce, n AS cn FROM emb
+         |         WHERE vec_id % (SELECT k FROM stride) = 0),
+         |ranked AS (
+         |  SELECT vec_id, c_id AS cell, rn, e, n FROM (
+         |    SELECT emb.vec_id, c.c_id, emb.e, emb.n,
+         |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |             ${DOT.format("emb.e", "c.ce")} / nullif(emb.n * c.cn, 0.0) DESC,
+         |             c.c_id) AS rn
+         |    FROM emb CROSS JOIN cent c)
+         |  WHERE rn <= $IvfProbes),
+         |assign AS (SELECT vec_id, cell, e, n FROM ranked WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, cell, rn AS probe, e AS qe, n AS qn
+         |      FROM ranked WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.q_id, a.vec_id, a.cell, q.probe,
+         |         ${DOT.format("a.e", "q.qe")} / nullif(a.n * q.qn, 0.0) AS cos
+         |  FROM assign a JOIN q USING (cell)
+         |  WHERE a.vec_id != q.q_id)
+         |SELECT q_id, vec_id AS neighbor_id, cell, probe, round(cos, 6) AS cos,
+         |       rank FROM (
+         |  SELECT q_id, vec_id, cell, probe, cos,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM pairs)
          |WHERE rank <= 5""".stripMargin,

@@ -128,6 +128,22 @@ class PipelineSpec extends AnyFunSuite {
       s"only $reachable of $total clones within one probe")
   }
 
+  test("multi-probe IVF recall dominates single-probe against exact top-k") {
+    // s01 is ground truth; s04 (nprobe=1) misses neighbors just across the
+    // Voronoi boundary; s05's second probe must recover some of them and
+    // can never do worse — the recall/cost dial the operator exists for
+    def hits(name: String): Set[(Long, Long)] =
+      pipeline.Similarity.queries(name)(spark, sf)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits("s01_cosine_topk")
+    val single = hits("s04_ivf_ann") & exact
+    val multi = hits("s05_ivf_multiprobe") & exact
+    assert(multi.size >= single.size,
+      s"multi-probe recall ${multi.size} < single-probe ${single.size} of ${exact.size}")
+    assert(multi.nonEmpty, "multi-probe found no true neighbors at all")
+  }
+
   /** Tiny corpus written to a temp dir so queries exercise the real read
     * path. Doc ids avoid multiples of 3 → no clones injected → guaranteed
     * edge-free corpus for the d05/d06 empty-graph test.

@@ -201,6 +201,29 @@ class PlanSpec extends AnyFunSuite {
       s"d09 lost the cell shuffle key:\n${p.take(1500)}")
   }
 
+  test("p04: the shard manifest pays ONE shuffle (global shuffle with no global sort)") {
+    // the operator's whole scale claim: position and token offset both ride
+    // the shard-keyed window, so the only exchange is hashpartitioning on
+    // the shard id — a global total order materialized S-way parallel,
+    // never a single-partition sort
+    val p = plan("p04_shard_manifest")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"p04 grew extra shuffles ($exchanges):\n${p.take(1500)}")
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("rangepartitioning"),
+      s"p04 planned a global sort:\n${p.take(1500)}")
+  }
+
+  test("s05: the probe fan-out is a broadcast equi-join on the cell key") {
+    // the centroid ranking lives inside the barrier; the visible plan must
+    // join the bounded query-probe side to the corpus by BROADCAST on cell
+    // — never a shuffled or cartesian candidate scan
+    val p = plan("s05_ivf_multiprobe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"s05 lost the query-side broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"s05 planned a cartesian candidate scan:\n${p.take(1500)}")
+  }
+
   test("c03: the benchmark n-gram set broadcasts; one corpus scan") {
     // the eval-suite side must broadcast (it is MBs against a TB corpus);
     // a sort-merge join here would shuffle every corpus n-gram
