@@ -289,6 +289,39 @@ object Text {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** The GPT-2-style pretokenizer regex, restricted to the RE2 ∩ Java
+    * dialect so DuckDB can run the identical pattern: contraction suffixes
+    * first, then space-prefixed letter / digit / punctuation runs, then
+    * whitespace runs. The upstream pattern's `\p{L}`/`\p{N}` classes and
+    * the `\s+(?!\S)` lookahead are dropped (RE2 has no lookahead; the
+    * fixture corpus is ASCII) — both engines see leftmost-first
+    * alternation, so the token streams agree byte-for-byte.
+    */
+  private[pipeline] val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** T11 — BPE-ish subword token counting (the tokenizer-budget estimate a
+    * pretraining run uses before the real BPE pass): per doc, the
+    * whitespace word count, the pretokenizer token count, chars-per-token,
+    * and fertility (pretokens per word). Row-local regex extraction — one
+    * scan, zero shuffle at any corpus size; the regex engine cost is
+    * per-byte linear (RE2-compatible pattern, no backtracking blowup).
+    */
+  private val bpeTokens: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("bpe", regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      // whitespace runs are segment boundaries, not tokens — drop them the
+      // way the real pretokenizer folds them into the following word
+      .withColumn("bpe", filter(col("bpe"), t => !t.rlike("^\\s+$")))
+    val nWs = size(toks(col("text"))).cast("bigint")
+    val nBpe = size(col("bpe")).cast("bigint")
+    d.select(col("doc_id"), nWs.as("n_words"), nBpe.as("n_bpe_tokens"),
+      round(length(col("text")).cast("double") /
+        nullif(nBpe.cast("double"), lit(0.0)), 6).as("chars_per_token"),
+      round(nBpe.cast("double") /
+        nullif(nWs.cast("double"), lit(0.0)), 6).as("fertility"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> langid,
     "t02_quality_score" -> quality,
@@ -299,7 +332,8 @@ object Text {
     "t07_vocab_topk" -> vocabTopk,
     "t08_pii_scrub" -> piiScrub,
     "t09_lm_score" -> lmScore,
-    "t10_quality_buckets" -> qualityBuckets)
+    "t10_quality_buckets" -> qualityBuckets,
+    "t11_bpe_tokens" -> bpeTokens)
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -501,5 +535,23 @@ object Text {
         |  regexp_replace(regexp_replace(txt,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
-        |FROM injected""".stripMargin)
+        |FROM injected""".stripMargin,
+    "t11_bpe_tokens" ->
+      // the identical pattern string ([[BpePattern]]); DuckDB's RE2 and
+      // Spark's java.util.regex agree on it by construction (see scaladoc)
+      s"""WITH ext AS (
+         |  SELECT doc_id, text,
+         |    list_filter(
+         |      regexp_extract_all(text, '${BpePattern.replace("'", "''")}'),
+         |      t -> NOT regexp_matches(t, '^\\s+$$')) AS bpe
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(len(text) AS DOUBLE) /
+         |    nullif(CAST(len(bpe) AS DOUBLE), 0.0), 6) AS chars_per_token,
+         |  round(CAST(len(bpe) AS DOUBLE) /
+         |    nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0), 6)
+         |    AS fertility
+         |FROM ext""".stripMargin)
 }

@@ -177,6 +177,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.getDouble(2) > 0.0)
   }
 
+  test("t11 BPE pretokens: contraction split, empty-doc nulls, fertility >= 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val session = spark
+    import session.implicits._
+    Seq(
+      (1L, "", "en", "web"),                       // empty → 0 pretokens, null ratios
+      (2L, "don't stop", "en", "web"),             // 'don' + ''t' + ' stop' = 3
+      (4L, "v2.0 beta, costs $15", "en", "web"))   // digit/punct runs split off
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Text.queries("t11_bpe_tokens")(spark, tmp)
+      .orderBy("doc_id").collect()
+    // empty text: split(' ') yields [''] → 1 "word", 0 pretokens; the
+    // chars/pretoken ratio nulls out (0/0) but fertility is a real 0/1 = 0
+    val empty = out(0)
+    assert(empty.getLong(1) == 1L && empty.getLong(2) == 0L)
+    assert(empty.isNullAt(3) && empty.getDouble(4) == 0.0)
+    val contr = out(1)
+    assert(contr.getLong(1) == 2L && contr.getLong(2) == 3L,
+      s"don't stop → expected 2 words / 3 pretokens, got $contr")
+    assert(contr.getDouble(4) == 1.5)
+    // 'v2.0 beta, costs $15' → v|2|.|0| beta|,| costs| $|15 = 9 pretokens
+    val punct = out(2)
+    assert(punct.getLong(2) == 9L, s"punct/digit split wrong: $punct")
+    // every non-empty whitespace word yields >= 1 pretoken
+    out.filter(_.getLong(2) > 0).foreach(r => assert(r.getDouble(4) >= 1.0))
+  }
+
   test("d05/d06 handle a clean corpus with zero near-dup edges") {
     // previously: sum(label) over the empty edge frame returned NULL → NPE
     assert(pipeline.Dedup.queries("d05_dedup_components")(spark, tinyDir).count() == 0)

@@ -179,6 +179,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"d07 grew extra shuffles ($exchanges):\n${p.take(1500)}")
   }
 
+  test("t11: BPE pretoken counting is row-local — zero exchanges, no join") {
+    // the regex extraction, whitespace-run filter, and all four metrics
+    // are per-row column expressions; any Exchange here means someone
+    // introduced an aggregate or join into a one-scan operator
+    val p = plan("t11_bpe_tokens")
+    assert(!p.contains("Exchange"), s"t11 must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"t11 must not join:\n${p.take(1500)}")
+  }
+
   test("d08: span dedup keeps d07's linear two-shuffle shape") {
     // one exchange on the span hash (the dedup window), one on doc_id
     // (the per-doc regroup); no joins anywhere in the plan
