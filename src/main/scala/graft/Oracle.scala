@@ -6,8 +6,9 @@ package graft
   * parquet files (registered as views named after the tables) and
   * hash-compares against the Spark result. These CTEs replay the
   * [[Tables.candles]] / [[Tables.metrics5m]] derivations exactly:
-  * `epoch(date_trunc(...))` on DuckDB's nanosecond timestamps equals Spark's
-  * integral `ts DIV 60e9 * 60` on the raw nanosecond longs.
+  * `epoch(date_trunc(...))` is encoding-agnostic on DuckDB's side and equals
+  * Spark's integral `ts DIV 60e9 * 60` on the normalized nanosecond longs
+  * ([[Tables.events]]).
   */
 object Oracle {
   val CANDLES: String =

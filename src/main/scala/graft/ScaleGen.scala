@@ -86,9 +86,11 @@ object ScaleGen {
       .parquet(s"$out/embeddings.parquet")
 
     // ---- events --------------------------------------------------------
-    // ts arrives as nanosecond Longs (nanosAsLong, see SparkEntry); the
-    // 366-day shift is minute-aligned so candle bucketing stays exact.
-    val events = spark.read.parquet(s"$base/events.parquet")
+    // Tables.events normalizes ts to epoch-nanos Long whatever the file's
+    // physical encoding; the 366-day shift is minute-aligned so candle
+    // bucketing stays exact. Output ts is therefore Long nanos, which the
+    // normalizer passes through on re-read.
+    val events = Tables.events(spark, base)
     val ShiftNanos = 366L * 86400L * 1000000000L
     val scaledEvents = (1 until factor).map { k =>
       events

@@ -10,9 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   /** Session configs every graft session needs. The testdata's `events.ts`
-    * is parquet TIMESTAMP(NANOS) — readable by Spark 4 only as a
-    * nanosecond Long (`nanosAsLong`); graft treats time as epoch seconds
-    * throughout (see [[Tables]]).
+    * physical encoding varies across fixture regenerations (NANOS in rounds
+    * 1-4, MICROS/NTZ since round 5): `nanosAsLong` stays on so a NANOS file
+    * remains READABLE (Spark 4 otherwise rejects it), and [[Tables.events]]
+    * dtype-dispatches whatever arrives — Long nanos pass through,
+    * TIMESTAMP/NTZ normalize to nanos — so both encodings work without
+    * touching any query.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
   *  - dimension tables are small and always broadcast.
   *
   * Time representation: epoch **seconds** as LongType everywhere. The driver
-  * testdata's `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 only
-  * reads under `spark.sql.legacy.parquet.nanosAsLong=true` (a Long of
-  * nanoseconds); integral `DIV` bucketing on it is exact, timezone-free, and
-  * reproduces DuckDB's `date_trunc` on the same file bit-for-bit.
+  * testdata's `events.ts` physical encoding is NOT stable across fixture
+  * regenerations (round 5 flipped it from TIMESTAMP(NANOS) to
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) mid-round, silently breaking
+  * every raw-Long arithmetic site), so [[events]] normalizes the column ONCE
+  * at the read boundary to an epoch-NANOSECOND Long, whatever the file
+  * carries — every downstream `ts DIV <nanos>` bucketing is exact,
+  * timezone-free, and reproduces DuckDB's `date_trunc`/`epoch` on the same
+  * file bit-for-bit (DuckDB's side is encoding-agnostic already).
   *
   * For the driver testdata the candle/metrics facts are derived
   * deterministically from `events` (FIXTURES.md §1-2): one pseudo-symbol per
@@ -83,7 +87,30 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+  /** `events` with `ts` normalized to an epoch-nanosecond Long regardless of
+    * the file's physical encoding (the round-5 lesson — see the class doc):
+    *  - LongType: already nanos (a NANOS file under `nanosAsLong`, or
+    *    [[ScaleGen]] output) — pass through;
+    *  - TIMESTAMP / TIMESTAMP_NTZ (MICROS or MILLIS logical type): via
+    *    `unix_micros * 1000`. Session TZ is pinned UTC
+    *    ([[SparkEntry.configure]]), so the NTZ wall-clock IS the epoch.
+    * Anything else fails loudly here — one clear error instead of 86
+    * downstream analysis exceptions. RegistrySpec pins the normalized
+    * schema so the next fixture regeneration trips one named test.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected LongType nanos " +
+          "or TIMESTAMP/TIMESTAMP_NTZ); was the fixture regenerated with " +
+          "a new encoding? Extend Tables.events normalization.")
+    }
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
@@ -173,6 +200,16 @@ object Tables {
   def withCandleFrame[T](frame: DataFrame)(build: => T): T = {
     candleOverride.set(frame)
     try build finally candleOverride.remove()
+  }
+
+  /** [[withCandleFrame]]'s twin for the metrics fact — the priority cycle
+    * ([[graft.operators.Cycle]] f01b) cuts BOTH facts to the priority
+    * symbol set before any indicator plan is built.
+    */
+  private val metricsOverride = new ThreadLocal[DataFrame]()
+  def withMetricsFrame[T](frame: DataFrame)(build: => T): T = {
+    metricsOverride.set(frame)
+    try build finally metricsOverride.remove()
   }
 
   def candles(spark: SparkSession, dir: String): DataFrame =
@@ -325,8 +362,9 @@ object Tables {
     * signs (FIXTURES.md §2).
     */
   def metrics5m(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "metrics5m", Seq("symbol", "create_time"))(
-      metrics5mDerived(spark, dir))
+    Option(metricsOverride.get).getOrElse(
+      materialized(spark, dir, "metrics5m", Seq("symbol", "create_time"))(
+        metrics5mDerived(spark, dir)))
 
   /** The raw events→metrics derivation (see [[metrics5m]]). */
   def metrics5mDerived(spark: SparkSession, dir: String): DataFrame =

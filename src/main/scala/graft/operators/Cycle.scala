@@ -156,26 +156,65 @@ object Cycle {
     } finally pool.shutdown()
   }
 
-  private val fullCycle: Q = (s, dir) => {
+  /** The cycle core, parameterized by an optional priority selector: with
+    * one, BOTH facts are semi-joined to the (broadcast, ~150-row) priority
+    * symbol set BEFORE any frame or indicator plan is built — non-priority
+    * symbols never reach a roll-up, a working frame, or an indicator
+    * branch (CycleSpec pins this on the frames themselves).
+    */
+  private def cycleOf(priority: Option[Q]): Q = (s, dir) => {
+    val prio = priority.map(sel => sel(s, dir).persist())
     // ONE fact read feeds all 7 interval frames (the 6 roll-ups scan this
     // cache, not the store); released once the working caches are built
-    val base = Tables.candles(s, dir).persist()
-    val frames = workingFrames(s, dir)
+    val base = (prio match {
+      case Some(p) =>
+        Tables.candles(s, dir).join(broadcast(p), Seq("symbol"), "left_semi")
+      case None => Tables.candles(s, dir)
+    }).persist()
+    val frames = Tables.withCandleFrame(base)(workingFrames(s, dir))
     // materialize the interval caches up front (7 small jobs) so the
     // parallel branches read them instead of racing to compute them
     frames.foreach(_._2.count())
     base.unpersist()
     val candleBranches = branchPlans(s, dir, frames, candlePack)
-    // futures sentiment at its native 5m cadence, once per cycle
-    val futuresBranches = graft.indicators.Futures.queries.toSeq.sortBy(_._1)
-      .map { case (key, q) =>
-        melt(Mart.asMartRow(snapshot(q(s, dir), base), "5m"),
-          Mart.RegistryNames.getOrElse(key, key))
+    // futures sentiment at its native 5m cadence, once per cycle — cut to
+    // the same priority set via the metrics-frame override
+    val metricsFrame = prio match {
+      case Some(p) => Tables.metrics5m(s, dir)
+        .join(broadcast(p), Seq("symbol"), "left_semi")
+      case None => Tables.metrics5m(s, dir)
+    }
+    // both overrides: the futures pack reads the metrics fact AND the
+    // candle fact (the taker-ratio scanner, Futures.scala:27) — without
+    // the candle override that one branch would scan the uncut store
+    val futuresBranches = Tables.withCandleFrame(base) {
+      Tables.withMetricsFrame(metricsFrame) {
+        graft.indicators.Futures.queries.toSeq.sortBy(_._1)
+          .map { case (key, q) =>
+            melt(Mart.asMartRow(snapshot(q(s, dir), base), "5m"),
+              Mart.RegistryNames.getOrElse(key, key))
+          }
       }
+    }
     val out = runBranches(candleBranches ++ futuresBranches)
     frames.foreach(_._2.unpersist())
+    prio.foreach(_.unpersist())
     out
   }
 
-  val queries: Map[String, Q] = Map("f01_indicator_cycle" -> fullCycle)
+  private val fullCycle: Q = cycleOf(None)
+
+  /** f01b — the reference's ACTUAL production tick
+    * (async_full_engine.py:54-131): the hourly priority re-evaluation
+    * (r07's ranking union, ~150 symbols) gates the 120 s indicator loop,
+    * so each tick computes the full pack over ONLY the priority set.
+    * f01 (all symbols) is the cold-start/backfill shape; this is the
+    * steady-state one — at 100 TB the difference is the whole fleet.
+    */
+  private val priorityCycle: Q =
+    cycleOf(Some((s, dir) => Relational.queries("r07_topk_union")(s, dir)))
+
+  val queries: Map[String, Q] = Map(
+    "f01_indicator_cycle" -> fullCycle,
+    "f01b_priority_cycle" -> priorityCycle)
 }

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * aggregate), so at 100 TB the event log is hash-partitioned by user once
   * and every stage after that is co-partitioned.
   *
-  * Time axis: `events.ts` is parquet TIMESTAMP(NANOS) read as a nanosecond
-  * Long (see [[graft.SparkEntry.configure]]); seconds = `ts DIV 1e9`, which
-  * matches DuckDB's `floor(epoch(ts))` on the same files exactly.
+  * Time axis: `events.ts` is normalized to an epoch-nanosecond Long at the
+  * read boundary whatever the file's encoding (see [[graft.Tables.events]]);
+  * seconds = `ts DIV 1e9`, which matches DuckDB's `floor(epoch(ts))` on the
+  * same files exactly.
   */
 object Events {
   private type Q = (SparkSession, String) => DataFrame

@@ -78,6 +78,32 @@ object Relational {
     "8h" -> 28800L, "12h" -> 43200L, "1d" -> 86400L, "3d" -> 259200L,
     "1w" -> 604800L)
 
+  /** R19 — real-time cagg read ([[Rollup.realtimeRollup]], Timescale
+    * `materialized_only = false`): stored 1h roll-up filtered to
+    * pre-watermark buckets, union the tail recomputed fresh from the 1m
+    * store. Watermark = 5 buckets below the corpus max, hour-aligned —
+    * data-derived via a broadcast scalar so both engines agree. The
+    * oracle is the algebraic spec: a real-time read equals a fully-fresh
+    * materialization bucket-for-bucket, with `from_tail` marking the
+    * post-watermark rows (the freshness split a stale-materialization
+    * reader would get wrong).
+    */
+  private val r19: Q = (s, dir) => {
+    val seconds = 3600L
+    val c1m = candles(s, dir)
+    val wm = c1m.agg(
+      ((expr("max(bucket_ts) DIV 3600") - lit(5L)) * 3600L).as("wm"))
+    val rt = Rollup.realtimeRollup(Rollup.rollup(c1m, seconds), c1m, seconds, wm)
+    rt.select(col("symbol"), col("bucket_ts"),
+      round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+      round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+      round(col("volume"), 6).as("volume"),
+      round(col("quote_volume"), 6).as("quote_volume"),
+      col("trade_count"),
+      round(col("taker_buy_volume"), 6).as("taker_buy_volume"),
+      col("from_tail"))
+  }
+
   /** R5 — metrics roll-up with ratio-of-sums (007:27-43), parameterized
     * over the reference's five cagg intervals (15m/1h/4h/1d/1w).
     */
@@ -297,6 +323,7 @@ object Relational {
     "r15_mart_join" -> r15,
     "r17_rank_except" -> r17,
     "r18_pivot_dow" -> r18,
+    "r19_realtime_rollup" -> r19,
     "w02_rank_suite" -> w02)
 
   private def rollupOracle(seconds: Long): String = Oracle.withCandles(
@@ -460,6 +487,17 @@ object Relational {
         |SELECT symbol FROM (SELECT symbol FROM agg ORDER BY qv DESC, symbol LIMIT 8)
         |EXCEPT
         |SELECT symbol FROM (SELECT symbol FROM agg ORDER BY amp DESC, symbol LIMIT 8)""".stripMargin),
+    "r19_realtime_rollup" -> Oracle.withCandles(
+      """, up AS (
+        |  SELECT symbol, bucket_ts // 3600 * 3600 AS bucket_ts,
+        |    round(min_by(open, bucket_ts), 6) AS open, round(max(high), 6) AS high,
+        |    round(min(low), 6) AS low, round(max_by(close, bucket_ts), 6) AS close,
+        |    round(sum(volume), 6) AS volume, round(sum(quote_volume), 6) AS quote_volume,
+        |    CAST(sum(trade_count) AS BIGINT) AS trade_count,
+        |    round(sum(taker_buy_volume), 6) AS taker_buy_volume
+        |  FROM candles GROUP BY 1, 2),
+        |wm AS (SELECT (max(bucket_ts) // 3600 - 5) * 3600 AS wm FROM candles)
+        |SELECT up.*, bucket_ts >= (SELECT wm FROM wm) AS from_tail FROM up""".stripMargin),
     "r18_pivot_dow" -> Oracle.withCandles(
       """, dowed AS (
         |  SELECT symbol, volume, (bucket_ts // 86400 + 4) % 7 AS dow

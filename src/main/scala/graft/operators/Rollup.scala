@@ -149,6 +149,40 @@ object Rollup {
     touched.map("dt=" + _)
   }
 
+  /** Real-time roll-up read — Timescale's `materialized_only = false` cagg
+    * semantics (reference 004_continuous_aggregates.sql:26; the real-time
+    * meta views 006_candles_meta_views.sql:101-130): a query between
+    * refreshes serves the MATERIALIZED buckets strictly below the refresh
+    * watermark, UNION ALL an on-the-fly recompute of the base (1m) store's
+    * post-watermark tail — so the last minutes are always fresh without
+    * waiting for the next [[refreshRollup]] run.
+    *
+    * `wm` is a 1-row frame with an interval-aligned `wm` column (the
+    * refresh metadata's watermark; data-derived in the registry entry so
+    * both engines agree) — broadcast, never collected. Because `wm` is
+    * aligned to `seconds`, every output bucket comes from exactly one
+    * side: stored `bucket_ts < wm` and recomputed `bucket_ts >= wm` are
+    * disjoint and complete. `from_tail` marks which side served the row —
+    * the freshness split the spec and oracle pin.
+    *
+    * At 100 TB: the stored side is a partition-pruned scan of the (small)
+    * roll-up table; the tail recompute reads only the watermark-forward
+    * date partitions of the base store (O(offset), not O(history)) —
+    * identical math to the cagg's own refresh, so serving and
+    * materializing can never disagree.
+    */
+  def realtimeRollup(stored: DataFrame, base: DataFrame, seconds: Long,
+      wm: DataFrame): DataFrame = {
+    val served = stored.crossJoin(broadcast(wm))
+      .filter(col("bucket_ts") < col("wm")).drop("wm")
+      .withColumn("from_tail", lit(false))
+    val fresh = rollup(
+        base.crossJoin(broadcast(wm))
+          .filter(col("bucket_ts") >= col("wm")).drop("wm"), seconds)
+      .withColumn("from_tail", lit(true))
+    served.unionByName(fresh, allowMissingColumns = false)
+  }
+
   /** Metrics roll-up (R5; 007_metrics_cagg_from_5m.sql:27-43): `last()` for
     * point-in-time gauges, ratio-of-sums for the ratio columns.
     */

@@ -305,17 +305,32 @@ object Similarity {
   /** D9 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then within each
     * cluster drop every vector that has a more-central semantic duplicate.
-    * The clustering step reuses s04's deterministic IVF coarse quantizer
-    * (stride centroids standing in for trained k-means — same broadcast
-    * O(N·C) assignment); the keep rule is the paper's: among duplicates
-    * (cos ≥ τ within a cluster), the one closest to its centroid survives
-    * (ties broken by vec_id, so both engines agree bit-for-bit).
+    * The keep rule is the paper's: among duplicates (cos ≥ τ within a
+    * cluster), the one closest to its centroid survives (ties broken by
+    * vec_id, so both engines agree bit-for-bit).
     *
-    * Scale shape: assignment is one broadcast-centroids pass; the duplicate
-    * scan is a self-join on the cell key — per-cell occupancy is N/C, so a
-    * deployment raises C toward √N (the same dial as s04's IvfCentroids
-    * note) to keep the per-cell pair count bounded. No global pairwise
-    * term; cells are the shuffle key.
+    * Assignment is a HIERARCHICAL coarse quantizer (round-5 VERDICT #3 —
+    * the flat O(N·C) broadcast scan with C = √N was the family's one
+    * measured scale-killer, 9.8× time at 30× data): a coarser stride over
+    * the same sample yields S ≈ √C super-cells; each centroid groups under
+    * its nearest super-cell (a C×S metadata-scale pass); each vector ranks
+    * the S super-cells ROW-LOCALLY against a broadcast codebook, probes
+    * the nearest [[SemSuperProbes]], and argmaxes only over those supers'
+    * member centroids (~P·C/S candidates). Per-vector work drops from C
+    * to S + P·C/S ≈ 3√C — with C = √N that is O(N^1.25) total instead of
+    * O(N^1.5) — and the whole assignment is broadcast + row-local HOFs:
+    * ZERO shuffle (the codebook broadcast is exactly what IVF ships to
+    * every node at 100 TB). The same scheme stacks to L levels for
+    * C^(1/L) per-vector work if C itself must grow toward N/const.
+    *
+    * Multi-probe (P = 2) exists because the true nearest centroid of a
+    * boundary vector can group under the runner-up super-cell; both
+    * engines compute the SAME probed argmax (the oracle SQL replays the
+    * two-level rule verbatim), so parity is by construction, not by
+    * hoping the hierarchy agrees with a flat scan.
+    *
+    * The duplicate scan is unchanged: a self-join on the cell key, per-cell
+    * occupancy N/C; cells are the shuffle key. No global pairwise term.
     */
   /** d09 cluster count: √N, floored at [[IvfCentroids]]. SemDeDup's
     * within-cell pair count is (N/C)² per cell × C cells = N²/C; C ∝ √N
@@ -326,26 +341,72 @@ object Similarity {
   private[graft] def semCentroids(n: Long): Long =
     math.max(IvfCentroids, math.ceil(math.sqrt(n.toDouble)).toLong)
 
+  /** Super-cells probed per vector in the two-level assignment. */
+  private[graft] val SemSuperProbes = 2
+
+  /** Super-cell stride step: super-centroids are every `sqrt(C)`-th
+    * centroid, i.e. `vec_id % (stride * superStep) == 0` — a strict
+    * subset of the centroid sample, so every super-cell key exists.
+    */
+  private[graft] def semSuperStep(c: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(c.toDouble)).toLong)
+
   private val semanticDedup: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n", norm(col("e")))
     val nVec = corpusCount(s, dir)
-    val stride = math.max(1L, nVec / semCentroids(nVec))
+    val cPlanned = semCentroids(nVec)
+    val stride = math.max(1L, nVec / cPlanned)
+    val superStride = stride * semSuperStep(cPlanned)
     val cent = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("n").as("cn"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("c_id"))
-    // barrier: the assignment (an O(N·C) pass) feeds three consumers
-    // (both self-join sides + the output projection) — without it Catalyst
-    // re-derives the full centroid pass per consumer
-    val assign = Tables.barrier(emb.join(broadcast(cent))
-      .withColumn("ccos", dot(col("e"), col("ce")) /
-        nullif(col("n") * col("cn"), lit(0.0)))
-      .withColumn("rn", row_number().over(wAssign))
+    val sup = emb.filter(col("vec_id") % superStride === 0)
+      .select(col("vec_id").as("s_id"), col("e").as("se"), col("n").as("sn"))
+    // level 1: each centroid groups under its nearest super-cell — C×S
+    // rows, metadata-scale whatever N is
+    val wCent = Window.partitionBy("c_id").orderBy(col("scos").desc, col("s_id"))
+    val c2s = cent.join(broadcast(sup))
+      .withColumn("scos", dot(col("ce"), col("se")) /
+        nullif(col("cn") * col("sn"), lit(0.0)))
+      .withColumn("rn", row_number().over(wCent))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"), col("e"), col("n"),
-        col("ccos")))
+      .select(col("s_id"), col("c_id"), col("ce"), col("cn"))
+    // the codebook as two 1-row broadcast frames: the super list and the
+    // super → member-centroids map (collect_list order is free — the
+    // argmax fold below is order-independent under its strict tie rule)
+    val supArr = sup
+      .agg(collect_list(struct(col("s_id"), col("se"), col("sn"))).as("sups"))
+    val cmap = c2s
+      .groupBy(col("s_id"))
+      .agg(collect_list(struct(col("c_id"), col("ce"), col("cn"))).as("cs"))
+      .agg(map_from_entries(collect_list(struct(col("s_id"), col("cs"))))
+        .as("cmap"))
+    // level 2, row-local per vector: rank supers, probe the nearest P,
+    // argmax over their member centroids. No window, no shuffle.
+    val probed = emb.crossJoin(broadcast(supArr)).crossJoin(broadcast(cmap))
+      .withColumn("top_sups", slice(array_sort(transform(col("sups"),
+        t => struct(
+          (-(dot(col("e"), t("se")) / nullif(col("n") * t("sn"), lit(0.0))))
+            .as("negcos"),
+          t("s_id").as("s_id")))), 1, SemSuperProbes))
+      .withColumn("cands", flatten(filter(
+        transform(col("top_sups"), t => element_at(col("cmap"), t("s_id"))),
+        a => a.isNotNull)))
+      .withColumn("best", aggregate(col("cands"),
+        struct(lit(-2.0).as("ccos"), lit(-1L).as("cell")),
+        (acc, c) => {
+          val cc = dot(col("e"), c("ce")) / nullif(col("n") * c("cn"), lit(0.0))
+          when(cc > acc("ccos") ||
+              (cc === acc("ccos") && c("c_id") < acc("cell")),
+            struct(cc.as("ccos"), c("c_id").as("cell"))).otherwise(acc)
+        }))
+    // barrier: the assignment feeds three consumers (both self-join sides
+    // + the output projection) — without it Catalyst re-derives the full
+    // probed scan per consumer
+    val assign = Tables.barrier(probed
+      .select(col("vec_id"), col("best")("cell").as("cell"), col("e"),
+        col("n"), col("best")("ccos").as("ccos")))
     val other = assign.select(col("cell"), col("vec_id").as("b_id"),
       col("e").as("be"), col("n").as("bn"), col("ccos").as("bccos"))
     val dups = assign.join(other, Seq("cell"))
@@ -480,20 +541,46 @@ object Similarity {
          |  FROM pairs)
          |WHERE rank <= 5""".stripMargin,
     "d09_semantic_dedup" ->
+      // mirrors the Spark side's two-level quantizer verbatim: same
+      // stride/superStride arithmetic, same nearest-super grouping, same
+      // top-2 super probe, same (cos DESC, id ASC) tie rules
       s"""WITH $EMB,
-         |stride AS (SELECT greatest(count(*) //
-         |  greatest(${IvfCentroids}, CAST(ceil(sqrt(count(*))) AS BIGINT)), 1)
-         |  AS k FROM emb),
+         |par AS (SELECT
+         |  greatest(count(*) //
+         |    greatest(${IvfCentroids}, CAST(ceil(sqrt(count(*))) AS BIGINT)), 1)
+         |    AS stride,
+         |  greatest(CAST(ceil(sqrt(
+         |    greatest(${IvfCentroids}, CAST(ceil(sqrt(count(*))) AS BIGINT))
+         |    )) AS BIGINT), 1) AS sstep
+         |  FROM emb),
          |cent AS (SELECT vec_id AS c_id, e AS ce, n AS cn FROM emb
-         |         WHERE vec_id % (SELECT k FROM stride) = 0),
+         |         WHERE vec_id % (SELECT stride FROM par) = 0),
+         |sup AS (SELECT vec_id AS s_id, e AS se, n AS sn FROM emb
+         |        WHERE vec_id % (SELECT stride * sstep FROM par) = 0),
+         |c2s AS (
+         |  SELECT s_id, c_id, ce, cn FROM (
+         |    SELECT s.s_id, c.c_id, c.ce, c.cn,
+         |           row_number() OVER (PARTITION BY c.c_id ORDER BY
+         |             ${DOT.format("c.ce", "s.se")} / nullif(c.cn * s.sn, 0.0) DESC,
+         |             s.s_id) AS rn
+         |    FROM cent c CROSS JOIN sup s)
+         |  WHERE rn = 1),
+         |v2s AS (
+         |  SELECT vec_id, s_id FROM (
+         |    SELECT emb.vec_id, s.s_id,
+         |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |             ${DOT.format("emb.e", "s.se")} / nullif(emb.n * s.sn, 0.0) DESC,
+         |             s.s_id) AS srn
+         |    FROM emb CROSS JOIN sup s)
+         |  WHERE srn <= ${SemSuperProbes}),
          |assign AS (
          |  SELECT vec_id, c_id AS cell, e, n, ccos FROM (
-         |    SELECT emb.vec_id, c.c_id, emb.e, emb.n,
-         |           ${DOT.format("emb.e", "c.ce")} / nullif(emb.n * c.cn, 0.0) AS ccos,
+         |    SELECT emb.vec_id, cs.c_id, emb.e, emb.n,
+         |           ${DOT.format("emb.e", "cs.ce")} / nullif(emb.n * cs.cn, 0.0) AS ccos,
          |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-         |             ${DOT.format("emb.e", "c.ce")} / nullif(emb.n * c.cn, 0.0) DESC,
-         |             c.c_id) AS rn
-         |    FROM emb CROSS JOIN cent c)
+         |             ${DOT.format("emb.e", "cs.ce")} / nullif(emb.n * cs.cn, 0.0) DESC,
+         |             cs.c_id) AS rn
+         |    FROM emb JOIN v2s USING (vec_id) JOIN c2s cs USING (s_id))
          |  WHERE rn = 1),
          |dup AS (
          |  SELECT DISTINCT a.vec_id

@@ -53,4 +53,52 @@ class CycleSpec extends AnyFunSuite {
     assert(inds == 3L, s"expected 3 indicators, got $inds")
     frames.foreach(_._2.unpersist())
   }
+
+  test("priority cycle: non-priority symbols never reach a frame or branch") {
+    // the f01b cut mechanics (async_full_engine.py:54-131): the base fact
+    // is semi-joined to the priority set BEFORE frames are built, so a
+    // non-priority symbol must be absent from every working frame — not
+    // merely filtered from the output after paying its indicator compute.
+    // A fixed 5-of-15 set keeps the pin non-vacuous at sf0.001 (where
+    // r07's ranking union can cover all symbols); f01b itself wires r07.
+    val prioSet = Set("S0001", "S0003", "S0005", "S0007", "S0009")
+    val s2 = spark
+    import s2.implicits._
+    val prio = prioSet.toSeq.toDF("symbol")
+    val all = Tables.candles(spark, sf).select("symbol").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert((all -- prioSet).nonEmpty, "cut is vacuous: every symbol is priority")
+    val base = Tables.candles(spark, sf)
+      .join(broadcast(prio), Seq("symbol"), "left_semi")
+    val pframes = Tables.withCandleFrame(base)(
+      operators.Cycle.workingFrames(spark, sf, miniIntervals))
+    pframes.foreach(_._2.count())
+    pframes.foreach { case (iv, f) =>
+      val syms = f.select("symbol").distinct().collect().map(_.getString(0)).toSet
+      assert(syms.subsetOf(prioSet),
+        s"frame $iv leaked non-priority symbols: ${syms -- prioSet}")
+    }
+    val out = operators.Cycle.runBranches(
+      operators.Cycle.branchPlans(spark, sf, pframes, miniPack))
+    val outSyms = out.select("交易对").distinct().collect().map(_.getString(0)).toSet
+    assert(outSyms.subsetOf(prioSet),
+      s"branch output leaked non-priority symbols: ${outSyms -- prioSet}")
+
+    // the futures pack reads BOTH facts (the taker-ratio scanner reads
+    // candles, Futures.scala:27 — the f01b leak found at sf0.01): under
+    // both overrides every futures query must stay inside the cut
+    val mcut = Tables.metrics5m(spark, sf)
+      .join(broadcast(prio), Seq("symbol"), "left_semi")
+    Tables.withCandleFrame(base) {
+      Tables.withMetricsFrame(mcut) {
+        indicators.Futures.queries.foreach { case (key, q) =>
+          val syms = q(spark, sf).select("symbol").distinct()
+            .collect().map(_.getString(0)).toSet
+          assert(syms.subsetOf(prioSet),
+            s"futures branch $key leaked non-priority symbols: ${syms -- prioSet}")
+        }
+      }
+    }
+    pframes.foreach(_._2.unpersist())
+  }
 }

@@ -31,6 +31,32 @@ class RegistrySpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  // The round-5 sentinel: the driver regenerated events.parquet mid-round
+  // with a different physical ts encoding (NANOS → MICROS/NTZ) and 86
+  // registry entries failed analysis. Tables.events now normalizes at the
+  // read boundary; this test reads every fixture table at every SF and
+  // asserts the NORMALIZED schema, so the next regeneration fails exactly
+  // here with a clear message instead of everywhere.
+  test("fixture tables read with expected normalized schema at all SFs") {
+    import org.apache.spark.sql.types._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      Tables.All.foreach { t =>
+        val df = Tables.read(spark, dir, t)
+        assert(df.schema.nonEmpty, s"$sf/$t unreadable")
+      }
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == LongType,
+        s"$sf events.ts normalized type is ${ev.schema("ts").dataType}, " +
+          "expected LongType epoch-nanos — fixture encoding changed again? " +
+          "See Tables.events normalization.")
+      // sanity: normalized values are plausible epoch nanos (year > 2000)
+      val minTs = ev.agg(org.apache.spark.sql.functions.min("ts")).head.getLong(0)
+      assert(minTs > 946684800L * 1000000000L,
+        s"$sf events.ts min $minTs not plausible epoch nanos")
+    }
+  }
 }
 
 class RollupSpec extends AnyFunSuite {

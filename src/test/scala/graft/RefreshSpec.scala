@@ -139,6 +139,34 @@ class RefreshSpec extends AnyFunSuite {
     assert(snapM(p15).exists(r => r._2 == (572L * 300 / 900) * 900 && r._3 == 9999.0))
   }
 
+  test("real-time read: stale materialization + fresh tail equals a fully-fresh rollup") {
+    // materialization watermark at hour 36 of 48: the stored 1h rollup
+    // KNOWS NOTHING after it (the refresh hasn't run), yet the real-time
+    // read must serve post-watermark buckets fresh from the 1m base
+    val wmTs = 36L * 3600
+    val stale = operators.Rollup.rollup(
+      bars.filter(col("bucket_ts") < wmTs), 3600L)
+    val wm = bars.agg(lit(wmTs).as("wm"))
+    val rt = operators.Rollup.realtimeRollup(stale, bars, 3600L, wm)
+
+    val fresh = operators.Rollup.rollup(bars, 3600L)
+      .select("symbol", "bucket_ts", "high", "close", "volume")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val served = rt
+      .select("symbol", "bucket_ts", "high", "close", "volume")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(served == fresh,
+      "real-time read disagrees with a fully-fresh materialization")
+
+    // the freshness split is exactly at the watermark
+    val tails = rt.select("bucket_ts", "from_tail").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(tails.forall { case (b, t) => t == (b >= wmTs) })
+    assert(tails.count(_._2) == 12) // 48 - 36 hourly buckets served fresh
+  }
+
   private def snapOf(basePath: String,
       seconds: Long): Set[(String, Long, Double, Double, Double)] =
     operators.Rollup.rollup(
