@@ -228,6 +228,116 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Shared 60-bit hash both engines compute bit-identically: the first 15
+    * hex chars of md5 parsed as an integer. Spark `conv(substring(md5(x),
+    * 1, 15), 16, 10)` ≡ DuckDB `('0x' || substr(md5(x), 1, 15))::BIGINT` —
+    * md5 is byte-defined, so cross-engine agreement is by construction
+    * (round-5 VERDICT #8: the xxhash64-based d03/d04 have no DuckDB twin;
+    * this hash gives their md5 variants a real SQL oracle).
+    */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** D3b — MinHash+LSH over the [[md5Hash60]] family: the d03 pipeline
+    * shape (signature → banded candidates → bucket cap → exact verify)
+    * re-expressed so EVERY stage has a DuckDB twin and the whole operator
+    * is oracle-gated, not spec-gated. 16 "permutations" over distinct
+    * word tokens (component i = min over tokens of H(i || ':' || token) —
+    * the independent-permutation trick, like d03's kernel), 8 bands × 2
+    * rows joined on both components, the same linearity-preserving
+    * band-bucket cap, exact token-set Jaccard ≥ 0.5 verify (row-local
+    * array_intersect; the oracle replays it as a token equi-join).
+    *
+    * Both engines compute the SAME banding, so candidate-set parity —
+    * LSH's approximation included — is by construction. The signature
+    * stage is a row-local projection (no shuffle); candidates shuffle on
+    * the band key; per-bucket pairs are capped ⇒ linear, d03's scale
+    * story unchanged.
+    */
+  private val BandBucketCapB = 16
+
+  private val minhashMd5: Q = (s, dir) => {
+    val uni = withClones(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 8)
+    val toked = uni.select(col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), t => t =!= lit("")))
+        .as("toks"))
+    val sig = Tables.barrier(toked.select(col("doc_id"), col("toks"),
+      transform(sequence(lit(0), lit(15)),
+        i => array_min(transform(col("toks"),
+          t => md5Hash60(concat_ws(":", i.cast("string"), t))))).as("sig")))
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            element_at(col("sig"), b * 2 + 1).as("k1"),
+            element_at(col("sig"), b * 2 + 2).as("k2"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val capped = bands
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("k1"), col("k2"))))
+      .filter(col("df") <= BandBucketCapB)
+      .select(col("doc_id"), col("band"), col("k1"), col("k2"))
+    val cands = capped.alias("x").join(capped.alias("y"),
+        Seq("band", "k1", "k2"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val tk = sig.select(col("doc_id"), col("toks"))
+    cands
+      .join(tk.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+      .join(tk.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** D4b — SimHash over the [[md5Hash60]] family, fully SQL-oracled like
+    * [[minhashMd5]]: 24-bit signature (bit k = sign of the ±1 vote sum of
+    * the distinct tokens' hash bit k), candidates by equality of either
+    * 12-bit half, confirmed at Hamming ≤ 3. The d04 operator (64-bit,
+    * adaptive bands, spec-gated recall) remains the scale path; this twin
+    * exists so the simhash FAMILY has a cross-engine oracle row — both
+    * engines compute the identical signature, banding, and popcount, so
+    * the hash-compare pins every stage.
+    */
+  private val simhashMd5: Q = (s, dir) => {
+    val uni = withClones(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 8)
+    val toked = uni.select(col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), t => t =!= lit("")))
+        .as("toks"))
+    val hashed = toked.select(col("doc_id"),
+      transform(col("toks"), t => md5Hash60(t)).as("hs"))
+    val sim = (0 until 24).map { k =>
+      when(aggregate(col("hs"), lit(0L),
+          (acc, h) => acc + (shiftright(h, k).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = Tables.barrier(
+      hashed.select(col("doc_id"), sim.as("sim")))
+    val bands = sig.select(col("doc_id"), col("sim"),
+        explode(array(
+          struct(lit(0).as("band"),
+            col("sim").bitwiseAND(lit(4095L)).as("key")),
+          struct(lit(1).as("band"),
+            shiftright(col("sim"), 12).as("key")))).as("bk"))
+      .select(col("doc_id"), col("sim"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bands.alias("x").join(bands.alias("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.sim").as("sa"),
+        col("y.doc_id").as("b"), col("y.sim").as("sb"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** D4 — SimHash: 64-bit signature from token xxhash64s, candidate pairs
     * by band equality over 8 rotated windows, confirmed at Hamming ≤ 12.
     * ScalaTest-gated like D3 (LSH recall is approximate by design; the
@@ -462,6 +572,8 @@ object Dedup {
     "d01_dedup_exact" -> exact,
     "d02_dedup_ngram_jaccard" -> ngramJaccard,
     "d03_dedup_minhash_lsh" -> minhashLsh,
+    "d03b_minhash_md5" -> minhashMd5,
+    "d04b_simhash_md5" -> simhashMd5,
     "d04_dedup_simhash" -> simhash,
     "d05_dedup_components" -> components,
     "d06_dedup_survivors" -> survivors,
@@ -480,6 +592,65 @@ object Dedup {
       s"""WITH $CLONES_SQL,
          |$D02_CTES
          |$D02_SELECT""".stripMargin,
+    "d03b_minhash_md5" ->
+      // every stage mirrors the Spark side: same 60-bit md5 hash, same
+      // 16-component signature, same 8x2 banding + bucket cap, same
+      // token-Jaccard verify — candidate-set parity by construction
+      s"""WITH $CLONES_SQL,
+         |toked AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_filter(string_split(text, ' '), t -> t != '')) AS toks
+         |  FROM uni WHERE len(text) >= 8),
+         |sig AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(range(0, 16), i ->
+         |      list_aggregate(list_transform(toks,
+         |        t -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT),
+         |        'min')) AS sig
+         |  FROM toked),
+         |bnd AS (
+         |  SELECT doc_id, i AS band, sig[2*i + 1] AS k1, sig[2*i + 2] AS k2
+         |  FROM sig, (SELECT unnest(range(0, 8)) AS i)),
+         |big AS (SELECT band, k1, k2 FROM bnd
+         |        GROUP BY 1, 2, 3 HAVING count(*) > $BandBucketCapB),
+         |kept AS (SELECT bnd.* FROM bnd ANTI JOIN big USING (band, k1, k2)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM kept x JOIN kept y USING (band, k1, k2)
+         |  WHERE x.doc_id < y.doc_id),
+         |tk AS (SELECT doc_id, unnest(toks) AS t FROM toked),
+         |tn AS (SELECT doc_id, len(toks) AS n FROM toked),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS i
+         |  FROM cand c
+         |  JOIN tk ta ON ta.doc_id = c.a
+         |  JOIN tk tb ON tb.doc_id = c.b AND tb.t = ta.t
+         |  GROUP BY 1, 2)
+         |SELECT i.a, i.b,
+         |  round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+         |FROM inter i JOIN tn na ON na.doc_id = i.a JOIN tn nb ON nb.doc_id = i.b
+         |WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5""".stripMargin,
+    "d04b_simhash_md5" ->
+      s"""WITH $CLONES_SQL,
+         |toked AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_filter(string_split(text, ' '), t -> t != '')) AS toks
+         |  FROM uni WHERE len(text) >= 8),
+         |hashed AS (
+         |  SELECT doc_id, list_transform(toks,
+         |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+         |  FROM toked),
+         |sig AS (SELECT doc_id, $SIM24 AS sim FROM hashed),
+         |bnd AS (
+         |  SELECT doc_id, sim, 0 AS band, sim & 4095 AS key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, sim, 1 AS band, sim >> 12 AS key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, x.sim AS sa, y.doc_id AS b, y.sim AS sb
+         |  FROM bnd x JOIN bnd y USING (band, key)
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "d05_dedup_components" ->
       s"""WITH RECURSIVE $CLONES_SQL,
          |$D02_CTES,
@@ -568,6 +739,13 @@ object Dedup {
          |  CAST(row_number() OVER (PARTITION BY canonical
          |    ORDER BY n_len DESC, id) = 1 AS INT) AS survivor
          |FROM sized JOIN cs USING (canonical)""".stripMargin)
+
+  /** The 24-bit simhash vote-sum as DuckDB SQL (d04b oracle), generated
+    * bit-by-bit like s02's plane literals.
+    */
+  private lazy val SIM24: String = (0 until 24).map { k =>
+    s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> $k) & 1) * 2 - 1)) > 0 THEN ${1L << k} ELSE 0 END"
+  }.mkString(" + ")
 
   private lazy val D02_CTES: String =
     """docs AS (SELECT doc_id, text FROM uni WHERE len(text) >= 8),
