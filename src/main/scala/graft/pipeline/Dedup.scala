@@ -256,6 +256,9 @@ object Dedup {
     */
   private val BandBucketCapB = 16
 
+  /** d04b band-bucket cap (see the band stage comment). */
+  private val SimBucketCap = 64
+
   private val minhashMd5: Q = (s, dir) => {
     val uni = withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
@@ -326,6 +329,16 @@ object Dedup {
             shiftright(col("sim"), 12).as("key")))).as("bk"))
       .select(col("doc_id"), col("sim"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      // the d04 round-5 lesson, applied to the twin the first 10x run it
+      // ever got: this corpus's 31-token vocabulary makes many docs share
+      // a token SET, hence an identical signature — equal-sim buckets grow
+      // with the corpus and the band join goes quadratic (measured 56 s at
+      // 10x). The cap bounds candidates to cap·bands per doc — LINEAR —
+      // and both engines drop the SAME over-cap buckets, so parity holds.
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("df") <= SimBucketCap)
+      .select(col("doc_id"), col("sim"), col("band"), col("key"))
     val cands = bands.alias("x").join(bands.alias("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("x.sim").as("sa"),
@@ -641,10 +654,12 @@ object Dedup {
          |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
          |  FROM toked),
          |sig AS (SELECT doc_id, $SIM24 AS sim FROM hashed),
-         |bnd AS (
+         |bnd0 AS (
          |  SELECT doc_id, sim, 0 AS band, sim & 4095 AS key FROM sig
          |  UNION ALL
          |  SELECT doc_id, sim, 1 AS band, sim >> 12 AS key FROM sig),
+         |big AS (SELECT band, key FROM bnd0 GROUP BY 1, 2 HAVING count(*) > 64),
+         |bnd AS (SELECT bnd0.* FROM bnd0 ANTI JOIN big USING (band, key)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, x.sim AS sa, y.doc_id AS b, y.sim AS sb
          |  FROM bnd x JOIN bnd y USING (band, key)

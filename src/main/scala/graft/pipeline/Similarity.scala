@@ -329,6 +329,18 @@ object Similarity {
     * two-level rule verbatim), so parity is by construction, not by
     * hoping the hierarchy agrees with a flat scan.
     *
+    * The quality dial, stated honestly: probing P of S supers scans
+    * ~P·C/S centroids, and on an embedding space with weak cluster
+    * structure (this fixture: 64-dim, no centroid-level clusters —
+    * trained k-means supers measured no better than stride supers) the
+    * flat-argmax agreement is bounded near the scan fraction, whatever
+    * router is used. What the hierarchy preserves at ANY probe setting —
+    * and what SemDeDup actually needs — is that near-identical vectors
+    * walk the same probe path and co-assign (PipelineSpec pins >= 90% on
+    * ±0.2% clones). Production embedding spaces cluster, which is what
+    * makes P ≪ S informative there; raise [[SemSuperProbes]] toward S to
+    * recover the flat scan exactly.
+    *
     * The duplicate scan is unchanged: a self-join on the cell key, per-cell
     * occupancy N/C; cells are the shuffle key. No global pairwise term.
     */

@@ -206,6 +206,66 @@ class PipelineSpec extends AnyFunSuite {
     out.filter(_.getLong(2) > 0).foreach(r => assert(r.getDouble(4) >= 1.0))
   }
 
+  test("d09 hierarchical assignment: near-identical vectors co-assign; probe beats random") {
+    // Two pins for the round-6 two-level quantizer, calibrated to what it
+    // actually guarantees:
+    //
+    // 1. SemDeDup's load-bearing property — a true near-duplicate PAIR
+    //    lands in the same cell — survives the probe approximation: the
+    //    pair's super scores are within noise of each other, so they walk
+    //    the same probe path. Pinned on injected ±0.2% clones: >= 90%
+    //    co-assignment.
+    // 2. Against a driver-side flat argmax over the same centroids, the
+    //    probed argmax agrees on >= 45% of vectors — meaningfully above
+    //    the ~P/S = 1/3 random-subset baseline. This fixture's 64-dim
+    //    embeddings have almost no cluster structure at the centroid
+    //    level (measured: trained k-means supers route no better than
+    //    stride supers, 0.56 -> 0.69 at P=2), so high flat-agreement is
+    //    unattainable by ANY o(C) router here; production embedding
+    //    spaces cluster, and the dial is SemSuperProbes. Cross-engine
+    //    parity is by construction (the oracle replays the probed argmax).
+    val root = java.nio.file.Files.createTempDirectory("graft_d09").toString
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val clones = base.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + (i % 5 - 2).cast("double") / 1000.0))
+            .cast("float")).as("embedding"),
+        col("label"))
+    base.unionByName(clones).repartition(2)
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    val out = pipeline.Similarity.queries("d09_semantic_dedup")(spark, root)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = out.keys.filter(id => id >= 1000000L && out.contains(id - 1000000L))
+    val co = pairs.count(id => out(id) == out(id - 1000000L))
+    val coFrac = co.toDouble / pairs.size
+    assert(coFrac >= 0.90,
+      f"only $coFrac%.3f of near-identical clone pairs co-assigned")
+
+    val vecs = spark.read.parquet(s"$root/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).sortBy(_._1)
+    val n = vecs.length.toLong
+    val stride = math.max(1L, n / pipeline.Similarity.semCentroids(n))
+    val cents = vecs.filter(_._1 % stride == 0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val agree = vecs.count { case (id, e) =>
+      val flat = cents.map { case (cid, ce) => (cid, cos(e, ce)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+      out(id) == flat
+    }
+    val frac = agree.toDouble / vecs.length
+    assert(frac >= 0.45,
+      f"probed argmax agrees with flat on only $frac%.3f — at/below the random-subset baseline")
+  }
+
   test("d05/d06 handle a clean corpus with zero near-dup edges") {
     // previously: sum(label) over the empty edge frame returned NULL → NPE
     assert(pipeline.Dedup.queries("d05_dedup_components")(spark, tinyDir).count() == 0)
