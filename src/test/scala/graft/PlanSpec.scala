@@ -269,4 +269,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p26.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4,
       s"h26 grew extra shuffles:\n${p26.take(1500)}")
   }
+
+  test("r19: the watermark rides the plan as a broadcast scalar; no cartesian of real relations") {
+    // the realtime read's watermark is a 1-row aggregate cross-joined in —
+    // the Q22 scalar idiom (BroadcastNestedLoopJoin of a 1-row side), NEVER
+    // a collect() and NEVER a CartesianProduct; beyond it the plan is the
+    // two roll-up aggregates + the union
+    val p = plan("r19_realtime_rollup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"r19 lost the broadcast-scalar watermark shape:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"r19 planned a cartesian:\n${p.take(1500)}")
+    assert(p.contains("Union"), s"r19 lost the stored∪tail union:\n${p.take(1500)}")
+  }
+
+  test("d03b/d04b: band candidate scans are equi-joins on the band key, never cartesian") {
+    // the md5 twins must keep the d03/d04 shape: candidates come from a
+    // hash join on (band, key...) — a cartesian or BNLJ of corpus-sized
+    // sides is the O(N²) failure the banding exists to avoid
+    for (name <- Seq("d03b_minhash_md5", "d04b_simhash_md5")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a non-equi candidate scan:\n${p.take(1500)}")
+      assert(p.contains("hashpartitioning(band") ||
+          p.contains("BroadcastHashJoin"),
+        s"$name lost the band-key join:\n${p.take(1500)}")
+    }
+  }
 }

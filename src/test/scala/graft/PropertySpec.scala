@@ -67,6 +67,24 @@ object PropertySpec extends Properties("graft") {
       } && up.length == byKey.size
     }
 
+  property("realtime read == fresh materialization for any aligned watermark") =
+    forAll(barsGen.suchThat(_.nonEmpty), Gen.choose(0L, 12L)) { (bars, wmBucket) =>
+      // the r19 contract: whatever the watermark, stored-pre-watermark ∪
+      // recomputed-tail equals a fully-fresh roll-up, and the from_tail
+      // split sits exactly at the watermark
+      val seconds = 300L
+      val df = toDf(bars)
+      val wmTs = wmBucket * seconds
+      val stale = operators.Rollup.rollup(
+        df.filter(col("bucket_ts") < wmTs), seconds)
+      val rt = operators.Rollup.realtimeRollup(
+        stale, df, seconds, df.agg(lit(wmTs).as("wm")))
+      val fresh = operators.Rollup.rollup(df, seconds)
+      snap(rt.drop("from_tail")) == snap(fresh) &&
+        rt.select("bucket_ts", "from_tail").collect()
+          .forall(r => r.getBoolean(1) == (r.getLong(0) >= wmTs))
+    }
+
   property("mergeCandles is idempotent on closed batches") =
     forAll(barsGen.suchThat(_.nonEmpty)) { bars =>
       val df = toDf(bars).withColumn("is_closed", lit(true))
