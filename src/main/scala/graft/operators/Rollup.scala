@@ -183,6 +183,39 @@ object Rollup {
     served.unionByName(fresh, allowMissingColumns = false)
   }
 
+  /** [[realtimeRollup]] served from the MATERIALIZED roll-up store — the
+    * production shape of the real-time read. Timescale keeps the refresh
+    * watermark as catalog metadata (a scalar known when the view query is
+    * planned), so both sides prune STATICALLY, no runtime filter needed:
+    *
+    *  - the stored scan keeps only `dt` partitions at-or-before the
+    *    watermark date (plus `bucket_ts < wm` row filter) — at 100 TB this
+    *    is a partition-pruned read of the small roll-up table;
+    *  - the base tail scan keeps only `dt` partitions at-or-after the
+    *    watermark date, i.e. O(offset) of the 1m store, not O(history).
+    *
+    * The registry's `r19` entry instead derives the watermark from data
+    * (the driver harness is stateless per query, so there is no refresh
+    * metadata to consult there); RefreshSpec pins this path's pruning.
+    */
+  def realtimeRead(spark: org.apache.spark.sql.SparkSession,
+      storedPath: String, basePath: String, seconds: Long,
+      wmTs: Long): DataFrame = {
+    require(wmTs % seconds == 0, s"watermark $wmTs not aligned to $seconds")
+    val wmDate = java.time.Instant.ofEpochSecond(wmTs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val served = graft.Tables.readCandles(spark, storedPath)
+      .filter(col("dt") <= lit(wmDate) && col("bucket_ts") < wmTs)
+      .drop("dt")
+      .withColumn("from_tail", lit(false))
+    val tail = graft.Tables.readCandles(spark, basePath)
+      .filter(col("dt") >= lit(wmDate) && col("bucket_ts") >= wmTs)
+      .drop("dt")
+    served.unionByName(
+      rollup(tail, seconds).withColumn("from_tail", lit(true)),
+      allowMissingColumns = false)
+  }
+
   /** Metrics roll-up (R5; 007_metrics_cagg_from_5m.sql:27-43): `last()` for
     * point-in-time gauges, ratio-of-sums for the ratio columns.
     */

@@ -296,6 +296,108 @@ object Similarity {
         col("probe"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** PQ geometry: 64 dims → [[PqSubspaces]] subspaces of 8 dims, each
+    * quantized against a [[PqCodebook]]-entry codebook. A vector's code is
+    * then M bytes — 8 bytes against the raw vector's 256 (fp32): the 32×
+    * compression that lets a 100 TB embedding corpus fit executor memory.
+    */
+  private[pipeline] val PqSubspaces = 8
+  private[pipeline] val PqCodebook = 16
+
+  /** ADC candidates exact-re-ranked per query (the standard PQ recall
+    * repair: approximate distances pick a small candidate set, true
+    * distances order the final top-k). 128 ≈ 26× the served k=5 — the
+    * recall/cost dial, measured on this fixture's UNCLUSTERED random
+    * embeddings (PQ's worst case: quantization error is large relative to
+    * the weak neighbor structure): recall@5 vs exact = 0.28/0.52/0.80/0.88
+    * at budgets 20/64/128/200. An absolute budget, so the re-ranked
+    * fraction SHRINKS as the corpus grows; production embedding spaces
+    * cluster, which is what pushes PQ recall to the high 90s there.
+    */
+  private[pipeline] val PqRerank = 128
+
+  private def subvec(e: Column, m: Int): Column = slice(e, m * 8 + 1, 8)
+
+  /** Squared L2 distance as a SEQUENTIAL left fold (zip → square → fold),
+    * bit-identical to the DuckDB `list_zip`/`list_reduce` replay — the same
+    * parity discipline as [[dot]].
+    */
+  private def sqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** S6 — product-quantization ANN (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): encode every corpus
+    * vector as M subspace codes, scan with ASYMMETRIC DISTANCE COMPUTATION
+    * (per-query lookup table of query-to-centroid subspace distances, so a
+    * corpus pair costs M table lookups instead of 64 multiplies), then
+    * exact-re-rank the top-[[PqRerank]] ADC candidates by true cosine.
+    *
+    * Codebooks are the deterministic stride sample standing in for trained
+    * k-means (same stance as s04's centroids): the [[PqCodebook]] sample
+    * vectors' m-th 8-dim slices form subspace m's codebook. Encoding is a
+    * broadcast-codebook × corpus pass — row-local argmin folds, ZERO
+    * shuffle; the only shuffles in the whole query are the two per-query
+    * top-k windows, keyed by q_id.
+    *
+    * At 100 TB: the encode pass writes an 8-byte code column once (32×
+    * smaller than the vectors — THE reason PQ is the standard billion-scale
+    * layout); the ADC scan reads only codes + the broadcast LUT, and
+    * composes with the IVF cell layout (s04/s05) for sub-linear probing.
+    * The DuckDB oracle replays codes, ADC sums (same fold order — the LUT
+    * is memoization, not different math) and both rank stages verbatim.
+    */
+  private val pqAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val stride = math.max(1L, corpusCount(s, dir) / PqCodebook)
+    // 1-row broadcast codebook: the K sample vectors, j-ordered
+    val cb = emb
+      .filter(col("vec_id") % stride === 0 &&
+        col("vec_id") < stride * PqCodebook)
+      .select(expr(s"vec_id DIV $stride").cast("int").as("j"),
+        col("e").as("ce"))
+      .agg(array_sort(collect_list(struct(col("j"), col("ce")))).as("cb"))
+    // encode: per subspace, argmin_j ||v_m - c_{m,j}||^2 (ties -> smaller j)
+    val codes = emb.crossJoin(broadcast(cb))
+      .withColumn("codes", array((0 until PqSubspaces).map { m =>
+        aggregate(col("cb"),
+          struct(lit(Double.MaxValue).as("d"), lit(PqCodebook).as("j")),
+          (acc, c) => {
+            val d = sqdist(subvec(col("e"), m), subvec(c("ce"), m))
+            when(d < acc("d") || (d === acc("d") && c("j") < acc("j")),
+              struct(d.as("d"), c("j").as("j"))).otherwise(acc)
+          })("j")
+      }: _*))
+      .select(col("vec_id"), col("codes"), col("e"), col("n"))
+    // per-query ADC lookup table: lut[m][j] = ||q_m - c_{m,j}||^2
+    val q = emb.filter(col("vec_id") < 10).crossJoin(broadcast(cb))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("n").as("qn"),
+        array((0 until PqSubspaces).map { m =>
+          transform(col("cb"),
+            c => sqdist(subvec(col("qe"), m), subvec(c("ce"), m)))
+        }: _*).as("lut"))
+    val mIdx = array((0 until PqSubspaces).map(m => lit(m)): _*)
+    val pairs = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("adist", aggregate(
+        zip_with(col("codes"), mIdx, (c, m) => struct(c.as("c"), m.as("m"))),
+        lit(0.0),
+        (acc, p) => acc +
+          element_at(element_at(col("lut"), p("m") + 1), p("c") + 1)))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+    val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PqRerank)
+      .withColumn("cos", dot(col("e"), col("qe")) /
+        nullif(col("n") * col("qn"), lit(0.0)))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("adist"), 6).as("adist"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+  }
+
   /** Cosine threshold above which two embeddings in the same cell count as
     * semantic duplicates (d09). The synthetic fixture's near-dup band sits
     * at ~0.3 (same as s03); a production run tunes this per-embedding-model.
@@ -441,6 +543,7 @@ object Similarity {
     "s03_embedding_near_dup" -> cosineNearDup,
     "s04_ivf_ann" -> ivfAnn,
     "s05_ivf_multiprobe" -> ivfMultiprobe,
+    "s06_pq_ann" -> pqAnn,
     "d09_semantic_dedup" -> semanticDedup)
 
   private val EMB =
@@ -470,7 +573,64 @@ object Similarity {
     (Seq("bucket") ++ (0 until OraclePlanes).map(k => s"xor(bucket, ${1 << k})"))
       .mkString("[", ", ", "]")
 
+  /** Sequential squared-L2 fold — the DuckDB twin of [[sqdist]]. */
+  private val SQDIST =
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(%s, %s), p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+
+  private val MLIST = "[0, 1, 2, 3, 4, 5, 6, 7]"
+
   val oracle: Map[String, String] = Map(
+    "s06_pq_ann" ->
+      // replays the PQ pipeline verbatim: same stride codebook, same
+      // per-subspace argmin (d ASC, j ASC), same m-ordered ADC fold (the
+      // Spark LUT is memoization of the identical arithmetic), same two
+      // rank stages
+      s"""WITH $EMB,
+         |stride AS (SELECT greatest(count(*) // $PqCodebook, 1) AS k FROM emb),
+         |cent AS (
+         |  SELECT CAST(vec_id // (SELECT k FROM stride) AS INT) AS j, e AS ce
+         |  FROM emb
+         |  WHERE vec_id % (SELECT k FROM stride) = 0
+         |    AND vec_id < (SELECT k FROM stride) * $PqCodebook),
+         |cbl AS (SELECT list(ce ORDER BY j) AS cbl FROM cent),
+         |codesrc AS (
+         |  SELECT emb.vec_id, ms.m, cent.j,
+         |         row_number() OVER (PARTITION BY emb.vec_id, ms.m ORDER BY
+         |           ${SQDIST.format(
+                        "list_slice(emb.e, ms.m * 8 + 1, ms.m * 8 + 8)",
+                        "list_slice(cent.ce, ms.m * 8 + 1, ms.m * 8 + 8)")} ASC,
+         |           cent.j ASC) AS rn
+         |  FROM emb CROSS JOIN (SELECT unnest($MLIST) AS m) ms CROSS JOIN cent),
+         |codes AS (
+         |  SELECT vec_id, list(j ORDER BY m) AS codes
+         |  FROM codesrc WHERE rn = 1 GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, e AS qe, n AS qn FROM emb WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.q_id, c.vec_id, v.e, v.n, q.qe, q.qn,
+         |         list_reduce(list_prepend(0.0, list_transform($MLIST,
+         |           m -> ${SQDIST.format(
+                        "list_slice(q.qe, m * 8 + 1, m * 8 + 8)",
+                        "list_slice(cbl.cbl[c.codes[m + 1] + 1], m * 8 + 1, m * 8 + 8)")})),
+         |           (acc, x) -> acc + x) AS adist
+         |  FROM codes c JOIN emb v USING (vec_id)
+         |  CROSS JOIN q CROSS JOIN cbl
+         |  WHERE c.vec_id != q.q_id),
+         |cands AS (
+         |  SELECT q_id, vec_id, adist, e, n, qe, qn,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adist ASC,
+         |           vec_id ASC) AS arn
+         |  FROM pairs),
+         |rerank AS (
+         |  SELECT q_id, vec_id, adist,
+         |         ${DOT.format("e", "qe")} / nullif(n * qn, 0.0) AS cos
+         |  FROM cands WHERE arn <= $PqRerank)
+         |SELECT q_id, vec_id AS neighbor_id, round(adist, 6) AS adist,
+         |       round(cos, 6) AS cos, rank FROM (
+         |  SELECT q_id, vec_id, adist, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC,
+         |           vec_id) AS rank
+         |  FROM rerank)
+         |WHERE rank <= 5""".stripMargin,
     "s01_cosine_topk" ->
       s"""WITH $EMB,
          |q AS (SELECT vec_id AS q_id, e AS qe, n AS qn FROM emb WHERE vec_id < 10),

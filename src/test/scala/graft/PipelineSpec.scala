@@ -69,6 +69,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(cosRange.getDouble(0) >= -1.0001 && cosRange.getDouble(1) <= 1.0001)
   }
 
+  test("s06 PQ ADC + re-rank: recall floor vs exact top-k, 5 rows per query") {
+    val pq = pipeline.Similarity.queries("s06_pq_ann")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pipeline.Similarity.queries("s01_cosine_topk")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == exact.size && exact.size == 50)
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // measured 0.80 at sf0.01 / budget 128 on unclustered embeddings (the
+    // PQ worst case — see PqRerank scaladoc); 0.7 is the regression floor
+    assert(recall >= 0.7, f"PQ recall@5 collapsed: $recall%.2f")
+  }
+
   test("sign-LSH buckets keep perturbed embedding clones together (recall floor)") {
     // deterministic small perturbation: e_i + 0.002·((i mod 7) − 3), ~2% of
     // a unit vector's typical ±1-projection margin. A clone changes bucket

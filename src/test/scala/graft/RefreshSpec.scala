@@ -167,6 +167,45 @@ class RefreshSpec extends AnyFunSuite {
     assert(tails.count(_._2) == 12) // 48 - 36 hourly buckets served fresh
   }
 
+  test("materialized real-time read: both scans partition-prune at the watermark date") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtread").toString
+    val base = s"$root/c1m"; val p1h = s"$root/c1h"
+    Tables.writeCandles(bars, base)
+    // materialize the 1h rollup as of hour 36 of 48: the store knows
+    // nothing after the watermark (refresh hasn't run since)
+    val wmTs = 36L * 3600
+    operators.Rollup.refreshRollup(spark, base, p1h, 3600L, wmTs, wmTs - 1)
+
+    val rt = operators.Rollup.realtimeRead(spark, p1h, base, 3600L, wmTs)
+
+    // serving and materializing can never disagree: the read equals a
+    // fully-fresh rollup of the base store, split exactly at the watermark
+    val fresh = operators.Rollup.rollup(
+        Tables.readCandles(spark, base).drop("dt"), 3600L)
+      .select("symbol", "bucket_ts", "high", "close", "volume")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val served = rt.select("symbol", "bucket_ts", "high", "close", "volume")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(served == fresh)
+    val tails = rt.select("bucket_ts", "from_tail").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(tails.forall { case (b, t) => t == (b >= wmTs) })
+
+    // the scalar watermark must reach BOTH scans as a dt partition filter:
+    // stored side bounded above, base tail bounded below (day 2 = wm date)
+    val scans = rt.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val storedScan = scans.find(_.contains("c1h")).getOrElse("")
+    val baseScan = scans.find(_.contains("c1m")).getOrElse("")
+    assert(storedScan.contains("PartitionFilters") &&
+      storedScan.contains("1970-01-02"),
+      s"stored side not pruned:\n$storedScan")
+    assert(baseScan.contains("PartitionFilters") &&
+      baseScan.contains("1970-01-02"),
+      s"base tail not pruned:\n$baseScan")
+  }
+
   private def snapOf(basePath: String,
       seconds: Long): Set[(String, Long, Double, Double, Double)] =
     operators.Rollup.rollup(
