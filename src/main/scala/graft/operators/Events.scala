@@ -118,11 +118,36 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** e05 — rolling active users: per-day DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio. Shape: the distinct (user, day) relation
+    * (one user_id-keyed aggregate — orders of magnitude smaller than the
+    * raw log), then each user-day CONTRIBUTES to the 7 report-day windows
+    * that cover it (a ×7 fan-out of the deduplicated relation, NOT of raw
+    * events), one day-keyed countDistinct per report day. Raw events are
+    * scanned exactly once; report days are inner-joined to active days so
+    * no phantom tail days appear. The dyadic DAU/WAU ratio rounds via the
+    * floor(x·1e6+0.5) idiom — exact halves agree across engines.
+    */
+  val rollingActives: Q = (s, dir) => {
+    val userDays = evSeconds(s, dir)
+      .select(col("user_id"), expr("ts_s DIV 86400").as("day")).distinct()
+    val dau = userDays.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = userDays
+      .withColumn("off", explode(array((0 to 6).map(lit): _*)))
+      .groupBy((col("day") + col("off")).as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (floor(col("dau") / col("wau") * 1e6 + 0.5) / 1e6).as("stickiness"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e01_sessionize" -> sessionize,
     "e02_funnel" -> funnel,
     "e03_retention" -> retention,
-    "e04_transitions" -> transitions)
+    "e04_transitions" -> transitions,
+    "e05_rolling_actives" -> rollingActives)
 
   val oracle: Map[String, String] = Map(
     "e01_sessionize" ->
@@ -170,6 +195,20 @@ object Events {
         |SELECT prev_type, event_type AS next_type, count(*) AS n
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "e05_rolling_actives" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |        FROM days GROUP BY 1),
+        |wau AS (
+        |  SELECT day + o AS day, count(DISTINCT user_id) AS wau
+        |  FROM days CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o)
+        |  GROUP BY 1)
+        |SELECT day, dau, wau,
+        |  floor(dau / wau * 1e6 + 0.5) / 1e6 AS stickiness
+        |FROM dau JOIN wau USING (day)""".stripMargin,
     "e03_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

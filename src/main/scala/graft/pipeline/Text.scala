@@ -322,7 +322,41 @@ object Text {
         nullif(nWs.cast("double"), lit(0.0)), 6).as("fertility"))
   }
 
+  /** The fixed histogram alphabet for t12: a–z, space, and an implicit
+    * "other" bucket (anything else, counted as length − Σ known). A fixed
+    * alphabet keeps the histogram ROW-LOCAL — 27 codegen'd
+    * `length(replace(...))` counts per doc instead of a char-explode +
+    * per-doc shuffle, which is the difference between a scan-bound pass
+    * and a token-cardinality shuffle at 100 TB.
+    */
+  private val EntropyAlphabet: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  /** T12 — character-entropy quality signal: Shannon entropy (bits) of the
+    * per-doc character distribution over [[EntropyAlphabet]] + other.
+    * Low-entropy documents are repetitive junk (aaaa…, template spam);
+    * `other_frac` (non-alphabet fraction) is a second cheap quality dial.
+    * Both engines fold the 28 buckets in the same fixed order, so the
+    * entropy sum is bit-identical before rounding.
+    */
+  private val charEntropy: Q = (s, dir) => {
+    val n = length(col("text")).cast("double")
+    val counts = EntropyAlphabet.map(ch =>
+      (n - length(replace(col("text"), lit(ch), lit("")))).cast("double"))
+    val known = counts.reduce(_ + _)
+    val buckets = array((counts :+ (n - known)): _*)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(n > 0, aggregate(buckets, lit(0.0), (acc, c) =>
+        acc + when(c > 0, -(c / n) * log2(c / n)).otherwise(lit(0.0))))
+        .as("h"),
+      when(n > 0, (n - known) / n).as("of"))
+      .select(col("doc_id"), round(col("h"), 6).as("entropy"),
+        (floor(col("of") * 1e6 + 0.5) / 1e6).as("other_frac"),
+        coalesce(col("h") < 2.5, lit(true)).as("low_entropy"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t12_char_entropy" -> charEntropy,
     "t01_langid" -> langid,
     "t02_quality_score" -> quality,
     "t03_token_stats" -> tokenStats,
@@ -402,7 +436,36 @@ object Text {
     s"""CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(stop(l))}))) AS DOUBLE) /
        |    nullif(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0)""".stripMargin
 
+  /** t12 oracle: the 27 per-char counts as a list literal, same order as
+    * the Spark `buckets` array, same left-fold entropy sum.
+    */
+  private val EntropyCountsSql = EntropyAlphabet
+    .map(ch => s"CAST(length(text) - length(replace(text, '$ch', '')) AS DOUBLE)")
+    .mkString("[", ",\n         ", "]")
+
   val oracle: Map[String, String] = Map(
+    "t12_char_entropy" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+         |         $EntropyCountsSql AS ks
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n,
+         |    list_append(ks,
+         |      n - list_reduce(list_prepend(0.0, ks), (acc, x) -> acc + x)) AS bk
+         |  FROM c),
+         |e AS (
+         |  SELECT doc_id, n, bk,
+         |    CASE WHEN n > 0 THEN list_reduce(list_prepend(0.0,
+         |      list_transform(bk, c ->
+         |        CASE WHEN c > 0 THEN -(c / n) * log2(c / n) ELSE 0.0 END)),
+         |      (acc, x) -> acc + x) END AS h
+         |  FROM b)
+         |SELECT doc_id, round(h, 6) AS entropy,
+         |  CASE WHEN n > 0 THEN floor(bk[28] / n * 1e6 + 0.5) / 1e6 END
+         |    AS other_frac,
+         |  coalesce(h < 2.5, true) AS low_entropy
+         |FROM e""".stripMargin,
     "t01_langid" -> {
       // fixed argmax ladder: strictly-greater wins, ties keep earlier lang
       s"""WITH rated AS (

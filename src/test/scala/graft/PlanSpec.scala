@@ -188,6 +188,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"t11 must not join:\n${p.take(1500)}")
   }
 
+  test("t12: char entropy is row-local — zero exchanges, no join") {
+    // the fixed-alphabet histogram is 27 length(replace(...)) expressions
+    // plus two folds, all per-row; an Exchange means the histogram
+    // regressed to a char-explode + shuffle
+    val p = plan("t12_char_entropy")
+    assert(!p.contains("Exchange"), s"t12 must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"t12 must not join:\n${p.take(1500)}")
+  }
+
   test("d08: span dedup keeps d07's linear two-shuffle shape") {
     // one exchange on the span hash (the dedup window), one on doc_id
     // (the per-doc regroup); no joins anywhere in the plan
