@@ -142,12 +142,34 @@ object Events {
         (floor(col("dau") / col("wau") * 1e6 + 0.5) / 1e6).as("stickiness"))
   }
 
+  /** e06 — sketched distinct counts: per-event-type distinct users, exact
+    * AND via the HLL++ sketch (`approx_count_distinct`, rsd 2.5%). At
+    * 100 TB the sketch is the only viable shape — fixed-size state,
+    * map-side combinable, no shuffle of the user-id universe — so it
+    * completes the engine's sketch trio (BloomFilter c02, approx
+    * quantiles h24b, HLL e06). The exact column is the tracked control;
+    * the output carries the sketch's ACCURACY CONTRACT (|approx−exact| ≤
+    * 5%·exact) rather than the engine-specific sketch value, so the
+    * DuckDB oracle pins both the exact counts and the contract — an HLL
+    * drifting past 5% fails the row hash, while HLL implementation
+    * details stay free to differ.
+    */
+  val sketchDistinct: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.025).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") <=
+          lit(0.05) * col("exact_users")).as("within_5pct"))
+
   val queries: Map[String, Q] = Map(
     "e01_sessionize" -> sessionize,
     "e02_funnel" -> funnel,
     "e03_retention" -> retention,
     "e04_transitions" -> transitions,
-    "e05_rolling_actives" -> rollingActives)
+    "e05_rolling_actives" -> rollingActives,
+    "e06_sketch_distinct" -> sketchDistinct)
 
   val oracle: Map[String, String] = Map(
     "e01_sessionize" ->
@@ -195,6 +217,11 @@ object Events {
         |SELECT prev_type, event_type AS next_type, count(*) AS n
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "e06_sketch_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
     "e05_rolling_actives" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

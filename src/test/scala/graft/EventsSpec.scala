@@ -52,4 +52,23 @@ class EventsSpec extends AnyFunSuite {
       .filter(col("n_users") > col("cohort_size")).count() == 0)
     ret.unpersist()
   }
+
+  test("e06 HLL sketch meets its 5% accuracy contract against exact counts") {
+    // measure the actual relative error directly (the registry entry only
+    // surfaces the boolean contract): rsd 2.5% must land within 5% on
+    // every event_type at fixture scale
+    val agg = Tables.events(spark, TestSession.sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.025).as("approx"))
+      .collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
+      val exact = r.getLong(1); val approx = r.getLong(2)
+      assert(exact > 0 && approx > 0)
+      val rel = math.abs(approx - exact).toDouble / exact
+      assert(rel <= 0.05,
+        f"HLL rel err $rel%.4f for ${r.getString(0)} ($approx vs $exact)")
+    }
+  }
 }

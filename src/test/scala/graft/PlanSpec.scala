@@ -188,6 +188,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"t11 must not join:\n${p.take(1500)}")
   }
 
+  test("s06: PQ encode + ADC scan shuffle only on the q_id windows, no cartesian") {
+    // codebook and query LUT ride broadcasts; encode is row-local; the only
+    // hash exchanges allowed are the two per-query top-k windows (same key,
+    // so Catalyst may even reuse one). A CartesianProduct or a
+    // hashpartitioning on anything but q_id means the broadcast shape broke
+    val p = plan("s06_pq_ann")
+    assert(!p.contains("CartesianProduct"), s"s06 went cartesian:\n${p.take(1500)}")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 2 && exchanges.forall(_.contains("q_id")),
+      s"s06 grew non-window shuffles:\n${exchanges.mkString("\n")}")
+  }
+
   test("t12: char entropy is row-local — zero exchanges, no join") {
     // the fixed-alphabet histogram is 27 length(replace(...)) expressions
     // plus two folds, all per-row; an Exchange means the histogram
