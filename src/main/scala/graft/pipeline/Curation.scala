@@ -101,6 +101,41 @@ object Curation {
         col("quota"), col("avail"))
   }
 
+  /** p06 — temperature-scaled source mixing: the α = 0.5 "temperature
+    * sampling" recipe multilingual pretraining mixes use (sampling weight
+    * ∝ sizeᵅ — Arivazhagan et al. 2019 §5, XLM-R Conneau et al. 2020):
+    * flattening the source-size distribution so head sources stop
+    * drowning the tail, without p03's externally supplied target vector.
+    * α = 0.5 is computed as the INTEGER weight w_s = floor(√avail_s) —
+    * IEEE-754 requires sqrt be correctly rounded, so the weight (and
+    * every downstream quota) is bit-identical across engines, unlike a
+    * general powᵅ whose libm rounding differs. Budget = total/2 docs;
+    * quota_s = min(avail_s, budget·w_s/W) in pure integer arithmetic;
+    * docs kept by the p02/p03 deterministic multiplicative-hash rank.
+    * Scale shape: |sources| rows of stats broadcast back, one window
+    * pass per source stratum on the corpus's existing source layout.
+    */
+  private val temperatureMix: Q = (s, dir) => {
+    val all = Window.partitionBy(lit(1))
+    val d = Tables.documents(s, dir)
+    val stats = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("avail"))
+      .withColumn("w", floor(sqrt(col("avail").cast("double"))).cast("bigint"))
+      .withColumn("sum_w", sum(col("w")).over(all))
+      .withColumn("total", sum(col("avail")).over(all))
+      .withColumn("quota",
+        least(col("avail"), expr("total DIV 2 * w DIV sum_w")))
+      .select(col("source").as("src"), col("avail"), col("w"), col("quota"))
+    val byHash = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    d.withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("sample_rank", row_number().over(byHash).cast("bigint"))
+      .join(broadcast(stats), col("source") === col("src"))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("avail"),
+        col("w").as("target_w"), col("quota"), col("sample_rank"))
+  }
+
   /** c01 — benchmark decontamination: flag corpus docs sharing ≥2 distinct
     * 3-token shingles with the held-out benchmark slice (doc_id ≡ 0 mod
     * 97 stands in for the eval suite). The benchmark side explodes to its
@@ -303,6 +338,7 @@ object Curation {
     "p02_stratified_sample" -> stratifiedSample,
     "p03_mix_rebalance" -> mixRebalance,
     "p04_shard_manifest" -> shardManifest,
+    "p06_temperature_mix" -> temperatureMix,
     "c01_contamination" -> contamination,
     "c02_bloom_decontam" -> bloomDecontam,
     "c03_ngram_decontam" -> ngramDecontam,
@@ -375,6 +411,27 @@ object Curation {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |    AS tok_offset
          |FROM hashed""".stripMargin,
+    "p06_temperature_mix" ->
+      """WITH stats AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |wts AS (
+        |  SELECT source, avail, CAST(floor(sqrt(avail)) AS BIGINT) AS w
+        |  FROM stats),
+        |quotas AS (
+        |  SELECT source, avail, w,
+        |    least(avail, CAST(sum(avail) OVER () AS BIGINT) // 2 * w //
+        |      CAST(sum(w) OVER () AS BIGINT)) AS quota
+        |  FROM wts),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, ranked.source, avail, w AS target_w, quota, sample_rank
+        |FROM ranked JOIN quotas ON ranked.source = quotas.source
+        |WHERE sample_rank <= quota""".stripMargin,
     "p05_curation_manifest" ->
       s"""WITH corp AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),

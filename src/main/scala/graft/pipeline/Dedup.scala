@@ -235,7 +235,7 @@ object Dedup {
     * (round-5 VERDICT #8: the xxhash64-based d03/d04 have no DuckDB twin;
     * this hash gives their md5 variants a real SQL oracle).
     */
-  private def md5Hash60(c: Column): Column =
+  private[pipeline] def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** D3b — MinHash+LSH over the [[md5Hash60]] family: the d03 pipeline

@@ -199,6 +199,46 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Neighbors per vector in the s07 graph. */
+  private[pipeline] val KnnK = 3
+
+  /** S7 — mutual-kNN graph: every vector's top-[[KnnK]] neighbors over the
+    * s02 multi-probe bucket candidates, plus the reciprocity flag
+    * (`mutual` = the edge exists in both directions). This is the graph
+    * artifact semantic-clustering / diversity-sampling / label-propagation
+    * pipelines build once and reuse — mutual-kNN is the standard
+    * density-robust construction (an edge survives only if both endpoints
+    * agree, which strips hub vectors' spurious edges).
+    *
+    * Scale shape: the candidate join is s02's (bucket-equality, ~32·(p+1)
+    * candidates per vector — linear in N); the graph itself is |V|·K rows
+    * and the mutual flag is one self-join of the EDGE LIST on the
+    * reversed key — edge-list-sized, never corpus-sized. The edge list is
+    * barrier'd so the bucket join runs once, not once per side.
+    */
+  private val knnGraph: Q = (s, dir) => {
+    val (bk, p) = bucketed(s, dir)
+    val a = bk.select(col("vec_id").as("a_id"), col("e").as("ae"),
+        col("n").as("an"), col("bucket"))
+      .withColumn("probe", explode(probesOf(col("bucket"), p)))
+    val b = bk.select(col("bucket").as("probe"), col("vec_id").as("b_id"),
+      col("e").as("be"), col("n").as("bn"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    val edges = Tables.barrier(a.join(b, Seq("probe"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", dot(col("ae"), col("be")) /
+        nullif(col("an") * col("bn"), lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("a_id"), col("b_id"), col("rank"), col("cos")))
+    val rev = edges.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
+      lit(true).as("m"))
+    edges.join(rev, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id").as("nn_id"), col("rank"),
+        round(col("cos"), 6).as("cos"),
+        coalesce(col("m"), lit(false)).as("mutual"))
+  }
+
   /** IVF coarse-centroid budget: constant in N. 32 cells suit the ≤5k-row
     * driver corpora; a 10^9-vector deployment raises this to ~√N via the
     * same stride construction without touching the query shape.
@@ -544,6 +584,7 @@ object Similarity {
     "s04_ivf_ann" -> ivfAnn,
     "s05_ivf_multiprobe" -> ivfMultiprobe,
     "s06_pq_ann" -> pqAnn,
+    "s07_knn_graph" -> knnGraph,
     "d09_semantic_dedup" -> semanticDedup)
 
   private val EMB =
@@ -643,6 +684,30 @@ object Similarity {
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM pairs)
          |WHERE rank <= 5""".stripMargin,
+    "s07_knn_graph" ->
+      s"""WITH $EMB,
+         |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),
+         |probed AS (
+         |  SELECT vec_id AS a_id, e AS ae, n AS an, bucket,
+         |         unnest($PROBES) AS probe
+         |  FROM bucketed),
+         |pairs AS (
+         |  SELECT a.a_id, b.vec_id AS b_id,
+         |         ${DOT.format("a.ae", "b.e")} / nullif(a.an * b.n, 0.0) AS cos
+         |  FROM probed a JOIN bucketed b
+         |    ON a.probe = b.bucket AND a.a_id != b.vec_id),
+         |edges AS (
+         |  SELECT a_id, b_id, rank, cos FROM (
+         |    SELECT a_id, b_id, cos,
+         |           row_number() OVER (PARTITION BY a_id
+         |             ORDER BY cos DESC, b_id) AS rank
+         |    FROM pairs)
+         |  WHERE rank <= $KnnK)
+         |SELECT e.a_id, e.b_id AS nn_id, e.rank, round(e.cos, 6) AS cos,
+         |  coalesce(r.m, FALSE) AS mutual
+         |FROM edges e LEFT JOIN
+         |  (SELECT b_id AS a_id, a_id AS b_id, TRUE AS m FROM edges) r
+         |  USING (a_id, b_id)""".stripMargin,
     "s02_lsh_ann" ->
       s"""WITH $EMB,
          |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),

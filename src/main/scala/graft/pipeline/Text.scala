@@ -355,7 +355,68 @@ object Text {
         coalesce(col("h") < 2.5, lit(true)).as("low_entropy"))
   }
 
+  /** Winnowing window: the minimum hash of every [[WinnowW]] consecutive
+    * grams is selected. Density ≈ 2/(W+1); guarantee threshold t = W+k-1
+    * tokens (k = 3-gram).
+    */
+  private val WinnowW = 4
+
+  /** T13 — winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    * word 3-gram, slide a [[WinnowW]]-gram window, keep each window's
+    * minimum hash; the distinct minima are the document's fingerprint set.
+    * The winnowing guarantee: any token run of ≥ W+2 words shared by two
+    * documents yields at least one SHARED fingerprint, at ~2/(W+1) the
+    * storage of the full shingle set — the index a plagiarism / near-dup
+    * retrieval system stores instead of every shingle (t04 is the global
+    * fingerprint; this is the local one).
+    *
+    * Scale shape: grams are built by shifted-slice zips (no explode), the
+    * hash and the window-min selection are row-local higher-order
+    * functions — one corpus scan, ZERO shuffle at any size. The 60-bit
+    * md5 hash is the d03b/d04b cross-engine family, so every stage has an
+    * exact DuckDB twin.
+    */
+  /** The t13 fingerprint set of a text column (sorted distinct window
+    * minima) as a single Column expression — shared by the operator and
+    * the PipelineSpec guarantee test so the two can't drift. Trigrams via
+    * two shifted zips (the t05 shape); slice lengths clamp to 0 so
+    * 0-2-token docs don't feed negative lengths into slice.
+    */
+  private[graft] def winnowFp(text: Column): Column = {
+    val tk = filter(split(text, " "), t => t =!= lit(""))
+    val n = size(tk)
+    val bg = zip_with(
+      slice(tk, lit(1), greatest(n - 1, lit(0))),
+      slice(tk, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val g = zip_with(
+      slice(bg, lit(1), greatest(size(bg) - 1, lit(0))),
+      slice(tk, lit(3), greatest(n - 2, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val h = transform(g, x => Dedup.md5Hash60(x))
+    val sel = transform(
+      sequence(lit(1), greatest(size(h) - (WinnowW - 1), lit(1))),
+      j => array_min(slice(h, j, lit(WinnowW))))
+    array_sort(array_distinct(sel))
+  }
+
+  private val winnow: Q = (s, dir) => {
+    val tk = filter(toks(col("text")), t => t =!= lit(""))
+    Tables.documents(s, dir)
+      .withColumn("n_grams", greatest(size(tk) - 2, lit(0)).cast("bigint"))
+      .filter(col("n_grams") >= 1)
+      .withColumn("fp", winnowFp(col("text")))
+      .select(col("doc_id"), col("n_grams"),
+        greatest(col("n_grams") - (WinnowW - 1), lit(1)).cast("bigint")
+          .as("n_windows"),
+        size(col("fp")).cast("bigint").as("n_fp"),
+        element_at(col("fp"), 1).as("fp_min"),
+        element_at(col("fp"), -1).as("fp_max"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t13_winnow_fp" -> winnow,
     "t12_char_entropy" -> charEntropy,
     "t01_langid" -> langid,
     "t02_quality_score" -> quality,
@@ -444,6 +505,31 @@ object Text {
     .mkString("[", ",\n         ", "]")
 
   val oracle: Map[String, String] = Map(
+    "t13_winnow_fp" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '')
+         |    AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(tk[i:i+2], ' ')) AS gs
+         |  FROM toks WHERE len(tk) >= 3),
+         |h AS (
+         |  SELECT doc_id, list_transform(gs,
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |  FROM g),
+         |sel AS (
+         |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+         |    list_transform(range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1),
+         |      j -> list_min(hs[j:j+${WinnowW - 1}])) AS s
+         |  FROM h),
+         |fp AS (
+         |  SELECT doc_id, n_grams, CAST(len(s) AS BIGINT) AS n_windows,
+         |    list_sort(list_distinct(s)) AS f
+         |  FROM sel)
+         |SELECT doc_id, n_grams, n_windows, CAST(len(f) AS BIGINT) AS n_fp,
+         |  f[1] AS fp_min, f[-1] AS fp_max
+         |FROM fp""".stripMargin,
     "t12_char_entropy" ->
       s"""WITH c AS (
          |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,

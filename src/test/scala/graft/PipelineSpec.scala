@@ -220,6 +220,64 @@ class PipelineSpec extends AnyFunSuite {
     out.filter(_.getLong(2) > 0).foreach(r => assert(r.getDouble(4) >= 1.0))
   }
 
+  test("t13 winnowing guarantee: a shared >=6-token run yields a shared fingerprint") {
+    val session = spark
+    import session.implicits._
+    // winnowing guarantee (Schleimer et al. 2003, thm 1): with k=3-gram and
+    // window w=4, any shared token run of >= w+k-1 = 6 tokens puts one full
+    // identical window in both docs, whose min is selected in both
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "zulu yankee xray alpha bravo charlie delta echo foxtrot whiskey victor"),
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val fp = docs
+      .select(col("doc_id"), pipeline.Text.winnowFp(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty,
+      "6-token shared run must share a fingerprint")
+    assert((fp(1L) & fp(4L)).isEmpty, "disjoint docs must not collide")
+    // density: the fingerprint set compresses the gram set (8 grams, w=4
+    // windows select at most 5 distinct minima)
+    assert(fp(1L).size <= 5)
+  }
+
+  test("p06 temperature mix: kept == quota per source and small sources keep a higher rate") {
+    val out = pipeline.Curation.queries("p06_temperature_mix")(spark, sf)
+    val g = out.groupBy("source")
+      .agg(count(lit(1)).as("kept"), first("quota").as("q"),
+        first("avail").as("av"))
+      .collect()
+    g.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"kept != quota for $r")
+      assert(r.getLong(2) <= r.getLong(3), s"quota > avail for $r")
+    }
+    // the α=0.5 flattening: keep-rate ∝ 1/√avail, so the smallest source's
+    // rate must be >= the largest source's
+    val rates = g.map(r => (r.getLong(3), r.getLong(2).toDouble / r.getLong(3)))
+    assert(rates.minBy(_._1)._2 >= rates.maxBy(_._1)._2 - 1e-9)
+  }
+
+  test("s07 mutual-kNN graph: <=K edges per vector, mutual flag consistent, rank-1 == s02") {
+    val df = pipeline.Similarity.queries("s07_knn_graph")(spark, sf)
+    val rows = df.collect()
+    val perVec = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perVec.max <= 3)
+    // mutual flag is exactly "reverse edge exists in the top-K list"
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == edges.contains((r.getLong(1), r.getLong(0))),
+        s"mutual flag wrong for ${r.getLong(0)}->${r.getLong(1)}")
+    }
+    // the graph's rank-1 edge per vector is s02's nearest neighbor
+    val s02 = pipeline.Similarity.queries("s02_lsh_ann")(spark, sf)
+      .select("a_id", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = rows.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == s02, "rank-1 edges must equal the s02 ANN relation")
+  }
+
   test("d09 hierarchical assignment: near-identical vectors co-assign; probe beats random") {
     // Two pins for the round-6 two-level quantizer, calibrated to what it
     // actually guarantees:

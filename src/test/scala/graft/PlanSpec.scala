@@ -209,6 +209,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"t12 must not join:\n${p.take(1500)}")
   }
 
+  test("t13: winnowing fingerprints are row-local — zero exchanges, no join") {
+    // gram build, hashing, and window-min selection are all higher-order
+    // functions over per-row arrays; an Exchange means the selection
+    // regressed to a gram explode + shuffle
+    val p = plan("t13_winnow_fp")
+    assert(!p.contains("Exchange"), s"t13 must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"t13 must not join:\n${p.take(1500)}")
+  }
+
   test("d08: span dedup keeps d07's linear two-shuffle shape") {
     // one exchange on the span hash (the dedup window), one on doc_id
     // (the per-doc regroup); no joins anywhere in the plan
