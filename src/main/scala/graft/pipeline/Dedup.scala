@@ -581,7 +581,63 @@ object Dedup {
           col("n_spans").cast("double"), 6))
   }
 
+  /** D10 — incremental near-dup detection, the PRODUCTION shape of d03b:
+    * a 100 TB corpus is not re-deduped per crawl — the daily DELTA is
+    * banded and joined against the maintained band index of the existing
+    * corpus, so the per-crawl work is O(|delta|·bands + candidates), not
+    * O(|corpus|²) or even a corpus re-scan (at cluster scale the `capped`
+    * index below is a stored table the delta appends to). Delta = doc_id
+    * ≡ 0 (mod 10); the bucket cap applies to the UNION (the index is
+    * maintained capped); a candidate must involve a delta doc — new×old
+    * at any id, new×new first-occurrence-wins (m < n) — and survivors
+    * verify at token-Jaccard ≥ 0.5. Every stage is d03b's md5-60
+    * machinery, so every stage keeps its DuckDB twin and the whole
+    * incremental path is oracle-gated.
+    */
+  private val incrementalDedup: Q = (s, dir) => {
+    val toked = Tables.documents(s, dir).filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        array_distinct(filter(split(col("text"), " "), t => t =!= lit("")))
+          .as("toks"))
+    val sig = Tables.barrier(toked.select(col("doc_id"), col("toks"),
+      transform(sequence(lit(0), lit(15)),
+        i => array_min(transform(col("toks"),
+          t => md5Hash60(concat_ws(":", i.cast("string"), t))))).as("sig")))
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            element_at(col("sig"), b * 2 + 1).as("k1"),
+            element_at(col("sig"), b * 2 + 2).as("k2"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val capped = bands
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("k1"), col("k2"))))
+      .filter(col("df") <= BandBucketCapB)
+      .select(col("doc_id"), col("band"), col("k1"), col("k2"))
+    val newSide = capped.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("n"), col("band"), col("k1"), col("k2"))
+    val cands = newSide
+      .join(capped.withColumnRenamed("doc_id", "m"), Seq("band", "k1", "k2"))
+      .filter(col("m") =!= col("n"))
+      .filter((col("m") % 10 =!= 0) || (col("m") < col("n")))
+      .select(col("n"), col("m")).distinct()
+    val tk = sig.select(col("doc_id"), col("toks"))
+    cands
+      .join(tk.select(col("doc_id").as("n"), col("toks").as("ta")), "n")
+      .join(tk.select(col("doc_id").as("m"), col("toks").as("tb")), "m")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("n").as("new_id"), col("m").as("match_id"),
+        (col("m") % 10 === 0).as("match_is_new"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d10_incremental_dedup" -> incrementalDedup,
     "d01_dedup_exact" -> exact,
     "d02_dedup_ngram_jaccard" -> ngramJaccard,
     "d03_dedup_minhash_lsh" -> minhashLsh,
@@ -594,6 +650,41 @@ object Dedup {
     "d08_span_dedup" -> spanDedup)
 
   val oracle: Map[String, String] = Map(
+    "d10_incremental_dedup" ->
+      s"""WITH toked AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_filter(string_split(text, ' '), t -> t != '')) AS toks
+         |  FROM documents WHERE len(text) >= 8),
+         |sig AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(range(0, 16), i ->
+         |      list_aggregate(list_transform(toks,
+         |        t -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT),
+         |        'min')) AS sig
+         |  FROM toked),
+         |bnd AS (
+         |  SELECT doc_id, i AS band, sig[2*i + 1] AS k1, sig[2*i + 2] AS k2
+         |  FROM sig, (SELECT unnest(range(0, 8)) AS i)),
+         |big AS (SELECT band, k1, k2 FROM bnd
+         |        GROUP BY 1, 2, 3 HAVING count(*) > $BandBucketCapB),
+         |kept AS (SELECT bnd.* FROM bnd ANTI JOIN big USING (band, k1, k2)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS n, y.doc_id AS m
+         |  FROM kept x JOIN kept y USING (band, k1, k2)
+         |  WHERE x.doc_id % 10 = 0 AND y.doc_id != x.doc_id
+         |    AND (y.doc_id % 10 != 0 OR y.doc_id < x.doc_id)),
+         |tk AS (SELECT doc_id, unnest(toks) AS t FROM toked),
+         |tn AS (SELECT doc_id, len(toks) AS nn FROM toked),
+         |inter AS (
+         |  SELECT c.n, c.m, count(*) AS i
+         |  FROM cand c
+         |  JOIN tk ta ON ta.doc_id = c.n
+         |  JOIN tk tb ON tb.doc_id = c.m AND tb.t = ta.t
+         |  GROUP BY 1, 2)
+         |SELECT i.n AS new_id, i.m AS match_id, (i.m % 10 = 0) AS match_is_new,
+         |  round(CAST(i.i AS DOUBLE) / (na.nn + nb.nn - i.i), 6) AS jaccard
+         |FROM inter i JOIN tn na ON na.doc_id = i.n JOIN tn nb ON nb.doc_id = i.m
+         |WHERE CAST(i.i AS DOUBLE) / (na.nn + nb.nn - i.i) >= 0.5""".stripMargin,
     "d01_dedup_exact" ->
       s"""WITH $CLONES_SQL
          |SELECT doc_id,

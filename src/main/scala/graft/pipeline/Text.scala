@@ -415,7 +415,43 @@ object Text {
         element_at(col("fp"), -1).as("fp_max"))
   }
 
+  /** Hashed-feature dimension for t14: constant — the weight table is KBs
+    * at any corpus size (a real model broadcasts it).
+    */
+  private val ClsDim = 256L
+
+  /** T14 — hashed linear quality classifier: the fasttext-style gate
+    * production pipelines apply (GPT-3 scores every doc with a logistic
+    * classifier trained against WebText and filters on it — Brown et al.
+    * 2020 appendix A; LLaMA/CCNet ship the same shape). The model here is
+    * a DETERMINISTIC stand-in with the true plan shape: feature bucket =
+    * 60-bit md5 token hash mod [[ClsDim]]; weight(b) = the Knuth-hash
+    * dyadic rational ((b·2654435761) mod 2³²)/2³² − 0.5 — dyadic, so the
+    * left-fold sum is bit-exact across engines, where a trained float
+    * table would broadcast identically. score = mean token weight (the
+    * linear logit; the sigmoid is monotone, so the gate thresholds the
+    * logit directly — no libm exp parity risk), pass = logit > 0.
+    * Row-local end to end: one scan, zero shuffle, the weight "table" is
+    * pure arithmetic.
+    */
+  private val qualityClassifier: Q = (s, dir) => {
+    val tk = filter(toks(col("text")), t => t =!= lit(""))
+    def w(t: Column): Column =
+      (pmod(pmod(Dedup.md5Hash60(t), lit(ClsDim)) * lit(2654435761L),
+        lit(4294967296L)).cast("double") / lit(4294967296.0)) - lit(0.5)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(tk).cast("bigint"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("raw",
+        aggregate(tk, lit(0.0), (acc, t) => acc + w(t)) /
+          col("n_tokens").cast("double"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("raw") * lit(1e6) + lit(0.5)) / 1e6).as("cls_score"),
+        (col("raw") > 0.0).as("quality_pass"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t14_quality_classifier" -> qualityClassifier,
     "t13_winnow_fp" -> winnow,
     "t12_char_entropy" -> charEntropy,
     "t01_langid" -> langid,
@@ -505,6 +541,22 @@ object Text {
     .mkString("[", ",\n         ", "]")
 
   val oracle: Map[String, String] = Map(
+    "t14_quality_classifier" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '')
+         |    AS tk
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    list_reduce(list_prepend(0.0, list_transform(tk,
+         |      t -> CAST((('0x' || substr(md5(t), 1, 15))::BIGINT % $ClsDim)
+         |             * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
+         |             - 0.5)),
+         |      (acc, x) -> acc + x) / CAST(len(tk) AS DOUBLE) AS raw
+         |  FROM toks WHERE len(tk) >= 1)
+         |SELECT doc_id, n_tokens, floor(raw * 1e6 + 0.5) / 1e6 AS cls_score,
+         |  raw > 0.0 AS quality_pass
+         |FROM sc""".stripMargin,
     "t13_winnow_fp" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '')

@@ -278,6 +278,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1 == s02, "rank-1 edges must equal the s02 ANN relation")
   }
 
+  test("d10 incremental dedup: delta-only pairs, ordered new-new, verbatim delta clone caught") {
+    val out = pipeline.Dedup.queries("d10_incremental_dedup")(spark, sf)
+      .collect()
+    // every pair involves a delta doc on the left; new×new pairs are
+    // first-occurrence ordered
+    out.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, s"left side not a delta doc: $r")
+      if (r.getBoolean(2)) assert(r.getLong(1) < r.getLong(0),
+        s"new-new pair not first-occurrence ordered: $r")
+      else assert(r.getLong(1) % 10 != 0)
+    }
+    // a delta doc that verbatim-copies an existing doc must be caught with
+    // jaccard 1 against it. Synthetic distinctive-vocabulary corpus: the
+    // driver fixture's tiny vocabulary makes EVERY popular band bucket
+    // exceed the cap (by design, in both engines), so the guarantee is
+    // pinned where buckets are healthy — the regime the cap is FOR.
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val docs = (1L to 30L).map { i =>
+      (i, (0 until 12).map(j => s"w${i}x$j").mkString(" "))
+    }
+    val cloneOf = docs.find(_._1 == 3L).get._2
+    (docs :+ (1000020L, cloneOf)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val hits = pipeline.Dedup.queries("d10_incremental_dedup")(spark, tmp)
+      .filter(col("new_id") === 1000020L).collect()
+    assert(hits.length == 1 && hits(0).getLong(1) == 3L &&
+      hits(0).getDouble(3) == 1.0 && !hits(0).getBoolean(2),
+      s"verbatim delta clone of doc 3 not caught: ${hits.mkString(",")}")
+  }
+
   test("d09 hierarchical assignment: near-identical vectors co-assign; probe beats random") {
     // Two pins for the round-6 two-level quantizer, calibrated to what it
     // actually guarantees:

@@ -218,6 +218,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"t13 must not join:\n${p.take(1500)}")
   }
 
+  test("t14: hashed classifier scoring is row-local — zero exchanges, no join") {
+    // the weight table is arithmetic over the token hash; an Exchange or
+    // Join means the scoring regressed to a token explode + weight join
+    val p = plan("t14_quality_classifier")
+    assert(!p.contains("Exchange"), s"t14 must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"t14 must not join:\n${p.take(1500)}")
+  }
+
+  test("d10: incremental candidates are equi-joins on the band key, never cartesian") {
+    val p = plan("d10_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), s"d10 went cartesian:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"d10 grew a nested-loop join:\n${p.take(1500)}")
+  }
+
   test("d08: span dedup keeps d07's linear two-shuffle shape") {
     // one exchange on the span hash (the dedup window), one on doc_id
     // (the per-doc regroup); no joins anywhere in the plan
