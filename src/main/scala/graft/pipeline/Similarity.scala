@@ -239,6 +239,52 @@ object Similarity {
         coalesce(col("m"), lit(false)).as("mutual"))
   }
 
+  /** S8 — labeled-embedding class diagnostics: per-label centroid norm,
+    * intra-class cohesion (mean member→centroid cosine), and nearest-class
+    * separation (closest OTHER centroid by cosine) — the label-quality
+    * monitor a classifier-training pipeline runs before fitting (noisy /
+    * collapsed / overlapping classes show up as low cohesion or high
+    * separation cosine).
+    *
+    * Scale shape: centroids via one 64× dim-explode + (label, dim)
+    * partial-combined aggregate → |labels|·64 rows (metadata-sized at any
+    * corpus size, since label vocabularies are bounded); members then
+    * join the broadcast centroid table row-locally for the cohesion pass;
+    * the separation pass runs on the |labels|² centroid pairs — a
+    * driver-trivial relation that never touches the corpus.
+    */
+  private val classStats: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+    val dims = emb.select(col("label"), posexplode(col("e")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d")).agg(avg(col("x")).as("m"))
+    val cent = dims.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        p => p.getField("m")).as("c"))
+    val intra = emb.join(broadcast(cent), "label")
+      .withColumn("mcos", dot(col("e"), col("c")) /
+        nullif(norm(col("e")) * norm(col("c")), lit(0.0)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), avg(col("mcos")).as("intra"))
+    val other = cent.select(col("label").as("l2"), col("c").as("c2"))
+    // rank on the ROUNDED cosine: centroid components are cross-engine
+    // averages (order-of-addition drift ~1e-15), so an unrounded rank key
+    // could flip nn_label on a near-tie the 6dp outputs would hide
+    val w = Window.partitionBy("label")
+      .orderBy(round(col("ccos"), 6).desc, col("l2"))
+    val sep = cent.join(other, col("label") =!= col("l2"))
+      .withColumn("ccos", dot(col("c"), col("c2")) /
+        nullif(norm(col("c")) * norm(col("c2")), lit(0.0)))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("label"), col("l2").as("nn_label"),
+        col("ccos").as("inter"))
+    intra.join(sep, Seq("label")).join(cent, Seq("label"))
+      .select(col("label"), col("n_members"),
+        round(norm(col("c")), 6).as("centroid_norm"),
+        round(col("intra"), 6).as("intra_cos"),
+        col("nn_label"), round(col("inter"), 6).as("inter_cos"))
+  }
+
   /** IVF coarse-centroid budget: constant in N. 32 cells suit the ≤5k-row
     * driver corpora; a 10^9-vector deployment raises this to ~√N via the
     * same stride construction without touching the query shape.
@@ -585,6 +631,7 @@ object Similarity {
     "s05_ivf_multiprobe" -> ivfMultiprobe,
     "s06_pq_ann" -> pqAnn,
     "s07_knn_graph" -> knnGraph,
+    "s08_class_stats" -> classStats,
     "d09_semantic_dedup" -> semanticDedup)
 
   private val EMB =
@@ -684,6 +731,39 @@ object Similarity {
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM pairs)
          |WHERE rank <= 5""".stripMargin,
+    "s08_class_stats" ->
+      s"""WITH mem AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |dims AS (
+         |  SELECT label, d, avg(e[d]) AS m
+         |  FROM mem, (SELECT unnest(range(1, 65)) AS d)
+         |  GROUP BY 1, 2),
+         |cent AS (SELECT label, list(m ORDER BY d) AS c FROM dims GROUP BY label),
+         |intra AS (
+         |  SELECT mem.label, CAST(count(*) AS BIGINT) AS n_members,
+         |    avg(${DOT.format("mem.e", "cent.c")} /
+         |      nullif(sqrt(${DOT.format("mem.e", "mem.e")}) *
+         |             sqrt(${DOT.format("cent.c", "cent.c")}), 0.0)) AS intra
+         |  FROM mem JOIN cent USING (label)
+         |  GROUP BY 1),
+         |sep AS (
+         |  SELECT label, nn_label, inter FROM (
+         |    SELECT a.label, b.label AS nn_label,
+         |      ${DOT.format("a.c", "b.c")} /
+         |        nullif(sqrt(${DOT.format("a.c", "a.c")}) *
+         |               sqrt(${DOT.format("b.c", "b.c")}), 0.0) AS inter,
+         |      row_number() OVER (PARTITION BY a.label ORDER BY
+         |        round(${DOT.format("a.c", "b.c")} /
+         |          nullif(sqrt(${DOT.format("a.c", "a.c")}) *
+         |                 sqrt(${DOT.format("b.c", "b.c")}), 0.0), 6) DESC,
+         |        b.label) AS rn
+         |    FROM cent a JOIN cent b ON a.label != b.label)
+         |  WHERE rn = 1)
+         |SELECT i.label, i.n_members,
+         |  round(sqrt(${DOT.format("cent.c", "cent.c")}), 6) AS centroid_norm,
+         |  round(i.intra, 6) AS intra_cos, s.nn_label,
+         |  round(s.inter, 6) AS inter_cos
+         |FROM intra i JOIN sep s USING (label) JOIN cent USING (label)""".stripMargin,
     "s07_knn_graph" ->
       s"""WITH $EMB,
          |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),

@@ -450,7 +450,43 @@ object Text {
         (col("raw") > 0.0).as("quality_pass"))
   }
 
+  /** Pairs reported by t15 (one BPE merge round consults the argmax; the
+    * top-K view is the trainer's working set).
+    */
+  private val PairTopK = 20
+
+  /** T15 — BPE merge-pair statistics, the first step of BPE tokenizer
+    * TRAINING (Sennrich et al. 2016: count adjacent-symbol pair
+    * frequencies over the corpus, merge the argmax; GPT-2's tokenizer is
+    * this loop over pretokens): adjacent-pretoken pair counts (t11's
+    * pretokenizer defines the symbol stream) with the top-[[PairTopK]]
+    * by count, ties broken lexically.
+    *
+    * Scale shape: pairs are built row-locally by shifted-slice zips and
+    * only then exploded into the (pair → count) aggregate, which
+    * map-side combines — the shuffle moves the pair VOCABULARY, not the
+    * corpus; the global top-K ranks a Zipf-bounded vocabulary relation.
+    */
+  private val bpePairs: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("bpe",
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .withColumn("bpe", filter(col("bpe"), t => !t.rlike("^\\s+$")))
+    val n = size(col("bpe"))
+    val w = Window.orderBy(col("pair_count").desc, col("l"), col("r"))
+    d.withColumn("pr", zip_with(
+        slice(col("bpe"), lit(1), greatest(n - 1, lit(0))),
+        slice(col("bpe"), lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(a.as("l"), b.as("r"))))
+      .select(explode(col("pr")).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("pair_count"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PairTopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t15_bpe_pairs" -> bpePairs,
     "t14_quality_classifier" -> qualityClassifier,
     "t13_winnow_fp" -> winnow,
     "t12_char_entropy" -> charEntropy,
@@ -541,6 +577,26 @@ object Text {
     .mkString("[", ",\n         ", "]")
 
   val oracle: Map[String, String] = Map(
+    "t15_bpe_pairs" ->
+      s"""WITH ext AS (
+         |  SELECT doc_id,
+         |    list_filter(
+         |      regexp_extract_all(text, '${BpePattern.replace("'", "''")}'),
+         |      t -> NOT regexp_matches(t, '^\\s+$$')) AS bpe
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT unnest(list_transform(range(1, len(bpe)),
+         |    i -> struct_pack(l := bpe[i], r := bpe[i + 1]))) AS p
+         |  FROM ext),
+         |cnt AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(count(*) AS BIGINT) AS pair_count
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT l, r, pair_count, rank FROM (
+         |  SELECT l, r, pair_count,
+         |    CAST(row_number() OVER (ORDER BY pair_count DESC, l, r) AS INT)
+         |      AS rank
+         |  FROM cnt)
+         |WHERE rank <= $PairTopK""".stripMargin,
     "t14_quality_classifier" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '')

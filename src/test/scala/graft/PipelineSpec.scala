@@ -312,6 +312,26 @@ class PipelineSpec extends AnyFunSuite {
       s"verbatim delta clone of doc 3 not caught: ${hits.mkString(",")}")
   }
 
+  test("s08 class stats: full label partition, self-excluding neighbor, bounded cosines") {
+    val out = pipeline.Similarity.queries("s08_class_stats")(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total, "members must partition the corpus")
+    out.foreach { r =>
+      assert(r.getInt(4) != r.getInt(0), s"nn_label must not be self: $r")
+      assert(math.abs(r.getDouble(3)) <= 1.0001 && math.abs(r.getDouble(5)) <= 1.0001)
+    }
+  }
+
+  test("t15 BPE pairs: dense ranks, counts non-increasing, pairs from the pretoken stream") {
+    val out = pipeline.Text.queries("t15_bpe_pairs")(spark, sf)
+      .orderBy("rank").collect()
+    assert(out.map(_.getInt(3)).toSeq == (1 to out.length),
+      "ranks must be dense from 1")
+    val counts = out.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "pair counts must be non-increasing in rank")
+  }
+
   test("d09 hierarchical assignment: near-identical vectors co-assign; probe beats random") {
     // Two pins for the round-6 two-level quantizer, calibrated to what it
     // actually guarantees:
