@@ -129,6 +129,45 @@ object Maintenance {
       col("is_closed"))
   }
 
+  /** u03 — invalidation-driven refresh: the reference's repair model is
+    * "track what went stale, recompute ONLY that" — the
+    * `missing_intervals` queue (002_taker_buy_and_gap_tracking.sql:88-108)
+    * plus the cagg refresh policies (004_continuous_aggregates.sql:49-81)
+    * are exactly Timescale's invalidation-log machinery. Late writes
+    * (event_id ≡ 0 mod 101 stands in for the late batch) invalidate their
+    * (symbol, day) ranges; the refresh recomputes the 5m roll-up for ONLY
+    * those ranges from the full store.
+    *
+    * Scale shape: the invalidation log is metadata-sized (distinct
+    * symbol×day of the late batch) and BROADCASTS into a semi-join prune
+    * of the base scan — at cluster scale this is static dt-partition
+    * pruning plus a partition-scoped rewrite (the StorageLayoutSpec MERGE
+    * path); the full fact is never re-aggregated. RefreshSpec proves the
+    * patch invariant: stale store patched with these buckets equals the
+    * fully-fresh roll-up.
+    */
+  private val invalidationRefresh: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("symbol", format_string("S%04d", col("user_id")))
+      .withColumn("day", expr("ts DIV 86400000000000"))
+    val inval = ev.filter(col("event_id") % 101 === 0)
+      .select(col("symbol"), col("day")).distinct()
+    ev.join(broadcast(inval), Seq("symbol", "day"), "leftsemi")
+      .groupBy(col("symbol"), col("day"),
+        (expr("ts DIV 300000000000") * 300).as("bucket_ts"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("trade_count"))
+      .select(col("symbol"), col("day"), col("bucket_ts"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        round(col("volume"), 6).as("volume"), col("trade_count"))
+  }
+
   /** S7 — retention trim (db/reader.py:298-332): keep the newest N rows per
     * symbol, report what remains. `row_number <= N` is the trim predicate
     * the mart rewrite uses.
@@ -165,6 +204,7 @@ object Maintenance {
 
   val queries: Map[String, Q] = Map(
     "u01_upsert_merge" -> upsert,
+    "u03_invalidation_refresh" -> invalidationRefresh,
     "u02_retention_trim" -> retention,
     "r12_max_ts" -> maxTs,
     "r16_point_read" -> pointRead)
@@ -186,6 +226,25 @@ object Maintenance {
        |GROUP BY 1, 2""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "u03_invalidation_refresh" ->
+      """WITH ev AS (
+        |  SELECT printf('S%04d', user_id) AS symbol,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 300 * 300
+        |      AS bucket_ts,
+        |    event_id, value
+        |  FROM events),
+        |inval AS (
+        |  SELECT DISTINCT symbol, day FROM ev WHERE event_id % 101 = 0)
+        |SELECT ev.symbol, ev.day, bucket_ts,
+        |  round(min_by(value, event_id), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(max_by(value, event_id), 6) AS close,
+        |  round(sum(value), 6) AS volume,
+        |  CAST(count(*) AS BIGINT) AS trade_count
+        |FROM ev SEMI JOIN inval ON ev.symbol = inval.symbol AND ev.day = inval.day
+        |GROUP BY 1, 2, 3""".stripMargin,
     "u01_upsert_merge" ->
       s"""WITH a AS (${halfSql(0, "TRUE")}),
          |b0 AS (${halfSql(1, "FALSE")}),

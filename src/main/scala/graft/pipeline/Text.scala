@@ -377,13 +377,11 @@ object Text {
     * md5 hash is the d03b/d04b cross-engine family, so every stage has an
     * exact DuckDB twin.
     */
-  /** The t13 fingerprint set of a text column (sorted distinct window
-    * minima) as a single Column expression — shared by the operator and
-    * the PipelineSpec guarantee test so the two can't drift. Trigrams via
-    * two shifted zips (the t05 shape); slice lengths clamp to 0 so
+  /** The t13 gram-hash array (one 60-bit hash per word 3-gram). Trigrams
+    * via two shifted zips (the t05 shape); slice lengths clamp to 0 so
     * 0-2-token docs don't feed negative lengths into slice.
     */
-  private[graft] def winnowFp(text: Column): Column = {
+  private[graft] def winnowHashes(text: Column): Column = {
     val tk = filter(split(text, " "), t => t =!= lit(""))
     val n = size(tk)
     val bg = zip_with(
@@ -394,19 +392,35 @@ object Text {
       slice(bg, lit(1), greatest(size(bg) - 1, lit(0))),
       slice(tk, lit(3), greatest(n - 2, lit(0))),
       (a, b) => concat(a, lit(" "), b))
-    val h = transform(g, x => Dedup.md5Hash60(x))
-    val sel = transform(
-      sequence(lit(1), greatest(size(h) - (WinnowW - 1), lit(1))),
-      j => array_min(slice(h, j, lit(WinnowW))))
-    array_sort(array_distinct(sel))
+    transform(g, x => Dedup.md5Hash60(x))
   }
 
+  /** The winnow selection over a MATERIALIZED hash-array column: distinct
+    * sorted minima of every [[WinnowW]]-gram window.
+    */
+  private[graft] def winnowSelect(h: Column): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(h) - (WinnowW - 1), lit(1))),
+      j => array_min(slice(h, j, lit(WinnowW))))))
+
+  /** Hash + select in one expression — for spec micro-corpora only; the
+    * operator MUST materialize the hash array first (see [[winnow]]).
+    */
+  private[graft] def winnowFp(text: Column): Column =
+    winnowSelect(winnowHashes(text))
+
   private val winnow: Q = (s, dir) => {
-    val tk = filter(toks(col("text")), t => t =!= lit(""))
-    Tables.documents(s, dir)
-      .withColumn("n_grams", greatest(size(tk) - 2, lit(0)).cast("bigint"))
-      .filter(col("n_grams") >= 1)
-      .withColumn("fp", winnowFp(col("text")))
+    // the hash array is materialized behind Tables.barrier BEFORE the
+    // window-min selection: the selection lambda references the array per
+    // window position, and Catalyst's projection collapse would otherwise
+    // inline the whole md5 chain into the lambda — O(grams²) hash calls
+    // per doc (the d02/c01 hoist lesson in higher-order-function form;
+    // measured 50.2 s vs 1.9 s at sf0.1)
+    val hashed = Tables.barrier(Tables.documents(s, dir)
+      .select(col("doc_id"), winnowHashes(col("text")).as("h"))
+      .withColumn("n_grams", size(col("h")).cast("bigint"))
+      .filter(col("n_grams") >= 1))
+    hashed.withColumn("fp", winnowSelect(col("h")))
       .select(col("doc_id"), col("n_grams"),
         greatest(col("n_grams") - (WinnowW - 1), lit(1)).cast("bigint")
           .as("n_windows"),

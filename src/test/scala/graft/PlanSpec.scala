@@ -233,6 +233,15 @@ class PlanSpec extends AnyFunSuite {
       s"d10 grew a nested-loop join:\n${p.take(1500)}")
   }
 
+  test("u03: the invalidation log broadcasts into a semi-join prune of the base scan") {
+    // the invalidation set is metadata-sized; a SortMergeJoin here means
+    // the full fact was shuffled to find the stale partitions
+    val p = plan("u03_invalidation_refresh")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"u03 must broadcast-semi the invalidation set:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"u03 shuffled the fact:\n${p.take(1500)}")
+  }
+
   test("d08: span dedup keeps d07's linear two-shuffle shape") {
     // one exchange on the span hash (the dedup window), one on doc_id
     // (the per-doc regroup); no joins anywhere in the plan

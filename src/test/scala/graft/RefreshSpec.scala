@@ -139,6 +139,35 @@ class RefreshSpec extends AnyFunSuite {
     assert(snapM(p15).exists(r => r._2 == (572L * 300 / 900) * 900 && r._3 == 9999.0))
   }
 
+  test("u03 patch invariant: stale store + invalidated-bucket refresh == fully-fresh rollup") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSession.sf
+    def roll(ev: org.apache.spark.sql.DataFrame) = ev
+      .groupBy(format_string("S%04d", col("user_id")).as("symbol"),
+        expr("ts DIV 86400000000000").as("day"),
+        (expr("ts DIV 300000000000") * 300).as("bucket_ts"))
+      .agg(round(sum(col("value")), 6).as("volume"),
+        count(lit(1)).as("trade_count"))
+    val all = Tables.events(spark, sf)
+    // stale store: materialized before the late batch (event_id % 101 == 0) arrived
+    val stale = roll(all.filter(col("event_id") % 101 =!= 0))
+    val refreshed = operators.Maintenance.queries("u03_invalidation_refresh")(spark, sf)
+      .select(col("symbol"), col("day"), col("bucket_ts"),
+        col("volume"), col("trade_count"))
+    // patch: drop every invalidated (symbol, day) from the stale store, then
+    // append the refreshed buckets — exactly the partition-scoped rewrite
+    val inval = refreshed.select("symbol", "day").distinct()
+    val patched = stale.join(inval, Seq("symbol", "day"), "leftanti")
+      .unionByName(refreshed)
+    val fresh = roll(all)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("symbol", "day", "bucket_ts", "volume", "trade_count").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(key(patched) == key(fresh),
+      "patched store must equal the fully-fresh rollup bucket-for-bucket")
+  }
+
   test("real-time read: stale materialization + fresh tail equals a fully-fresh rollup") {
     // materialization watermark at hour 36 of 48: the stored 1h rollup
     // KNOWS NOTHING after it (the refresh hasn't run), yet the real-time
