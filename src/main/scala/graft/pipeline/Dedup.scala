@@ -238,12 +238,33 @@ object Dedup {
   private[pipeline] def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Universal-hash mixing for the md5-family minhash components: ONE
+    * md5 per token (the strong base hash) + 16 integer mixes
+    * component_i(h) = ((h mod P)·A_i + B_i) mod P over the Mersenne
+    * prime P = 2³¹−1 — the standard "one strong hash, pairwise-
+    * independent permutation family" minhash construction (Broder 1997).
+    * First version hashed H(i‖token) — 16 md5 calls per token; the mix
+    * family is bit-identical across engines like the base hash, and cut
+    * d03b 4.3 → ~1 s at sf0.1.
+    */
+  private val MinhashP = 2147483647L
+  private def mixComponent(h: Column, i: Column): Column =
+    pmod(pmod(h, lit(MinhashP)) *
+        pmod(lit(1099511628211L) * (i + 1), lit(MinhashP)) +
+        pmod(lit(40503L) * (i + 7), lit(MinhashP)),
+      lit(MinhashP))
+
+  /** The DuckDB twin of [[mixComponent]] (h, i as SQL fragments). */
+  private def mixSql(h: String, i: String): String =
+    s"(($h % $MinhashP) * ((1099511628211 * ($i + 1)) % $MinhashP)" +
+      s" + (40503 * ($i + 7)) % $MinhashP) % $MinhashP"
+
   /** D3b — MinHash+LSH over the [[md5Hash60]] family: the d03 pipeline
     * shape (signature → banded candidates → bucket cap → exact verify)
     * re-expressed so EVERY stage has a DuckDB twin and the whole operator
     * is oracle-gated, not spec-gated. 16 "permutations" over distinct
-    * word tokens (component i = min over tokens of H(i || ':' || token) —
-    * the independent-permutation trick, like d03's kernel), 8 bands × 2
+    * word tokens (component i = min over tokens of [[mixComponent]] of
+    * the per-token base hash), 8 bands × 2
     * rows joined on both components, the same linearity-preserving
     * band-bucket cap, exact token-set Jaccard ≥ 0.5 verify (row-local
     * array_intersect; the oracle replays it as a token equi-join).
@@ -265,10 +286,15 @@ object Dedup {
     val toked = uni.select(col("doc_id"),
       array_distinct(filter(split(col("text"), " "), t => t =!= lit("")))
         .as("toks"))
-    val sig = Tables.barrier(toked.select(col("doc_id"), col("toks"),
+    // base hashes materialized BEFORE the 16-component fold — the t13
+    // lesson: a lambda referencing the md5 chain would inline it per
+    // component (16× the hash calls)
+    val hashed = Tables.barrier(toked.select(col("doc_id"), col("toks"),
+      transform(col("toks"), t => md5Hash60(t)).as("hs")))
+    val sig = Tables.barrier(hashed.select(col("doc_id"), col("toks"),
       transform(sequence(lit(0), lit(15)),
-        i => array_min(transform(col("toks"),
-          t => md5Hash60(concat_ws(":", i.cast("string"), t))))).as("sig")))
+        i => array_min(transform(col("hs"),
+          h => mixComponent(h, i)))).as("sig")))
     val bands = sig.select(col("doc_id"),
         explode(array((0 until 8).map { b =>
           struct(lit(b).as("band"),
@@ -599,10 +625,12 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(filter(split(col("text"), " "), t => t =!= lit("")))
           .as("toks"))
-    val sig = Tables.barrier(toked.select(col("doc_id"), col("toks"),
+    val hashed = Tables.barrier(toked.select(col("doc_id"), col("toks"),
+      transform(col("toks"), t => md5Hash60(t)).as("hs")))
+    val sig = Tables.barrier(hashed.select(col("doc_id"), col("toks"),
       transform(sequence(lit(0), lit(15)),
-        i => array_min(transform(col("toks"),
-          t => md5Hash60(concat_ws(":", i.cast("string"), t))))).as("sig")))
+        i => array_min(transform(col("hs"),
+          h => mixComponent(h, i)))).as("sig")))
     val bands = sig.select(col("doc_id"),
         explode(array((0 until 8).map { b =>
           struct(lit(b).as("band"),
@@ -655,13 +683,18 @@ object Dedup {
          |  SELECT doc_id,
          |    list_distinct(list_filter(string_split(text, ' '), t -> t != '')) AS toks
          |  FROM documents WHERE len(text) >= 8),
+         |hashed AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(toks,
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+         |  FROM toked),
          |sig AS (
          |  SELECT doc_id, toks,
          |    list_transform(range(0, 16), i ->
-         |      list_aggregate(list_transform(toks,
-         |        t -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT),
+         |      list_aggregate(list_transform(hs,
+         |        h -> ${mixSql("h", "i")}),
          |        'min')) AS sig
-         |  FROM toked),
+         |  FROM hashed),
          |bnd AS (
          |  SELECT doc_id, i AS band, sig[2*i + 1] AS k1, sig[2*i + 2] AS k2
          |  FROM sig, (SELECT unnest(range(0, 8)) AS i)),
@@ -705,13 +738,18 @@ object Dedup {
          |  SELECT doc_id,
          |    list_distinct(list_filter(string_split(text, ' '), t -> t != '')) AS toks
          |  FROM uni WHERE len(text) >= 8),
+         |hashed AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(toks,
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+         |  FROM toked),
          |sig AS (
          |  SELECT doc_id, toks,
          |    list_transform(range(0, 16), i ->
-         |      list_aggregate(list_transform(toks,
-         |        t -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT),
+         |      list_aggregate(list_transform(hs,
+         |        h -> ${mixSql("h", "i")}),
          |        'min')) AS sig
-         |  FROM toked),
+         |  FROM hashed),
          |bnd AS (
          |  SELECT doc_id, i AS band, sig[2*i + 1] AS k1, sig[2*i + 2] AS k2
          |  FROM sig, (SELECT unnest(range(0, 8)) AS i)),

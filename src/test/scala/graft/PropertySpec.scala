@@ -145,6 +145,33 @@ object PropertySpec extends Properties("graft") {
         }
     }
 
+  /** Random word streams from a small vocabulary, with a planted shared
+    * run: doc B embeds a random ≥6-token slice of doc A at a random
+    * offset. The winnowing guarantee (Schleimer et al. 2003) says the
+    * shared run must produce a shared fingerprint — for EVERY such
+    * corpus, not just the hand-built PipelineSpec case.
+    */
+  private val winnowGen: Gen[(Seq[String], Seq[String])] = for {
+    lenA <- Gen.choose(8, 40)
+    a <- Gen.listOfN(lenA, Gen.choose(0, 25).map(i => s"w$i"))
+    runLen <- Gen.choose(6, math.min(12, lenA))
+    from <- Gen.choose(0, lenA - runLen)
+    lenB <- Gen.choose(0, 30)
+    bPad <- Gen.listOfN(lenB, Gen.choose(26, 51).map(i => s"v$i"))
+    at <- Gen.choose(0, lenB)
+  } yield (a, bPad.take(at) ++ a.slice(from, from + runLen) ++ bPad.drop(at))
+
+  property("winnowing guarantee: any planted >=6-token shared run shares a fingerprint") =
+    forAll(winnowGen) { case (a, b) =>
+      val s = spark
+      import s.implicits._
+      val fp = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), pipeline.Text.winnowFp(col("text")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      (fp(1L) & fp(2L)).nonEmpty
+    }
+
   property("mix rebalance: quotas respected, shares within one doc of target") =
     forAll(Gen.const(())) { _ =>
       val out = pipeline.Curation.queries("p03_mix_rebalance")(
