@@ -66,6 +66,30 @@ object TextHash {
     sig
   }
 
+  /** The t12 character histogram in ONE byte pass: counts of 'a'..'z' and
+    * ' ' (buckets 0–26, in that order), bucket 27 = every other CODEPOINT
+    * (numChars − Σ known). Value-equal to the 27 `length(replace(text,
+    * ch, ''))` count columns the first t12 shipped — ASCII bytes never
+    * occur inside UTF-8 multi-byte sequences, so byte counting equals
+    * per-character counting for the ASCII alphabet, and the "other"
+    * bucket counts codepoints exactly like `length()` does — but one scan
+    * instead of 27 string rewrites (2.6 → ~0.6 s at sf0.1).
+    */
+  def charHist28(s: UTF8String): ArrayData = {
+    val counts = new Array[Long](28)
+    val bytes = s.getBytes
+    var known = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') { counts(b - 'a') += 1L; known += 1L }
+      else if (b == ' ') { counts(26) += 1L; known += 1L }
+      i += 1
+    }
+    counts(27) = s.numChars().toLong - known
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
   def hasTokens(s: UTF8String): Boolean = {
     val bytes = s.getBytes
     var i = 0
@@ -238,6 +262,20 @@ object TextHash {
   }
 }
 
+/** `char_hist28(text)` — the t12 fixed-alphabet character histogram. */
+case class CharHist28(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_hist28"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.charHist28(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.charHist28($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharHist28 =
+    copy(child = newChild)
+}
+
 /** `simhash64(text)` — 64-bit SimHash of the space-separated tokens. */
 case class SimHash64(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
@@ -358,4 +396,6 @@ object TextHashCols {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+  def charHist28(c: Column): Column =
+    GraftBridge.column(CharHist28(GraftBridge.expression(c)))
 }

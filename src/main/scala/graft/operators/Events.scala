@@ -163,7 +163,47 @@ object Events {
         (abs(col("approx") - col("exact_users")).cast("double") <=
           lit(0.05) * col("exact_users")).as("within_5pct"))
 
+  /** e07 trailing-history length (observed minutes) and minimum history
+    * before a z-score is emitted.
+    */
+  val AnomalyWindow = 60
+  val AnomalyMinHistory = 30
+
+  /** e07 — event-rate anomaly detection: per (event_type, minute) counts,
+    * each minute z-scored against its trailing [[AnomalyWindow]] OBSERVED
+    * minutes (μ and σ_pop over the preceding counts; at least
+    * [[AnomalyMinHistory]] minutes of history before scoring) — the rate
+    * monitor that catches bot storms (z ≫ 0) and partial outages (z ≪ 0)
+    * over a streaming ingest. Silent minutes are absent from the counted
+    * relation, so this scores observed rates; total absence is the
+    * r09/r10 gap scans' job.
+    *
+    * Scale shape: one map-side-combined count down to (type, minute) —
+    * metadata-sized at any corpus (minutes × types) — then windows over
+    * that tiny relation; the raw log is scanned exactly once. The anomaly
+    * flag thresholds the ROUNDED z so both engines flip together.
+    */
+  private val rateAnomaly: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts DIV 60000000000").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("minute"))
+      .rowsBetween(-AnomalyWindow, -1)
+    counts
+      .withColumn("hist", count(lit(1)).over(w))
+      .withColumn("mu", avg(col("cnt")).over(w))
+      .withColumn("sigma", stddev_pop(col("cnt")).over(w))
+      .filter(col("hist") >= AnomalyMinHistory)
+      .withColumn("z",
+        round((col("cnt") - col("mu")) / nullif(col("sigma"), lit(0.0)), 6))
+      .select(col("event_type"), col("minute"), col("cnt"),
+        (floor(col("mu") * 1e6 + 0.5) / 1e6).as("mu"),
+        round(col("sigma"), 6).as("sigma"),
+        col("z"), (abs(col("z")) > 3.0).as("anomaly"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e07_rate_anomaly" -> rateAnomaly,
     "e01_sessionize" -> sessionize,
     "e02_funnel" -> funnel,
     "e03_retention" -> retention,
@@ -172,6 +212,26 @@ object Events {
     "e06_sketch_distinct" -> sketchDistinct)
 
   val oracle: Map[String, String] = Map(
+    "e07_rate_anomaly" ->
+      s"""WITH cnts AS (
+         |  SELECT event_type,
+         |    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60 AS minute,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT event_type, minute, cnt,
+         |    count(*) OVER w AS hist,
+         |    avg(cnt) OVER w AS mu,
+         |    stddev_pop(cnt) OVER w AS sigma
+         |  FROM cnts
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY minute
+         |    ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, minute, cnt,
+         |  floor(mu * 1e6 + 0.5) / 1e6 AS mu,
+         |  round(sigma, 6) AS sigma,
+         |  round((cnt - mu) / nullif(sigma, 0.0), 6) AS z,
+         |  abs(round((cnt - mu) / nullif(sigma, 0.0), 6)) > 3.0 AS anomaly
+         |FROM sc WHERE hist >= $AnomalyMinHistory""".stripMargin,
     "e01_sessionize" ->
       s"""WITH ev AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

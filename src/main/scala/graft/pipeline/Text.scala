@@ -339,17 +339,21 @@ object Text {
     * entropy sum is bit-identical before rounding.
     */
   private val charEntropy: Q = (s, dir) => {
+    // buckets from the one-pass codegen'd kernel (KernelSpec pins it
+    // value-equal to the 27-replace twin this operator first shipped; the
+    // fold below is unchanged, so the oracle arithmetic is untouched)
     val n = length(col("text")).cast("double")
-    val counts = EntropyAlphabet.map(ch =>
-      (n - length(replace(col("text"), lit(ch), lit("")))).cast("double"))
-    val known = counts.reduce(_ + _)
-    val buckets = array((counts :+ (n - known)): _*)
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      when(n > 0, aggregate(buckets, lit(0.0), (acc, c) =>
-        acc + when(c > 0, -(c / n) * log2(c / n)).otherwise(lit(0.0))))
-        .as("h"),
-      when(n > 0, (n - known) / n).as("of"))
+    val buckets = graft.functions.TextHashCols.charHist28(col("text"))
+    val other = element_at(col("bk"), 28).cast("double")
+    Tables.documents(s, dir)
+      .withColumn("bk", buckets)
+      .select(
+        col("doc_id"),
+        when(n > 0, aggregate(col("bk"), lit(0.0), (acc, c0) => {
+          val c = c0.cast("double")
+          acc + when(c > 0, -(c / n) * log2(c / n)).otherwise(lit(0.0))
+        })).as("h"),
+        when(n > 0, other / n).as("of"))
       .select(col("doc_id"), round(col("h"), 6).as("entropy"),
         (floor(col("of") * 1e6 + 0.5) / 1e6).as("other_frac"),
         coalesce(col("h") < 2.5, lit(true)).as("low_entropy"))

@@ -53,6 +53,29 @@ class EventsSpec extends AnyFunSuite {
     ret.unpersist()
   }
 
+  test("e07 flags an injected rate spike and only minutes with enough history") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e07").toString
+    // 120 near-steady minutes alternating 9/11 events (sigma > 0 so z is
+    // defined), then one 300-event spike minute
+    val steady = for (m <- 0 until 120; i <- 0 until (9 + (m % 2) * 2))
+      yield (m.toLong * 20 + i, 1L, m.toLong * 60L * 1000000000L, 1.0, "view")
+    val spike = for (i <- 0 until 300)
+      yield (10000L + i, 1L, 120L * 60L * 1000000000L, 1.0, "view")
+    (steady ++ spike).toDF("event_id", "user_id", "ts", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.Events.queries("e07_rate_anomaly")(spark, tmp)
+      .orderBy("minute").collect()
+    // minutes 0..29 have <30 trailing minutes: not scored
+    assert(out.head.getLong(1) >= 30, "early minutes must be filtered")
+    val spikeRow = out.find(_.getLong(1) == 120L).get
+    assert(spikeRow.getBoolean(6), s"spike minute not flagged: $spikeRow")
+    // steady minutes are never anomalies (sigma 0 -> z NULL, or tiny z)
+    out.filter(_.getLong(1) < 120).foreach(r =>
+      assert(r.isNullAt(6) || !r.getBoolean(6), s"false positive: $r"))
+  }
+
   test("e06 HLL sketch meets its 5% accuracy contract against exact counts") {
     // measure the actual relative error directly (the registry entry only
     // surfaces the boolean contract): rsd 2.5% must land within 5% on

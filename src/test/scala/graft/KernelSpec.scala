@@ -99,6 +99,16 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("char_hist28 == the 27-replace builtin twin + codepoint remainder") {
+    val n = length(col("text")).cast("long")
+    val alphabet = ('a' to 'z').map(_.toString) :+ " "
+    val counts = alphabet.map(ch =>
+      (n - length(replace(col("text"), lit(ch), lit("")))).cast("long"))
+    val known = counts.reduce(_ + _)
+    val twin = array((counts :+ (n - known)): _*)
+    assertAgree(TextHashCols.charHist28(col("text")), twin, "char_hist28")
+  }
+
   test("simhash64 == naive token-bit majority vote") {
     val got = df.select(col("id"), TextHashCols.simhash64(col("text")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
