@@ -117,6 +117,57 @@ object Multimodal {
     }(encResized).toDF()
   }
 
+  final case class AudioQc(doc_id: Long, n_samples: Long, n_frames: Long,
+    peak_dev: Int, energy_mod: Long, silence_frames: Long)
+  private implicit val encAudioQc: Encoder[AudioQc] = Encoders.product[AudioQc]
+
+  /** Audio-QC stub: treat the payload as 8-bit-offset PCM, frame into
+    * 64-sample windows, report peak deviation, total energy (mod a prime
+    * — the checksum convention of this family), and the count of silent
+    * frames (frame max deviation < 16) — the voice-activity /
+    * clipping-detection pass an audio curation pipeline runs before
+    * transcription. Integer arithmetic end-to-end → exact oracle.
+    */
+  def audioQcStub(batch: Seq[Payload], frame: Int = 64,
+      silence: Int = 16): Seq[AudioQc] =
+    batch.map { p =>
+      val n = p.bin.length
+      val nf = (n + frame - 1) / frame
+      var peak = 0
+      var energy = 0L
+      var silent = 0L
+      var f = 0
+      while (f < nf) {
+        var fmax = 0
+        var i = f * frame
+        val end = math.min(n, i + frame)
+        while (i < end) {
+          val d = math.abs((p.bin(i) & 0xFF) - 128)
+          if (d > fmax) fmax = d
+          energy += d.toLong * d
+          i += 1
+        }
+        if (fmax < silence) silent += 1
+        if (fmax > peak) peak = fmax
+        f += 1
+      }
+      AudioQc(p.doc_id, n.toLong, nf.toLong, peak, energy % 1000003L, silent)
+    }
+
+  /** M4 — audio QC features: the fourth multimodal plumbing shape (per-
+    * window aggregation inside the payload) next to decode (M1), frame
+    * fan-out (M2), and downsample (M3).
+    */
+  private val audioQc: Q = (s, dir) => {
+    val payloads = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[Payload](encPayload)
+    payloads.mapPartitions { it =>
+      it.grouped(64).flatMap(g => audioQcStub(g.toSeq))
+    }(encAudioQc).toDF()
+  }
+
   final case class Decoded(doc_id: Long, width: Int, height: Int)
   private implicit val encDecoded: Encoder[Decoded] = Encoders.product[Decoded]
 
@@ -169,12 +220,34 @@ object Multimodal {
     "m01_multimodal_decode" -> decode,
     "m01b_image_decode" -> imageDecode,
     "m02_frame_sample" -> frameSample,
-    "m03_resize_sample" -> resize)
+    "m03_resize_sample" -> resize,
+    "m04_audio_qc" -> audioQc)
 
   /** The corpus is ASCII, so UTF-8 bytes == character codes and DuckDB can
     * replay the byte features with `ascii`/`octet_length`.
     */
   val oracle: Map[String, String] = Map(
+    "m04_audio_qc" ->
+      """WITH src AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE len(text) > 0),
+        |samp AS (
+        |  SELECT doc_id, n, (i - 1) // 64 AS f,
+        |    abs(ascii(substr(text, i, 1)) - 128) AS d
+        |  FROM (SELECT doc_id, text, n,
+        |          unnest(generate_series(1, len(text))) AS i
+        |        FROM src)),
+        |fr AS (
+        |  SELECT doc_id, n, f, max(d) AS fmax,
+        |    CAST(sum(CAST(d AS BIGINT) * d) AS BIGINT) AS fe
+        |  FROM samp GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(max(fmax) AS INT) AS peak_dev,
+        |  CAST(CAST(sum(fe) AS BIGINT) % 1000003 AS BIGINT) AS energy_mod,
+        |  CAST(sum(CASE WHEN fmax < 16 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS silence_frames
+        |FROM fr GROUP BY 1, 2""".stripMargin,
     "m01b_image_decode" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 24 AS INT) AS width,

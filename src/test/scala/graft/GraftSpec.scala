@@ -32,6 +32,23 @@ class RegistrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  /** The inverse guard: a new operator cannot silently ship without its
+    * DuckDB oracle. Every oracle-less entry must be on this DOCUMENTED
+    * rows-only list (each is spec-gated instead: d03/d04 use xxhash64,
+    * which has no DuckDB twin — PipelineSpec recall pins; f01/f01b are
+    * the cycle rows-gates — CycleSpec pins; h24b is an approx sketch
+    * tracked against exact h24 — its own accuracy spec).
+    */
+  test("every query has an oracle or a documented rows-only justification") {
+    val rowsOnly = Set("f01_indicator_cycle", "f01b_priority_cycle",
+      "d03_dedup_minhash_lsh", "d04_dedup_simhash",
+      "h24b_group_quantiles_approx")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries with neither oracle nor rows-only entry: $missing")
+    val stale = rowsOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only list entries no longer registered: $stale")
+  }
+
   // The round-5 sentinel: the driver regenerated events.parquet mid-round
   // with a different physical ts encoding (NANOS → MICROS/NTZ) and 86
   // registry entries failed analysis. Tables.events now normalizes at the

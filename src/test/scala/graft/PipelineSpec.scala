@@ -332,6 +332,28 @@ class PipelineSpec extends AnyFunSuite {
       "pair counts must be non-increasing in rank")
   }
 
+  test("m04 audio QC: silence and peak detection on constructed payloads") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-m04").toString
+    // 'q' = byte 113 → deviation 15 (< 16: silent); 'A' = 65 → deviation 63
+    Seq((1L, "q" * 64), (2L, "A" * 10), (4L, "q" * 64 + "A" * 64))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Multimodal.queries("m04_audio_qc")(spark, tmp)
+      .orderBy("doc_id").collect()
+    val q = out(0)
+    assert(q.getLong(2) == 1 && q.getInt(3) == 15 && q.getLong(5) == 1,
+      s"silent frame not detected: $q")
+    val a = out(1)
+    assert(a.getInt(3) == 63 && a.getLong(5) == 0, s"loud doc wrong: $a")
+    val mixed = out(2)
+    assert(mixed.getLong(2) == 2 && mixed.getLong(5) == 1,
+      s"mixed doc must have one silent of two frames: $mixed")
+  }
+
   test("d09 hierarchical assignment: near-identical vectors co-assign; probe beats random") {
     // Two pins for the round-6 two-level quantizer, calibrated to what it
     // actually guarantees:
