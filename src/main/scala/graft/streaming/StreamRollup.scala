@@ -129,6 +129,25 @@ object StreamRollup {
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** e07's counting stage on a stream: watermarked 1-minute tumbling
+    * counts per event_type — the stream maintains the (event_type,
+    * minute) counted relation incrementally and the z-score monitor
+    * ([[graft.operators.Events]] e07) runs over the counted STORE,
+    * batch-side, exactly like the roll-up path's stream-freshness /
+    * batch-truth split. State is one open window per type (bounded by
+    * the watermark); the raw event stream is never retained.
+    */
+  def rateCountStream(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_seconds(expr("ts DIV 1000000000")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("event_type"), window(col("event_time"), "1 minute"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        (unix_timestamp(col("window.start")) / 60).cast("long").as("minute"),
+        col("cnt"))
+
   /** d01 on a stream: exact content dedup with BOUNDED state via
     * `dropDuplicatesWithinWatermark` keyed on the content digest. The
     * state store holds one digest per document seen inside the lateness

@@ -242,6 +242,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"u03 shuffled the fact:\n${p.take(1500)}")
   }
 
+  test("s08: the corpus-side cohesion join is a broadcast on the centroid table") {
+    // the member→centroid join must broadcast (centroids are |labels|·64
+    // doubles); a SortMergeJoin means the corpus was shuffled to meet a
+    // metadata-sized relation. The |labels|² separation pass may nested-loop
+    // — it never touches the corpus.
+    val p = plan("s08_class_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      s"s08 centroid join must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"s08 shuffled the corpus:\n${p.take(1500)}")
+  }
+
+  test("t15: the pair count aggregates map-side before its shuffle; no join") {
+    // partial_count under the exchange = the pair VOCABULARY moves, not the
+    // corpus pair stream
+    val p = plan("t15_bpe_pairs")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"t15 lost map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"t15 must not join:\n${p.take(1500)}")
+  }
+
   test("d08: span dedup keeps d07's linear two-shuffle shape") {
     // one exchange on the span hash (the dedup window), one on doc_id
     // (the per-doc regroup); no joins anywhere in the plan

@@ -276,6 +276,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rate counts equal e07's batch counting stage") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000L
+    // three minutes of "view" plus one of "click", delivered across two
+    // micro-batches (the second re-touches minute 1: incremental update)
+    def ev(id: Long, m: Long, t: String) =
+      (id, base * 1000000000L + m * 60000000000L, 1L, 1.0, t)
+    val b1 = Seq(ev(1, 0, "view"), ev(2, 0, "view"), ev(3, 1, "view"),
+      ev(4, 2, "click"))
+    val b2 = Seq(ev(5, 1, "view"), ev(6, 1, "view"))
+    val enc = org.apache.spark.sql.Encoders.product[(Long, Long, Long, Double, String)]
+    val input = MemoryStream[(Long, Long, Long, Double, String)](enc, s)
+    val named = input.toDF()
+      .toDF("event_id", "ts", "user_id", "value", "event_type")
+    val q = StreamRollup.rateCountStream(named)
+      .writeStream.format("memory").queryName("rates")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val got = s.table("rates").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val minuteBase = base / 60
+      assert(got == Set(
+        ("view", minuteBase, 2L), ("view", minuteBase + 1, 3L),
+        ("click", minuteBase + 2, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming cooldown carries last-emit state across micro-batches") {
     val s = spark
     import graft.operators.Signals.Fired
