@@ -503,7 +503,80 @@ object Text {
       .filter(col("rank") <= PairTopK)
   }
 
+  /** Merge rounds for t16 (real tokenizer training runs ~50k; the loop is
+    * round-count-parametric).
+    */
+  private val MergeRounds = 5
+
+  /** T16 — the BPE merge TRAINING loop (Sennrich et al. 2016 §3.2):
+    * [[MergeRounds]] rounds of count-adjacent-pairs → argmax → merge that
+    * pair corpus-wide, emitting the learned merge table (round, pair,
+    * count) — t15 is one round's counting stage; this is the actual
+    * trainer. Tokens start as whitespace words; merged tokens join with a
+    * U+0001 marker so later rounds can merge merged tokens (true BPE
+    * growth).
+    *
+    * The merge step is TWO `replace(" l r ", " l␁r ")` passes on the
+    * space-padded token stream — leftmost non-overlapping scans with
+    * identical semantics in BOTH engines (java.lang.String.replace ≡
+    * DuckDB replace), so the oracle replays every round bit-identically.
+    * Pass 1's scan consumes the shared boundary space, leaving
+    * back-to-back occurrences alternately blocked; blocked occurrences
+    * are then always isolated, so pass 2 catches exactly them — EXACT
+    * greedy merging for l ≠ r (where pair occurrences can never
+    * overlap); self-pair runs ≥ 3 remain near-greedy, deterministic,
+    * mirrored.
+    *
+    * Scale shape per round: pair counting is t15's (row-local zips,
+    * map-side-combined count — the shuffle moves the pair vocabulary);
+    * the argmax is ONE driver-side row (exactly what a real BPE trainer
+    * holds on the driver); the merge is a row-local string pass. The
+    * stream is barrier-materialized between rounds so round k doesn't
+    * replay rounds 1..k-1.
+    */
+  private val bpeMerges: Q = (s, dir) => {
+    var cur = Tables.barrier(Tables.documents(s, dir)
+      .select(col("doc_id"), concat(lit(" "),
+        concat_ws(" ", filter(toks(col("text")), t => t =!= lit(""))),
+        lit(" ")).as("s")))
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to MergeRounds if !exhausted) {
+      val tk = filter(split(col("s"), " "), t => t =!= lit(""))
+      val top = cur
+        .withColumn("pr", zip_with(
+          slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+          slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r"))))
+        .select(explode(col("pr")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every doc is one token: vocab done
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // TWO replace passes: the scan consumes the shared boundary
+        // space, so back-to-back occurrences ("x y x y") alternate
+        // caught/blocked in pass 1 — blocked occurrences are then always
+        // isolated, so pass 2 catches exactly them. For l != r (pairs
+        // never overlap) this is EXACT greedy merging; identical scan
+        // semantics in both engines keep the oracle bit-for-bit.
+        def merge(c: Column): Column =
+          replace(c, lit(s" $l $r "), lit(" " + l + "\u0001" + r + " "))
+        cur = Tables.barrier(cur.withColumn("s", merge(merge(col("s")))))
+        learned += ((round, l, r, cnt))
+      }
+    }
+    val session = s
+    import session.implicits._
+    learned.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t16_bpe_merges" -> bpeMerges,
     "t15_bpe_pairs" -> bpePairs,
     "t14_quality_classifier" -> qualityClassifier,
     "t13_winnow_fp" -> winnow,
@@ -594,7 +667,44 @@ object Text {
     .map(ch => s"CAST(length(text) - length(replace(text, '$ch', '')) AS DOUBLE)")
     .mkString("[", ",\n         ", "]")
 
+  /** The t16 oracle: [[MergeRounds]] unrolled rounds, each replaying the
+    * identical count → argmax → replace sequence over the evolving stream.
+    */
+  // CTEs are MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+  // s$k references m$k (8 subqueries) + s$(k-1) — inlined, the chain
+  // re-evaluates ~9^rounds times and the oracle never finishes
+  private def t16RoundCtes(k: Int): String =
+    s"""p$k AS MATERIALIZED (
+       |  SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+       |  FROM (
+       |    SELECT p.l AS l, p.r AS r, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM (
+       |      SELECT unnest(list_transform(range(1, len(tk)),
+       |        i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS p
+       |      FROM (SELECT list_filter(string_split(s, ' '), t -> t != '') AS tk
+       |            FROM s${k - 1}))
+       |    GROUP BY 1, 2)),
+       |m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k WHERE rn = 1),
+       |s$k AS MATERIALIZED (
+       |  SELECT doc_id, replace(replace(s,
+       |    ' ' || (SELECT l FROM m$k) || ' ' || (SELECT r FROM m$k) || ' ',
+       |    ' ' || (SELECT l FROM m$k) || chr(1) || (SELECT r FROM m$k) || ' '),
+       |    ' ' || (SELECT l FROM m$k) || ' ' || (SELECT r FROM m$k) || ' ',
+       |    ' ' || (SELECT l FROM m$k) || chr(1) || (SELECT r FROM m$k) || ' ')
+       |    AS s
+       |  FROM s${k - 1})""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t16_bpe_merges" ->
+      s"""WITH s0 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ' ' || array_to_string(list_filter(string_split(text, ' '),
+         |      t -> t != ''), ' ') || ' ' AS s
+         |  FROM documents),
+         |${(1 to MergeRounds).map(t16RoundCtes).mkString(",\n")}
+         |${(1 to MergeRounds).map(k =>
+             s"SELECT CAST($k AS INT) AS round, l AS lhs, r AS rhs, " +
+               s"cnt AS pair_count FROM m$k").mkString("\nUNION ALL\n")}""".stripMargin,
     "t15_bpe_pairs" ->
       s"""WITH ext AS (
          |  SELECT doc_id,

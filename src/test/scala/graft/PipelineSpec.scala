@@ -354,6 +354,30 @@ class PipelineSpec extends AnyFunSuite {
       s"mixed doc must have one silent of two frames: $mixed")
   }
 
+  test("t16 BPE trainer: argmax-by-count with lexical ties, merged tokens merge again, early stop") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t16").toString
+    Seq((1L, "x y x y x y"), (2L, "p q"), (4L, "p q"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Text.queries("t16_bpe_merges")(spark, tmp)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val m = "\u0001"
+    assert(out(0) == ((1, "x", "y", 3L)), s"round 1 wrong: ${out(0)}")
+    // (x␁y,x␁y) and (p,q) both count 2: lexical tie-break picks p < x␁y
+    assert(out(1) == ((2, "p", "q", 2L)), s"round 2 wrong: ${out(1)}")
+    // the round-1 merged token pairs with ITSELF — true BPE vocabulary growth
+    assert(out(2) == ((3, s"x${m}y", s"x${m}y", 2L)), s"round 3 wrong: ${out(2)}")
+    assert(out(3) == ((4, s"x${m}y${m}x${m}y", s"x${m}y", 1L)),
+      s"round 4 wrong: ${out(3)}")
+    // round 5: every doc is a single token — the trainer stops early
+    assert(out.length == 4, s"expected early stop after 4 merges: ${out.length}")
+  }
+
   test("d09 hierarchical assignment: near-identical vectors co-assign; probe beats random") {
     // Two pins for the round-6 two-level quantizer, calibrated to what it
     // actually guarantees:
