@@ -575,7 +575,58 @@ object Text {
     learned.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }
 
+  /** T17 — DSIR importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw doc by the hashed-n-gram log-likelihood ratio between a
+    * TARGET distribution (the doc_id ≡ 0 mod 97 slice — the c01/c03
+    * held-out convention, standing in for Wikipedia/quality data) and the
+    * RAW corpus distribution. Features are t14's 60-bit-md5 buckets mod
+    * [[ClsDim]]; both distributions are Laplace-smoothed bucket
+    * frequencies; score = mean over tokens of ln p_target(b) − ln
+    * p_raw(b); keep = score > 0 (resampling keeps high scores).
+    *
+    * Scale shape: the model FIT is one map-side-combined count to 2×256
+    * rows collected to the driver (exactly the hashed feature model DSIR
+    * fits — KBs at any corpus size), re-broadcast as a literal weight
+    * array; SCORING is a row-local sequential fold — one corpus scan,
+    * zero shuffle. The oracle rebuilds the same dense weight table in SQL
+    * and replays the fold in token order.
+    */
+  private val dsirWeights: Q = (s, dir) => {
+    val tk = filter(toks(col("text")), t => t =!= lit(""))
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tk).as("t"))
+      .select(col("doc_id"),
+        pmod(Dedup.md5Hash60(col("t")), lit(ClsDim)).as("b"))
+      .groupBy((col("doc_id") % 97 === 0).as("is_t"), col("b"))
+      .agg(count(lit(1)).as("c")).collect()
+    val dim = ClsDim.toInt
+    val tCounts = Array.fill(dim)(0L)
+    val rCounts = Array.fill(dim)(0L)
+    counts.foreach { r =>
+      (if (r.getBoolean(0)) tCounts else rCounts)(r.getLong(1).toInt) =
+        r.getLong(2)
+    }
+    val tt = tCounts.sum.toDouble
+    val tr = rCounts.sum.toDouble
+    val w = (0 until dim).map(b =>
+      math.log((tCounts(b) + 1.0) / (tt + dim)) -
+        math.log((rCounts(b) + 1.0) / (tr + dim)))
+    val wLit = array(w.map(lit): _*)
+    Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0)
+      .withColumn("n_tokens", size(tk).cast("bigint"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("raw", aggregate(tk, lit(0.0), (acc, t) =>
+        acc + element_at(wLit,
+          pmod(Dedup.md5Hash60(t), lit(ClsDim)).cast("int") + 1)) /
+        col("n_tokens").cast("double"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("raw"), 6).as("dsir_logratio"),
+        (round(col("raw"), 6) > 0.0).as("keep"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t17_dsir_weights" -> dsirWeights,
     "t16_bpe_merges" -> bpeMerges,
     "t15_bpe_pairs" -> bpePairs,
     "t14_quality_classifier" -> qualityClassifier,
@@ -695,6 +746,45 @@ object Text {
        |  FROM s${k - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t17_dsir_weights" ->
+      s"""WITH bt AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(t), 1, 15))::BIGINT % $ClsDim AS b
+         |  FROM (SELECT doc_id,
+         |          unnest(list_filter(string_split(text, ' '), t -> t != ''))
+         |            AS t
+         |        FROM documents)),
+         |tc AS MATERIALIZED (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS c FROM bt
+         |  WHERE doc_id % 97 = 0 GROUP BY b),
+         |rc AS MATERIALIZED (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS c FROM bt
+         |  WHERE doc_id % 97 != 0 GROUP BY b),
+         |tot AS MATERIALIZED (
+         |  SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM tc) AS tt,
+         |         (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM rc) AS tr),
+         |wtab AS MATERIALIZED (
+         |  SELECT list(wv ORDER BY b) AS ws FROM (
+         |    SELECT s.b,
+         |      ln((coalesce(tc.c, 0) + 1.0) / ((SELECT tt FROM tot) + $ClsDim.0))
+         |        - ln((coalesce(rc.c, 0) + 1.0) / ((SELECT tr FROM tot) + $ClsDim.0))
+         |        AS wv
+         |    FROM (SELECT unnest(range(0, $ClsDim)) AS b) s
+         |    LEFT JOIN tc ON tc.b = s.b
+         |    LEFT JOIN rc ON rc.b = s.b)),
+         |sc AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    list_reduce(list_prepend(0.0, list_transform(tk,
+         |      t -> ws[CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % $ClsDim
+         |               AS INT) + 1])),
+         |      (a, x) -> a + x) / len(tk) AS raw
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), t -> t != '') AS tk
+         |        FROM documents WHERE doc_id % 97 != 0), wtab
+         |  WHERE len(tk) >= 1)
+         |SELECT doc_id, n_tokens, round(raw, 6) AS dsir_logratio,
+         |  round(raw, 6) > 0.0 AS keep
+         |FROM sc""".stripMargin,
     "t16_bpe_merges" ->
       s"""WITH s0 AS MATERIALIZED (
          |  SELECT doc_id,

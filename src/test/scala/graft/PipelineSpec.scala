@@ -378,6 +378,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length == 4, s"expected early stop after 4 merges: ${out.length}")
   }
 
+  test("t17 DSIR: target-vocabulary docs outscore raw-only docs; target slice excluded") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t17").toString
+    Seq(
+      (97L, "alpha beta alpha beta alpha"),   // target slice (97 % 97 == 0)
+      (194L, "alpha beta gamma"),             // target slice
+      (1L, "alpha beta alpha"),               // raw, target-like vocabulary
+      (2L, "zulu yankee zulu yankee"),        // raw-only vocabulary
+      (3L, "zulu yankee xray"),
+      (4L, "zulu xray yankee"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Text.queries("t17_dsir_weights")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(!out.keySet.exists(_ % 97 == 0), "target slice must not be scored")
+    assert(out(1L)._1 > out(2L)._1,
+      s"target-like doc must outscore raw-only doc: ${out(1L)} vs ${out(2L)}")
+    assert(out(1L)._2 && !out(2L)._2,
+      "keep must follow the sign of the log-ratio")
+  }
+
   test("d09 hierarchical assignment: near-identical vectors co-assign; probe beats random") {
     // Two pins for the round-6 two-level quantizer, calibrated to what it
     // actually guarantees:
