@@ -262,6 +262,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"t15 must not join:\n${p.take(1500)}")
   }
 
+  test("t17: DSIR scoring is row-local — the fit collapses to a literal weight table") {
+    // building the query runs the model FIT (one driver-side 512-row
+    // collect); the returned SCORING plan must then be a pure scan +
+    // project — an Exchange or Join means the weight table regressed to a
+    // per-token join
+    val p = plan("t17_dsir_weights")
+    assert(!p.contains("Exchange"), s"t17 scoring must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"t17 scoring must not join:\n${p.take(1500)}")
+  }
+
   test("d08: span dedup keeps d07's linear two-shuffle shape") {
     // one exchange on the span hash (the dedup window), one on doc_id
     // (the per-doc regroup); no joins anywhere in the plan
