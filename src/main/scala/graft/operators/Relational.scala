@@ -290,6 +290,26 @@ object Relational {
       .drop("volume")
   }
 
+  /** W3 — time-RANGE window frames: trailing 1-hour sums/counts per
+    * symbol via `rangeBetween` on the epoch-second bucket key — the
+    * VALUE-based frame kind (every other window in the engine is
+    * rowsBetween). Unlike a 60-row frame, the RANGE frame is gap-correct:
+    * a symbol with missing minutes still aggregates exactly the last
+    * 3600 seconds. Same single symbol-partitioned sort as w02.
+    */
+  private val w03: Q = (s, dir) => {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rangeBetween(-3600L, 0L)
+    candles(s, dir)
+      .select(col("symbol"), col("bucket_ts"), col("volume"))
+      .withColumn("vol_1h", round(sum(col("volume")).over(w), 6))
+      .withColumn("bars_1h", count(lit(1)).over(w))
+      .withColumn("vwap_1h_proxy",
+        floor(sum(col("volume") * col("bucket_ts")).over(w) /
+          nullif(sum(col("volume")).over(w), lit(0.0)) * 1e4 + 0.5) / 1e4)
+      .drop("volume")
+  }
+
   /** R18 — pivot: per-symbol volume by day-of-week spread into columns
     * (the `groupBy().pivot()` API surface). With explicit pivot values the
     * plan is a single conditional-sum hash aggregate — one shuffle, no
@@ -324,7 +344,8 @@ object Relational {
     "r17_rank_except" -> r17,
     "r18_pivot_dow" -> r18,
     "r19_realtime_rollup" -> r19,
-    "w02_rank_suite" -> w02)
+    "w02_rank_suite" -> w02,
+    "w03_range_frame" -> w03)
 
   private def rollupOracle(seconds: Long): String = Oracle.withCandles(
     s"""SELECT symbol, bucket_ts // $seconds * $seconds AS bucket_ts,
@@ -519,5 +540,15 @@ object Relational {
         |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
         |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
         |FROM candles
-        |WINDOW w AS (PARTITION BY symbol ORDER BY volume DESC, bucket_ts)""".stripMargin))
+        |WINDOW w AS (PARTITION BY symbol ORDER BY volume DESC, bucket_ts)""".stripMargin),
+    "w03_range_frame" -> Oracle.withCandles(
+      """SELECT symbol, bucket_ts,
+        |  round(sum(volume) OVER w, 6) AS vol_1h,
+        |  CAST(count(*) OVER w AS BIGINT) AS bars_1h,
+        |  floor(sum(volume * bucket_ts) OVER w /
+        |    nullif(sum(volume) OVER w, 0.0) * 1e4 + 0.5) / 1e4
+        |    AS vwap_1h_proxy
+        |FROM candles
+        |WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin))
 }
