@@ -172,6 +172,44 @@ object PropertySpec extends Properties("graft") {
       (fp(1L) & fp(2L)).nonEmpty
     }
 
+  /** Random source layouts (2–6 sources, 1–60 docs each) for the p06
+    * integer-quota property.
+    */
+  private val srcSizesGen: Gen[Seq[Int]] = for {
+    k <- Gen.choose(2, 6)
+    sizes <- Gen.listOfN(k, Gen.choose(1, 60))
+  } yield sizes
+
+  property("temperature mix: integer quota math holds on any source layout") =
+    forAll(srcSizesGen) { sizes =>
+      val s = spark
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_p06").toString
+      var id = 0L
+      val docs = sizes.zipWithIndex.flatMap { case (n, i) =>
+        (0 until n).map { _ => id += 1; (id, s"tok$id words", s"src$i") }
+      }
+      docs.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = pipeline.Curation.queries("p06_temperature_mix")(spark, dir)
+        .collect()
+      // independent re-derivation of the quota formula
+      val total = sizes.map(_.toLong).sum
+      val w = sizes.map(n => math.sqrt(n.toDouble).toLong)
+      val sumW = w.sum
+      val wantQuota = sizes.zip(w).map { case (n, ws) =>
+        math.min(n.toLong, total / 2 * ws / sumW)
+      }
+      val bySrc = out.groupBy(_.getString(1))
+      sizes.indices.forall { i =>
+        val got = bySrc.getOrElse(s"src$i", Array.empty)
+        got.length.toLong == wantQuota(i) &&
+          got.forall(_.getAs[Long]("quota") == wantQuota(i))
+      } && out.length.toLong <= total / 2
+    }
+
   property("mix rebalance: quotas respected, shares within one doc of target") =
     forAll(Gen.const(())) { _ =>
       val out = pipeline.Curation.queries("p03_mix_rebalance")(
