@@ -182,6 +182,13 @@ object Events {
     * metadata-sized at any corpus (minutes × types) — then windows over
     * that tiny relation; the raw log is scanned exactly once. The anomaly
     * flag thresholds the ROUNDED z so both engines flip together.
+    *
+    * Positive-epoch assumption (shared with e01's and u03's bucket math):
+    * the minute is `ts DIV 60e9`, integer division truncating toward
+    * zero, while the DuckDB oracle's date_trunc floors — the two agree
+    * only for ts ≥ 0 (post-1970 fixtures, which [[graft.Tables.events]]
+    * guarantees today). A pre-epoch fixture would need floor division
+    * here before the oracle comparison holds.
     */
   private val rateAnomaly: Q = (s, dir) => {
     val counts = Tables.events(s, dir)

@@ -145,6 +145,11 @@ object Maintenance {
     * path); the full fact is never re-aggregated. RefreshSpec proves the
     * patch invariant: stale store patched with these buckets equals the
     * fully-fresh roll-up.
+    *
+    * The day/bucket math (`ts DIV 86400e9`, truncation toward zero)
+    * assumes post-1970 timestamps, same as e01/e07 — see the e07 note in
+    * [[graft.operators.Events]]; the DuckDB oracle's date_trunc floors
+    * and would diverge on a pre-epoch fixture.
     */
   private val invalidationRefresh: Q = (s, dir) => {
     val ev = Tables.events(s, dir)

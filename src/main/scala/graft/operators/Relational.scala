@@ -294,8 +294,11 @@ object Relational {
     * symbol via `rangeBetween` on the epoch-second bucket key — the
     * VALUE-based frame kind (every other window in the engine is
     * rowsBetween). Unlike a 60-row frame, the RANGE frame is gap-correct:
-    * a symbol with missing minutes still aggregates exactly the last
-    * 3600 seconds. Same single symbol-partitioned sort as w02.
+    * a symbol with missing minutes still aggregates a trailing 1-hour
+    * span. Both frame endpoints are inclusive (standard SQL RANGE), so
+    * `rangeBetween(-3600, 0)` spans 3601 seconds — 61 one-minute buckets
+    * when dense; the oracle mirrors the same inclusive frame.
+    * Same single symbol-partitioned sort as w02.
     */
   private val w03: Q = (s, dir) => {
     val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))

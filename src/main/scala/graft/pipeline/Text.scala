@@ -533,6 +533,12 @@ object Text {
     * holds on the driver); the merge is a row-local string pass. The
     * stream is barrier-materialized between rounds so round k doesn't
     * replay rounds 1..k-1.
+    *
+    * Timing note for plan-only tooling: the training loop (and t17's
+    * model fit) executes Spark jobs EAGERLY at query-construction time —
+    * building this DataFrame runs the full count→argmax→merge rounds, so
+    * `explain`/plan-build phases pay corpus scans and per-query timers
+    * must bracket construction+execution together (Bench does).
     */
   private val bpeMerges: Q = (s, dir) => {
     var cur = Tables.barrier(Tables.documents(s, dir)
@@ -609,9 +615,17 @@ object Text {
     }
     val tt = tCounts.sum.toDouble
     val tr = rCounts.sum.toDouble
+    // Weights snap to the 2^-12 dyadic grid: both engines compute ln()
+    // through their platform libm (neither guaranteed correctly rounded —
+    // the t14 transcendental-parity concern), so the raw logs could differ
+    // by 1 ulp and flip round(raw, 6) at a boundary. Flooring onto a
+    // coarse dyadic grid makes the shipped weights — and therefore the
+    // per-doc sums, which are exact binary arithmetic on 2^-12 multiples —
+    // bit-identical unless a weight's true value sits within an ulp of a
+    // grid edge (≤ ClsDim sites instead of every document boundary).
     val w = (0 until dim).map(b =>
-      math.log((tCounts(b) + 1.0) / (tt + dim)) -
-        math.log((rCounts(b) + 1.0) / (tr + dim)))
+      math.floor((math.log((tCounts(b) + 1.0) / (tt + dim)) -
+        math.log((rCounts(b) + 1.0) / (tr + dim))) * 4096.0) / 4096.0)
     val wLit = array(w.map(lit): _*)
     Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0)
       .withColumn("n_tokens", size(tk).cast("bigint"))
@@ -766,8 +780,9 @@ object Text {
          |wtab AS MATERIALIZED (
          |  SELECT list(wv ORDER BY b) AS ws FROM (
          |    SELECT s.b,
-         |      ln((coalesce(tc.c, 0) + 1.0) / ((SELECT tt FROM tot) + $ClsDim.0))
-         |        - ln((coalesce(rc.c, 0) + 1.0) / ((SELECT tr FROM tot) + $ClsDim.0))
+         |      floor((ln((coalesce(tc.c, 0) + 1.0) / ((SELECT tt FROM tot) + $ClsDim.0))
+         |        - ln((coalesce(rc.c, 0) + 1.0) / ((SELECT tr FROM tot) + $ClsDim.0)))
+         |        * 4096.0) / 4096.0
          |        AS wv
          |    FROM (SELECT unnest(range(0, $ClsDim)) AS b) s
          |    LEFT JOIN tc ON tc.b = s.b
