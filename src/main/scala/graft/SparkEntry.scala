@@ -53,6 +53,7 @@ object SparkEntry {
       operators.Signals.queries ++
       operators.Maintenance.queries ++
       operators.Cycle.queries ++
+      signals.RuleCorpus.queries ++
       functions.EwmaWindow.queries ++
       indicators.Rolling.queries ++
       indicators.Ewma.queries ++
@@ -77,6 +78,7 @@ object SparkEntry {
       operators.Events.oracle ++
       operators.Signals.oracle ++
       operators.Maintenance.oracle ++
+      signals.RuleCorpus.oracle ++
       functions.EwmaWindow.oracle ++
       indicators.Rolling.oracle ++
       indicators.Ewma.oracle ++

@@ -1,0 +1,268 @@
+package graft.signals
+
+import graft.Oracle
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's FULL signal-rule corpus
+  * (signal-service/src/rules/__init__.py:7-44 `ALL_RULES`: 8 category
+  * packs aggregated over the indicator marts), re-expressed as data over
+  * the per-bar mart series of [[MartSeries]].
+  *
+  * Fidelity model:
+  *  - Every rule carries the reference's verbatim name, category,
+  *    subcategory, direction, strength, priority, timeframes, cooldown
+  *    and min_volume (rules/base.py:28-45).
+  *  - Conditions are typed ([[Cond]], mirroring rules/base.py:13-24's
+  *    ConditionType enum incl. the CUSTOM lambda escape hatch) and render
+  *    ONCE to a shared-dialect SQL boolean that BOTH engines evaluate —
+  *    Spark via `expr()` inside a when/explode pass, DuckDB verbatim in
+  *    the oracle — so rule-level parity is by construction, not by twin
+  *    maintenance. Python's `x or default` null/zero coercion maps to
+  *    `coalesce(nullif(x, 0.0), default)`.
+  *  - The engine's evaluation loop (sqlite_engine.py:218-276: latest
+  *    snapshot vs previous baseline per symbol) becomes one
+  *    symbol-partitioned lag pass per mart table; all of a table's rules
+  *    evaluate in that single window pass (explode over when-structs —
+  *    the [[graft.operators.Signals]] shape, which at 100 TB means rule
+  *    count scales expression work, never shuffles).
+  *  - The min-volume gate applies per rule against the bar's quote
+  *    turnover scaled by [[VolumeUnit]]: the reference thresholds
+  *    (100k/500k/1M USDT) are absolute real-market turnovers; the
+  *    synthetic fixture's per-bar turnover unit differs by ~1e3, so the
+  *    registry gates at `min_volume × 1e-3` to keep the gate LIVE (it
+  *    binds on real rows) while the corpus data keeps verbatim values.
+  *    See [[MartSeries]] for the missing-成交额 engine quirk.
+  *
+  * Known faithfully-dead rules (from_values vocabularies that the
+  * scanners never emit — dead in the reference too, ported verbatim):
+  * ATR 波动分类 rules expect 低/中/高/极高波动 but atr.py:38 emits
+  * 升温/降温/稳定; liquidity rules expect 差/较差 but liquidity.py:41
+  * emits 优秀/良好/一般/紧张/危险; taker/base 主动买卖比 cross-up 1.5
+  * can never fire on a 0..1 buy-share. They evaluate (and stay empty) in
+  * both engines.
+  */
+object RuleCorpus {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Fixture turnover calibration for the min-volume gate (see above). */
+  val VolumeUnit: Double = 1e-3
+
+  // ------------------------------------------------------------- model
+
+  /** Condition ADT — rules/base.py:13-24. Field names are the ascii eval
+    * names of [[MartSeries.MartDef.fields]]; `prev_<f>` and `has_prev`
+    * are provided by the lag pass.
+    */
+  sealed trait Cond
+  /** base.py:56-64 */
+  final case class StateChange(f: String, from: Seq[String], to: Seq[String]) extends Cond
+  /** base.py:66-73 — prev ≤ t < curr */
+  final case class ThresholdCrossUp(f: String, t: Double) extends Cond
+  /** base.py:75-82 */
+  final case class ThresholdCrossDown(f: String, t: Double) extends Cond
+  /** base.py:84-93 */
+  final case class LineCrossUp(a: String, b: String) extends Cond
+  /** base.py:95-104 */
+  final case class LineCrossDown(a: String, b: String) extends Cond
+  /** base.py:106-112 — substring match on the current row */
+  final case class ContainsAny(f: String, ps: Seq[String]) extends Cond
+  /** base.py:114-122 */
+  final case class RangeEnter(f: String, lo: Double, hi: Double) extends Cond
+  /** base.py:124-132 */
+  final case class RangeExit(f: String, lo: Double, hi: Double) extends Cond
+  /** base.py:134-148 — the CUSTOM lambda, written once in the shared
+    * dialect both engines parse.
+    */
+  final case class Custom(sql: String) extends Cond
+
+  final case class CorpusRule(
+    name: String, tableKey: String, category: String, subcategory: String,
+    direction: String, strength: Int, priority: String,
+    cond: Cond,
+    timeframes: Seq[String] = Seq("1h", "4h", "1d"),
+    cooldown: Long = 3600L,
+    minVolume: Double = 100000.0)
+
+  private def num(d: Double): String = {
+    val bd = BigDecimal(d)
+    if (bd.isWhole) bd.toBigInt.toString + ".0" else bd.bigDecimal.toPlainString
+  }
+  private def strs(vs: Seq[String]): String =
+    vs.map(v => "'" + v.replace("'", "''") + "'").mkString(", ")
+
+  /** Render a condition to the shared dialect (valid for Spark `expr`
+    * AND DuckDB). Numeric null coercion is the reference's
+    * `prev.get(f, 0) or 0` (base.py:70-71 etc.) — coalesce to 0.
+    */
+  def condSql(c: Cond): String = {
+    def z(f: String) = s"coalesce($f, 0.0)"
+    def pz(f: String) = s"coalesce(prev_$f, 0.0)"
+    c match {
+      case StateChange(f, from, to) =>
+        s"has_prev AND prev_$f IN (${strs(from)}) AND $f IN (${strs(to)})"
+      case ThresholdCrossUp(f, t) =>
+        s"has_prev AND ${pz(f)} <= ${num(t)} AND ${z(f)} > ${num(t)}"
+      case ThresholdCrossDown(f, t) =>
+        s"has_prev AND ${pz(f)} >= ${num(t)} AND ${z(f)} < ${num(t)}"
+      case LineCrossUp(a, b) =>
+        s"has_prev AND ${pz(a)} <= ${pz(b)} AND ${z(a)} > ${z(b)}"
+      case LineCrossDown(a, b) =>
+        s"has_prev AND ${pz(a)} >= ${pz(b)} AND ${z(a)} < ${z(b)}"
+      case ContainsAny(f, ps) =>
+        ps.map(p => s"contains(coalesce($f, ''), '${p.replace("'", "''")}')")
+          .mkString("(", " OR ", ")")
+      case RangeEnter(f, lo, hi) =>
+        s"has_prev AND NOT (${pz(f)} >= ${num(lo)} AND ${pz(f)} <= ${num(hi)})" +
+          s" AND (${z(f)} >= ${num(lo)} AND ${z(f)} <= ${num(hi)})"
+      case RangeExit(f, lo, hi) =>
+        s"has_prev AND (${pz(f)} >= ${num(lo)} AND ${pz(f)} <= ${num(hi)})" +
+          s" AND NOT (${z(f)} >= ${num(lo)} AND ${z(f)} <= ${num(hi)})"
+      case Custom(sql) => sql
+    }
+  }
+
+  /** Full per-rule predicate: condition AND the engine's min-volume gate
+    * (sqlite_engine.py:232-245), thresholds scaled by [[VolumeUnit]].
+    */
+  def fullCond(r: CorpusRule): String =
+    s"(${condSql(r.cond)}) AND coalesce(turnover, 0.0) >= ${num(r.minVolume * VolumeUnit)}"
+
+  // -------------------------------------------------------- evaluation
+
+  import MartSeries.bySym
+
+  /** One lag pass over a mart series: `prev_<field>` for every eval field
+    * (+ turnover) and the prev-row-exists gate — the engine's baseline
+    * dict (sqlite_engine.py:237-239) as columns.
+    */
+  def evalFrame(mart: DataFrame, fields: Seq[String]): DataFrame =
+    (fields :+ "turnover").foldLeft(
+      mart.withColumn("has_prev", lag(lit(1), 1).over(bySym).isNotNull)
+    ) { (df, f) => df.withColumn(s"prev_$f", lag(f, 1).over(bySym)) }
+
+  /** Evaluate a table's rules in ONE pass: array of when-structs, explode,
+    * drop non-fires. Output: one row per (symbol, bar, fired rule).
+    */
+  def fired(ev: DataFrame, table: String, rules: Seq[CorpusRule]): DataFrame = {
+    val sigs = array(rules.map { r =>
+      when(expr(fullCond(r)), struct(
+        lit(r.name).as("rule"), lit(table).as("mart"),
+        lit(r.category).as("category"), lit(r.subcategory).as("subcategory"),
+        lit(r.direction).as("direction"), lit(r.strength).as("strength"),
+        lit(r.priority).as("priority")))
+    }: _*)
+    ev.select(col("symbol"), col("bucket_ts"), explode(sigs).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("symbol"), col("bucket_ts"), col("g.rule").as("rule"),
+        col("g.mart").as("mart"), col("g.category").as("category"),
+        col("g.subcategory").as("subcategory"),
+        col("g.direction").as("direction"), col("g.strength").as("strength"),
+        col("g.priority").as("priority"))
+  }
+
+  /** Category evaluation: per mart table one window pass, union across
+    * the category's tables.
+    */
+  def categoryQuery(cat: String): Q = (s, dir) => {
+    val byTable = rulesFor(cat).groupBy(_.tableKey).toSeq.sortBy(_._1)
+    byTable.map { case (tk, rs) =>
+      val md = MartSeries.all(tk)
+      fired(evalFrame(md.build(s, dir), md.fields.map(_._1)), md.table, rs)
+    }.reduce(_.unionByName(_))
+  }
+
+  // ----------------------------------------------------------- oracle
+
+  private def evalCte(md: MartSeries.MartDef): String = {
+    val fs = md.fields.map(_._1)
+    val prevs = (fs :+ "turnover")
+      .map(f => s"lag($f) OVER w AS prev_$f").mkString(",\n         ")
+    s"""e_${md.key} AS (
+       |  SELECT symbol, bucket_ts, turnover, ${fs.mkString(", ")},
+       |         $prevs,
+       |         lag(1) OVER w IS NOT NULL AS has_prev
+       |  FROM m_${md.key}
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts))""".stripMargin
+  }
+
+  private def branch(md: MartSeries.MartDef, r: CorpusRule): String =
+    s"""SELECT symbol, bucket_ts, '${r.name}' AS rule, '${md.table}' AS mart,
+       |  '${r.category}' AS category, '${r.subcategory}' AS subcategory,
+       |  '${r.direction}' AS direction, CAST(${r.strength} AS INT) AS strength,
+       |  '${r.priority}' AS priority
+       |FROM e_${md.key} WHERE ${fullCond(r)}""".stripMargin
+
+  /** Assemble a category's oracle: candles (+metrics/series preludes as
+    * needed) + the category's mart CTEs + eval CTEs + one branch per rule.
+    */
+  def categoryOracle(cat: String): String = {
+    val byTable = rulesFor(cat).groupBy(_.tableKey).toSeq.sortBy(_._1)
+    val defs = byTable.map { case (tk, _) => MartSeries.all(tk) }
+    val preludes =
+      (if (defs.exists(_.needsMetrics)) Seq(Oracle.METRICS) else Nil) ++
+      (if (defs.exists(_.needsSeries)) Seq(MartSeries.SeriesCte) else Nil)
+    val ctes = (preludes ++ defs.map(_.sqlCte) ++ defs.map(evalCte))
+      .mkString(",\n")
+    val branches = byTable.flatMap { case (tk, rs) =>
+      rs.map(r => branch(MartSeries.all(tk), r))
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${Oracle.CANDLES},\n$ctes\n$branches"
+  }
+
+  // -------------------------------------------------------- rule data
+
+  def rulesFor(cat: String): Seq[CorpusRule] = AllRules.filter(_.category == cat)
+
+  private def R(name: String, tk: String, cat: String, sub: String,
+      dir: String, strength: Int, prio: String, cond: Cond,
+      cooldown: Long = 3600L, minVolume: Double = 100000.0,
+      timeframes: Seq[String] = Seq("1h", "4h", "1d")): CorpusRule =
+    CorpusRule(name, tk, cat, sub, dir, strength, prio, cond,
+      timeframes, cooldown, minVolume)
+
+  /** Python `x or default` (falsy 0/None → default). */
+  private def orv(f: String, d: String) = s"coalesce(nullif($f, 0.0), $d)"
+
+  /** rules/volume/__init__.py — MACD/OBV/CVD/量比/主动买卖比 (13 rules). */
+  val VolumeRules: Seq[CorpusRule] = Seq(
+    R("MACD金叉", "macd", "volume", "macd", "BUY", 65, "medium",
+      LineCrossUp("dif", "dea")),
+    R("MACD死叉", "macd", "volume", "macd", "SELL", 65, "medium",
+      LineCrossDown("dif", "dea")),
+    R("MACD柱状转正", "macd", "volume", "macd", "BUY", 55, "low",
+      Custom("has_prev AND coalesce(prev_hist, 0.0) < 0 AND coalesce(hist, 0.0) > 0")),
+    R("MACD柱状转负", "macd", "volume", "macd", "SELL", 55, "low",
+      Custom("has_prev AND coalesce(prev_hist, 0.0) > 0 AND coalesce(hist, 0.0) < 0")),
+    R("MACD零轴上穿", "macd", "volume", "macd", "BUY", 60, "medium",
+      ThresholdCrossUp("dif", 0.0)),
+    R("OBV大幅上升", "obv", "volume", "obv", "BUY", 60, "medium",
+      Custom("coalesce(rate, 0.0) > 20")),
+    R("OBV大幅下降", "obv", "volume", "obv", "SELL", 60, "medium",
+      Custom("coalesce(rate, 0.0) < -20")),
+    R("CVD大幅上升", "cvd", "volume", "cvd", "BUY", 60, "medium",
+      Custom("coalesce(rate, 0.0) > 30")),
+    R("CVD大幅下降", "cvd", "volume", "cvd", "SELL", 60, "medium",
+      Custom("coalesce(rate, 0.0) < -30")),
+    R("量比放大", "volratio", "volume", "ratio", "ALERT", 65, "medium",
+      ThresholdCrossUp("vr", 2.0)),
+    R("量比极度放大", "volratio", "volume", "ratio", "ALERT", 80, "high",
+      ThresholdCrossUp("vr", 5.0)),
+    // buy-share is 0..1 (buy_sell_ratio.py:25) — the 1.5 cross-up is a
+    // faithfully-dead reference rule
+    R("主动买盘极端", "taker", "volume", "taker", "BUY", 70, "high",
+      ThresholdCrossUp("bsr", 1.5)),
+    R("主动卖盘极端", "taker", "volume", "taker", "SELL", 70, "high",
+      Custom(s"has_prev AND ${orv("prev_bsr", "1.0")} > 0.67 AND ${orv("bsr", "1.0")} < 0.67")))
+
+  /** The full corpus — categories land as their mart series do. */
+  val AllRules: Seq[CorpusRule] = VolumeRules
+
+  // --------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "g09_rules_volume" -> categoryQuery("volume"))
+
+  val oracle: Map[String, String] = Map(
+    "g09_rules_volume" -> categoryOracle("volume"))
+}
