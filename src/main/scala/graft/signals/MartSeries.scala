@@ -276,7 +276,427 @@ object MartSeries {
          |    ${q6s("taker_buy_volume / volume")} AS bsr
          |  FROM candles WHERE volume > 0.0)""".stripMargin)
 
+  // ================================================== misc / base pack
+
+  /** 基础数据同步器 (incremental/base_data.py:26-91): row-local derived
+    * bar fields. 振幅/变化率 are the scanner's FRACTIONS ((h−l)/l,
+    * (c−o)/o — not ×100); 主动买卖比 is the 0..1 taker-buy share;
+    * 资金流向 = taker quote − max(quote − taker quote, 0) with the
+    * taker quote derived as tb·close (base_data.py:50-66 derive path).
+    */
+  private val base = MartDef(
+    key = "base", table = "基础数据同步器",
+    fields = Seq("amp" -> "振幅", "chg" -> "变化率",
+      "bsr" -> "主动买卖比", "flow" -> "资金流向"),
+    build = (s, dir) =>
+      candles(s, dir)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"),
+          q6(when(col("low") =!= 0.0,
+            (col("high") - col("low")) / col("low")).otherwise(0.0)).as("amp"),
+          q6(when(col("open") =!= 0.0,
+            (col("close") - col("open")) / col("open")).otherwise(0.0)).as("chg"),
+          q6(when(col("volume") =!= 0.0,
+            col("taker_buy_volume") / col("volume")).otherwise(0.0)).as("bsr"),
+          q6(col("taker_buy_volume") * col("close") -
+            greatest(col("quote_volume") -
+              col("taker_buy_volume") * col("close"), lit(0.0))).as("flow")),
+    sqlCte =
+      s"""m_base AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    ${q6s("CASE WHEN low != 0.0 THEN (high - low) / low ELSE 0.0 END")} AS amp,
+         |    ${q6s("CASE WHEN open != 0.0 THEN (close - open) / open ELSE 0.0 END")} AS chg,
+         |    ${q6s("CASE WHEN volume != 0.0 THEN taker_buy_volume / volume ELSE 0.0 END")} AS bsr,
+         |    ${q6s("taker_buy_volume * close - greatest(quote_volume - taker_buy_volume * close, 0.0)")} AS flow
+         |  FROM candles)""".stripMargin)
+
+  /** 流动性扫描器 (batch/liquidity.py:96-150) — the per-bar restatement
+    * keeps the two WINDOW components (volatility exp-score over 60-bar
+    * log-return std, volume exp-score vs 60-bar mean) renormalized to
+    * their weight share; the Amihud/Kyle z-scored regression components
+    * are full-history-global in the reference and are omitted from the
+    * per-bar series (documented simplification). Level vocabulary is the
+    * scanner's 优秀/良好/一般/紧张/危险 (liquidity.py:41) — the corpus's
+    * liquidity rules expect 差/较差 and are faithfully dead, so these
+    * values gate nothing; they exist for the mart contract.
+    */
+  private val liquidity = MartDef(
+    key = "liq", table = "流动性扫描器",
+    fields = Seq("liq_score" -> "流动性得分", "liq_level" -> "流动性等级"),
+    build = (s, dir) => {
+      val lr = log(col("close") / nullif(lag("close", 1).over(bySym), lit(0.0)))
+      // collect_list skips the first-bar null return, so the frame can be
+      // EMPTY/short before the warm-up filter prunes the row — guard the
+      // fold denominators (the window computes for every row regardless
+      // of the later rn filter).
+      val c = candles(s, dir)
+        .withColumn("lr", lr)
+        .withColumn("frame", collect_list(col("lr")).over(lastN(60)))
+        .withColumn("m",
+          when(size(col("frame")) === 0, 0.0)
+            .otherwise(graft.indicators.Windows.meanOf(col("frame"))))
+        .withColumn("sd",
+          when(size(col("frame")) < 2, lit(null).cast("double"))
+            .otherwise(graft.indicators.Windows.stdOf(col("frame"), col("m"), 1)))
+        .withColumn("av", avg(col("volume")).over(lastN(60)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 60)
+      val vc = least(greatest(lit(100.0) * exp(-col("sd") / lit(0.01)), lit(0.0)), lit(100.0))
+      val uc = least(greatest(lit(100.0) *
+        (lit(1.0) - exp(-col("volume") / nullif(col("av"), lit(0.0)))), lit(0.0)), lit(100.0))
+      val score = q6((lit(0.20) * vc + lit(0.15) * uc) / lit(0.35))
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        score.as("liq_score"),
+        when(score >= 80.0, "优秀").when(score >= 65.0, "良好")
+          .when(score >= 50.0, "一般").when(score >= 30.0, "紧张")
+          .otherwise("危险").as("liq_level"))
+    },
+    sqlCte = {
+      val vc = "least(greatest(100.0 * exp(-sd / 0.01), 0.0), 100.0)"
+      val uc = "least(greatest(100.0 * (1.0 - exp(-volume / nullif(av, 0.0))), 0.0), 100.0)"
+      val score = q6s(s"(0.20 * $vc + 0.15 * $uc) / 0.35")
+      s"""m_liq AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    $score AS liq_score,
+         |    CASE WHEN $score >= 80.0 THEN '优秀' WHEN $score >= 65.0 THEN '良好'
+         |         WHEN $score >= 50.0 THEN '一般' WHEN $score >= 30.0 THEN '紧张'
+         |         ELSE '危险' END AS liq_level
+         |  FROM (
+         |    SELECT symbol, bucket_ts, quote_volume, volume,
+         |      sqrt(list_reduce(list_prepend(0.0, list_transform(frame, x -> (x - m) * (x - m))),
+         |             (a, x) -> a + x) / (len(frame) - 1)) AS sd,
+         |      avg(volume) OVER ($W ${fr(60)}) AS av,
+         |      row_number() OVER ($W) AS rn
+         |    FROM (
+         |      SELECT symbol, bucket_ts, quote_volume, volume, frame,
+         |        CASE WHEN len(frame) = 0 THEN 0.0
+         |             ELSE list_reduce(list_prepend(0.0, frame), (a, x) -> a + x) / len(frame)
+         |        END AS m
+         |      FROM (
+         |        SELECT symbol, bucket_ts, quote_volume, volume,
+         |          list_filter(list(lr) OVER ($W ${fr(60)}), x -> x IS NOT NULL) AS frame
+         |        FROM (
+         |          SELECT symbol, bucket_ts, quote_volume, volume,
+         |            ln(close / nullif(lag(close) OVER ($W), 0.0)) AS lr
+         |          FROM candles))))
+         |  WHERE rn >= 60)""".stripMargin
+    })
+
+  /** 剥头皮信号扫描器 (batch/scalping.py:9-44): Wilder-RSI(14) over
+    * zero-seeded gain/loss EWMAs (pandas `where` turns the first NaN
+    * delta into 0 — scalping.py:17-19), EMA9/EMA21, five-state signal.
+    * State derives from the quantized rsi/ema values so both engines
+    * flip together.
+    */
+  private val scalping = MartDef(
+    key = "scalp", table = "剥头皮信号扫描器",
+    fields = Seq("scalp_sig" -> "剥头皮信号", "rsi" -> "RSI"),
+    build = (s, dir) => {
+      val d = col("close") - lag("close", 1).over(bySym)
+      val c = candles(s, dir)
+        .withColumn("g", when(d > 0.0, d).otherwise(0.0))
+        .withColumn("l", when(d < 0.0, -d).otherwise(0.0))
+      val c2 = c
+        .withColumn("ag", ewma(s, col("g"), 1.0 / 14.0).over(run))
+        .withColumn("al", ewma(s, col("l"), 1.0 / 14.0).over(run))
+        .withColumn("e9", ewma(s, col("close"), 2.0 / 10.0).over(run))
+        .withColumn("e21", ewma(s, col("close"), 2.0 / 22.0).over(run))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 20)
+      val rsi = q6(when(col("al") === 0.0, lit(null).cast("double"))
+        .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al"))))
+      val p = q6(col("close")); val e9 = q6(col("e9")); val e21 = q6(col("e21"))
+      c2.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        when(rsi < 30.0 && p > e9 && e9 > e21, "超卖反弹")
+          .when(rsi > 70.0 && p < e9 && e9 < e21, "超买回落")
+          .when(e9 > e21 && rsi > 50.0, "多头")
+          .when(e9 < e21 && rsi < 50.0, "空头")
+          .otherwise("观望").as("scalp_sig"),
+        rsi.as("rsi"))
+    },
+    sqlCte = {
+      val rsi = q6s("CASE WHEN als[i] = 0.0 THEN NULL " +
+        "ELSE 100.0 - 100.0 / (1.0 + ags[i] / als[i]) END")
+      val (p, e9, e21) = (q6s("cl[i]"), q6s("e9s[i]"), q6s("e21s[i]"))
+      s"""m_scalp AS (
+         |  SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |    CASE WHEN $rsi < 30.0 AND $p > $e9 AND $e9 > $e21 THEN '超卖反弹'
+         |         WHEN $rsi > 70.0 AND $p < $e9 AND $e9 < $e21 THEN '超买回落'
+         |         WHEN $e9 > $e21 AND $rsi > 50.0 THEN '多头'
+         |         WHEN $e9 < $e21 AND $rsi < 50.0 THEN '空头'
+         |         ELSE '观望' END AS scalp_sig,
+         |    $rsi AS rsi
+         |  FROM (
+         |    SELECT symbol, ts, cl, qv, n,
+         |      ${redSeries("gs", "1.0/14.0")} AS ags,
+         |      ${redSeries("ls", "1.0/14.0")} AS als,
+         |      ${redSeries("cl", "2.0/10.0")} AS e9s,
+         |      ${redSeries("cl", "2.0/22.0")} AS e21s
+         |    FROM (
+         |      SELECT symbol, ts, cl, qv, n,
+         |        list_transform(generate_series(1, n), k ->
+         |          CASE WHEN k = 1 THEN 0.0 ELSE greatest(cl[k] - cl[k-1], 0.0) END) AS gs,
+         |        list_transform(generate_series(1, n), k ->
+         |          CASE WHEN k = 1 THEN 0.0 ELSE greatest(cl[k-1] - cl[k], 0.0) END) AS ls
+         |      FROM series)) s,
+         |    LATERAL (SELECT unnest(generate_series(20, n)) AS i) u)""".stripMargin
+    },
+    needsSeries = true)
+
+  // ================================================== volatility pack
+
+  /** 布林带扫描器 (batch/bollinger.py:12-47, safe_calc.safe_bollinger):
+    * SMA20 ± 2·sample-std; 带宽 = (u−l)/m·100 (4 dp), 百分比b =
+    * (close−l)/(u−l) (4 dp, 0 when the band is flat).
+    */
+  private val boll = MartDef(
+    key = "boll", table = "布林带扫描器",
+    fields = Seq("price" -> "价格", "bup" -> "上轨价格", "blo" -> "下轨价格",
+      "bw" -> "带宽", "pctb" -> "百分比b"),
+    build = (s, dir) => {
+      import graft.indicators.Windows.{meanOf, stdOf}
+      val c = candles(s, dir)
+        .withColumn("frame", collect_list(col("close")).over(lastN(20)))
+        .withColumn("m", meanOf(col("frame")))
+        .withColumn("sd", stdOf(col("frame"), col("m"), 1))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 20)
+      val u = col("m") + lit(2.0) * col("sd"); val l = col("m") - lit(2.0) * col("sd")
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        q6(col("close")).as("price"), q6(u).as("bup"), q6(l).as("blo"),
+        (floor((u - l) / nullif(col("m"), lit(0.0)) * 100 * 1e4 + 0.5) / 1e4).as("bw"),
+        (floor(when(u === l, 0.0).otherwise((col("close") - l) / (u - l)) * 1e4 + 0.5) / 1e4)
+          .as("pctb"))
+    },
+    sqlCte =
+      s"""m_boll AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    ${q6s("close")} AS price, ${q6s("m + 2.0 * sd")} AS bup,
+         |    ${q6s("m - 2.0 * sd")} AS blo,
+         |    floor(((m + 2.0 * sd) - (m - 2.0 * sd)) / nullif(m, 0.0) * 100 * 1e4 + 0.5) / 1e4 AS bw,
+         |    floor(CASE WHEN (m + 2.0 * sd) = (m - 2.0 * sd) THEN 0.0
+         |               ELSE (close - (m - 2.0 * sd)) / ((m + 2.0 * sd) - (m - 2.0 * sd))
+         |          END * 1e4 + 0.5) / 1e4 AS pctb
+         |  FROM (
+         |    SELECT symbol, bucket_ts, quote_volume, close, m,
+         |      sqrt(list_reduce(list_prepend(0.0, list_transform(frame, x -> (x - m) * (x - m))),
+         |             (a, x) -> a + x) / (len(frame) - 1)) AS sd,
+         |      row_number() OVER ($W) AS rn
+         |    FROM (
+         |      SELECT symbol, bucket_ts, quote_volume, close, frame,
+         |        list_reduce(list_prepend(0.0, frame), (a, x) -> a + x) / len(frame) AS m
+         |      FROM (
+         |        SELECT symbol, bucket_ts, quote_volume, close,
+         |          list(close) OVER ($W ${fr(20)}) AS frame
+         |        FROM candles)))
+         |  WHERE rn >= 20)""".stripMargin)
+
+  /** ATR波幅扫描器 (incremental/atr.py:7-49): Wilder ATR(14),
+    * ATR百分比 = atr/close·100 (4 dp), 波动分类 vs the trailing-30 ATR
+    * median — 升温 > med·1.1, 降温 < med·0.9, else 稳定 (atr.py:38;
+    * the corpus's 低/高波动 rules never match this vocabulary — dead in
+    * the reference too). Warm-up 60 bars (atr.py:23).
+    */
+  private val atr = MartDef(
+    key = "atr", table = "ATR波幅扫描器",
+    fields = Seq("cls" -> "波动分类", "atrp" -> "ATR百分比"),
+    build = (s, dir) => {
+      import graft.indicators.Windows.trueRange
+      val c = candles(s, dir)
+        .withColumn("tr", trueRange(col("high"), col("low"), col("close")))
+      val c2 = c.withColumn("atr", ewma(s, col("tr"), 1.0 / 14.0).over(run))
+        .withColumn("af", sort_array(collect_list(col("atr")).over(lastN(30))))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 60)
+      val med = (element_at(col("af"), 15) + element_at(col("af"), 16)) / 2.0
+      val a = q6(col("atr")); val m = q6(med)
+      c2.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        when(a > m * 1.1, "升温").when(a < m * 0.9, "降温")
+          .otherwise("稳定").as("cls"),
+        (floor(col("atr") / nullif(col("close"), lit(0.0)) * 100 * 1e4 + 0.5) / 1e4)
+          .as("atrp"))
+    },
+    sqlCte = {
+      val a = q6s("atrs[i]")
+      val m = q6s("list_aggregate(atrs[greatest(1, i - 29):i], 'median')")
+      s"""m_atr AS (
+         |  SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |    CASE WHEN $a > $m * 1.1 THEN '升温'
+         |         WHEN $a < $m * 0.9 THEN '降温' ELSE '稳定' END AS cls,
+         |    floor(atrs[i] / nullif(cl[i], 0.0) * 100 * 1e4 + 0.5) / 1e4 AS atrp
+         |  FROM (
+         |    SELECT symbol, ts, cl, qv, n, ${redSeries("trs", "1.0/14.0")} AS atrs
+         |    FROM (
+         |      SELECT symbol, ts, cl, qv, n,
+         |        list_transform(generate_series(1, n), k ->
+         |          CASE WHEN k = 1 THEN hi[1] - lo[1]
+         |               ELSE greatest(hi[k] - lo[k], abs(hi[k] - cl[k-1]),
+         |                             abs(lo[k] - cl[k-1])) END) AS trs
+         |      FROM series)) s,
+         |    LATERAL (SELECT unnest(generate_series(60, n)) AS i) u)""".stripMargin
+    },
+    needsSeries = true)
+
+  /** Donchian.py (lean_indicators.py:188-203): 20-bar high/low channel.
+    * 当前价格 is added to the series (the scanner omits it, which—with
+    * the rules reading it—made the Donchian rules dead; see the
+    * [[MartSeries]] missing-column policy).
+    */
+  private val donchian = MartDef(
+    key = "donch", table = "Donchian",
+    fields = Seq("price" -> "当前价格", "dup" -> "上轨", "dlo" -> "下轨"),
+    build = (s, dir) =>
+      candles(s, dir)
+        .withColumn("u", max(col("high")).over(lastN(20)))
+        .withColumn("l", min(col("low")).over(lastN(20)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 20)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"),
+          q6(col("close")).as("price"), q6(col("u")).as("dup"),
+          q6(col("l")).as("dlo")),
+    sqlCte =
+      s"""m_donch AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    ${q6s("close")} AS price, ${q6s("u")} AS dup, ${q6s("l")} AS dlo
+         |  FROM (
+         |    SELECT symbol, bucket_ts, quote_volume, close,
+         |      max(high) OVER ($W ${fr(20)}) AS u,
+         |      min(low) OVER ($W ${fr(20)}) AS l,
+         |      row_number() OVER ($W) AS rn
+         |    FROM candles)
+         |  WHERE rn >= 20)""".stripMargin)
+
+  /** Keltner.py (lean_indicators.py:206-228): EMA20(close) ± 2·Wilder
+    * ATR(10); 当前价格 added per the Donchian note.
+    */
+  private val keltner = MartDef(
+    key = "kelt", table = "Keltner",
+    fields = Seq("price" -> "当前价格", "kup" -> "上轨", "klo" -> "下轨"),
+    build = (s, dir) => {
+      import graft.indicators.Windows.trueRange
+      val c = candles(s, dir)
+        .withColumn("tr", trueRange(col("high"), col("low"), col("close")))
+      c.withColumn("mid", ewma(s, col("close"), 2.0 / 21.0).over(run))
+        .withColumn("a", ewma(s, col("tr"), 1.0 / 10.0).over(run))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 20)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"),
+          q6(col("close")).as("price"),
+          q6(col("mid") + lit(2.0) * col("a")).as("kup"),
+          q6(col("mid") - lit(2.0) * col("a")).as("klo"))
+    },
+    sqlCte =
+      s"""m_kelt AS (
+         |  SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |    ${q6s("cl[i]")} AS price,
+         |    ${q6s("mids[i] + 2.0 * atrs[i]")} AS kup,
+         |    ${q6s("mids[i] - 2.0 * atrs[i]")} AS klo
+         |  FROM (
+         |    SELECT symbol, ts, cl, qv, n,
+         |      ${redSeries("cl", "2.0/21.0")} AS mids,
+         |      ${redSeries("trs", "1.0/10.0")} AS atrs
+         |    FROM (
+         |      SELECT symbol, ts, cl, qv, n,
+         |        list_transform(generate_series(1, n), k ->
+         |          CASE WHEN k = 1 THEN hi[1] - lo[1]
+         |               ELSE greatest(hi[k] - lo[k], abs(hi[k] - cl[k-1]),
+         |                             abs(lo[k] - cl[k-1])) END) AS trs
+         |      FROM series)) s,
+         |    LATERAL (SELECT unnest(generate_series(20, n)) AS i) u)""".stripMargin,
+    needsSeries = true)
+
+  /** 全量支撑阻力扫描器 (batch/support_resistance.py:7-33): 20-bar
+    * low/high levels, distances as % of price (4 dp).
+    */
+  private val sr = MartDef(
+    key = "sr", table = "全量支撑阻力扫描器",
+    fields = Seq("sup" -> "支撑位", "res" -> "阻力位",
+      "ds" -> "距支撑百分比", "dr" -> "距阻力百分比"),
+    build = (s, dir) =>
+      candles(s, dir)
+        .withColumn("sup0", min(col("low")).over(lastN(20)))
+        .withColumn("res0", max(col("high")).over(lastN(20)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 20)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"),
+          q6(col("sup0")).as("sup"), q6(col("res0")).as("res"),
+          (floor(when(col("close") =!= 0.0,
+            (col("close") - col("sup0")) / col("close") * 100).otherwise(0.0)
+            * 1e4 + 0.5) / 1e4).as("ds"),
+          (floor(when(col("close") =!= 0.0,
+            (col("res0") - col("close")) / col("close") * 100).otherwise(0.0)
+            * 1e4 + 0.5) / 1e4).as("dr")),
+    sqlCte =
+      s"""m_sr AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    ${q6s("sup0")} AS sup, ${q6s("res0")} AS res,
+         |    floor(CASE WHEN close != 0.0 THEN (close - sup0) / close * 100 ELSE 0.0 END
+         |          * 1e4 + 0.5) / 1e4 AS ds,
+         |    floor(CASE WHEN close != 0.0 THEN (res0 - close) / close * 100 ELSE 0.0 END
+         |          * 1e4 + 0.5) / 1e4 AS dr
+         |  FROM (
+         |    SELECT symbol, bucket_ts, quote_volume, close,
+         |      min(low) OVER ($W ${fr(20)}) AS sup0,
+         |      max(high) OVER ($W ${fr(20)}) AS res0,
+         |      row_number() OVER ($W) AS rn
+         |    FROM candles)
+         |  WHERE rn >= 20)""".stripMargin)
+
+  /** VWAP离线信号扫描 (batch/vwap.py:10-53): trailing-300-bar typical-
+    * price VWAP (zero volumes floored at 1e-9), 偏离百分比 =
+    * (close−vwap)/vwap·100 (4 dp); vwap falls back to close when
+    * zero/undefined (vwap.py:27-29).
+    */
+  private val vwap = MartDef(
+    key = "vwap", table = "VWAP离线信号扫描",
+    fields = Seq("devp" -> "偏离百分比"),
+    build = (s, dir) => {
+      val vp = when(col("volume") === 0.0, 1e-9).otherwise(col("volume"))
+      val tp = (col("high") + col("low") + col("close")) / 3
+      val c = candles(s, dir)
+        .withColumn("vv", vp)
+        .withColumn("vwap0",
+          sum(tp * col("vv")).over(lastN(300)) /
+            nullif(sum(col("vv")).over(lastN(300)), lit(0.0)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 10)
+      val vw = when(col("vwap0").isNull || col("vwap0") === 0.0, col("close"))
+        .otherwise(col("vwap0"))
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        (floor(when(vw === 0.0, 0.0)
+          .otherwise((col("close") - vw) / vw * 100) * 1e4 + 0.5) / 1e4).as("devp"))
+    },
+    sqlCte =
+      s"""m_vwap AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    floor(CASE WHEN vw = 0.0 THEN 0.0
+         |               ELSE (close - vw) / vw * 100 END * 1e4 + 0.5) / 1e4 AS devp
+         |  FROM (
+         |    SELECT symbol, bucket_ts, quote_volume, close,
+         |      CASE WHEN vwap0 IS NULL OR vwap0 = 0.0 THEN close ELSE vwap0 END AS vw, rn
+         |    FROM (
+         |      SELECT symbol, bucket_ts, quote_volume, close,
+         |        sum(tp * vv) OVER ($W ${fr(300)}) /
+         |          nullif(sum(vv) OVER ($W ${fr(300)}), 0.0) AS vwap0,
+         |        row_number() OVER ($W) AS rn
+         |      FROM (
+         |        SELECT symbol, bucket_ts, quote_volume, close,
+         |          (high + low + close) / 3 AS tp,
+         |          CASE WHEN volume = 0.0 THEN 1e-9 ELSE volume END AS vv
+         |        FROM candles)))
+         |  WHERE rn >= 10)""".stripMargin)
+
   /** All mart series, keyed by ascii table key. */
   val all: Map[String, MartDef] =
-    Seq(macd, obv, cvd, volratio, taker).map(d => d.key -> d).toMap
+    Seq(macd, obv, cvd, volratio, taker,
+      base, liquidity, scalping,
+      boll, atr, donchian, keltner, sr, vwap).map(d => d.key -> d).toMap
 }

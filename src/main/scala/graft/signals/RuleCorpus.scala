@@ -255,14 +255,86 @@ object RuleCorpus {
     R("主动卖盘极端", "taker", "volume", "taker", "SELL", 70, "high",
       Custom(s"has_prev AND ${orv("prev_bsr", "1.0")} > 0.67 AND ${orv("bsr", "1.0")} < 0.67")))
 
+  /** rules/volatility/__init__.py — bollinger/ATR/donchian/keltner/SR/
+    * VWAP (15 rules). The `or float("inf")` lambda defaults render as
+    * 1e308 (both dialects).
+    */
+  val VolatilityRules: Seq[CorpusRule] = Seq(
+    R("突破布林上轨", "boll", "volatility", "bollinger", "SELL", 60, "medium",
+      Custom(s"has_prev AND ${orv("prev_price", "0.0")} < ${orv("prev_bup", "1e308")}" +
+        s" AND ${orv("price", "0.0")} > ${orv("bup", "0.0")}")),
+    R("跌破布林下轨", "boll", "volatility", "bollinger", "BUY", 60, "medium",
+      Custom(s"has_prev AND ${orv("prev_price", "1e308")} > ${orv("prev_blo", "0.0")}" +
+        s" AND ${orv("price", "1e308")} < ${orv("blo", "1e308")}")),
+    R("布林带收窄", "boll", "volatility", "bollinger", "ALERT", 55, "low",
+      Custom(s"has_prev AND ${orv("prev_bw", "10.0")} > 5 AND ${orv("bw", "5.0")} < 3")),
+    R("布林带扩张", "boll", "volatility", "bollinger", "ALERT", 55, "low",
+      Custom(s"has_prev AND ${orv("prev_bw", "0.0")} < 5 AND ${orv("bw", "0.0")} > 8")),
+    R("布林%b超买", "boll", "volatility", "bollinger", "SELL", 55, "low",
+      ThresholdCrossUp("pctb", 1.0)),
+    // 波动分类 rules expect 低/中/高/极高波动; atr.py:38 emits
+    // 升温/降温/稳定 — faithfully dead (see RuleCorpus header)
+    R("波动率突增", "atr", "volatility", "atr", "ALERT", 70, "high",
+      StateChange("cls", Seq("低波动", "中波动"), Seq("高波动", "极高波动"))),
+    R("波动率骤降", "atr", "volatility", "atr", "ALERT", 60, "medium",
+      StateChange("cls", Seq("高波动", "极高波动"), Seq("低波动"))),
+    R("突破Donchian上轨", "donch", "volatility", "donchian", "BUY", 65, "medium",
+      Custom(s"has_prev AND ${orv("prev_price", "0.0")} < ${orv("prev_dup", "1e308")}" +
+        s" AND ${orv("price", "0.0")} >= ${orv("dup", "1e308")}")),
+    R("跌破Donchian下轨", "donch", "volatility", "donchian", "SELL", 65, "medium",
+      Custom(s"has_prev AND ${orv("prev_price", "1e308")} > ${orv("prev_dlo", "0.0")}" +
+        s" AND ${orv("price", "1e308")} <= ${orv("dlo", "0.0")}")),
+    R("突破Keltner上轨", "kelt", "volatility", "keltner", "BUY", 60, "medium",
+      Custom(s"has_prev AND ${orv("prev_price", "0.0")} < ${orv("prev_kup", "1e308")}" +
+        s" AND ${orv("price", "0.0")} >= ${orv("kup", "1e308")}")),
+    R("跌破Keltner下轨", "kelt", "volatility", "keltner", "SELL", 60, "medium",
+      Custom(s"has_prev AND ${orv("prev_price", "1e308")} > ${orv("prev_klo", "0.0")}" +
+        s" AND ${orv("price", "1e308")} <= ${orv("klo", "0.0")}")),
+    R("接近支撑位", "sr", "volatility", "sr", "BUY", 60, "medium",
+      Custom(s"${orv("ds", "100.0")} < 1.5")),
+    R("接近阻力位", "sr", "volatility", "sr", "SELL", 60, "medium",
+      Custom(s"${orv("dr", "100.0")} < 1.5")),
+    R("突破VWAP上方", "vwap", "volatility", "vwap", "BUY", 55, "low",
+      Custom("has_prev AND coalesce(prev_devp, 0.0) < 0 AND coalesce(devp, 0.0) > 0")),
+    R("跌破VWAP下方", "vwap", "volatility", "vwap", "SELL", 55, "low",
+      Custom("has_prev AND coalesce(prev_devp, 0.0) > 0 AND coalesce(devp, 0.0) < 0")))
+
+  /** rules/misc/__init__.py — liquidity/scalping/base data (10 rules).
+    * The liquidity pair expects 差/较差 levels liquidity.py never emits —
+    * faithfully dead.
+    */
+  val MiscRules: Seq[CorpusRule] = Seq(
+    R("流动性改善", "liq", "misc", "liquidity", "ALERT", 55, "low",
+      StateChange("liq_level", Seq("差", "较差"), Seq("良好", "优秀"))),
+    R("流动性恶化", "liq", "misc", "liquidity", "ALERT", 65, "medium",
+      StateChange("liq_level", Seq("良好", "优秀"), Seq("差", "较差"))),
+    R("剥头皮多头信号", "scalp", "misc", "scalping", "BUY", 60, "medium",
+      StateChange("scalp_sig", Seq("空头", "中性", ""), Seq("多头")),
+      timeframes = Seq("1h")),
+    R("剥头皮空头信号", "scalp", "misc", "scalping", "SELL", 60, "medium",
+      StateChange("scalp_sig", Seq("多头", "中性", ""), Seq("空头")),
+      timeframes = Seq("1h")),
+    R("成交额暴增", "base", "misc", "basic", "ALERT", 70, "high",
+      Custom(s"has_prev AND ${orv("turnover", "0.0")} > ${orv("prev_turnover", "1.0")} * 3")),
+    R("振幅异常", "base", "misc", "basic", "ALERT", 65, "medium",
+      ThresholdCrossUp("amp", 10.0)),
+    R("买卖比极端看多", "base", "misc", "basic", "BUY", 65, "medium",
+      ThresholdCrossUp("bsr", 1.5)),
+    R("买卖比极端看空", "base", "misc", "basic", "SELL", 65, "medium",
+      Custom(s"has_prev AND ${orv("prev_bsr", "1.0")} > 0.67 AND ${orv("bsr", "1.0")} < 0.67")))
+
   /** The full corpus — categories land as their mart series do. */
-  val AllRules: Seq[CorpusRule] = VolumeRules
+  val AllRules: Seq[CorpusRule] = VolumeRules ++ VolatilityRules ++ MiscRules
 
   // --------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
-    "g09_rules_volume" -> categoryQuery("volume"))
+    "g09_rules_volume" -> categoryQuery("volume"),
+    "g08_rules_volatility" -> categoryQuery("volatility"),
+    "g12_rules_misc" -> categoryQuery("misc"))
 
   val oracle: Map[String, String] = Map(
-    "g09_rules_volume" -> categoryOracle("volume"))
+    "g09_rules_volume" -> categoryOracle("volume"),
+    "g08_rules_volatility" -> categoryOracle("volatility"),
+    "g12_rules_misc" -> categoryOracle("misc"))
 }
