@@ -90,7 +90,8 @@ object MartSeries {
     */
   private[signals] def redSeriesSkipNull(l: String, alpha: String): String =
     s"""list_transform(generate_series(1, len($l)),
-       |      i -> ${red(s"list_filter(($l)[1:i], x -> x IS NOT NULL)", alpha)})""".stripMargin
+       |      i -> CASE WHEN len(list_filter(($l)[1:i], x -> x IS NOT NULL)) = 0 THEN NULL
+       |                ELSE ${red(s"list_filter(($l)[1:i], x -> x IS NOT NULL)", alpha)} END)""".stripMargin
 
   /** Shared oracle prelude for EWMA-chain tables: per-symbol ordered lists
     * of every candle column. Kept to ONE row per symbol so O(n²) prefix
@@ -694,9 +695,448 @@ object MartSeries {
          |        FROM candles)))
          |  WHERE rn >= 10)""".stripMargin)
 
+  // ==================================================== momentum pack
+
+  /** CCI.py (lean_indicators.py:133-149): (tp − SMA20) / (0.015·MAD +
+    * 1e-10) — the scanner's epsilon denominator, never zero.
+    */
+  private val cci = MartDef(
+    key = "cci", table = "CCI",
+    fields = Seq("cci" -> "CCI"),
+    build = (s, dir) => {
+      import graft.indicators.Windows.{madOf, meanOf}
+      candles(s, dir)
+        .withColumn("tp", (col("high") + col("low") + col("close")) / 3)
+        .withColumn("frame", collect_list(col("tp")).over(lastN(20)))
+        .withColumn("ma", meanOf(col("frame")))
+        .withColumn("mad", madOf(col("frame"), col("ma")))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 20)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"),
+          q6((col("tp") - col("ma")) /
+            (lit(0.015) * col("mad") + lit(1e-10))).as("cci"))
+    },
+    sqlCte =
+      s"""m_cci AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    ${q6s("(tp - ma) / (0.015 * mad + 1e-10)")} AS cci
+         |  FROM (
+         |    SELECT symbol, bucket_ts, quote_volume, tp, ma,
+         |      list_reduce(list_prepend(0.0, list_transform(frame, x -> abs(x - ma))),
+         |        (a, x) -> a + x) / len(frame) AS mad,
+         |      row_number() OVER ($W) AS rn
+         |    FROM (
+         |      SELECT symbol, bucket_ts, quote_volume, tp, frame,
+         |        list_reduce(list_prepend(0.0, frame), (a, x) -> a + x) / len(frame) AS ma
+         |      FROM (
+         |        SELECT symbol, bucket_ts, quote_volume,
+         |          (high + low + close) / 3 AS tp,
+         |          list((high + low + close) / 3) OVER ($W ${fr(20)}) AS frame
+         |        FROM candles)))
+         |  WHERE rn >= 20)""".stripMargin)
+
+  /** WilliamsR.py (lean_indicators.py:162-176): −100·(hh−close)/(hh−ll
+    * + 1e-10) over 14 bars.
+    */
+  private val wr = MartDef(
+    key = "wr", table = "WilliamsR",
+    fields = Seq("wr" -> "WilliamsR"),
+    build = (s, dir) =>
+      candles(s, dir)
+        .withColumn("hh", max(col("high")).over(lastN(14)))
+        .withColumn("ll", min(col("low")).over(lastN(14)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 14)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"),
+          q6(lit(-100.0) * (col("hh") - col("close")) /
+            (col("hh") - col("ll") + lit(1e-10))).as("wr")),
+    sqlCte =
+      s"""m_wr AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    ${q6s("-100.0 * (hh - close) / (hh - ll + 1e-10)")} AS wr
+         |  FROM (
+         |    SELECT symbol, bucket_ts, quote_volume, close,
+         |      max(high) OVER ($W ${fr(14)}) AS hh,
+         |      min(low) OVER ($W ${fr(14)}) AS ll,
+         |      row_number() OVER ($W) AS rn
+         |    FROM candles)
+         |  WHERE rn >= 14)""".stripMargin)
+
+  /** MFI资金流量扫描器 (batch/mfi.py:8-26): 14-bar signed money-flow
+    * ratio, 2-dp like the mart; the flat-flow NULL (neg sum 0) is kept as
+    * a NULL row like the scanner's insufficient write.
+    */
+  private val mfi = MartDef(
+    key = "mfi", table = "MFI资金流量扫描器",
+    fields = Seq("mfi" -> "MFI值"),
+    build = (s, dir) => {
+      val tp = (col("high") + col("low") + col("close")) / 3
+      val c = candles(s, dir)
+        .withColumn("tp", tp)
+        .withColumn("mf", col("tp") * col("volume"))
+        .withColumn("d", signum(col("tp") - lag("tp", 1).over(bySym)))
+        .withColumn("pos",
+          sum(when(col("d") > 0, col("mf")).otherwise(0.0)).over(lastN(14)))
+        .withColumn("neg",
+          sum(when(col("d") < 0, col("mf")).otherwise(0.0)).over(lastN(14)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 15)
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        (floor((lit(100.0) - lit(100.0) /
+          (lit(1.0) + col("pos") / nullif(col("neg"), lit(0.0)))) * 100 + 0.5) / 100)
+          .as("mfi"))
+    },
+    sqlCte =
+      s"""m_mfi AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    floor((100.0 - 100.0 / (1.0 + pos / nullif(neg, 0.0))) * 100 + 0.5) / 100 AS mfi
+         |  FROM (
+         |    SELECT symbol, bucket_ts, quote_volume,
+         |      sum(CASE WHEN d > 0 THEN mf ELSE 0.0 END) OVER ($W ${fr(14)}) AS pos,
+         |      sum(CASE WHEN d < 0 THEN mf ELSE 0.0 END) OVER ($W ${fr(14)}) AS neg,
+         |      row_number() OVER ($W) AS rn
+         |    FROM (
+         |      SELECT symbol, bucket_ts, quote_volume, tp * volume AS mf,
+         |        sign(tp - lag(tp) OVER ($W)) AS d, bucket_ts AS bt2
+         |      FROM (SELECT symbol, bucket_ts, quote_volume, volume,
+         |              (high + low + close) / 3 AS tp FROM candles)))
+         |  WHERE rn >= 15)""".stripMargin)
+
+  /** ADX.py (lean_indicators.py:89-117): zero-seeded TR/±DM Wilder
+    * smooths, DI → DX → Wilder ADX; warm-up 28 (= 2·period).
+    */
+  private val adx = MartDef(
+    key = "adx", table = "ADX",
+    fields = Seq("adx" -> "ADX"),
+    build = (s, dir) => {
+      val ph = lag("high", 1).over(bySym); val plo = lag("low", 1).over(bySym)
+      val pc = lag("close", 1).over(bySym)
+      val c = candles(s, dir)
+        .withColumn("tr0", when(ph.isNull, 0.0).otherwise(
+          greatest(col("high") - col("low"), abs(col("high") - pc),
+            abs(col("low") - pc))))
+        .withColumn("up", col("high") - ph)
+        .withColumn("dn", plo - col("low"))
+        .withColumn("pdm", when(ph.isNull, 0.0)
+          .otherwise(when(col("up") > col("dn") && col("up") > 0, col("up")).otherwise(0.0)))
+        .withColumn("mdm", when(ph.isNull, 0.0)
+          .otherwise(when(col("dn") > col("up") && col("dn") > 0, col("dn")).otherwise(0.0)))
+      val c2 = c
+        .withColumn("st", ewma(s, col("tr0"), 1.0 / 14.0).over(run))
+        .withColumn("sp", ewma(s, col("pdm"), 1.0 / 14.0).over(run))
+        .withColumn("sm", ewma(s, col("mdm"), 1.0 / 14.0).over(run))
+      val pdi = when(col("st") > 0, lit(100.0) * col("sp") / col("st")).otherwise(0.0)
+      val mdi = when(col("st") > 0, lit(100.0) * col("sm") / col("st")).otherwise(0.0)
+      val c3 = c2.withColumn("dx",
+        when(pdi + mdi > 0, lit(100.0) * abs(pdi - mdi) / (pdi + mdi)).otherwise(0.0))
+      c3.withColumn("adx", ewma(s, col("dx"), 1.0 / 14.0).over(run))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 28)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"), q6(col("adx")).as("adx"))
+    },
+    sqlCte = {
+      val pdi = "CASE WHEN sts[i] > 0 THEN 100.0 * sps[i] / sts[i] ELSE 0.0 END"
+      val mdi = "CASE WHEN sts[i] > 0 THEN 100.0 * sms[i] / sts[i] ELSE 0.0 END"
+      s"""m_adx AS (
+         |  SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |    ${q6s("adxs[i]")} AS adx
+         |  FROM (
+         |    SELECT symbol, ts, qv, n, ${redSeries("dxs", "1.0/14.0")} AS adxs
+         |    FROM (
+         |      SELECT symbol, ts, qv, n,
+         |        list_transform(generate_series(1, n), i ->
+         |          CASE WHEN ($pdi) + ($mdi) > 0
+         |               THEN 100.0 * abs(($pdi) - ($mdi)) / (($pdi) + ($mdi))
+         |               ELSE 0.0 END) AS dxs
+         |      FROM (
+         |        SELECT symbol, ts, qv, n,
+         |          ${redSeries("trs0", "1.0/14.0")} AS sts,
+         |          ${redSeries("pdms", "1.0/14.0")} AS sps,
+         |          ${redSeries("mdms", "1.0/14.0")} AS sms
+         |        FROM (
+         |          SELECT symbol, ts, qv, n,
+         |            list_transform(generate_series(1, n), k ->
+         |              CASE WHEN k = 1 THEN 0.0
+         |                   ELSE greatest(hi[k] - lo[k], abs(hi[k] - cl[k-1]),
+         |                                 abs(lo[k] - cl[k-1])) END) AS trs0,
+         |            list_transform(generate_series(1, n), k ->
+         |              CASE WHEN k = 1 THEN 0.0
+         |                   WHEN hi[k] - hi[k-1] > lo[k-1] - lo[k]
+         |                        AND hi[k] - hi[k-1] > 0 THEN hi[k] - hi[k-1]
+         |                   ELSE 0.0 END) AS pdms,
+         |            list_transform(generate_series(1, n), k ->
+         |              CASE WHEN k = 1 THEN 0.0
+         |                   WHEN lo[k-1] - lo[k] > hi[k] - hi[k-1]
+         |                        AND lo[k-1] - lo[k] > 0 THEN lo[k-1] - lo[k]
+         |                   ELSE 0.0 END) AS mdms
+         |          FROM series)))) s,
+         |    LATERAL (SELECT unnest(generate_series(28, n)) AS i) u)""".stripMargin
+    },
+    needsSeries = true)
+
+  /** 谐波信号扫描器 (batch/harmonic.py:7-44): mean of typical-price
+    * Wilder-style RSI over periods 2..33 (zero-seeded gain/loss EWMAs,
+    * zero-loss periods skipped), 2-dp.
+    */
+  private val harmonic = MartDef(
+    key = "harm", table = "谐波信号扫描器",
+    fields = Seq("harm" -> "谐波值"),
+    build = (s, dir) => {
+      val tp = (col("high") + col("low") + col("close")) / 3
+      val c0 = candles(s, dir).withColumn("tp", tp)
+        .withColumn("dtp", col("tp") - lag("tp", 1).over(bySym))
+        .withColumn("g", when(col("dtp") > 0, col("dtp")).otherwise(0.0))
+        .withColumn("l", when(col("dtp") < 0, -col("dtp")).otherwise(0.0))
+      val c1 = (2 to 33).foldLeft(c0) { (df, k) =>
+        df.withColumn(s"ag$k", ewma(s, col("g"), 1.0 / k).over(run))
+          .withColumn(s"al$k", ewma(s, col("l"), 1.0 / k).over(run))
+      }
+      val rsis = array((2 to 33).map { k =>
+        when(col(s"al$k") =!= 0.0,
+          lit(100.0) - lit(100.0) / (lit(1.0) + col(s"ag$k") / col(s"al$k")))
+      }: _*)
+      val valid = filter(rsis, x => x.isNotNull)
+      val harm = when(size(valid) > 0,
+        floor(aggregate(valid, lit(0.0), (a, x) => a + x) /
+          size(valid).cast("double") * 100 + 0.5) / 100)
+      c1.withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 35)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"), harm.as("harm"))
+    },
+    sqlCte = {
+      val cases = (2 to 33).map { k =>
+        s"CASE WHEN al${k}s[i] != 0.0 THEN 100.0 - 100.0 / (1.0 + ag${k}s[i] / al${k}s[i]) END"
+      }.mkString("[", ",\n           ", "]")
+      val folds = (2 to 33).map { k =>
+        s"${redSeries("gs", s"1.0/$k.0")} AS ag${k}s, ${redSeries("ls", s"1.0/$k.0")} AS al${k}s"
+      }.mkString(",\n        ")
+      s"""m_harm AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN len(valid) > 0
+         |         THEN floor(list_reduce(list_prepend(0.0, valid), (a, x) -> a + x)
+         |              / len(valid) * 100 + 0.5) / 100 END AS harm
+         |  FROM (
+         |    SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |      list_filter($cases, x -> x IS NOT NULL) AS valid
+         |    FROM (
+         |      SELECT symbol, ts, qv, n,
+         |        $folds
+         |      FROM (
+         |        SELECT symbol, ts, qv, n,
+         |          list_transform(generate_series(1, n), k ->
+         |            CASE WHEN k = 1 THEN 0.0
+         |                 ELSE greatest((hi[k]+lo[k]+cl[k])/3 - (hi[k-1]+lo[k-1]+cl[k-1])/3, 0.0) END) AS gs,
+         |          list_transform(generate_series(1, n), k ->
+         |            CASE WHEN k = 1 THEN 0.0
+         |                 ELSE greatest((hi[k-1]+lo[k-1]+cl[k-1])/3 - (hi[k]+lo[k]+cl[k])/3, 0.0) END) AS ls
+         |        FROM series)) s,
+         |      LATERAL (SELECT unnest(generate_series(35, n)) AS i) u))""".stripMargin
+    },
+    needsSeries = true)
+
+  /** KDJ随机指标扫描器 (incremental/kdj.py:6-50): RSV over 9-bar extrema
+    * (NULL on a flat window — the scanner's inf-poisoning replaced by a
+    * skip, documented), K/D via skip-null EWMA(1/3), J = 3K−2D; values
+    * 3-dp like the mart, 信号概述 derived from the quantized series.
+    * Warm-up 40 (kdj.py:35).
+    */
+  private val kdj = MartDef(
+    key = "kdj", table = "KDJ随机指标扫描器",
+    fields = Seq("k" -> "K值", "d" -> "D值", "j" -> "J值", "kdj_sig" -> "信号概述"),
+    build = (s, dir) => {
+      val h9 = max(col("high")).over(lastN(9)); val l9 = min(col("low")).over(lastN(9))
+      val c = candles(s, dir)
+        .withColumn("nb", count(lit(1)).over(lastN(9)))
+        .withColumn("rsv",
+          when(col("nb") === 9,
+            (col("close") - l9) / nullif(h9 - l9, lit(0.0)) * 100))
+      val c2 = c.withColumn("kk", ewma(s, col("rsv"), 1.0 / 3.0).over(run))
+      val c3 = c2.withColumn("dd", ewma(s, col("kk"), 1.0 / 3.0).over(run))
+      val q3 = (x: Column) => floor(x * 1e3 + 0.5) / 1e3
+      val k3 = q3(col("kk")); val d3 = q3(col("dd"))
+      val j3 = q3(lit(3.0) * col("kk") - lit(2.0) * col("dd"))
+      val kp = lag(k3, 1).over(bySym); val dp = lag(d3, 1).over(bySym)
+      c3.withColumn("rn", row_number().over(bySym))
+        .withColumn("k3", k3).withColumn("d3", d3).withColumn("j3", j3)
+        .withColumn("kp", kp).withColumn("dp", dp)
+        .filter(col("rn") >= 40)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"),
+          col("k3").as("k"), col("d3").as("d"), col("j3").as("j"),
+          when(col("kp").isNull || col("dp").isNull, "数据不足")
+            .when(col("kp") <= col("dp") && col("k3") > col("d3"), "金叉")
+            .when(col("kp") >= col("dp") && col("k3") < col("d3"), "死叉")
+            .when(col("j3") > 100.0, "J>100 极值")
+            .when(col("j3") < 0.0, "J<0 极值")
+            .otherwise("延续").as("kdj_sig"))
+    },
+    sqlCte = {
+      val q3 = (e: String) => s"floor(($e) * 1e3 + 0.5) / 1e3"
+      s"""m_kdj AS (
+         |  SELECT symbol, bucket_ts, turnover, k, d, j,
+         |    CASE WHEN kp IS NULL OR dp IS NULL THEN '数据不足'
+         |         WHEN kp <= dp AND k > d THEN '金叉'
+         |         WHEN kp >= dp AND k < d THEN '死叉'
+         |         WHEN j > 100.0 THEN 'J>100 极值'
+         |         WHEN j < 0.0 THEN 'J<0 极值'
+         |         ELSE '延续' END AS kdj_sig
+         |  FROM (
+         |    SELECT symbol, bucket_ts, turnover, k, d, j,
+         |      lag(k) OVER ($W) AS kp, lag(d) OVER ($W) AS dp,
+         |      row_number() OVER ($W) AS rn
+         |    FROM (
+         |      SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |        ${q3("ks[i]")} AS k, ${q3("ds[i]")} AS d,
+         |        ${q3("3.0 * ks[i] - 2.0 * ds[i]")} AS j
+         |      FROM (
+         |        SELECT symbol, ts, qv, n, ks, ${redSeriesSkipNull("ks", "1.0/3.0")} AS ds
+         |        FROM (
+         |          SELECT symbol, ts, qv, n, ${redSeriesSkipNull("rsvs", "1.0/3.0")} AS ks
+         |          FROM (
+         |            SELECT symbol, ts, qv, n,
+         |              list_transform(generate_series(1, n), k ->
+         |                CASE WHEN k >= 9 THEN
+         |                  (cl[k] - list_aggregate(lo[k-8:k], 'min')) /
+         |                    nullif(list_aggregate(hi[k-8:k], 'max') - list_aggregate(lo[k-8:k], 'min'), 0.0) * 100
+         |                END) AS rsvs
+         |            FROM series))) s,
+         |        LATERAL (SELECT unnest(generate_series(1, n)) AS i) u))
+         |  WHERE rn >= 40)""".stripMargin
+    },
+    needsSeries = true)
+
+  /** 智能RSI扫描器 (batch/tv_rsi.py): Wilder RSI 7/14/21 (the engine's
+    * i22 kernel — safe_rsi's adjust=True weighting decays to the same
+    * recursion; documented simplification), 2-dp; 位置 from the static
+    * 70/30 bands with the 2-of-3 vote (the dynamic ATR-normalized
+    * thresholds are full-history min-max scaled — non-causal per bar);
+    * 背离 replays detect_divergence's ±5 pivot compare over the trailing
+    * 50 bars causally (pivots confirmed 5 bars late, so the window is
+    * j ∈ [t−44, t−6]), on RSI14.
+    */
+  private val rsi = MartDef(
+    key = "rsi", table = "智能RSI扫描器",
+    fields = Seq("rsi7" -> "RSI7", "rsi14" -> "RSI14", "rsi21" -> "RSI21",
+      "rsi_avg" -> "RSI均值", "pos" -> "位置", "dvg" -> "背离"),
+    build = (s, dir) => {
+      val d = col("close") - lag("close", 1).over(bySym)
+      val c0 = candles(s, dir)
+        .withColumn("g", when(d > 0.0, d).otherwise(when(d.isNull, d).otherwise(0.0)))
+        .withColumn("l", when(d < 0.0, -d).otherwise(when(d.isNull, d).otherwise(0.0)))
+      val c1 = Seq(7, 14, 21).foldLeft(c0) { (df, k) =>
+        df.withColumn(s"ag$k", ewma(s, col("g"), 1.0 / k).over(run))
+          .withColumn(s"al$k", ewma(s, col("l"), 1.0 / k).over(run))
+      }
+      def rq(k: Int): Column = floor(
+        when(col(s"al$k") === 0.0, when(col(s"ag$k") === 0.0, 50.0).otherwise(100.0))
+          .otherwise(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col(s"ag$k") / col(s"al$k"))) * 100 + 0.5) / 100
+      val c2 = c1.withColumn("r7", rq(7)).withColumn("r14", rq(14))
+        .withColumn("r21", rq(21))
+        .withColumn("cnt11", count(lit(1)).over(bySym.rowsBetween(-5, 5)))
+        .withColumn("ph", col("cnt11") === 11 &&
+          col("high") === max(col("high")).over(bySym.rowsBetween(-5, 5)))
+        .withColumn("pl", col("cnt11") === 11 &&
+          col("low") === min(col("low")).over(bySym.rowsBetween(-5, 5)))
+      val c3 = c2
+        .withColumn("phs", collect_list(
+          when(col("ph"), struct(col("high").as("v"), col("r14").as("r"))))
+          .over(bySym.rowsBetween(-44, -6)))
+        .withColumn("pls", collect_list(
+          when(col("pl"), struct(col("low").as("v"), col("r14").as("r"))))
+          .over(bySym.rowsBetween(-44, -6)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 15)
+      val nOb = Seq("r7", "r14", "r21")
+        .map(c => when(col(c) > 70.0, 1).otherwise(0)).reduce(_ + _)
+      val nOs = Seq("r7", "r14", "r21")
+        .map(c => when(col(c) < 30.0, 1).otherwise(0)).reduce(_ + _)
+      val both2 = size(col("phs")) >= 2 && size(col("pls")) >= 2
+      val hL = element_at(col("phs"), -1); val hP = element_at(col("phs"), -2)
+      val lL = element_at(col("pls"), -1); val lP = element_at(col("pls"), -2)
+      val top = both2 && hL("v") > hP("v") && hL("r") < hP("r")
+      val bot = both2 && lL("v") < lP("v") && lL("r") > lP("r")
+      c3.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        col("r7").as("rsi7"), col("r14").as("rsi14"), col("r21").as("rsi21"),
+        (floor((col("r7") + col("r14") + col("r21")) / 3 * 100 + 0.5) / 100)
+          .as("rsi_avg"),
+        when(nOs >= 2, "超卖区").when(nOb >= 2, "超买区")
+          .otherwise("中性区").as("pos"),
+        when(col("rn") < 50, "数据不足")
+          .when(top, "顶背离")
+          .when(bot, "底背离")
+          .otherwise("无背离").as("dvg"))
+    },
+    sqlCte = {
+      def rq(k: Int) =
+        s"""floor(CASE WHEN al${k}s[i] = 0.0
+           |           THEN CASE WHEN ag${k}s[i] = 0.0 THEN 50.0 ELSE 100.0 END
+           |           ELSE 100.0 - 100.0 / (1.0 + ag${k}s[i] / al${k}s[i])
+           |      END * 100 + 0.5) / 100""".stripMargin
+      val folds = Seq(7, 14, 21).map { k =>
+        s"${redSeriesSkipNull("gs", s"1.0/$k.0")} AS ag${k}s, ${redSeriesSkipNull("ls", s"1.0/$k.0")} AS al${k}s"
+      }.mkString(",\n        ")
+      s"""m_rsi AS (
+         |  SELECT symbol, bucket_ts, turnover, rsi7, rsi14, rsi21,
+         |    floor((rsi7 + rsi14 + rsi21) / 3 * 100 + 0.5) / 100 AS rsi_avg,
+         |    CASE WHEN (CASE WHEN rsi7 < 30.0 THEN 1 ELSE 0 END +
+         |               CASE WHEN rsi14 < 30.0 THEN 1 ELSE 0 END +
+         |               CASE WHEN rsi21 < 30.0 THEN 1 ELSE 0 END) >= 2 THEN '超卖区'
+         |         WHEN (CASE WHEN rsi7 > 70.0 THEN 1 ELSE 0 END +
+         |               CASE WHEN rsi14 > 70.0 THEN 1 ELSE 0 END +
+         |               CASE WHEN rsi21 > 70.0 THEN 1 ELSE 0 END) >= 2 THEN '超买区'
+         |         ELSE '中性区' END AS pos,
+         |    CASE WHEN rn < 50 THEN '数据不足'
+         |         WHEN len(phs) >= 2 AND len(pls) >= 2
+         |              AND phs[-1].v > phs[-2].v AND phs[-1].r < phs[-2].r THEN '顶背离'
+         |         WHEN len(phs) >= 2 AND len(pls) >= 2
+         |              AND pls[-1].v < pls[-2].v AND pls[-1].r > pls[-2].r THEN '底背离'
+         |         ELSE '无背离' END AS dvg
+         |  FROM (
+         |    SELECT symbol, bucket_ts, turnover, rsi7, rsi14, rsi21, rn,
+         |      list_filter(list(CASE WHEN ph THEN struct_pack(v := high, r := rsi14) END)
+         |        OVER ($W ROWS BETWEEN 44 PRECEDING AND 6 PRECEDING),
+         |        x -> x IS NOT NULL) AS phs,
+         |      list_filter(list(CASE WHEN pl THEN struct_pack(v := low, r := rsi14) END)
+         |        OVER ($W ROWS BETWEEN 44 PRECEDING AND 6 PRECEDING),
+         |        x -> x IS NOT NULL) AS pls
+         |    FROM (
+         |      SELECT symbol, bucket_ts, turnover, high, low, rsi7, rsi14, rsi21, rn,
+         |        count(*) OVER ($W ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) = 11
+         |          AND high = max(high) OVER ($W ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS ph,
+         |        count(*) OVER ($W ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) = 11
+         |          AND low = min(low) OVER ($W ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS pl
+         |      FROM (
+         |        SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |          hi[i] AS high, lo[i] AS low, i AS rn,
+         |          ${rq(7)} AS rsi7, ${rq(14)} AS rsi14, ${rq(21)} AS rsi21
+         |        FROM (
+         |          SELECT symbol, ts, qv, hi, lo, n,
+         |            $folds
+         |          FROM (
+         |            SELECT symbol, ts, qv, hi, lo, n,
+         |              list_transform(generate_series(1, n), k ->
+         |                CASE WHEN k = 1 THEN NULL
+         |                     ELSE greatest(cl[k] - cl[k-1], 0.0) END) AS gs,
+         |              list_transform(generate_series(1, n), k ->
+         |                CASE WHEN k = 1 THEN NULL
+         |                     ELSE greatest(cl[k-1] - cl[k], 0.0) END) AS ls
+         |            FROM series)) s,
+         |          LATERAL (SELECT unnest(generate_series(1, n)) AS i) u)))
+         |  WHERE rn >= 15)""".stripMargin
+    },
+    needsSeries = true)
+
   /** All mart series, keyed by ascii table key. */
   val all: Map[String, MartDef] =
     Seq(macd, obv, cvd, volratio, taker,
       base, liquidity, scalping,
-      boll, atr, donchian, keltner, sr, vwap).map(d => d.key -> d).toMap
+      boll, atr, donchian, keltner, sr, vwap,
+      cci, wr, mfi, adx, harmonic, kdj, rsi).map(d => d.key -> d).toMap
 }

@@ -323,18 +323,85 @@ object RuleCorpus {
     R("买卖比极端看空", "base", "misc", "basic", "SELL", 65, "medium",
       Custom(s"has_prev AND ${orv("prev_bsr", "1.0")} > 0.67 AND ${orv("bsr", "1.0")} < 0.67")))
 
+  /** rules/momentum — RSI (rsi.py, 8) + KDJ (kdj.py, 4) + CCI/WR/MFI/ADX/
+    * harmonic (others.py, 15) = 27 rules.
+    */
+  val MomentumRules: Seq[CorpusRule] = Seq(
+    R("RSI进入超买区", "rsi", "momentum", "rsi", "SELL", 60, "medium",
+      StateChange("pos", Seq("中性区", "中性", "超卖区"), Seq("超买区"))),
+    R("RSI进入超卖区", "rsi", "momentum", "rsi", "BUY", 60, "medium",
+      StateChange("pos", Seq("中性区", "中性", "超买区"), Seq("超卖区"))),
+    R("RSI离开超买区", "rsi", "momentum", "rsi", "BUY", 70, "high",
+      StateChange("pos", Seq("超买区"), Seq("中性区", "中性", "超卖区"))),
+    R("RSI离开超卖区", "rsi", "momentum", "rsi", "SELL", 70, "high",
+      StateChange("pos", Seq("超卖区"), Seq("中性区", "中性", "超买区"))),
+    R("RSI顶背离", "rsi", "momentum", "rsi", "SELL", 80, "high",
+      StateChange("dvg", Seq("无背离", "none", "", "底背离"), Seq("顶背离")),
+      cooldown = 7200L),
+    R("RSI底背离", "rsi", "momentum", "rsi", "BUY", 80, "high",
+      StateChange("dvg", Seq("无背离", "none", "", "顶背离"), Seq("底背离")),
+      cooldown = 7200L),
+    R("RSI7金叉RSI21", "rsi", "momentum", "rsi", "BUY", 55, "low",
+      LineCrossUp("rsi7", "rsi21")),
+    R("RSI7死叉RSI21", "rsi", "momentum", "rsi", "SELL", 55, "low",
+      LineCrossDown("rsi7", "rsi21")),
+    R("KDJ金叉", "kdj", "momentum", "kdj", "BUY", 65, "medium",
+      StateChange("kdj_sig", Seq("延续", "死叉", "J<0 极值", "J>100 极值"), Seq("金叉"))),
+    R("KDJ死叉", "kdj", "momentum", "kdj", "SELL", 65, "medium",
+      StateChange("kdj_sig", Seq("延续", "金叉", "J<0 极值", "J>100 极值"), Seq("死叉"))),
+    R("J值超卖极值", "kdj", "momentum", "kdj", "BUY", 75, "high",
+      StateChange("kdj_sig", Seq("延续", "金叉", "死叉", "J>100 极值"), Seq("J<0 极值"))),
+    R("J值超买极值", "kdj", "momentum", "kdj", "SELL", 75, "high",
+      StateChange("kdj_sig", Seq("延续", "金叉", "死叉", "J<0 极值"), Seq("J>100 极值"))),
+    R("CCI进入超买", "cci", "momentum", "cci", "SELL", 55, "low",
+      ThresholdCrossUp("cci", 100.0)),
+    R("CCI进入超卖", "cci", "momentum", "cci", "BUY", 55, "low",
+      ThresholdCrossDown("cci", -100.0)),
+    R("CCI离开超买", "cci", "momentum", "cci", "BUY", 65, "medium",
+      Custom(s"has_prev AND ${orv("prev_cci", "0.0")} > 100 AND ${orv("cci", "100.0")} < 100")),
+    R("CCI离开超卖", "cci", "momentum", "cci", "SELL", 65, "medium",
+      Custom(s"has_prev AND ${orv("prev_cci", "0.0")} < -100 AND ${orv("cci", "-100.0")} > -100")),
+    R("WR进入超买", "wr", "momentum", "williams", "SELL", 55, "low",
+      ThresholdCrossUp("wr", -20.0)),
+    R("WR进入超卖", "wr", "momentum", "williams", "BUY", 55, "low",
+      ThresholdCrossDown("wr", -80.0)),
+    R("WR离开超买", "wr", "momentum", "williams", "BUY", 65, "medium",
+      Custom(s"has_prev AND ${orv("prev_wr", "-50.0")} > -20 AND ${orv("wr", "-20.0")} < -20")),
+    R("WR离开超卖", "wr", "momentum", "williams", "SELL", 65, "medium",
+      Custom(s"has_prev AND ${orv("prev_wr", "-50.0")} < -80 AND ${orv("wr", "-80.0")} > -80")),
+    R("MFI超买", "mfi", "momentum", "mfi", "SELL", 60, "medium",
+      ThresholdCrossUp("mfi", 80.0)),
+    R("MFI超卖", "mfi", "momentum", "mfi", "BUY", 60, "medium",
+      ThresholdCrossDown("mfi", 20.0)),
+    R("MFI离开超买", "mfi", "momentum", "mfi", "BUY", 65, "medium",
+      Custom(s"has_prev AND ${orv("prev_mfi", "50.0")} > 80 AND ${orv("mfi", "80.0")} < 80")),
+    R("MFI离开超卖", "mfi", "momentum", "mfi", "SELL", 65, "medium",
+      Custom(s"has_prev AND ${orv("prev_mfi", "50.0")} < 20 AND ${orv("mfi", "20.0")} > 20")),
+    R("ADX趋势增强", "adx", "momentum", "adx", "ALERT", 60, "medium",
+      ThresholdCrossUp("adx", 25.0)),
+    R("ADX趋势减弱", "adx", "momentum", "adx", "ALERT", 55, "low",
+      Custom(s"has_prev AND ${orv("prev_adx", "0.0")} > 25 AND ${orv("adx", "25.0")} < 25")),
+    // `c.get("谐波值") and abs(...) > 0.5` — falsy null/0 fails, else the
+    // abs test (a mean-RSI is ~50, so this fires on nearly every bar;
+    // the reference thins it by cooldown)
+    R("谐波信号出现", "harm", "momentum", "harmonic", "ALERT", 70, "medium",
+      Custom("coalesce(abs(harm), 0.0) > 0.5")))
+
   /** The full corpus — categories land as their mart series do. */
-  val AllRules: Seq[CorpusRule] = VolumeRules ++ VolatilityRules ++ MiscRules
+  val AllRules: Seq[CorpusRule] =
+    VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules
 
   // --------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "g09_rules_volume" -> categoryQuery("volume"),
     "g08_rules_volatility" -> categoryQuery("volatility"),
-    "g12_rules_misc" -> categoryQuery("misc"))
+    "g12_rules_misc" -> categoryQuery("misc"),
+    "g06_rules_momentum" -> categoryQuery("momentum"))
 
   val oracle: Map[String, String] = Map(
     "g09_rules_volume" -> categoryOracle("volume"),
     "g08_rules_volatility" -> categoryOracle("volatility"),
-    "g12_rules_misc" -> categoryOracle("misc"))
+    "g12_rules_misc" -> categoryOracle("misc"),
+    "g06_rules_momentum" -> categoryOracle("momentum"))
 }
