@@ -61,7 +61,8 @@ object MartSeries {
     build: (SparkSession, String) => DataFrame,
     sqlCte: String,
     needsSeries: Boolean = false,
-    needsMetrics: Boolean = false)
+    needsMetrics: Boolean = false,
+    needsRecursive: Boolean = false)
 
   // ------------------------------------------------------------ helpers
 
@@ -1133,10 +1134,712 @@ object MartSeries {
     },
     needsSeries = true)
 
+  // ======================================================= trend pack
+
+  /** Per-bar per-symbol fold runner (the [[graft.indicators.Series
+    * .mapSeries]] shape emitting EVERY bar instead of the last): one
+    * shuffle on the symbol key, bounded group state, O(series) per
+    * symbol — the Spark form for true recurrences (ratchets, line
+    * validity scans) that window functions cannot express.
+    */
+  private def mapSeriesAll(s: SparkSession, dir: String)(
+      fn: Array[graft.indicators.Series.Bar] => Iterator[MartRow]): DataFrame = {
+    import graft.indicators.Series
+    import s.implicits._
+    Tables.candles(s, dir)
+      .select(col("symbol"), col("bucket_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("quote_volume"),
+        col("taker_buy_volume"))
+      .as[Series.Bar]
+      .groupByKey(_.symbol)
+      .flatMapGroups { (_, it) => fn(Series.latestBars(it, Series.Bars.cap)) }
+      .toDF()
+  }
+  /** Generic fold output row: string state + two numeric fields. */
+  final case class MartRow(symbol: String, bucket_ts: Long, turnover: Double,
+    s1: String, d1: Option[Double])
+  private implicit val encMartRow: org.apache.spark.sql.Encoder[MartRow] =
+    org.apache.spark.sql.Encoders.product[MartRow]
+
+  private def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** SuperTrend.py (lean_indicators.py:30-85): Wilder ATR(10), hl2 ±
+    * 3·ATR bands with the close-vs-previous-final-band ratchet and the
+    * supertrend-equality direction rule — a true double recursion, run
+    * as a per-symbol fold; the oracle replays it with a struct
+    * `list_reduce` over every prefix (the Stateful-pack idiom). 方向
+    * vocabulary 空/多 (direction 1 = 空, lean_indicators.py:75).
+    */
+  private val strend = MartDef(
+    key = "strend", table = "SuperTrend",
+    fields = Seq("sdir" -> "方向"),
+    build = (s, dir) => mapSeriesAll(s, dir) { bars =>
+      import graft.indicators.Series.{ewma => sewma, trueRanges}
+      val n = bars.length
+      if (n < 10) Iterator.empty
+      else {
+        val atr = sewma(trueRanges(bars), 1.0 / 10.0)
+        var fu = (bars(0).high + bars(0).low) / 2.0 + 3.0 * atr(0)
+        var fl = (bars(0).high + bars(0).low) / 2.0 - 3.0 * atr(0)
+        var st = 0.0
+        var d = 1
+        val out = Array.newBuilder[MartRow]
+        var i = 0
+        while (i < n) {
+          if (i > 0) {
+            val hl2 = (bars(i).high + bars(i).low) / 2.0
+            val bu = hl2 + 3.0 * atr(i)
+            val bl = hl2 - 3.0 * atr(i)
+            val pc = bars(i - 1).close
+            val pfu = fu; val pfl = fl; val pst = st
+            fu = if (pc > pfu) bu else math.min(bu, pfu)
+            fl = if (pc < pfl) bl else math.max(bl, pfl)
+            d = if (pst == pfu) { if (bars(i).close > fu) -1 else 1 }
+                else { if (bars(i).close < fl) 1 else -1 }
+            st = if (d == 1) fu else fl
+          }
+          if (i >= 9)
+            out += MartRow(bars(i).symbol, bars(i).bucket_ts,
+              q6d(bars(i).quote_volume), if (d == 1) "空" else "多", None)
+          i += 1
+        }
+        out.result().iterator
+      }
+    }.select(col("symbol"), col("bucket_ts"), col("turnover"),
+      col("s1").as("sdir")),
+    sqlCte =
+      // DuckDB 1.0's list_reduce mis-evaluates complex struct lambdas
+      // (a full fold disagrees with incrementally applying the same
+      // lambda), so the ratchet is replayed with the Stateful-pack
+      // WITH RECURSIVE idiom instead: O(n) per symbol, state threaded
+      // through (fu, fl, st, d) exactly like the Scala loop.
+      s"""strend_pre AS (
+         |  SELECT symbol, ts, qv, hi, lo, cl, n,
+         |    ${redSeries("trs", "1.0/10.0")} AS atrs
+         |  FROM (
+         |    SELECT symbol, ts, qv, hi, lo, cl, n,
+         |      list_transform(generate_series(1, n), k ->
+         |        CASE WHEN k = 1 THEN hi[1] - lo[1]
+         |             ELSE greatest(hi[k] - lo[k], abs(hi[k] - cl[k-1]),
+         |                           abs(lo[k] - cl[k-1])) END) AS trs
+         |    FROM series WHERE n >= 10)),
+         |strend_rec AS (
+         |  SELECT symbol, 1 AS i, n, ts, qv, hi, lo, cl, atrs,
+         |    (hi[1] + lo[1]) / 2.0 + 3.0 * atrs[1] AS fu,
+         |    (hi[1] + lo[1]) / 2.0 - 3.0 * atrs[1] AS fl,
+         |    CAST(0.0 AS DOUBLE) AS st, 1 AS d
+         |  FROM strend_pre
+         |  UNION ALL
+         |  SELECT r.symbol, r.i + 1, r.n, r.ts, r.qv, r.hi, r.lo, r.cl, r.atrs,
+         |    v.fu2, v.fl2, CASE WHEN v.d2 = 1 THEN v.fu2 ELSE v.fl2 END, v.d2
+         |  FROM strend_rec r,
+         |    LATERAL (SELECT
+         |        (r.hi[r.i + 1] + r.lo[r.i + 1]) / 2.0 + 3.0 * r.atrs[r.i + 1] AS bu,
+         |        (r.hi[r.i + 1] + r.lo[r.i + 1]) / 2.0 - 3.0 * r.atrs[r.i + 1] AS bl) b,
+         |    LATERAL (SELECT
+         |        CASE WHEN r.cl[r.i] > r.fu THEN b.bu ELSE least(b.bu, r.fu) END AS fu2,
+         |        CASE WHEN r.cl[r.i] < r.fl THEN b.bl ELSE greatest(b.bl, r.fl) END AS fl2) f,
+         |    LATERAL (SELECT
+         |        CASE WHEN r.st = r.fu
+         |             THEN (CASE WHEN r.cl[r.i + 1] > f.fu2 THEN -1 ELSE 1 END)
+         |             ELSE (CASE WHEN r.cl[r.i + 1] < f.fl2 THEN 1 ELSE -1 END)
+         |        END AS d2, f.fu2 AS fu2, f.fl2 AS fl2) v
+         |  WHERE r.i < r.n),
+         |m_strend AS (
+         |  SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |    CASE WHEN d = 1 THEN '空' ELSE '多' END AS sdir
+         |  FROM strend_rec WHERE i >= 10)""".stripMargin,
+    needsSeries = true,
+    needsRecursive = true)
+
+  /** 趋势线榜单 (batch/trend_line.py, carried at the engine's i19
+    * simplification — line through the LAST TWO confirmed ±5 pivots,
+    * valid while every close since the later pivot stays on its side of
+    * the projection; resistance ⇒ 空, else support ⇒ 多, else 震荡, the
+    * reference's `_pick_direction_and_distance` precedence). Per-bar
+    * fold; pivots confirm 5 bars late.
+    */
+  private val tline = MartDef(
+    key = "tline", table = "趋势线榜单",
+    fields = Seq("tldir" -> "趋势方向", "tldist" -> "距离趋势线%"),
+    build = (s, dir) => mapSeriesAll(s, dir) { bars =>
+      val n = bars.length
+      if (n < 35) Iterator.empty
+      else {
+        // centered ±5 pivots, confirmed at j+5
+        val isPh = Array.tabulate(n) { j =>
+          j >= 5 && j < n - 5 && {
+            var m = Double.MinValue
+            var t = j - 5; while (t <= j + 5) { m = math.max(m, bars(t).high); t += 1 }
+            bars(j).high >= m
+          }
+        }
+        val isPl = Array.tabulate(n) { j =>
+          j >= 5 && j < n - 5 && {
+            var m = Double.MaxValue
+            var t = j - 5; while (t <= j + 5) { m = math.min(m, bars(t).low); t += 1 }
+            bars(j).low <= m
+          }
+        }
+        val out = Array.newBuilder[MartRow]
+        var t = 34
+        while (t < n) {
+          def lastTwo(flags: Array[Boolean], value: Int => Double): Option[((Int, Double), (Int, Double))] = {
+            var j = t - 5; var last = -1; var prev = -1
+            while (j >= 0 && prev < 0) {
+              if (flags(j)) { if (last < 0) last = j else prev = j }
+              j -= 1
+            }
+            if (prev < 0) None else Some(((prev, value(prev)), (last, value(last))))
+          }
+          def line(ps: Option[((Int, Double), (Int, Double))], support: Boolean): Option[Double] =
+            ps.flatMap { case ((i1, v1), (i2, v2)) =>
+              val ok = if (support) v2 > v1 else v2 < v1
+              if (!ok) None
+              else {
+                val slope = (v2 - v1) / (i2 - i1)
+                var k = i2
+                var valid = true
+                while (k <= t && valid) {
+                  val proj = v2 + slope * (k - i2)
+                  if (support && bars(k).close < proj) valid = false
+                  if (!support && bars(k).close > proj) valid = false
+                  k += 1
+                }
+                if (valid) Some(v2 + slope * (t - i2)) else None
+              }
+            }
+          val sup = line(lastTwo(isPl, j => bars(j).low), support = true)
+          val res = line(lastTwo(isPh, j => bars(j).high), support = false)
+          val close = bars(t).close
+          val (d0, dist) = res match {
+            case Some(r) => ("空", if (r == 0.0) 0.0 else (close - r) / r * 100.0)
+            case None => sup match {
+              case Some(l) => ("多", if (l == 0.0) 0.0 else (close - l) / l * 100.0)
+              case None => ("震荡", 0.0)
+            }
+          }
+          out += MartRow(bars(t).symbol, bars(t).bucket_ts,
+            q6d(bars(t).quote_volume), d0,
+            Some(math.floor(dist * 1e4 + 0.5) / 1e4))
+          t += 1
+        }
+        out.result().iterator
+      }
+    }.select(col("symbol"), col("bucket_ts"), col("turnover"),
+      col("s1").as("tldir"), col("d1").as("tldist")),
+    sqlCte = {
+      // 0-based Scala pivot index j maps to 1-based list index j+1; the
+      // fold is replayed with list HOFs over the shared series lists.
+      val phl =
+        """list_transform(generate_series(1, n), j ->
+          |  CASE WHEN j > 5 AND j <= n - 5
+          |            AND hi[j] >= list_aggregate(hi[j-5:j+5], 'max')
+          |       THEN struct_pack(p := j, v := hi[j]) END)""".stripMargin
+      val pll =
+        """list_transform(generate_series(1, n), j ->
+          |  CASE WHEN j > 5 AND j <= n - 5
+          |            AND lo[j] <= list_aggregate(lo[j-5:j+5], 'min')
+          |       THEN struct_pack(p := j, v := lo[j]) END)""".stripMargin
+      def lineExpr(lst: String, support: Boolean): String = {
+        val cmpPair = if (support) "(($l)[-1]).v > (($l)[-2]).v" else "(($l)[-1]).v < (($l)[-2]).v"
+        val breach = if (support) "cl[k] < proj" else "cl[k] > proj"
+        s"""CASE WHEN len($lst) >= 2 AND ${cmpPair.replace("$l", lst)}
+           |     THEN (SELECT CASE WHEN len(list_filter(generate_series((($lst)[-1]).p, i), k ->
+           |            ${breach.replace("proj", s"(($lst)[-1]).v + ((($lst)[-1]).v - (($lst)[-2]).v) / ((($lst)[-1]).p - (($lst)[-2]).p) * (k - (($lst)[-1]).p)")})) = 0
+           |          THEN (($lst)[-1]).v + ((($lst)[-1]).v - (($lst)[-2]).v) / ((($lst)[-1]).p - (($lst)[-2]).p) * (i - (($lst)[-1]).p) END)
+           |     END""".stripMargin
+      }
+      s"""m_tline AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN res IS NOT NULL THEN '空'
+         |         WHEN sup IS NOT NULL THEN '多' ELSE '震荡' END AS tldir,
+         |    floor(CASE WHEN res IS NOT NULL
+         |               THEN CASE WHEN res = 0.0 THEN 0.0 ELSE (c - res) / res * 100.0 END
+         |               WHEN sup IS NOT NULL
+         |               THEN CASE WHEN sup = 0.0 THEN 0.0 ELSE (c - sup) / sup * 100.0 END
+         |               ELSE 0.0 END * 1e4 + 0.5) / 1e4 AS tldist
+         |  FROM (
+         |    SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |      cl[i] AS c,
+         |      ${lineExpr("phv", support = false)} AS res,
+         |      ${lineExpr("plv", support = true)} AS sup
+         |    FROM (
+         |      SELECT symbol, ts, qv, cl, n,
+         |        list_filter($phl, x -> x IS NOT NULL) AS ph0,
+         |        list_filter($pll, x -> x IS NOT NULL) AS pl0
+         |      FROM series WHERE n >= 35) s,
+         |      LATERAL (SELECT unnest(generate_series(35, n)) AS i) u,
+         |      LATERAL (SELECT list_filter(ph0, x -> x.p <= i - 5) AS phv,
+         |                      list_filter(pl0, x -> x.p <= i - 5) AS plv) v))""".stripMargin
+    },
+    needsSeries = true)
+
+  /** Shared ZLEMA basis + trailing-max ATR band (batch/super_trend.py:
+    * 17-45 at the Stateful pack's fixture scaling LEN=20/LAG=9/WIN=60/
+    * MULT=1.2): basis = skip-null EWMA(2/21) over 2·close − close[−9],
+    * band = max(Wilder ATR(20)) over the last 60 bars × 1.2.
+    */
+  private def zlCols(s: SparkSession, df: DataFrame): DataFrame = {
+    import graft.indicators.Windows.trueRange
+    val src = lit(2.0) * col("close") - lag("close", 9).over(bySym)
+    df.withColumn("tr", trueRange(col("high"), col("low"), col("close")))
+      .withColumn("src", src)
+      .withColumn("basis", ewma(s, col("src"), 2.0 / 21.0).over(run))
+      .withColumn("atr", ewma(s, col("tr"), 1.0 / 20.0).over(run))
+      .withColumn("band", max(col("atr")).over(lastN(60)) * lit(1.2))
+  }
+  private val ZlSql: String =
+    s"""SELECT symbol, ts, qv, cl, n,
+       |  ${redSeriesSkipNull(
+          "list_transform(generate_series(1, n), i -> CASE WHEN i > 9 THEN 2.0 * cl[i] - cl[i-9] END)",
+          "2.0/21.0")} AS basiss,
+       |  list_transform(generate_series(1, n), i ->
+       |    list_aggregate(atrs[greatest(1, i - 59):i], 'max') * 1.2) AS bands
+       |FROM (
+       |  SELECT symbol, ts, qv, cl, n, ${redSeries("trs", "1.0/20.0")} AS atrs
+       |  FROM (
+       |    SELECT symbol, ts, qv, cl, n,
+       |      list_transform(generate_series(1, n), k ->
+       |        CASE WHEN k = 1 THEN hi[1] - lo[1]
+       |             ELSE greatest(hi[k] - lo[k], abs(hi[k] - cl[k-1]),
+       |                           abs(lo[k] - cl[k-1])) END) AS trs
+       |    FROM series))""".stripMargin
+
+  /** 超级精准趋势扫描器 (batch/super_trend.py:63-101): trend latches +1
+    * on an upward CROSS of basis+band (prev close ≤ upper, close >
+    * upper), −1 on a downward cross of basis−band, else carries — the
+    * latch is `last(event) IGNORE NULLS` over the running frame, no
+    * recursion. 趋势方向 多/空 (0 → 空); 趋势强度 = (close −
+    * trend_band)/band (4 dp, NULL when falsy — super_trend.py:105).
+    */
+  private val precise = MartDef(
+    key = "precise", table = "超级精准趋势扫描器",
+    fields = Seq("tdir" -> "趋势方向", "tstr" -> "趋势强度"),
+    build = (s, dir) => {
+      val c = zlCols(s, candles(s, dir))
+        .withColumn("up", col("basis") + col("band"))
+        .withColumn("dn", col("basis") - col("band"))
+        .withColumn("pc", lag("close", 1).over(bySym))
+        .withColumn("ev",
+          when(col("basis").isNotNull && col("pc").isNotNull &&
+            col("pc") <= col("up") && col("close") > col("up"), 1)
+          .when(col("basis").isNotNull && col("pc").isNotNull &&
+            col("pc") >= col("dn") && col("close") < col("dn"), -1))
+        .withColumn("trend", coalesce(
+          last(col("ev"), ignoreNulls = true).over(run), lit(0)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 35)
+      val tb = when(col("trend") === 1, col("dn")).otherwise(col("up"))
+      val gap = when(col("band") =!= 0.0 && col("basis").isNotNull,
+        (col("close") - tb) / col("band"))
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        when(col("trend") === 1, "多").otherwise("空").as("tdir"),
+        nullif(floor(gap * 1e4 + 0.5) / 1e4, lit(0.0)).as("tstr"))
+    },
+    sqlCte =
+      s"""m_precise AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN trend = 1 THEN '多' ELSE '空' END AS tdir,
+         |    nullif(floor(CASE WHEN band != 0.0 AND basis IS NOT NULL
+         |      THEN (c - (CASE WHEN trend = 1 THEN basis - band ELSE basis + band END)) / band
+         |      END * 1e4 + 0.5) / 1e4, 0.0) AS tstr
+         |  FROM (
+         |    SELECT symbol, bucket_ts, turnover, c, basis, band, rn,
+         |      coalesce(last_value(ev IGNORE NULLS) OVER ($W
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS trend
+         |    FROM (
+         |      SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |        cl[i] AS c, basiss[i] AS basis, bands[i] AS band, i AS rn,
+         |        CASE WHEN basiss[i] IS NOT NULL AND i > 1
+         |                  AND cl[i-1] <= basiss[i] + bands[i]
+         |                  AND cl[i] > basiss[i] + bands[i] THEN 1
+         |             WHEN basiss[i] IS NOT NULL AND i > 1
+         |                  AND cl[i-1] >= basiss[i] - bands[i]
+         |                  AND cl[i] < basiss[i] - bands[i] THEN -1
+         |        END AS ev
+         |      FROM ($ZlSql) z,
+         |        LATERAL (SELECT unnest(generate_series(1, n)) AS i) u))
+         |  WHERE rn >= 35)""".stripMargin,
+    needsSeries = true)
+
+  /** 零延迟趋势扫描器 (batch/tv_zero_lag.py:33-92, same fixture scaling;
+    * the i28 partial-window band): trend +1 while close ABOVE basis+band,
+    * −1 below basis−band, else carries — the band-hold latch. 方向
+    * 多头/空头/震荡 (the corpus's 多/空 from-values never match — dead in
+    * the reference too).
+    */
+  private val zl = MartDef(
+    key = "zl", table = "零延迟趋势扫描器",
+    fields = Seq("zdir" -> "方向"),
+    build = (s, dir) => {
+      val c = zlCols(s, candles(s, dir))
+        .withColumn("ev",
+          when(col("basis").isNotNull && col("close") > col("basis") + col("band"), 1)
+          .when(col("basis").isNotNull && col("close") < col("basis") - col("band"), -1))
+        .withColumn("trend", coalesce(
+          last(col("ev"), ignoreNulls = true).over(run), lit(0)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 35)
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        when(col("trend") > 0, "多头").when(col("trend") < 0, "空头")
+          .otherwise("震荡").as("zdir"))
+    },
+    sqlCte =
+      s"""m_zl AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN trend > 0 THEN '多头' WHEN trend < 0 THEN '空头'
+         |         ELSE '震荡' END AS zdir
+         |  FROM (
+         |    SELECT symbol, bucket_ts, turnover, rn,
+         |      coalesce(last_value(ev IGNORE NULLS) OVER ($W
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS trend
+         |    FROM (
+         |      SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover, i AS rn,
+         |        CASE WHEN basiss[i] IS NOT NULL AND cl[i] > basiss[i] + bands[i] THEN 1
+         |             WHEN basiss[i] IS NOT NULL AND cl[i] < basiss[i] - bands[i] THEN -1
+         |        END AS ev
+         |      FROM ($ZlSql) z,
+         |        LATERAL (SELECT unnest(generate_series(1, n)) AS i) u))
+         |  WHERE rn >= 35)""".stripMargin,
+    needsSeries = true)
+
+  /** Ichimoku.py (lean_indicators.py:249-271): 9/26/52 donchian mids
+    * with the scanner's partial windows, BUY/SELL/NEUTRAL signal (the
+    * corpus's 买入/卖出 from-values never match — dead in the reference
+    * too), 强度 3-dp.
+    */
+  private val ichi = MartDef(
+    key = "ichi", table = "Ichimoku",
+    fields = Seq("isig" -> "信号", "istr" -> "强度"),
+    build = (s, dir) => {
+      def mid(k: Int) = (max(col("high")).over(lastN(k)) +
+        min(col("low")).over(lastN(k))) / 2
+      val c = candles(s, dir)
+        .withColumn("tk", mid(9)).withColumn("kj", mid(26))
+        .withColumn("sb0", mid(52))
+        .withColumn("rn", row_number().over(bySym))
+        .withColumn("sa", (col("tk") + col("kj")) / 2)
+        .withColumn("sb", when(col("rn") >= 52, col("sb0")).otherwise(0.0))
+        .filter(col("rn") >= 26)
+      val top = greatest(col("sa"), col("sb")); val bot = least(col("sa"), col("sb"))
+      val sig = when(col("close") > top && col("tk") > col("kj"), "BUY")
+        .when(col("close") < bot && col("tk") < col("kj"), "SELL")
+        .otherwise("NEUTRAL")
+      val str0 = when(col("close") > top,
+          least(lit(1.0), (col("close") - top) / (top - bot + lit(1e-10))))
+        .when(col("close") < bot,
+          least(lit(1.0), (bot - col("close")) / (top - bot + lit(1e-10))))
+        .otherwise(0.5)
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"), sig.as("isig"),
+        (floor(str0 * 1e3 + 0.5) / 1e3).as("istr"))
+    },
+    sqlCte = {
+      val top = "greatest((tk + kj) / 2, sb)"
+      val bot = "least((tk + kj) / 2, sb)"
+      s"""m_ichi AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN close > $top AND tk > kj THEN 'BUY'
+         |         WHEN close < $bot AND tk < kj THEN 'SELL'
+         |         ELSE 'NEUTRAL' END AS isig,
+         |    floor(CASE WHEN close > $top
+         |               THEN least(1.0, (close - $top) / ($top - $bot + 1e-10))
+         |               WHEN close < $bot
+         |               THEN least(1.0, ($bot - close) / ($top - $bot + 1e-10))
+         |               ELSE 0.5 END * 1e3 + 0.5) / 1e3 AS istr
+         |  FROM (
+         |    SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover, close,
+         |      (max(high) OVER ($W ${fr(9)}) + min(low) OVER ($W ${fr(9)})) / 2 AS tk,
+         |      (max(high) OVER ($W ${fr(26)}) + min(low) OVER ($W ${fr(26)})) / 2 AS kj,
+         |      CASE WHEN row_number() OVER ($W) >= 52
+         |           THEN (max(high) OVER ($W ${fr(52)}) + min(low) OVER ($W ${fr(52)})) / 2
+         |           ELSE 0.0 END AS sb,
+         |      row_number() OVER ($W) AS rn
+         |    FROM candles)
+         |  WHERE rn >= 26)""".stripMargin
+    })
+
+  /** 趋势云反转扫描器 (batch/tv_trend_cloud.py, SMMA 200→20 fixture
+    * scaling like the Stateful pack): 方向 from EMA2 vs SMA-seeded
+    * SMMA20 (多头/空头/震荡 — corpus from-values dead), 形态 from
+    * 3-line-strike / engulfing lag patterns.
+    */
+  private val cloud = MartDef(
+    key = "cloud", table = "趋势云反转扫描器",
+    fields = Seq("cdir" -> "方向", "shape" -> "形态"),
+    build = (s, dir) => {
+      val c0 = candles(s, dir)
+        .withColumn("rn", row_number().over(bySym))
+        .withColumn("sma20", avg(col("close")).over(lastN(20)))
+        .withColumn("sin",
+          when(col("rn") === 20, col("sma20"))
+            .when(col("rn") > 20, col("close")))
+      val c = c0
+        .withColumn("smma", ewma(s, col("sin"), 1.0 / 20.0).over(run))
+        .withColumn("ema2", ewma(s, col("close"), 2.0 / 3.0).over(run))
+      def lg(cn: String, k: Int) = lag(cn, k).over(bySym)
+      val tls = when(
+          lg("close", 3) < lg("open", 3) && lg("close", 2) < lg("open", 2) &&
+          lg("close", 1) < lg("open", 1) && col("close") > lg("open", 1), "BUY")
+        .when(
+          lg("close", 3) > lg("open", 3) && lg("close", 2) > lg("open", 2) &&
+          lg("close", 1) > lg("open", 1) && col("close") < lg("open", 1), "SELL")
+        .otherwise("HOLD")
+      val eng = when(col("open") <= lg("close", 1) && col("open") < lg("open", 1) &&
+          col("close") > lg("open", 1), "BUY")
+        .when(col("open") >= lg("close", 1) && col("open") > lg("open", 1) &&
+          col("close") < lg("open", 1), "SELL")
+        .otherwise("HOLD")
+      c.withColumn("tls", tls).withColumn("eng", eng)
+        .filter(col("rn") >= 20)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"),
+          when(col("ema2") > col("smma"), "多头")
+            .when(col("ema2") < col("smma"), "空头")
+            .otherwise("震荡").as("cdir"),
+          when(col("tls") =!= "HOLD", "三线打击")
+            .when(col("eng") =!= "HOLD", "吞没形态")
+            .otherwise("无").as("shape"))
+    },
+    sqlCte =
+      s"""m_cloud AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN ema2 > smma THEN '多头' WHEN ema2 < smma THEN '空头'
+         |         ELSE '震荡' END AS cdir,
+         |    CASE WHEN tls != 'HOLD' THEN '三线打击'
+         |         WHEN eng != 'HOLD' THEN '吞没形态' ELSE '无' END AS shape
+         |  FROM (
+         |    SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |      smmas[i] AS smma, ema2s[i] AS ema2, i AS rn,
+         |      CASE WHEN i > 3 AND cl[i-3] < op[i-3] AND cl[i-2] < op[i-2]
+         |                AND cl[i-1] < op[i-1] AND cl[i] > op[i-1] THEN 'BUY'
+         |           WHEN i > 3 AND cl[i-3] > op[i-3] AND cl[i-2] > op[i-2]
+         |                AND cl[i-1] > op[i-1] AND cl[i] < op[i-1] THEN 'SELL'
+         |           ELSE 'HOLD' END AS tls,
+         |      CASE WHEN i > 1 AND op[i] <= cl[i-1] AND op[i] < op[i-1]
+         |                AND cl[i] > op[i-1] THEN 'BUY'
+         |           WHEN i > 1 AND op[i] >= cl[i-1] AND op[i] > op[i-1]
+         |                AND cl[i] < op[i-1] THEN 'SELL'
+         |           ELSE 'HOLD' END AS eng
+         |    FROM (
+         |      SELECT symbol, ts, qv, cl, op, n,
+         |        ${redSeriesSkipNull(
+                  "list_transform(generate_series(1, n), i -> " +
+                  "CASE WHEN i = 20 THEN list_reduce(list_prepend(0.0, cl[1:20]), (a, x) -> a + x) / 20 " +
+                  "WHEN i > 20 THEN cl[i] END)", "1.0/20.0")} AS smmas,
+         |        ${redSeries("cl", "2.0/3.0")} AS ema2s
+         |      FROM series) s,
+         |      LATERAL (SELECT unnest(generate_series(20, n)) AS i) u))""".stripMargin,
+    needsSeries = true)
+
+  /** 多空信号扫描器 (batch/tv_long_short.py:10-68): smoothed Heikin-Ashi
+    * — EMA10 of OHLC, the ha_open recursion as a seeded α=0.5 EWMA over
+    * the lagged ha_close, EMA10 re-smooth; 方向 = 多头 iff o2 ≤ c2
+    * (green), which subsumes the scanner's flip branches. 强度 2-dp.
+    */
+  private val ha = MartDef(
+    key = "ha", table = "多空信号扫描器",
+    fields = Seq("hdir" -> "方向", "hstr" -> "强度"),
+    build = (s, dir) => {
+      val a1 = 2.0 / 11.0
+      val c0 = candles(s, dir)
+        .withColumn("os", ewma(s, col("open"), a1).over(run))
+        .withColumn("hs", ewma(s, col("high"), a1).over(run))
+        .withColumn("ls", ewma(s, col("low"), a1).over(run))
+        .withColumn("cs", ewma(s, col("close"), a1).over(run))
+        .withColumn("rn", row_number().over(bySym))
+      val c1 = c0.withColumn("hc", (col("os") + col("hs") + col("ls") + col("cs")) / 4)
+      val c2 = c1.withColumn("z",
+          when(col("rn") === 1, (col("os") + col("cs")) / 2)
+            .otherwise(lag("hc", 1).over(bySym)))
+      val c3 = c2.withColumn("hao", ewma(s, col("z"), 0.5).over(run))
+      val c5 = c3
+        .withColumn("o2", ewma(s, col("hao"), a1).over(run))
+        .withColumn("c2", ewma(s, col("hc"), a1).over(run))
+      val body = abs(col("o2") - col("c2"))
+      val bodyPrev = abs(lag("o2", 1).over(bySym) - lag("c2", 1).over(bySym))
+      val slope = col("c2") - lag("c2", 4).over(bySym)
+      val slopeStr = greatest(lit(0.0), least(lit(1.0), (slope + 200) / 400))
+      val hstr = least(
+        when(bodyPrev > 0, body / bodyPrev * 100).otherwise(0.0) + slopeStr * 40,
+        lit(200.0))
+      c5.filter(col("rn") >= 20)
+        .select(col("symbol"), col("bucket_ts"),
+          q6(col("quote_volume")).as("turnover"),
+          when(col("o2") <= col("c2"), "多头").otherwise("空头").as("hdir"),
+          (floor(hstr * 100 + 0.5) / 100).as("hstr"))
+    },
+    sqlCte =
+      s"""m_ha AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN o2 <= c2 THEN '多头' ELSE '空头' END AS hdir,
+         |    floor(least(CASE WHEN bp > 0 THEN abs(o2 - c2) / bp * 100 ELSE 0.0 END
+         |      + greatest(0.0, least(1.0, (sl + 200) / 400)) * 40, 200.0)
+         |      * 100 + 0.5) / 100 AS hstr
+         |  FROM (
+         |    SELECT symbol, bucket_ts, turnover, o2, c2,
+         |      abs(lag(o2) OVER ($W) - lag(c2) OVER ($W)) AS bp,
+         |      c2 - lag(c2, 4) OVER ($W) AS sl, rn
+         |    FROM (
+         |      SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |        o2s[i] AS o2, c2s[i] AS c2, i AS rn
+         |      FROM (
+         |        SELECT symbol, ts, qv, n,
+         |          ${redSeries("haos", "2.0/11.0")} AS o2s,
+         |          ${redSeries("hcs", "2.0/11.0")} AS c2s
+         |        FROM (
+         |          SELECT symbol, ts, qv, n, hcs, ${redSeries("zs", "0.5")} AS haos
+         |          FROM (
+         |            SELECT symbol, ts, qv, n, hcs,
+         |              list_transform(generate_series(1, n), i ->
+         |                CASE WHEN i = 1 THEN (oss[1] + css[1]) / 2
+         |                     ELSE hcs[i-1] END) AS zs
+         |            FROM (
+         |              SELECT symbol, ts, qv, n, oss, css,
+         |                list_transform(generate_series(1, n), i ->
+         |                  (oss[i] + hss[i] + lss[i] + css[i]) / 4) AS hcs
+         |              FROM (
+         |                SELECT symbol, ts, qv, n,
+         |                  ${redSeries("op", "2.0/11.0")} AS oss,
+         |                  ${redSeries("hi", "2.0/11.0")} AS hss,
+         |                  ${redSeries("lo", "2.0/11.0")} AS lss,
+         |                  ${redSeries("cl", "2.0/11.0")} AS css
+         |                FROM series))))) s,
+         |        LATERAL (SELECT unnest(generate_series(20, n)) AS i) u))
+         |  WHERE rn >= 20)""".stripMargin,
+    needsSeries = true)
+
+  /** 量能信号扫描器 (batch/tv_volume_signal.py:9-38, MA periods scaled
+    * ÷5 like the other fixture scalings): 18 EMAs vs the longest one;
+    * 方向 多头/空头 from ratio votes (corpus from-values dead);
+    * 多头比例/空头比例 2-dp.
+    */
+  private val volsig = MartDef(
+    key = "volsig", table = "量能信号扫描器",
+    fields = Seq("vdir" -> "方向", "vbull" -> "多头比例", "vbear" -> "空头比例"),
+    build = (s, dir) => {
+      val periods = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18, 20)
+      val c0 = periods.foldLeft(candles(s, dir)) { (df, k) =>
+        df.withColumn(s"ma$k", ewma(s, col("close"), 2.0 / (k + 1.0)).over(run))
+      }
+      val c1 = periods.foldLeft(c0) { (df, k) =>
+        df.withColumn(s"md$k", col(s"ma$k") - lag(s"ma$k", 1).over(bySym))
+      }
+      val ref = col("ma20")
+      val nBull = periods.map(k =>
+        when(col(s"ma$k") > ref && col(s"md$k") > 0, 1).otherwise(0)).reduce(_ + _)
+      val nBear = periods.map(k =>
+        when(col(s"ma$k") < ref && col(s"md$k") < 0, 1).otherwise(0)).reduce(_ + _)
+      val c2 = c1.withColumn("rn", row_number().over(bySym))
+        .withColumn("nbull", nBull).withColumn("nbear", nBear)
+        .filter(col("rn") >= 20)
+      val bullR = col("nbull").cast("double") / 18.0
+      val bearR = col("nbear").cast("double") / 18.0
+      c2.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        when(bullR >= 0.7, "多头").when(bearR >= 0.7, "空头")
+          .when(col("close") > ref, "多头").otherwise("空头").as("vdir"),
+        (floor(bullR * 100 + 0.5) / 100).as("vbull"),
+        (floor(bearR * 100 + 0.5) / 100).as("vbear"))
+    },
+    sqlCte = {
+      val periods = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18, 20)
+      val folds = periods.map(k =>
+        s"${redSeries("cl", s"2.0/${k + 1}.0")} AS ma${k}s").mkString(",\n        ")
+      val bullCases = periods.map(k =>
+        s"CASE WHEN ma${k}s[i] > ma20s[i] AND i > 1 AND ma${k}s[i] - ma${k}s[i-1] > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val bearCases = periods.map(k =>
+        s"CASE WHEN ma${k}s[i] < ma20s[i] AND i > 1 AND ma${k}s[i] - ma${k}s[i-1] < 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""m_volsig AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN nbull / 18.0 >= 0.7 THEN '多头'
+         |         WHEN nbear / 18.0 >= 0.7 THEN '空头'
+         |         WHEN c > ref THEN '多头' ELSE '空头' END AS vdir,
+         |    floor(nbull / 18.0 * 100 + 0.5) / 100 AS vbull,
+         |    floor(nbear / 18.0 * 100 + 0.5) / 100 AS vbear
+         |  FROM (
+         |    SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |      cl[i] AS c, ma20s[i] AS ref, i AS rn,
+         |      CAST($bullCases AS DOUBLE) AS nbull,
+         |      CAST($bearCases AS DOUBLE) AS nbear
+         |    FROM (
+         |      SELECT symbol, ts, qv, cl, n,
+         |        $folds
+         |      FROM series) s,
+         |      LATERAL (SELECT unnest(generate_series(20, n)) AS i) u))""".stripMargin
+    },
+    needsSeries = true)
+
+  /** G，C点扫描器 (incremental/ema_gc.py:10-59): EMA 7/25/99 alignment
+    * vocabulary (多头排列/偏多/空头排列/偏空/震荡 — corpus from-values
+    * dead) + exponential bandwidth score (2 dp). Reference warm-up 100
+    * scaled to the engine-wide 35.
+    */
+  private val gc = MartDef(
+    key = "gc", table = "G，C点扫描器",
+    fields = Seq("gdir" -> "趋势方向", "gscore" -> "带宽评分"),
+    build = (s, dir) => {
+      val c = candles(s, dir)
+        .withColumn("e7", ewma(s, col("close"), 2.0 / 8.0).over(run))
+        .withColumn("e25", ewma(s, col("close"), 2.0 / 26.0).over(run))
+        .withColumn("e99", ewma(s, col("close"), 2.0 / 100.0).over(run))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 35)
+      val p = col("close")
+      val gdir = when(col("e7") > col("e25") && col("e25") > col("e99"),
+          when(p >= col("e7"), "多头排列").otherwise("偏多"))
+        .when(col("e7") < col("e25") && col("e25") < col("e99"),
+          when(p <= col("e7"), "空头排列").otherwise("偏空"))
+        .when(p > col("e99"), "偏多")
+        .when(p < col("e99"), "偏空")
+        .otherwise("震荡")
+      val bw = (greatest(col("e7"), col("e25"), col("e99")) -
+        least(col("e7"), col("e25"), col("e99"))) / abs(p)
+      val score = when(p === 0.0, 0.0).otherwise(
+        least(greatest(lit(100.0) * (lit(1.0) - exp(-bw / lit(0.03))), lit(0.0)),
+          lit(100.0)))
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"), gdir.as("gdir"),
+        (floor(score * 100 + 0.5) / 100).as("gscore"))
+    },
+    sqlCte = {
+      val bw = "(greatest(e7, e25, e99) - least(e7, e25, e99)) / abs(c)"
+      s"""m_gc AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN e7 > e25 AND e25 > e99 THEN
+         |           CASE WHEN c >= e7 THEN '多头排列' ELSE '偏多' END
+         |         WHEN e7 < e25 AND e25 < e99 THEN
+         |           CASE WHEN c <= e7 THEN '空头排列' ELSE '偏空' END
+         |         WHEN c > e99 THEN '偏多'
+         |         WHEN c < e99 THEN '偏空'
+         |         ELSE '震荡' END AS gdir,
+         |    floor(CASE WHEN c = 0.0 THEN 0.0
+         |               ELSE least(greatest(100.0 * (1.0 - exp(-($bw) / 0.03)), 0.0), 100.0)
+         |          END * 100 + 0.5) / 100 AS gscore
+         |  FROM (
+         |    SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |      cl[i] AS c, e7s[i] AS e7, e25s[i] AS e25, e99s[i] AS e99, i AS rn
+         |    FROM (
+         |      SELECT symbol, ts, qv, cl, n,
+         |        ${redSeries("cl", "2.0/8.0")} AS e7s,
+         |        ${redSeries("cl", "2.0/26.0")} AS e25s,
+         |        ${redSeries("cl", "2.0/100.0")} AS e99s
+         |      FROM series) s,
+         |      LATERAL (SELECT unnest(generate_series(35, n)) AS i) u))""".stripMargin
+    },
+    needsSeries = true)
+
   /** All mart series, keyed by ascii table key. */
   val all: Map[String, MartDef] =
     Seq(macd, obv, cvd, volratio, taker,
       base, liquidity, scalping,
       boll, atr, donchian, keltner, sr, vwap,
-      cci, wr, mfi, adx, harmonic, kdj, rsi).map(d => d.key -> d).toMap
+      cci, wr, mfi, adx, harmonic, kdj, rsi,
+      strend, precise, tline, ichi, zl, cloud, ha, volsig, gc)
+      .map(d => d.key -> d).toMap
 }

@@ -176,14 +176,17 @@ object RuleCorpus {
 
   private def evalCte(md: MartSeries.MartDef): String = {
     val fs = md.fields.map(_._1)
+    // window names are per-table unique: under WITH RECURSIVE DuckDB
+    // scopes named WINDOW clauses across sibling CTEs in ONE namespace
+    val w = s"w_${md.key}"
     val prevs = (fs :+ "turnover")
-      .map(f => s"lag($f) OVER w AS prev_$f").mkString(",\n         ")
+      .map(f => s"lag($f) OVER $w AS prev_$f").mkString(",\n         ")
     s"""e_${md.key} AS (
        |  SELECT symbol, bucket_ts, turnover, ${fs.mkString(", ")},
        |         $prevs,
-       |         lag(1) OVER w IS NOT NULL AS has_prev
+       |         lag(1) OVER $w IS NOT NULL AS has_prev
        |  FROM m_${md.key}
-       |  WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts))""".stripMargin
+       |  WINDOW $w AS (PARTITION BY symbol ORDER BY bucket_ts))""".stripMargin
   }
 
   private def branch(md: MartSeries.MartDef, r: CorpusRule): String =
@@ -207,7 +210,8 @@ object RuleCorpus {
     val branches = byTable.flatMap { case (tk, rs) =>
       rs.map(r => branch(MartSeries.all(tk), r))
     }.mkString("\nUNION ALL\n")
-    s"WITH ${Oracle.CANDLES},\n$ctes\n$branches"
+    val recur = if (defs.exists(_.needsRecursive)) "RECURSIVE " else ""
+    s"WITH $recur${Oracle.CANDLES},\n$ctes\n$branches"
   }
 
   // -------------------------------------------------------- rule data
@@ -387,9 +391,55 @@ object RuleCorpus {
     R("谐波信号出现", "harm", "momentum", "harmonic", "ALERT", 70, "medium",
       Custom("coalesce(abs(harm), 0.0) > 0.5")))
 
+  /** rules/trend/__init__.py — 19 rules over 9 scanner tables. Most
+    * from/to vocabularies (多/空/up/down/-1/1) never match the scanners'
+    * actual 多头/空头/多头排列/BUY... values — dead in the reference too
+    * (see the corpus header); live: SuperTrend 方向, 超级精准趋势
+    * 趋势方向/强度, 趋势线榜单 趋势方向.
+    */
+  val TrendRules: Seq[CorpusRule] = Seq(
+    R("SuperTrend翻多", "strend", "trend", "supertrend", "BUY", 70, "high",
+      StateChange("sdir", Seq("空", "-1", "down"), Seq("多", "1", "up"))),
+    R("SuperTrend翻空", "strend", "trend", "supertrend", "SELL", 70, "high",
+      StateChange("sdir", Seq("多", "1", "up"), Seq("空", "-1", "down"))),
+    R("精准趋势翻多", "precise", "trend", "precise", "BUY", 75, "high",
+      StateChange("tdir", Seq("空", "down", "-1"), Seq("多", "up", "1"))),
+    R("精准趋势翻空", "precise", "trend", "precise", "SELL", 75, "high",
+      StateChange("tdir", Seq("多", "up", "1"), Seq("空", "down", "-1"))),
+    R("精准趋势强度突破", "precise", "trend", "precise", "ALERT", 65, "medium",
+      ThresholdCrossUp("tstr", 80.0)),
+    R("Ichimoku买入信号", "ichi", "trend", "ichimoku", "BUY", 70, "high",
+      StateChange("isig", Seq("卖出", "中性", "观望"), Seq("买入"))),
+    R("Ichimoku卖出信号", "ichi", "trend", "ichimoku", "SELL", 70, "high",
+      StateChange("isig", Seq("买入", "中性", "观望"), Seq("卖出"))),
+    R("零延迟趋势翻多", "zl", "trend", "zerolag", "BUY", 70, "high",
+      StateChange("zdir", Seq("空", "down", "-1"), Seq("多", "up", "1"))),
+    R("零延迟趋势翻空", "zl", "trend", "zerolag", "SELL", 70, "high",
+      StateChange("zdir", Seq("多", "up", "1"), Seq("空", "down", "-1"))),
+    R("趋势云翻多", "cloud", "trend", "cloud", "BUY", 70, "high",
+      StateChange("cdir", Seq("空", "down", "-1"), Seq("多", "up", "1"))),
+    R("趋势云翻空", "cloud", "trend", "cloud", "SELL", 70, "high",
+      StateChange("cdir", Seq("多", "up", "1"), Seq("空", "down", "-1"))),
+    R("趋势线翻多", "tline", "trend", "trendline", "BUY", 65, "medium",
+      StateChange("tldir", Seq("空", "down", "-1"), Seq("多", "up", "1"))),
+    R("趋势线翻空", "tline", "trend", "trendline", "SELL", 65, "medium",
+      StateChange("tldir", Seq("多", "up", "1"), Seq("空", "down", "-1"))),
+    R("多空信号翻多", "ha", "trend", "ha", "BUY", 65, "medium",
+      StateChange("hdir", Seq("空", "down", "-1"), Seq("多", "up", "1"))),
+    R("多空信号翻空", "ha", "trend", "ha", "SELL", 65, "medium",
+      StateChange("hdir", Seq("多", "up", "1"), Seq("空", "down", "-1"))),
+    R("量能偏向翻多", "volsig", "trend", "volume_trend", "BUY", 60, "medium",
+      StateChange("vdir", Seq("空", "down", "-1"), Seq("多", "up", "1"))),
+    R("量能偏向翻空", "volsig", "trend", "volume_trend", "SELL", 60, "medium",
+      StateChange("vdir", Seq("多", "up", "1"), Seq("空", "down", "-1"))),
+    R("GC点趋势翻多", "gc", "trend", "gc", "BUY", 65, "medium",
+      StateChange("gdir", Seq("空", "down", "-1"), Seq("多", "up", "1"))),
+    R("GC点趋势翻空", "gc", "trend", "gc", "SELL", 65, "medium",
+      StateChange("gdir", Seq("多", "up", "1"), Seq("空", "down", "-1"))))
+
   /** The full corpus — categories land as their mart series do. */
   val AllRules: Seq[CorpusRule] =
-    VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules
+    VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules ++ TrendRules
 
   // --------------------------------------------------------- registry
 
@@ -397,11 +447,13 @@ object RuleCorpus {
     "g09_rules_volume" -> categoryQuery("volume"),
     "g08_rules_volatility" -> categoryQuery("volatility"),
     "g12_rules_misc" -> categoryQuery("misc"),
-    "g06_rules_momentum" -> categoryQuery("momentum"))
+    "g06_rules_momentum" -> categoryQuery("momentum"),
+    "g07_rules_trend" -> categoryQuery("trend"))
 
   val oracle: Map[String, String] = Map(
     "g09_rules_volume" -> categoryOracle("volume"),
     "g08_rules_volatility" -> categoryOracle("volatility"),
     "g12_rules_misc" -> categoryOracle("misc"),
-    "g06_rules_momentum" -> categoryOracle("momentum"))
+    "g06_rules_momentum" -> categoryOracle("momentum"),
+    "g07_rules_trend" -> categoryOracle("trend"))
 }
