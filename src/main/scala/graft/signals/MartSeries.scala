@@ -1834,12 +1834,207 @@ object MartSeries {
     },
     needsSeries = true)
 
+  // ===================================================== futures pack
+
+  /** 期货情绪聚合表 (batch/futures_aggregate.py:128-259) per bar over the
+    * 5m metrics fact: 大户多空比 = sum_toptrader_long_short_ratio,
+    * 全体多空比 = count_long_short_ratio, 主动成交多空比 =
+    * sum_taker_long_short_vol_ratio (the reference's SELECT-order mapping,
+    * futures_aggregate.py:102-121); truthy-filtered trailing windows feed
+    * the Z-scores (population std), the signed OI tail streak
+    * (`_尾部连续根数`: zeros extend a run, only an opposite nonzero sign
+    * breaks it), the risk score (sum of present Z components) and the
+    * flip signal (emitted as the STRING str(int) the engine would
+    * compare — the corpus's 多翻/空翻 from-values never match, dead in
+    * the reference too). `turnover` is the bucket's open-interest value
+    * (the futures fact's own notional — the metrics fact carries no
+    * quote turnover for the engine's gate to read).
+    */
+  private val fut = MartDef(
+    key = "fut", table = "期货情绪聚合表",
+    fields = Seq("tlsr" -> "大户多空比", "tlsvr" -> "主动成交多空比",
+      "bias" -> "情绪差值", "oi_z" -> "持仓Z分数", "risk" -> "风险分",
+      "streak" -> "OI连续根数", "flip" -> "情绪翻转信号"),
+    build = (s, dir) => {
+      val wSym = Window.partitionBy("symbol").orderBy("bucket_ts")
+      val wRun = wSym.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def truthy(c: Column) = c.isNotNull && c =!= 0.0
+      def fmean(arr: Column) = aggregate(arr, lit(0.0), (a, x) => a + x) /
+        size(arr).cast("double")
+      def pstd(arr: Column, m: Column) = sqrt(
+        aggregate(arr, lit(0.0), (a, x) => a + (x - m) * (x - m)) /
+          size(arr).cast("double"))
+      val c0 = Tables.metrics5m(s, dir)
+        .withColumnRenamed("create_time", "bucket_ts")
+        .withColumn("oiv", col("sum_open_interest_value"))
+        .withColumn("tlsr0", col("sum_toptrader_long_short_ratio"))
+        .withColumn("lsr0", col("count_long_short_ratio"))
+        .withColumn("tlsvr0", col("sum_taker_long_short_vol_ratio"))
+        .withColumn("p_oiv", lag("sum_open_interest_value", 1).over(wSym))
+        .withColumn("p_tlsr", lag("sum_toptrader_long_short_ratio", 1).over(wSym))
+        .withColumn("oivs", collect_list(
+          when(col("sum_open_interest_value") =!= 0.0,
+            col("sum_open_interest_value"))).over(wRun))
+        .withColumn("tops", collect_list(
+          when(col("sum_toptrader_long_short_ratio") =!= 0.0,
+            col("sum_toptrader_long_short_ratio"))).over(wRun))
+        .withColumn("takers", collect_list(
+          when(col("sum_taker_long_short_vol_ratio") =!= 0.0,
+            col("sum_taker_long_short_vol_ratio"))).over(wRun))
+      val c1 = c0
+        .withColumn("m_oiv", when(size(col("oivs")) > 0, fmean(col("oivs"))))
+        .withColumn("dps", when(size(col("oivs")) >= 2,
+          transform(sequence(lit(2), size(col("oivs"))), j =>
+            (element_at(col("oivs"), j) - element_at(col("oivs"), j - 1)) /
+              element_at(col("oivs"), j - 1)))
+          .otherwise(array().cast("array<double>")))
+        .withColumn("tds", transform(col("tops"), v => abs(v - 1)))
+        .withColumn("kds", transform(col("takers"), v => abs(v - 1)))
+        .withColumn("dl", when(size(col("oivs")) >= 2,
+          transform(sequence(lit(2), size(col("oivs"))), j =>
+            when(element_at(col("oivs"), j) === element_at(col("oivs"), j - 1), 0)
+              .when(element_at(col("oivs"), j) > element_at(col("oivs"), j - 1), 1)
+              .otherwise(-1)))
+          .otherwise(array().cast("array<int>")))
+      val c2 = c1.withColumn("sd_oiv",
+          when(size(col("oivs")) >= 2, pstd(col("oivs"), col("m_oiv"))))
+        .withColumn("ocp",
+          when(truthy(col("oiv")) && truthy(col("p_oiv")),
+            nullif(col("oiv") - col("p_oiv"), lit(0.0)) / col("p_oiv")))
+        .withColumn("rev", reverse(col("dl")))
+      def zOf(v: Column, arr: Column): Column = {
+        val m = fmean(arr); val sd = pstd(arr, m)
+        when(size(arr) >= 2, when(sd === 0.0, 0.0).otherwise((v - m) / sd))
+      }
+      val s0 = element_at(filter(col("rev"), x => x =!= 0), 1)
+      val breaks = filter(
+        zip_with(col("rev"), sequence(lit(1), greatest(size(col("rev")), lit(1))),
+          (x, i) => when(x =!= 0 && x =!= s0, i)), x => x.isNotNull)
+      val mag = when(s0.isNull, 0)
+        .otherwise(when(size(breaks) > 0, array_min(breaks) - 1)
+          .otherwise(size(col("rev"))))
+      val topDev = when(truthy(col("tlsr0")), abs(col("tlsr0") - 1))
+      val takerDev = when(truthy(col("tlsvr0")), abs(col("tlsvr0") - 1))
+      val zDelta = when(col("ocp").isNotNull, zOf(col("ocp"), col("dps")))
+      val zTop = when(truthy(topDev), zOf(topDev, col("tds")))
+      val zTaker = when(truthy(takerDev), zOf(takerDev, col("kds")))
+      val risk = when(zDelta.isNotNull || zTop.isNotNull || zTaker.isNotNull,
+        coalesce(zDelta, lit(0.0)) + coalesce(zTop, lit(0.0)) +
+          coalesce(zTaker, lit(0.0)))
+      val oiZ = when(truthy(col("oiv")) && size(col("oivs")) >= 2,
+        when(col("sd_oiv") === 0.0, 0.0)
+          .otherwise((col("oiv") - col("m_oiv")) / col("sd_oiv")))
+      c2.select(col("symbol"), col("bucket_ts"),
+        q6(col("oiv")).as("turnover"),
+        q6(col("tlsr0")).as("tlsr"), q6(col("tlsvr0")).as("tlsvr"),
+        q6(when(truthy(col("tlsr0")) && truthy(col("lsr0")),
+          col("tlsr0") - col("lsr0"))).as("bias"),
+        q6(oiZ).as("oi_z"), q6(risk).as("risk"),
+        when(size(col("dl")) === 0, lit(null).cast("int"))
+          .otherwise(when(s0.isNull, 0)
+            .otherwise(when(s0 > 0, mag).otherwise(-mag))).as("streak"),
+        when(truthy(col("p_tlsr")) && truthy(col("tlsr0")),
+          when(col("p_tlsr") < 1 && col("tlsr0") > 1, "1")
+            .when(col("p_tlsr") > 1 && col("tlsr0") < 1, "-1")
+            .otherwise("0")).otherwise("0").as("flip"))
+    },
+    sqlCte = {
+      def fmean(a: String) =
+        s"list_reduce(list_prepend(0.0, $a), (x, y) -> x + y) / len($a)"
+      def pstd(a: String, m: String) =
+        s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> (x - $m) * (x - $m))), (x, y) -> x + y) / len($a))"
+      def z(v: String, a: String, m: String, sd: String) =
+        s"CASE WHEN len($a) >= 2 THEN CASE WHEN $sd = 0.0 THEN 0.0 ELSE (($v) - $m) / $sd END END"
+      s"""fser AS (
+         |  SELECT symbol,
+         |    list(create_time ORDER BY create_time) AS ct,
+         |    list(sum_open_interest_value ORDER BY create_time) AS oivr,
+         |    list(sum_toptrader_long_short_ratio ORDER BY create_time) AS tlsrr,
+         |    list(count_long_short_ratio ORDER BY create_time) AS lsrr,
+         |    list(sum_taker_long_short_vol_ratio ORDER BY create_time) AS tlsvrr,
+         |    CAST(count(*) AS INT) AS n
+         |  FROM metrics GROUP BY symbol),
+         |fbars AS (
+         |  SELECT symbol, ct[i] AS bucket_ts,
+         |    oivr[i] AS oiv, tlsrr[i] AS tlsr0, lsrr[i] AS lsr0, tlsvrr[i] AS tlsvr0,
+         |    CASE WHEN i > 1 THEN oivr[i-1] END AS p_oiv,
+         |    CASE WHEN i > 1 THEN tlsrr[i-1] END AS p_tlsr,
+         |    list_filter(oivr[1:i], x -> x != 0.0) AS oivs,
+         |    list_filter(tlsrr[1:i], x -> x != 0.0) AS tops,
+         |    list_filter(tlsvrr[1:i], x -> x != 0.0) AS takers
+         |  FROM fser, LATERAL (SELECT unnest(generate_series(1, n)) AS i) u),
+         |fstat AS (
+         |  SELECT symbol, bucket_ts, oiv, tlsr0, lsr0, tlsvr0, p_oiv, p_tlsr,
+         |    oivs, tops, takers,
+         |    CASE WHEN len(oivs) > 0 THEN ${fmean("oivs")} END AS m_oiv,
+         |    CASE WHEN len(oivs) >= 2 THEN
+         |      list_transform(generate_series(2, len(oivs)),
+         |        j -> (oivs[j] - oivs[j-1]) / oivs[j-1])
+         |      ELSE [] END AS dps,
+         |    list_transform(tops, v -> abs(v - 1)) AS tds,
+         |    list_transform(takers, v -> abs(v - 1)) AS kds,
+         |    CASE WHEN len(oivs) >= 2 THEN
+         |      list_transform(generate_series(2, len(oivs)),
+         |        j -> CASE WHEN oivs[j] = oivs[j-1] THEN 0
+         |                  WHEN oivs[j] > oivs[j-1] THEN 1 ELSE -1 END)
+         |      ELSE CAST([] AS INT[]) END AS dl,
+         |    CASE WHEN oiv IS NOT NULL AND oiv != 0.0
+         |              AND p_oiv IS NOT NULL AND p_oiv != 0.0
+         |         THEN nullif(oiv - p_oiv, 0.0) / p_oiv END AS ocp
+         |  FROM fbars),
+         |fstat2 AS (
+         |  SELECT *, list_reverse(dl) AS rev,
+         |    CASE WHEN len(oivs) >= 2 THEN ${pstd("oivs", "m_oiv")} END AS sd_oiv,
+         |    CASE WHEN tlsr0 IS NOT NULL AND tlsr0 != 0.0 THEN abs(tlsr0 - 1) END AS top_dev,
+         |    CASE WHEN tlsvr0 IS NOT NULL AND tlsvr0 != 0.0 THEN abs(tlsvr0 - 1) END AS taker_dev
+         |  FROM fstat),
+         |fstat3 AS (
+         |  SELECT *,
+         |    (list_filter(rev, x -> x != 0))[1] AS s0,
+         |    CASE WHEN ocp IS NOT NULL
+         |         THEN ${z("ocp", "dps", fmean("dps"), pstd("dps", fmean("dps")))} END AS z_delta,
+         |    CASE WHEN top_dev IS NOT NULL AND top_dev != 0.0
+         |         THEN ${z("top_dev", "tds", fmean("tds"), pstd("tds", fmean("tds")))} END AS z_top,
+         |    CASE WHEN taker_dev IS NOT NULL AND taker_dev != 0.0
+         |         THEN ${z("taker_dev", "kds", fmean("kds"), pstd("kds", fmean("kds")))} END AS z_taker
+         |  FROM fstat2),
+         |fstat4 AS (
+         |  SELECT *,
+         |    CASE WHEN s0 IS NULL THEN 0
+         |         ELSE coalesce(
+         |           list_aggregate(list_filter(
+         |             list_transform(generate_series(1, len(rev)),
+         |               j -> CASE WHEN rev[j] != 0 AND rev[j] != s0 THEN j END),
+         |             x -> x IS NOT NULL), 'min') - 1,
+         |           len(rev)) END AS mag
+         |  FROM fstat3),
+         |m_fut AS (
+         |  SELECT symbol, bucket_ts, ${q6s("oiv")} AS turnover,
+         |    ${q6s("tlsr0")} AS tlsr, ${q6s("tlsvr0")} AS tlsvr,
+         |    ${q6s("CASE WHEN tlsr0 IS NOT NULL AND tlsr0 != 0.0 AND lsr0 IS NOT NULL AND lsr0 != 0.0 THEN tlsr0 - lsr0 END")} AS bias,
+         |    ${q6s("CASE WHEN oiv IS NOT NULL AND oiv != 0.0 AND len(oivs) >= 2 " +
+                "THEN CASE WHEN sd_oiv = 0.0 THEN 0.0 ELSE (oiv - m_oiv) / sd_oiv END END")} AS oi_z,
+         |    ${q6s("CASE WHEN z_delta IS NOT NULL OR z_top IS NOT NULL OR z_taker IS NOT NULL " +
+                "THEN coalesce(z_delta, 0.0) + coalesce(z_top, 0.0) + coalesce(z_taker, 0.0) END")} AS risk,
+         |    CASE WHEN len(dl) = 0 THEN NULL
+         |         WHEN s0 IS NULL THEN 0
+         |         WHEN s0 > 0 THEN mag ELSE -mag END AS streak,
+         |    CASE WHEN p_tlsr IS NOT NULL AND p_tlsr != 0.0
+         |              AND tlsr0 IS NOT NULL AND tlsr0 != 0.0
+         |         THEN CASE WHEN p_tlsr < 1 AND tlsr0 > 1 THEN '1'
+         |                   WHEN p_tlsr > 1 AND tlsr0 < 1 THEN '-1'
+         |                   ELSE '0' END
+         |         ELSE '0' END AS flip
+         |  FROM fstat4)""".stripMargin
+    },
+    needsMetrics = true)
+
   /** All mart series, keyed by ascii table key. */
   val all: Map[String, MartDef] =
     Seq(macd, obv, cvd, volratio, taker,
       base, liquidity, scalping,
       boll, atr, donchian, keltner, sr, vwap,
       cci, wr, mfi, adx, harmonic, kdj, rsi,
-      strend, precise, tline, ichi, zl, cloud, ha, volsig, gc)
+      strend, precise, tline, ichi, zl, cloud, ha, volsig, gc, fut)
       .map(d => d.key -> d).toMap
 }

@@ -437,9 +437,38 @@ object RuleCorpus {
     R("GC点趋势翻空", "gc", "trend", "gc", "SELL", 65, "medium",
       StateChange("gdir", Seq("多", "up", "1"), Seq("空", "down", "-1"))))
 
+  /** rules/futures/__init__.py — 11 sentiment rules over 期货情绪聚合表.
+    * The flip-signal pair expects 多翻/空翻 strings the mart never emits
+    * (it stores str(±1/0) — futures_aggregate.py:216-223) — dead in the
+    * reference too.
+    */
+  val FuturesRules: Seq[CorpusRule] = Seq(
+    R("大户极度看多", "fut", "futures", "sentiment", "ALERT", 75, "high",
+      ThresholdCrossUp("tlsr", 2.0)),
+    R("大户极度看空", "fut", "futures", "sentiment", "ALERT", 75, "high",
+      Custom(s"has_prev AND ${orv("prev_tlsr", "1.0")} > 0.5 AND ${orv("tlsr", "1.0")} < 0.5")),
+    R("主动买盘极端", "fut", "futures", "sentiment", "BUY", 70, "high",
+      ThresholdCrossUp("tlsvr", 1.5)),
+    R("主动卖盘极端", "fut", "futures", "sentiment", "SELL", 70, "high",
+      Custom(s"has_prev AND ${orv("prev_tlsvr", "1.0")} > 0.67 AND ${orv("tlsvr", "1.0")} < 0.67")),
+    R("情绪翻转看多", "fut", "futures", "sentiment", "BUY", 80, "high",
+      StateChange("flip", Seq("无", "", "空翻"), Seq("多翻"))),
+    R("情绪翻转看空", "fut", "futures", "sentiment", "SELL", 80, "high",
+      StateChange("flip", Seq("无", "", "多翻"), Seq("空翻"))),
+    R("风险分高位", "fut", "futures", "sentiment", "ALERT", 70, "high",
+      ThresholdCrossUp("risk", 80.0)),
+    R("OI连续增仓", "fut", "futures", "sentiment", "ALERT", 65, "medium",
+      ThresholdCrossUp("streak", 5.0)),
+    R("OI连续减仓", "fut", "futures", "sentiment", "ALERT", 65, "medium",
+      Custom("has_prev AND coalesce(prev_streak, 0.0) > -5 AND coalesce(streak, 0.0) < -5")),
+    R("持仓Z分数异常高", "fut", "futures", "sentiment", "ALERT", 70, "high",
+      ThresholdCrossUp("oi_z", 2.0)),
+    R("持仓Z分数异常低", "fut", "futures", "sentiment", "ALERT", 70, "high",
+      Custom("has_prev AND coalesce(prev_oi_z, 0.0) > -2 AND coalesce(oi_z, 0.0) < -2")))
+
   /** The full corpus — categories land as their mart series do. */
   val AllRules: Seq[CorpusRule] =
-    VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules ++ TrendRules
+    VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules ++ TrendRules ++ FuturesRules
 
   // --------------------------------------------------------- registry
 
@@ -448,12 +477,14 @@ object RuleCorpus {
     "g08_rules_volatility" -> categoryQuery("volatility"),
     "g12_rules_misc" -> categoryQuery("misc"),
     "g06_rules_momentum" -> categoryQuery("momentum"),
-    "g07_rules_trend" -> categoryQuery("trend"))
+    "g07_rules_trend" -> categoryQuery("trend"),
+    "g10_rules_futures" -> categoryQuery("futures"))
 
   val oracle: Map[String, String] = Map(
     "g09_rules_volume" -> categoryOracle("volume"),
     "g08_rules_volatility" -> categoryOracle("volatility"),
     "g12_rules_misc" -> categoryOracle("misc"),
     "g06_rules_momentum" -> categoryOracle("momentum"),
-    "g07_rules_trend" -> categoryOracle("trend"))
+    "g07_rules_trend" -> categoryOracle("trend"),
+    "g10_rules_futures" -> categoryOracle("futures"))
 }
