@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * of truth for both engines. Weights: bullish +1, bearish −1,
   * neutral/context 0.
   */
-private[indicators] object KRules {
+private[graft] object KRules {
   /** Shared sub-expression vocabulary, hoisted into real columns that BOTH
     * engines compute once (Spark: two `withColumns` stages below the flag
     * projection; DuckDB: two nested SELECT levels). Round-3 postmortem: with

@@ -2029,12 +2029,368 @@ object MartSeries {
     },
     needsMetrics = true)
 
+  // ===================================================== pattern pack
+
+  /** K线形态扫描器 (batch/k_pattern.py) per DAILY bar: the engine's full
+    * i20 candle-rule battery ([[graft.indicators.KRules]] — shared-dialect
+    * SQL reused VERBATIM in both engines) plus the i20b chart shapes
+    * (head-and-shoulders / double top-bottom over trailing confirmed ±2
+    * pivots) evaluated causally per bar. 形态类型 joins the Chinese names
+    * the corpus's CONTAINS rules substring-match (头肩/双/锤子/吞没/十字
+    * live; 三角/楔形 have no detector in the engine's i20b shape set —
+    * that one rule stays empty here). Channel shapes gate no rule and are
+    * omitted from the per-bar series.
+    */
+  private val kpat = MartDef(
+    key = "kpat", table = "K线形态扫描器",
+    fields = Seq("ptype" -> "形态类型", "pstr" -> "强度"),
+    build = (s, dir) => {
+      import graft.indicators.{KRules, Windows}
+      import Windows.{bySymbol, lag1, lagN, meanOf}
+      val daily = graft.operators.Rollup.rollup(candles(s, dir), 86400L)
+        .withColumn("po", lag1(col("open"))).withColumn("pc", lag1(col("close")))
+        .withColumn("ph", lag1(col("high"))).withColumn("pl", lag1(col("low")))
+        .withColumn("o2", lagN(col("open"), 2)).withColumn("c2", lagN(col("close"), 2))
+        .withColumn("h2", lagN(col("high"), 2)).withColumn("l2", lagN(col("low"), 2))
+        .withColumn("o3", lagN(col("open"), 3)).withColumn("c3", lagN(col("close"), 3))
+        .withColumn("h3", lagN(col("high"), 3)).withColumn("l3", lagN(col("low"), 3))
+        .withColumn("o4", lagN(col("open"), 4)).withColumn("c4", lagN(col("close"), 4))
+        .withColumn("h4", lagN(col("high"), 4)).withColumn("l4", lagN(col("low"), 4))
+        .withColumn("abf", collect_list(abs(col("close") - col("open")))
+          .over(bySymbol.rowsBetween(-10, -1)))
+        .withColumn("ab", when(size(col("abf")) > 0, meanOf(col("abf"))))
+      // trailing confirmed ±2 pivots for the chart shapes
+      val wc = bySymbol.rowsBetween(-2, 2)
+      val piv = daily
+        .withColumn("nb5", count(lit(1)).over(wc))
+        .withColumn("isph", col("nb5") === 5 && col("high") === max(col("high")).over(wc))
+        .withColumn("ispl", col("nb5") === 5 && col("low") === min(col("low")).over(wc))
+        .withColumn("hs", collect_list(when(col("isph"),
+          struct(col("bucket_ts").as("ts"), col("high").as("v"))))
+          .over(bySymbol.rowsBetween(Window.unboundedPreceding, -2)))
+        .withColumn("ls", collect_list(when(col("ispl"),
+          struct(col("bucket_ts").as("ts"), col("low").as("v"))))
+          .over(bySymbol.rowsBetween(Window.unboundedPreceding, -2)))
+      def lastV(a: String, i: Int) = try_element_at(col(a), lit(-i)).getField("v")
+      def lastT(a: String, i: Int) = try_element_at(col(a), lit(-i)).getField("ts")
+      val (h1, h2v, h3v) = (lastV("hs", 1), lastV("hs", 2), lastV("hs", 3))
+      val (l1, l2v, l3v) = (lastV("ls", 1), lastV("ls", 2), lastV("ls", 3))
+      val neckLow = array_min(transform(filter(col("ls"),
+        x => x("ts") > lastT("hs", 2) && x("ts") < lastT("hs", 1)), x => x("v")))
+      val neckHigh = array_max(transform(filter(col("hs"),
+        x => x("ts") > lastT("ls", 2) && x("ts") < lastT("ls", 1)), x => x("v")))
+      val shapes: Seq[(String, Column, Double)] = Seq(
+        ("头肩顶", size(col("hs")) >= 3 && h2v > h3v && h2v > h1 &&
+          abs(h3v - h1) <= lit(0.02) * h2v, 1.5),
+        ("头肩底", size(col("ls")) >= 3 && l2v < l3v && l2v < l1 &&
+          abs(l3v - l1) <= lit(0.02) * l2v, 1.5),
+        ("双顶", size(col("hs")) >= 2 && abs(h1 - h2v) <= lit(0.015) * greatest(h1, h2v) &&
+          neckLow.isNotNull && neckLow <= lit(0.98) * least(h1, h2v), 1.2),
+        ("双底", size(col("ls")) >= 2 && abs(l1 - l2v) <= lit(0.015) * greatest(l1, l2v) &&
+          neckHigh.isNotNull && neckHigh >= lit(1.02) * greatest(l1, l2v), 1.2))
+      val vocab = piv
+        .filter(col("o3").isNotNull)
+        .withColumns(KRules.VOCAB1.map { case (n, c) => n -> expr(c) }.toMap)
+        .withColumns(KRules.VOCAB2.map { case (n, c) => n -> expr(c) }.toMap)
+      val names = concat_ws(",",
+        (KRules.RULES.map { case (nm, c, _) => when(expr(c), nm) } ++
+          shapes.map { case (nm, c, _) => when(coalesce(c, lit(false)), nm) }): _*)
+      val strength = (KRules.RULES.map { case (_, c, w) =>
+          when(expr(c), w).otherwise(0.0) } ++
+        shapes.map { case (_, c, w) =>
+          when(coalesce(c, lit(false)), w).otherwise(0.0) }).reduce(_ + _)
+      vocab.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        names.as("ptype"), q6(strength).as("pstr"))
+    },
+    sqlCte = {
+      import graft.indicators.KRules
+      val shapes: Seq[(String, String, Double)] = Seq(
+        ("头肩顶", "len(hs) >= 3 AND (hs[-2]).v > (hs[-3]).v AND (hs[-2]).v > (hs[-1]).v " +
+          "AND abs((hs[-3]).v - (hs[-1]).v) <= 0.02 * (hs[-2]).v", 1.5),
+        ("头肩底", "len(ls) >= 3 AND (ls[-2]).v < (ls[-3]).v AND (ls[-2]).v < (ls[-1]).v " +
+          "AND abs((ls[-3]).v - (ls[-1]).v) <= 0.02 * (ls[-2]).v", 1.5),
+        ("双顶", "len(hs) >= 2 AND abs((hs[-1]).v - (hs[-2]).v) <= 0.015 * greatest((hs[-1]).v, (hs[-2]).v) " +
+          "AND neck_low IS NOT NULL AND neck_low <= 0.98 * least((hs[-1]).v, (hs[-2]).v)", 1.2),
+        ("双底", "len(ls) >= 2 AND abs((ls[-1]).v - (ls[-2]).v) <= 0.015 * greatest((ls[-1]).v, (ls[-2]).v) " +
+          "AND neck_high IS NOT NULL AND neck_high >= 1.02 * greatest((ls[-1]).v, (ls[-2]).v)", 1.2))
+      def fl(c: String) = s"coalesce($c, FALSE)"
+      val names = (KRules.RULES.map { case (nm, c, _) =>
+          s"CASE WHEN $c THEN '$nm' END" } ++
+        shapes.map { case (nm, c, _) => s"CASE WHEN ${fl(c)} THEN '$nm' END" })
+        .mkString(",\n      ")
+      val strength = (KRules.RULES.map { case (_, c, w) =>
+          s"CASE WHEN $c THEN $w ELSE 0.0 END" } ++
+        shapes.map { case (_, c, w) => s"CASE WHEN ${fl(c)} THEN $w ELSE 0.0 END" })
+        .mkString(" + ")
+      s"""kdaily AS (
+         |  SELECT symbol, dts AS bucket_ts, open, high, low, close, qv FROM (
+         |    SELECT symbol, bucket_ts // 86400 * 86400 AS dts,
+         |           min_by(open, bucket_ts) AS open, max(high) AS high,
+         |           min(low) AS low, max_by(close, bucket_ts) AS close,
+         |           sum(quote_volume) AS qv
+         |    FROM candles GROUP BY 1, 2)),
+         |kpiv AS (
+         |  SELECT *,
+         |    count(*) OVER wc5 = 5 AND high = max(high) OVER wc5 AS isph,
+         |    count(*) OVER wc5 = 5 AND low = min(low) OVER wc5 AS ispl
+         |  FROM kdaily
+         |  WINDOW wc5 AS (PARTITION BY symbol ORDER BY bucket_ts
+         |                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+         |kpiv2 AS (
+         |  SELECT symbol, bucket_ts, open, high, low, close, qv,
+         |    list_filter(list(CASE WHEN isph THEN struct_pack(ts := bucket_ts, v := high) END)
+         |      OVER wtrail, x -> x IS NOT NULL) AS hs,
+         |    list_filter(list(CASE WHEN ispl THEN struct_pack(ts := bucket_ts, v := low) END)
+         |      OVER wtrail, x -> x IS NOT NULL) AS ls
+         |  FROM kpiv
+         |  WINDOW wtrail AS (PARTITION BY symbol ORDER BY bucket_ts
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+         |kpiv3 AS (
+         |  SELECT *,
+         |    list_aggregate(list_transform(list_filter(ls,
+         |      x -> len(hs) >= 2 AND x.ts > (hs[-2]).ts AND x.ts < (hs[-1]).ts),
+         |      x -> x.v), 'min') AS neck_low,
+         |    list_aggregate(list_transform(list_filter(hs,
+         |      x -> len(ls) >= 2 AND x.ts > (ls[-2]).ts AND x.ts < (ls[-1]).ts),
+         |      x -> x.v), 'max') AS neck_high
+         |  FROM kpiv2),
+         |m_kpat AS (
+         |  SELECT symbol, bucket_ts, ${q6s("qv")} AS turnover,
+         |    concat_ws(',',
+         |      $names) AS ptype,
+         |    ${q6s(strength)} AS pstr
+         |  FROM (
+         |    SELECT *, ${KRules.VOCAB2.map { case (n, c) => s"$c AS $n" }.mkString(",\n      ")}
+         |    FROM (
+         |    SELECT *, ${KRules.VOCAB1.map { case (n, c) => s"$c AS $n" }.mkString(",\n      ")}
+         |    FROM (
+         |    SELECT symbol, bucket_ts, open, high, low, close, qv, hs, ls,
+         |           neck_low, neck_high,
+         |           lag(open) OVER wk AS po, lag(close) OVER wk AS pc,
+         |           lag(high) OVER wk AS ph, lag(low) OVER wk AS pl,
+         |           lag(open, 2) OVER wk AS o2, lag(close, 2) OVER wk AS c2,
+         |           lag(high, 2) OVER wk AS h2, lag(low, 2) OVER wk AS l2,
+         |           lag(open, 3) OVER wk AS o3, lag(close, 3) OVER wk AS c3,
+         |           lag(high, 3) OVER wk AS h3, lag(low, 3) OVER wk AS l3,
+         |           lag(open, 4) OVER wk AS o4, lag(close, 4) OVER wk AS c4,
+         |           lag(high, 4) OVER wk AS h4, lag(low, 4) OVER wk AS l4,
+         |           CASE WHEN len(abf) > 0
+         |                THEN list_reduce(list_prepend(0.0, abf), (a, x) -> a + x) / len(abf)
+         |           END AS ab
+         |    FROM (
+         |      SELECT *, list(abs(close - open))
+         |          OVER (PARTITION BY symbol ORDER BY bucket_ts
+         |                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS abf
+         |      FROM kpiv3)
+         |    WINDOW wk AS (PARTITION BY symbol ORDER BY bucket_ts))))
+         |  WHERE o3 IS NOT NULL)""".stripMargin
+    })
+
+  /** 大资金操盘扫描器 (batch/tv_big_money.py:54-83 structure core) per
+    * bar: last confirmed ±5 pivot levels, EMA34 bias (多头/空头 —
+    * tv_big_money.py:183), breakout/reversal event vocabulary and the
+    * structure score. The order-block/FVG/zone score components are
+    * last-window lookbacks omitted from the per-bar twin (documented;
+    * every corpus rule on this table expects 看涨/看跌/BOS/CHoCH values
+    * the scanner never emits — dead in the reference too).
+    */
+  private val smc = MartDef(
+    key = "smc", table = "大资金操盘扫描器",
+    fields = Seq("event" -> "结构事件", "bias_d" -> "偏向", "score" -> "评分"),
+    build = (s, dir) => {
+      val wc = bySym.rowsBetween(-5, 5)
+      val c = candles(s, dir)
+        .withColumn("nb11", count(lit(1)).over(wc))
+        .withColumn("isph", col("nb11") === 11 && col("high") === max(col("high")).over(wc))
+        .withColumn("ispl", col("nb11") === 11 && col("low") === min(col("low")).over(wc))
+        .withColumn("sh", last(when(col("isph"), col("high")), ignoreNulls = true)
+          .over(bySym.rowsBetween(Window.unboundedPreceding, -5)))
+        .withColumn("sl", last(when(col("ispl"), col("low")), ignoreNulls = true)
+          .over(bySym.rowsBetween(Window.unboundedPreceding, -5)))
+        .withColumn("ema34", ewma(s, col("close"), 2.0 / 35.0).over(run))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 35)
+      val bull = col("close") >= col("ema34")
+      val brkUp = col("sh").isNotNull && col("close") > col("sh")
+      val brkDn = col("sl").isNotNull && col("close") < col("sl")
+      val revDn = bull && brkDn
+      val revUp = !bull && brkUp
+      val event = when(revDn, "结构反转向下").when(revUp, "结构反转向上")
+        .when(brkDn, "空头突破").when(brkUp, "多头突破").otherwise("区间震荡")
+      val score = when(brkUp, 3.5).otherwise(0.0) +
+        when(brkDn, -3.5).otherwise(0.0) +
+        when(revDn, -4.5).otherwise(0.0) + when(revUp, 4.5).otherwise(0.0)
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"), event.as("event"),
+        when(bull, "多头").otherwise("空头").as("bias_d"),
+        q6(score).as("score"))
+    },
+    sqlCte = {
+      val bull = "close >= ema34"
+      val brkUp = "sh IS NOT NULL AND close > sh"
+      val brkDn = "sl IS NOT NULL AND close < sl"
+      s"""m_smc AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN ($bull) AND ($brkDn) THEN '结构反转向下'
+         |         WHEN NOT ($bull) AND ($brkUp) THEN '结构反转向上'
+         |         WHEN $brkDn THEN '空头突破'
+         |         WHEN $brkUp THEN '多头突破'
+         |         ELSE '区间震荡' END AS event,
+         |    CASE WHEN $bull THEN '多头' ELSE '空头' END AS bias_d,
+         |    ${q6s(s"(CASE WHEN $brkUp THEN 3.5 ELSE 0.0 END) + " +
+              s"(CASE WHEN $brkDn THEN -3.5 ELSE 0.0 END) + " +
+              s"(CASE WHEN ($bull) AND ($brkDn) THEN -4.5 ELSE 0.0 END) + " +
+              s"(CASE WHEN NOT ($bull) AND ($brkUp) THEN 4.5 ELSE 0.0 END)")} AS score
+         |  FROM (
+         |    SELECT symbol, ts[i] AS bucket_ts, ${q6s("qv[i]")} AS turnover,
+         |      cl[i] AS close, e34s[i] AS ema34,
+         |      (list_filter(phl[1:greatest(i - 5, 0)], x -> x IS NOT NULL))[-1] AS sh,
+         |      (list_filter(pll[1:greatest(i - 5, 0)], x -> x IS NOT NULL))[-1] AS sl
+         |    FROM (
+         |      SELECT symbol, ts, qv, cl, n, ${redSeries("cl", "2.0/35.0")} AS e34s,
+         |        list_transform(generate_series(1, n), j ->
+         |          CASE WHEN j > 5 AND j <= n - 5
+         |                    AND hi[j] >= list_aggregate(hi[j-5:j+5], 'max')
+         |               THEN hi[j] END) AS phl,
+         |        list_transform(generate_series(1, n), j ->
+         |          CASE WHEN j > 5 AND j <= n - 5
+         |                    AND lo[j] <= list_aggregate(lo[j-5:j+5], 'min')
+         |               THEN lo[j] END) AS pll
+         |      FROM series) s,
+         |      LATERAL (SELECT unnest(generate_series(35, n)) AS i) u))""".stripMargin
+    },
+    needsSeries = true)
+
+  /** 量能斐波狙击扫描器 (batch/tv_fib_sniper.py:14-96, LENGTH scaled
+    * 200→20): VWMA basis over hlc3, 方向 = 多头 iff close ≥ basis
+    * (多头/空头 — corpus from-values dead); 价格区域 collapsed to the
+    * basis side ± one σ band (the full fib-ratio ladder feeds only
+    * message text — documented simplification).
+    */
+  private val fib = MartDef(
+    key = "fib", table = "量能斐波狙击扫描器",
+    fields = Seq("fdir" -> "方向", "fzone" -> "价格区域"),
+    build = (s, dir) => {
+      import graft.indicators.Windows.{meanOf, stdOf}
+      val hlc3 = (col("high") + col("low") + col("close")) / 3
+      val c = candles(s, dir)
+        .withColumn("src", hlc3)
+        .withColumn("basis",
+          sum(col("src") * col("volume")).over(lastN(20)) /
+            nullif(sum(col("volume")).over(lastN(20)), lit(0.0)))
+        .withColumn("frame", collect_list(col("src")).over(lastN(20)))
+        .withColumn("m", meanOf(col("frame")))
+        .withColumn("dev", lit(2.0) * stdOf(col("frame"), col("m"), 1))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 30)
+      c.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        when(col("basis").isNull, "震荡")
+          .when(col("close") >= col("basis"), "多头").otherwise("空头").as("fdir"),
+        when(col("basis").isNull || col("dev").isNull, "等待")
+          .when(abs(col("close") - col("basis")) <= col("dev"), "中间")
+          .when(col("close") > col("basis"), "上通道").otherwise("下通道").as("fzone"))
+    },
+    sqlCte =
+      s"""m_fib AS (
+         |  SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover,
+         |    CASE WHEN basis IS NULL THEN '震荡'
+         |         WHEN close >= basis THEN '多头' ELSE '空头' END AS fdir,
+         |    CASE WHEN basis IS NULL OR dev IS NULL THEN '等待'
+         |         WHEN abs(close - basis) <= dev THEN '中间'
+         |         WHEN close > basis THEN '上通道' ELSE '下通道' END AS fzone
+         |  FROM (
+         |    SELECT symbol, bucket_ts, quote_volume, close, basis,
+         |      2.0 * sqrt(list_reduce(list_prepend(0.0,
+         |        list_transform(frame, x -> (x - m) * (x - m))), (a, x) -> a + x)
+         |        / (len(frame) - 1)) AS dev,
+         |      row_number() OVER ($W) AS rn
+         |    FROM (
+         |      SELECT symbol, bucket_ts, quote_volume, close, frame,
+         |        sum(src * volume) OVER ($W ${fr(20)}) /
+         |          nullif(sum(volume) OVER ($W ${fr(20)}), 0.0) AS basis,
+         |        list_reduce(list_prepend(0.0, frame), (a, x) -> a + x) / len(frame) AS m
+         |      FROM (
+         |        SELECT symbol, bucket_ts, quote_volume, close, volume, src,
+         |          list(src) OVER ($W ${fr(20)}) AS frame
+         |        FROM (
+         |          SELECT *, (high + low + close) / 3 AS src FROM candles))))
+         |  WHERE rn >= 30)""".stripMargin)
+
+  /** VPVR排行生成器 (batch/vpvr.py:29-118) per bar over a trailing
+    * 60-bar window: 12-bin close-volume histogram, POC = argmax bin,
+    * 价值区位置 vocabulary 价值区上方/内/下方 (vpvr.py:102-106; the
+    * corpus's 上方/下方 from-values never match — dead in the reference
+    * too). The iterative 70%-coverage value-area expansion collapses to
+    * a ±1-bin band around the POC (documented simplification).
+    */
+  private val vpvr = MartDef(
+    key = "vpvr", table = "VPVR排行生成器",
+    fields = Seq("vpos" -> "价值区位置", "poc" -> "控制点价格"),
+    build = (s, dir) => {
+      val c = candles(s, dir)
+        .withColumn("cf", collect_list(struct(col("close").as("p"),
+          col("volume").as("v"))).over(lastN(60)))
+        .withColumn("rn", row_number().over(bySym))
+        .filter(col("rn") >= 30)
+        .withColumn("plo", array_min(transform(col("cf"), x => x("p"))))
+        .withColumn("phi", array_max(transform(col("cf"), x => x("p"))))
+      val w = nullif(col("phi") - col("plo"), lit(0.0))
+      val binOf = (p: Column) => least(floor((p - col("plo")) / w * 12), lit(11.0))
+      val c2 = c.withColumn("bins", transform(sequence(lit(0), lit(11)), b =>
+        aggregate(filter(col("cf"), x => binOf(x("p")) === b.cast("double")),
+          lit(0.0), (a, x) => a + x("v"))))
+      val pocBin = array_position(col("bins"), array_max(col("bins"))) - 1
+      val pocPrice = col("plo") + (pocBin.cast("double") + lit(0.5)) *
+        (col("phi") - col("plo")) / 12
+      val myBin = when(w.isNull, lit(0.0)).otherwise(binOf(col("close")))
+      val c3 = c2.withColumn("pocb", pocBin.cast("double"))
+        .withColumn("pocp", when(w.isNull, col("close")).otherwise(pocPrice))
+        .withColumn("mybin", myBin)
+      c3.select(col("symbol"), col("bucket_ts"),
+        q6(col("quote_volume")).as("turnover"),
+        when(col("mybin") > col("pocb") + 1, "价值区上方")
+          .when(col("mybin") < col("pocb") - 1, "价值区下方")
+          .otherwise("价值区内").as("vpos"),
+        q6(col("pocp")).as("poc"))
+    },
+    sqlCte = {
+      val binOf = (p: String) =>
+        s"least(floor(($p - plo) / nullif(phi - plo, 0.0) * 12), 11.0)"
+      s"""m_vpvr AS (
+         |  SELECT symbol, bucket_ts, turnover,
+         |    CASE WHEN mybin > pocb + 1 THEN '价值区上方'
+         |         WHEN mybin < pocb - 1 THEN '价值区下方'
+         |         ELSE '价值区内' END AS vpos,
+         |    ${q6s("CASE WHEN phi = plo THEN close ELSE plo + (pocb + 0.5) * (phi - plo) / 12 END")} AS poc
+         |  FROM (
+         |    SELECT symbol, bucket_ts, turnover, close, plo, phi,
+         |      CAST(list_position(bins, list_aggregate(bins, 'max')) - 1 AS DOUBLE) AS pocb,
+         |      CASE WHEN phi = plo THEN 0.0 ELSE ${binOf("close")} END AS mybin
+         |    FROM (
+         |      SELECT symbol, bucket_ts, turnover, close, plo, phi,
+         |        list_transform(generate_series(0, 11), b ->
+         |          list_reduce(list_prepend(0.0, list_transform(
+         |            list_filter(cf, x -> ${binOf("x.p")} = CAST(b AS DOUBLE)),
+         |            x -> x.v)), (a, y) -> a + y)) AS bins
+         |      FROM (
+         |        SELECT symbol, bucket_ts, ${q6s("quote_volume")} AS turnover, close,
+         |          list(struct_pack(p := close, v := volume)) OVER ($W ${fr(60)}) AS cf,
+         |          list_aggregate(list(close) OVER ($W ${fr(60)}), 'min') AS plo,
+         |          list_aggregate(list(close) OVER ($W ${fr(60)}), 'max') AS phi,
+         |          row_number() OVER ($W) AS rn
+         |        FROM candles)
+         |      WHERE rn >= 30)))""".stripMargin
+    })
+
   /** All mart series, keyed by ascii table key. */
   val all: Map[String, MartDef] =
     Seq(macd, obv, cvd, volratio, taker,
       base, liquidity, scalping,
       boll, atr, donchian, keltner, sr, vwap,
       cci, wr, mfi, adx, harmonic, kdj, rsi,
-      strend, precise, tline, ichi, zl, cloud, ha, volsig, gc, fut)
+      strend, precise, tline, ichi, zl, cloud, ha, volsig, gc, fut,
+      kpat, smc, fib, vpvr)
       .map(d => d.key -> d).toMap
 }

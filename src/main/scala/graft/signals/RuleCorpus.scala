@@ -466,9 +466,49 @@ object RuleCorpus {
     R("持仓Z分数异常低", "fut", "futures", "sentiment", "ALERT", 70, "high",
       Custom("has_prev AND coalesce(prev_oi_z, 0.0) > -2 AND coalesce(oi_z, 0.0) < -2")))
 
+  /** rules/pattern/__init__.py — 16 rules. The candlestick CONTAINS
+    * rules substring-match the K线形态扫描器 name lists and are LIVE
+    * (except 三角/楔形 — no detector in the engine's shape set); the
+    * SMC/fib/VPVR rules expect 看涨/BOS/多/上方 vocabularies their
+    * scanners never emit — dead in the reference too.
+    */
+  val PatternRules: Seq[CorpusRule] = Seq(
+    R("头肩顶形态", "kpat", "pattern", "candlestick", "SELL", 85, "high",
+      ContainsAny("ptype", Seq("头肩顶")), cooldown = 43200L),
+    R("头肩底形态", "kpat", "pattern", "candlestick", "BUY", 85, "high",
+      ContainsAny("ptype", Seq("头肩底")), cooldown = 43200L),
+    R("双顶形态", "kpat", "pattern", "candlestick", "SELL", 80, "high",
+      ContainsAny("ptype", Seq("双顶", "M顶")), cooldown = 43200L),
+    R("双底形态", "kpat", "pattern", "candlestick", "BUY", 80, "high",
+      ContainsAny("ptype", Seq("双底", "W底")), cooldown = 43200L),
+    R("三角形突破", "kpat", "pattern", "candlestick", "ALERT", 70, "medium",
+      ContainsAny("ptype", Seq("三角", "楔形")), cooldown = 86400L),
+    R("锤子线", "kpat", "pattern", "candlestick", "BUY", 65, "medium",
+      ContainsAny("ptype", Seq("锤子", "hammer"))),
+    R("吞没形态", "kpat", "pattern", "candlestick", "ALERT", 70, "medium",
+      ContainsAny("ptype", Seq("吞没", "engulf"))),
+    R("十字星", "kpat", "pattern", "candlestick", "ALERT", 60, "low",
+      ContainsAny("ptype", Seq("十字", "doji")), cooldown = 21600L),
+    R("SMC看涨", "smc", "pattern", "smc", "BUY", 75, "high",
+      StateChange("bias_d", Seq("看跌", "中性", ""), Seq("看涨"))),
+    R("SMC看跌", "smc", "pattern", "smc", "SELL", 75, "high",
+      StateChange("bias_d", Seq("看涨", "中性", ""), Seq("看跌"))),
+    R("BOS突破", "smc", "pattern", "smc", "ALERT", 70, "high",
+      ContainsAny("event", Seq("BOS"))),
+    R("CHoCH变化", "smc", "pattern", "smc", "ALERT", 75, "high",
+      ContainsAny("event", Seq("CHoCH", "CHOCH"))),
+    R("斐波那契多头信号", "fib", "pattern", "fibonacci", "BUY", 70, "high",
+      StateChange("fdir", Seq("空", "down", "-1", ""), Seq("多", "up", "1"))),
+    R("斐波那契空头信号", "fib", "pattern", "fibonacci", "SELL", 70, "high",
+      StateChange("fdir", Seq("多", "up", "1", ""), Seq("空", "down", "-1"))),
+    R("进入VPVR价值区", "vpvr", "pattern", "vpvr", "ALERT", 55, "low",
+      StateChange("vpos", Seq("上方", "下方"), Seq("价值区内"))),
+    R("离开VPVR价值区", "vpvr", "pattern", "vpvr", "ALERT", 60, "medium",
+      StateChange("vpos", Seq("价值区内"), Seq("上方", "下方"))))
+
   /** The full corpus — categories land as their mart series do. */
   val AllRules: Seq[CorpusRule] =
-    VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules ++ TrendRules ++ FuturesRules
+    VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules ++ TrendRules ++ FuturesRules ++ PatternRules
 
   // --------------------------------------------------------- registry
 
@@ -478,7 +518,8 @@ object RuleCorpus {
     "g12_rules_misc" -> categoryQuery("misc"),
     "g06_rules_momentum" -> categoryQuery("momentum"),
     "g07_rules_trend" -> categoryQuery("trend"),
-    "g10_rules_futures" -> categoryQuery("futures"))
+    "g10_rules_futures" -> categoryQuery("futures"),
+    "g11_rules_pattern" -> categoryQuery("pattern"))
 
   val oracle: Map[String, String] = Map(
     "g09_rules_volume" -> categoryOracle("volume"),
@@ -486,5 +527,6 @@ object RuleCorpus {
     "g12_rules_misc" -> categoryOracle("misc"),
     "g06_rules_momentum" -> categoryOracle("momentum"),
     "g07_rules_trend" -> categoryOracle("trend"),
-    "g10_rules_futures" -> categoryOracle("futures"))
+    "g10_rules_futures" -> categoryOracle("futures"),
+    "g11_rules_pattern" -> categoryOracle("pattern"))
 }
