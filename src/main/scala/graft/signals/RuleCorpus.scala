@@ -506,9 +506,96 @@ object RuleCorpus {
     R("离开VPVR价值区", "vpvr", "pattern", "vpvr", "ALERT", 60, "medium",
       StateChange("vpos", Seq("价值区内"), Seq("上方", "下方"))))
 
+  /** rules/core/__init__.py — 20 high-value confluence/extreme/anomaly
+    * rules over the RSI/futures/base/SMC/MACD/SR marts (the SMC four are
+    * dead-by-vocabulary like their pattern-category siblings).
+    */
+  val CoreRules: Seq[CorpusRule] = {
+    def z(f: String) = s"coalesce($f, 0.0)"
+    Seq(
+    R("动量趋势共振做多", "rsi", "core", "confluence", "BUY", 85, "high",
+      Custom("has_prev AND prev_pos IN ('超卖区') AND pos IN ('中性区', '中性')" +
+        s" AND ${orv("prev_rsi7", "50.0")} <= ${orv("prev_rsi21", "50.0")}" +
+        s" AND ${orv("rsi7", "50.0")} > ${orv("rsi21", "50.0")}" +
+        s" AND ${orv("rsi_avg", "50.0")} > ${orv("prev_rsi_avg", "50.0")}"),
+      cooldown = 7200L, minVolume = 500000.0),
+    R("动量趋势共振做空", "rsi", "core", "confluence", "SELL", 85, "high",
+      Custom("has_prev AND prev_pos IN ('超买区') AND pos IN ('中性区', '中性')" +
+        s" AND ${orv("prev_rsi7", "50.0")} >= ${orv("prev_rsi21", "50.0")}" +
+        s" AND ${orv("rsi7", "50.0")} < ${orv("rsi21", "50.0")}" +
+        s" AND ${orv("rsi_avg", "50.0")} < ${orv("prev_rsi_avg", "50.0")}"),
+      cooldown = 7200L, minVolume = 500000.0),
+    R("大户极度看多警告", "fut", "core", "futures_extreme", "ALERT", 80, "high",
+      Custom(s"${orv("tlsr", "1.0")} > 2.5 AND ${z("risk")} > 70"),
+      cooldown = 14400L, minVolume = 1000000.0),
+    R("大户极度看空警告", "fut", "core", "futures_extreme", "ALERT", 80, "high",
+      Custom(s"${orv("tlsr", "1.0")} < 0.4 AND ${z("risk")} > 70"),
+      cooldown = 14400L, minVolume = 1000000.0),
+    R("持仓量异常高", "fut", "core", "futures_extreme", "ALERT", 75, "high",
+      Custom(s"has_prev AND ${z("prev_oi_z")} < 2.5 AND ${z("oi_z")} >= 2.5"),
+      cooldown = 7200L),
+    R("情绪差值极端看多", "fut", "core", "futures_extreme", "BUY", 70, "medium",
+      Custom(s"has_prev AND ${z("prev_bias")} < 0.5 AND ${z("bias")} >= 0.5" +
+        s" AND ${z("streak")} >= 3"),
+      cooldown = 7200L),
+    R("情绪差值极端看空", "fut", "core", "futures_extreme", "SELL", 70, "medium",
+      Custom(s"has_prev AND ${z("prev_bias")} > -0.5 AND ${z("bias")} <= -0.5" +
+        s" AND ${z("streak")} <= -3"),
+      cooldown = 7200L),
+    R("放量上涨", "base", "core", "volume_anomaly", "BUY", 70, "medium",
+      Custom(s"has_prev AND ${orv("turnover", "0.0")} > ${orv("prev_turnover", "1.0")} * 2" +
+        s" AND ${z("chg")} > 1 AND ${orv("bsr", "1.0")} > 1.2"),
+      minVolume = 500000.0),
+    R("放量下跌", "base", "core", "volume_anomaly", "SELL", 70, "medium",
+      Custom(s"has_prev AND ${orv("turnover", "0.0")} > ${orv("prev_turnover", "1.0")} * 2" +
+        s" AND ${z("chg")} < -1 AND ${orv("bsr", "1.0")} < 0.8"),
+      minVolume = 500000.0),
+    R("大额资金净流入", "base", "core", "volume_anomaly", "BUY", 75, "high",
+      Custom(s"has_prev AND ${z("flow")} > ${orv("turnover", "1.0")} * 0.3" +
+        s" AND ${z("flow")} > ${z("prev_flow")} * 2"),
+      cooldown = 7200L, minVolume = 1000000.0),
+    R("大额资金净流出", "base", "core", "volume_anomaly", "SELL", 75, "high",
+      Custom(s"has_prev AND ${z("flow")} < -(${orv("turnover", "1.0")}) * 0.3" +
+        s" AND ${z("flow")} < ${z("prev_flow")} * 2"),
+      cooldown = 7200L, minVolume = 1000000.0),
+    R("BOS多头结构突破", "smc", "core", "smc", "BUY", 80, "high",
+      Custom("contains(coalesce(event, ''), 'BOS') AND bias_d = '看涨'" +
+        s" AND ${z("score")} >= 60"),
+      cooldown = 7200L, minVolume = 500000.0),
+    R("BOS空头结构突破", "smc", "core", "smc", "SELL", 80, "high",
+      Custom("contains(coalesce(event, ''), 'BOS') AND bias_d = '看跌'" +
+        s" AND ${z("score")} >= 60"),
+      cooldown = 7200L, minVolume = 500000.0),
+    R("CHoCH趋势变化看涨", "smc", "core", "smc", "BUY", 85, "high",
+      Custom("(contains(coalesce(event, ''), 'CHoCH')" +
+        " OR contains(coalesce(event, ''), 'CHOCH')) AND bias_d = '看涨'"),
+      cooldown = 14400L, minVolume = 500000.0),
+    R("CHoCH趋势变化看跌", "smc", "core", "smc", "SELL", 85, "high",
+      Custom("(contains(coalesce(event, ''), 'CHoCH')" +
+        " OR contains(coalesce(event, ''), 'CHOCH')) AND bias_d = '看跌'"),
+      cooldown = 14400L, minVolume = 500000.0),
+    R("MACD强势金叉", "macd", "core", "macd", "BUY", 75, "high",
+      Custom(s"has_prev AND ${z("prev_dif")} <= ${z("prev_dea")}" +
+        s" AND ${z("dif")} > ${z("dea")} AND ${z("dif")} > 0 AND ${z("dea")} > 0"),
+      cooldown = 7200L),
+    R("MACD强势死叉", "macd", "core", "macd", "SELL", 75, "high",
+      Custom(s"has_prev AND ${z("prev_dif")} >= ${z("prev_dea")}" +
+        s" AND ${z("dif")} < ${z("dea")} AND ${z("dif")} < 0 AND ${z("dea")} < 0"),
+      cooldown = 7200L),
+    R("MACD柱状放大转多", "macd", "core", "macd", "BUY", 65, "medium",
+      Custom(s"has_prev AND ${z("prev_hist")} < 0 AND ${z("hist")} > 0" +
+        s" AND abs(${z("hist")}) > abs(${z("prev_hist")}) * 1.5")),
+    R("接近强支撑位", "sr", "core", "sr", "BUY", 65, "medium",
+      Custom(s"has_prev AND ${orv("ds", "100.0")} < 1.0" +
+        s" AND ${orv("prev_ds", "0.0")} > ${orv("ds", "100.0")}")),
+    R("接近强阻力位", "sr", "core", "sr", "SELL", 65, "medium",
+      Custom(s"has_prev AND ${orv("dr", "100.0")} < 1.0" +
+        s" AND ${orv("prev_dr", "0.0")} > ${orv("dr", "100.0")}")))
+  }
+
   /** The full corpus — categories land as their mart series do. */
   val AllRules: Seq[CorpusRule] =
-    VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules ++ TrendRules ++ FuturesRules ++ PatternRules
+    VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules ++ TrendRules ++ FuturesRules ++ PatternRules ++ CoreRules
 
   // --------------------------------------------------------- registry
 
@@ -519,7 +606,8 @@ object RuleCorpus {
     "g06_rules_momentum" -> categoryQuery("momentum"),
     "g07_rules_trend" -> categoryQuery("trend"),
     "g10_rules_futures" -> categoryQuery("futures"),
-    "g11_rules_pattern" -> categoryQuery("pattern"))
+    "g11_rules_pattern" -> categoryQuery("pattern"),
+    "g05_rules_core" -> categoryQuery("core"))
 
   val oracle: Map[String, String] = Map(
     "g09_rules_volume" -> categoryOracle("volume"),
@@ -528,5 +616,6 @@ object RuleCorpus {
     "g06_rules_momentum" -> categoryOracle("momentum"),
     "g07_rules_trend" -> categoryOracle("trend"),
     "g10_rules_futures" -> categoryOracle("futures"),
-    "g11_rules_pattern" -> categoryOracle("pattern"))
+    "g11_rules_pattern" -> categoryOracle("pattern"),
+    "g05_rules_core" -> categoryOracle("core"))
 }
