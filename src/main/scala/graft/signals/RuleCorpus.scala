@@ -597,6 +597,126 @@ object RuleCorpus {
   val AllRules: Seq[CorpusRule] =
     VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules ++ TrendRules ++ FuturesRules ++ PatternRules ++ CoreRules
 
+  // ------------------------------------------------- corpus-wide views
+
+  /** Whole-corpus evaluation, ONE window pass per mart TABLE (a table's
+    * rules from every category evaluate together — e.g. the MACD series
+    * serves both the volume pack and the core zero-axis rules in the
+    * same pass).
+    */
+  def corpusFired(s: SparkSession, dir: String): DataFrame =
+    AllRules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
+      val md = MartSeries.all(tk)
+      fired(evalFrame(md.build(s, dir), md.fields.map(_._1)), md.table, rs)
+    }.reduce(_.unionByName(_))
+
+  final case class Fired9(symbol: String, bucket_ts: Long, rule: String,
+    mart: String, category: String, subcategory: String, direction: String,
+    strength: Int, priority: String)
+  private implicit val encFired9: org.apache.spark.sql.Encoder[Fired9] =
+    org.apache.spark.sql.Encoders.product[Fired9]
+
+  /** Per-rule cooldown seconds. The engine keys cooldown state by RULE
+    * NAME (+symbol+timeframe, sqlite_engine.py:205-212), so same-named
+    * rules across tables share state — the duplicated names in the
+    * corpus carry identical cooldowns, so the collapse is lossless.
+    */
+  private val CdByRule: Map[String, Long] =
+    AllRules.map(r => r.name -> r.cooldown).toMap
+
+  /** g13 — the engine's cooldown dedup over the whole corpus
+    * (sqlite_engine.py:205-212 `_is_cooled_down`: strictly more than
+    * `cooldown` seconds since the previously EMITTED signal, per
+    * (symbol, rule name)): a per-key greedy scan, the batch twin of the
+    * streaming cooldown. Ties across marts break on mart name so both
+    * engines walk the same order.
+    */
+  private val corpusCooldown: Q = (s, dir) => {
+    import s.implicits._
+    corpusFired(s, dir).as[Fired9]
+      .groupByKey(f => (f.symbol, f.rule))
+      .flatMapGroups { (_, it) =>
+        val fs = it.toArray
+        java.util.Arrays.sort(fs,
+          Ordering.by((f: Fired9) => (f.bucket_ts, f.mart)))
+        val cd = CdByRule(fs.head.rule)
+        val out = Array.newBuilder[Fired9]
+        var last = Long.MinValue
+        fs.foreach { f =>
+          if (last == Long.MinValue || f.bucket_ts > last + cd) {
+            out += f
+            last = f.bucket_ts
+          }
+        }
+        out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** g14 — corpus summary: fire counts and distinct symbols per rule —
+    * the signal-feed statistics a corpus operator reports.
+    */
+  private val corpusSummary: Q = (s, dir) =>
+    corpusFired(s, dir)
+      .groupBy(col("category"), col("subcategory"), col("rule"), col("mart"),
+        col("direction"), col("strength"), col("priority"))
+      .agg(count(lit(1)).as("fires"),
+        countDistinct(col("symbol")).as("symbols"))
+
+  /** Oracle prelude + fired CTE for the WHOLE corpus (every mart/eval CTE
+    * once, one branch per rule; `withCd` appends the rule's cooldown).
+    */
+  private def corpusFiredSql(withCd: Boolean): String = {
+    val byTable = AllRules.groupBy(_.tableKey).toSeq.sortBy(_._1)
+    val defs = byTable.map { case (tk, _) => MartSeries.all(tk) }
+    val preludes =
+      (if (defs.exists(_.needsMetrics)) Seq(Oracle.METRICS) else Nil) ++
+      (if (defs.exists(_.needsSeries)) Seq(MartSeries.SeriesCte) else Nil)
+    val ctes = (preludes ++ defs.map(_.sqlCte) ++ defs.map(evalCte))
+      .mkString(",\n")
+    val branches = byTable.flatMap { case (tk, rs) =>
+      rs.map { r =>
+        val b = branch(MartSeries.all(tk), r)
+        if (withCd)
+          b.replace("\nFROM e_", s",\n  CAST(${r.cooldown} AS BIGINT) AS cd\nFROM e_")
+        else b
+      }
+    }.mkString("\nUNION ALL\n")
+    val recur = if (defs.exists(_.needsRecursive)) "RECURSIVE " else ""
+    s"WITH $recur${Oracle.CANDLES},\n$ctes,\nfired AS (\n$branches\n)"
+  }
+
+  private def cooldownOracle: String =
+    s"""${corpusFiredSql(withCd = true)},
+       |numbered AS (
+       |  SELECT *, row_number() OVER (PARTITION BY symbol, rule
+       |    ORDER BY bucket_ts, mart) AS rn
+       |  FROM fired),
+       |rec AS (
+       |  SELECT symbol, rule, mart, category, subcategory, direction,
+       |         strength, priority, bucket_ts, cd, rn,
+       |         bucket_ts AS last_emit, TRUE AS emitted
+       |  FROM numbered WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.symbol, n.rule, n.mart, n.category, n.subcategory,
+       |         n.direction, n.strength, n.priority, n.bucket_ts, n.cd, n.rn,
+       |         CASE WHEN n.bucket_ts > r.last_emit + n.cd THEN n.bucket_ts
+       |              ELSE r.last_emit END,
+       |         n.bucket_ts > r.last_emit + n.cd
+       |  FROM rec r JOIN numbered n
+       |    ON n.symbol = r.symbol AND n.rule = r.rule AND n.rn = r.rn + 1)
+       |SELECT symbol, bucket_ts, rule, mart, category, subcategory,
+       |       direction, strength, priority
+       |FROM rec WHERE emitted""".stripMargin
+
+  private def summaryOracle: String =
+    s"""${corpusFiredSql(withCd = false)}
+       |SELECT category, subcategory, rule, mart, direction, strength,
+       |       priority, CAST(count(*) AS BIGINT) AS fires,
+       |       CAST(count(DISTINCT symbol) AS BIGINT) AS symbols
+       |FROM fired
+       |GROUP BY ALL""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -607,7 +727,9 @@ object RuleCorpus {
     "g07_rules_trend" -> categoryQuery("trend"),
     "g10_rules_futures" -> categoryQuery("futures"),
     "g11_rules_pattern" -> categoryQuery("pattern"),
-    "g05_rules_core" -> categoryQuery("core"))
+    "g05_rules_core" -> categoryQuery("core"),
+    "g13_rules_cooldown" -> corpusCooldown,
+    "g14_rules_summary" -> corpusSummary)
 
   val oracle: Map[String, String] = Map(
     "g09_rules_volume" -> categoryOracle("volume"),
@@ -617,5 +739,7 @@ object RuleCorpus {
     "g07_rules_trend" -> categoryOracle("trend"),
     "g10_rules_futures" -> categoryOracle("futures"),
     "g11_rules_pattern" -> categoryOracle("pattern"),
-    "g05_rules_core" -> categoryOracle("core"))
+    "g05_rules_core" -> categoryOracle("core"),
+    "g13_rules_cooldown" -> cooldownOracle,
+    "g14_rules_summary" -> summaryOracle)
 }
