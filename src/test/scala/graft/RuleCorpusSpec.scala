@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.signals.{MartSeries, RuleCorpus}
+import graft.signals.RuleCorpus._
+
+/** Pins for the full signal-rule corpus (rules/__init__.py `ALL_RULES`
+  * ported verbatim — see RuleCorpus.scala's fidelity model).
+  */
+class RuleCorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------ inventory pins
+
+  test("corpus carries the reference's 129 rules in 8 categories") {
+    assert(AllRules.size === 129)  // grep -c 'SignalRule(' over rules/** == 129
+    val byCat = AllRules.groupBy(_.category).view.mapValues(_.size).toMap
+    // rules/core 20, momentum 8+4+15, trend 19, volatility 15, volume 13,
+    // futures 11, pattern 16, misc 2+2+4
+    assert(byCat === Map(
+      "core" -> 20, "momentum" -> 27, "trend" -> 19, "volatility" -> 15,
+      "volume" -> 13, "futures" -> 11, "pattern" -> 16, "misc" -> 8))
+  }
+
+  test("every rule references a registered mart table and sane metadata") {
+    AllRules.foreach { r =>
+      assert(MartSeries.all.contains(r.tableKey), s"${r.name}: ${r.tableKey}")
+      assert(Set("BUY", "SELL", "ALERT")(r.direction), r.name)
+      assert(r.strength >= 0 && r.strength <= 100, r.name)
+      assert(Set("high", "medium", "low")(r.priority), r.name)
+      assert(r.cooldown > 0 && r.minVolume >= 0, r.name)
+    }
+  }
+
+  test("duplicated rule names carry identical cooldowns (shared state key)") {
+    AllRules.groupBy(_.name).foreach { case (n, rs) =>
+      assert(rs.map(_.cooldown).distinct.size === 1,
+        s"same-named rules with different cooldowns would corrupt the shared cooldown key: $n")
+    }
+  }
+
+  test("every condition's shared SQL parses in Spark") {
+    AllRules.foreach { r => expr(fullCond(r)) } // throws on parse failure
+  }
+
+  // ----------------------------------------- unit semantics (synthetic)
+
+  /** A tiny controlled mart: one field `v`, turnover column. */
+  private def syntheticFired(rows: Seq[(String, Long, java.lang.Double, java.lang.Double)],
+      cond: Cond, minVolume: Double = 0.0) = {
+    val mart = rows.toDF("symbol", "bucket_ts", "turnover", "v")
+    val rule = CorpusRule("t", "x", "c", "s", "BUY", 50, "low", cond,
+      minVolume = minVolume)
+    fired(evalFrame(mart, Seq("v")), "m", Seq(rule))
+      .select("bucket_ts").as[Long].collect().sorted.toSeq
+  }
+
+  test("threshold cross-up fires on prev<=t<cur only, null coerces to 0") {
+    val d = (x: Double) => java.lang.Double.valueOf(x)
+    val rows = Seq(
+      ("A", 1L, d(1.0), d(0.5)),      // no prev → no fire
+      ("A", 2L, d(1.0), d(2.0)),      // 0.5 <= 1 < 2 → fire
+      ("A", 3L, d(1.0), d(3.0)),      // prev 2 > 1 → no
+      ("A", 4L, d(1.0), null),        // null → 0 → no
+      ("A", 5L, d(1.0), d(2.0)))      // prev null→0 <= 1 < 2 → fire
+    assert(syntheticFired(rows, ThresholdCrossUp("v", 1.0)) === Seq(2L, 5L))
+  }
+
+  test("min-volume gate binds on the scaled threshold") {
+    val d = (x: Double) => java.lang.Double.valueOf(x)
+    val rows = Seq(
+      ("A", 1L, d(500.0), d(0.0)),
+      ("A", 2L, d(99.0), d(2.0)),     // cross but turnover 99 < 100k*1e-3
+      ("A", 3L, d(0.5), d(0.0)),
+      ("A", 4L, d(100.0), d(2.0)))    // prev 0 ≤ 1 < 2, turnover == gate → fire
+    assert(syntheticFired(rows, ThresholdCrossUp("v", 1.0),
+      minVolume = 100000.0) === Seq(4L))
+  }
+
+  test("python-or coercion: zero hits the default like null") {
+    val d = (x: Double) => java.lang.Double.valueOf(x)
+    // orv(v, 5.0) > 4 — v=0 coerces to 5 like Python `v or 5`
+    val rows = Seq(("A", 1L, d(1.0), d(0.0)), ("A", 2L, d(1.0), null),
+      ("A", 3L, d(1.0), d(3.0)))
+    val got = syntheticFired(rows,
+      Custom("coalesce(nullif(v, 0.0), 5.0) > 4"))
+    assert(got === Seq(1L, 2L)) // 0→5 fires, null→5 fires, 3 doesn't
+  }
+
+  // --------------------------------------------- fixture behavior pins
+
+  private lazy val allFired =
+    RuleCorpus.corpusFired(spark, TestSession.sf).cache()
+
+  test("state-change rules fire exactly on from→to transitions (KDJ)") {
+    val md = MartSeries.all("kdj")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy("bucket_ts")
+    val sigs = md.build(spark, TestSession.sf)
+      .withColumn("prev_sig", lag("kdj_sig", 1).over(w))
+      .select(col("symbol"), col("bucket_ts"), col("kdj_sig"), col("prev_sig"))
+    val firedKdj = allFired.filter(col("rule") === "KDJ金叉")
+      .select("symbol", "bucket_ts")
+    val joined = firedKdj.join(sigs, Seq("symbol", "bucket_ts")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("kdj_sig") === "金叉")
+      assert(Set("延续", "死叉", "J<0 极值", "J>100 极值")(
+        r.getAs[String]("prev_sig")))
+    }
+  }
+
+  test("cooldown output thins the corpus with strictly-greater gaps") {
+    val cooled = RuleCorpus.queries("g13_rules_cooldown")(spark, TestSession.sf)
+      .select("symbol", "rule", "bucket_ts")
+      .as[(String, String, Long)].collect()
+      .groupBy(t => (t._1, t._2))
+    val cds = AllRules.map(r => r.name -> r.cooldown).toMap
+    cooled.foreach { case ((_, rule), rows) =>
+      val ts = rows.map(_._3).sorted
+      ts.sliding(2).foreach {
+        case Array(a, b) => assert(b - a > cds(rule),
+          s"$rule emitted within cooldown: $a → $b (cd ${cds(rule)})")
+        case _ =>
+      }
+    }
+    assert(cooled.nonEmpty)
+  }
+
+  test("documented dead-vocabulary rules stay dead; their marts stay live") {
+    // ATR 波动分类: scanner vocabulary 升温/降温/稳定 (atr.py:38) vs the
+    // rules' 低/高波动 from-values — if someone "fixes" either side this
+    // pin fails loudly and the corpus-header doc must be updated with it
+    val atr = MartSeries.all("atr").build(spark, TestSession.sf)
+    val vocab = atr.select("cls").distinct().as[String].collect().toSet
+    assert(vocab.nonEmpty && vocab.subsetOf(Set("升温", "降温", "稳定")))
+    val deadFires = allFired
+      .filter(col("rule").isin("波动率突增", "波动率骤降", "流动性改善",
+        "流动性恶化", "主动买盘极端"))
+      .filter(col("mart").isin("ATR波幅扫描器", "流动性扫描器", "主动买卖比扫描器"))
+      .count()
+    assert(deadFires === 0)
+  }
+
+  test("live coverage: most categories fire on the fixture") {
+    val liveCats = allFired.select("category").distinct().as[String]
+      .collect().toSet
+    assert(Set("core", "momentum", "trend", "volatility", "volume",
+      "futures", "pattern", "misc").subsetOf(liveCats),
+      s"categories with zero fired rules: ${liveCats}")
+  }
+}
