@@ -1902,10 +1902,6 @@ object MartSeries {
           when(truthy(col("oiv")) && truthy(col("p_oiv")),
             nullif(col("oiv") - col("p_oiv"), lit(0.0)) / col("p_oiv")))
         .withColumn("rev", reverse(col("dl")))
-      def zOf(v: Column, arr: Column): Column = {
-        val m = fmean(arr); val sd = pstd(arr, m)
-        when(size(arr) >= 2, when(sd === 0.0, 0.0).otherwise((v - m) / sd))
-      }
       val s0 = element_at(filter(col("rev"), x => x =!= 0), 1)
       val breaks = filter(
         zip_with(col("rev"), sequence(lit(1), greatest(size(col("rev")), lit(1))),
@@ -1915,16 +1911,33 @@ object MartSeries {
           .otherwise(size(col("rev"))))
       val topDev = when(truthy(col("tlsr0")), abs(col("tlsr0") - 1))
       val takerDev = when(truthy(col("tlsvr0")), abs(col("tlsvr0") - 1))
-      val zDelta = when(col("ocp").isNotNull, zOf(col("ocp"), col("dps")))
-      val zTop = when(truthy(topDev), zOf(topDev, col("tds")))
-      val zTaker = when(truthy(takerDev), zOf(takerDev, col("kds")))
-      val risk = when(zDelta.isNotNull || zTop.isNotNull || zTaker.isNotNull,
-        coalesce(zDelta, lit(0.0)) + coalesce(zTop, lit(0.0)) +
-          coalesce(zTaker, lit(0.0)))
+      // STAGED stats columns (the t13 HOF-inlining lesson: a mean
+      // aggregate inlined inside a std lambda re-evaluates per element —
+      // O(n²) per row; as multi-use columns CollapseProject materializes
+      // each ONCE and the z-scores are plain arithmetic over them)
+      val c3 = c2
+        .withColumn("m_dps", when(size(col("dps")) > 0, fmean(col("dps"))))
+        .withColumn("sd_dps", when(size(col("dps")) >= 2, pstd(col("dps"), col("m_dps"))))
+        .withColumn("m_tds", when(size(col("tds")) > 0, fmean(col("tds"))))
+        .withColumn("sd_tds", when(size(col("tds")) >= 2, pstd(col("tds"), col("m_tds"))))
+        .withColumn("m_kds", when(size(col("kds")) > 0, fmean(col("kds"))))
+        .withColumn("sd_kds", when(size(col("kds")) >= 2, pstd(col("kds"), col("m_kds"))))
+      def zCol(v: Column, arr: String): Column =
+        when(size(col(arr)) >= 2,
+          when(col(s"sd_$arr") === 0.0, 0.0)
+            .otherwise((v - col(s"m_$arr")) / col(s"sd_$arr")))
+      val c4 = c3
+        .withColumn("z_delta", when(col("ocp").isNotNull, zCol(col("ocp"), "dps")))
+        .withColumn("z_top", when(truthy(topDev), zCol(topDev, "tds")))
+        .withColumn("z_taker", when(truthy(takerDev), zCol(takerDev, "kds")))
+      val risk = when(col("z_delta").isNotNull || col("z_top").isNotNull ||
+          col("z_taker").isNotNull,
+        coalesce(col("z_delta"), lit(0.0)) + coalesce(col("z_top"), lit(0.0)) +
+          coalesce(col("z_taker"), lit(0.0)))
       val oiZ = when(truthy(col("oiv")) && size(col("oivs")) >= 2,
         when(col("sd_oiv") === 0.0, 0.0)
           .otherwise((col("oiv") - col("m_oiv")) / col("sd_oiv")))
-      c2.select(col("symbol"), col("bucket_ts"),
+      c4.select(col("symbol"), col("bucket_ts"),
         q6(col("oiv")).as("turnover"),
         q6(col("tlsr0")).as("tlsr"), q6(col("tlsvr0")).as("tlsvr"),
         q6(when(truthy(col("tlsr0")) && truthy(col("lsr0")),
@@ -1988,16 +2001,28 @@ object MartSeries {
          |    CASE WHEN tlsr0 IS NOT NULL AND tlsr0 != 0.0 THEN abs(tlsr0 - 1) END AS top_dev,
          |    CASE WHEN tlsvr0 IS NOT NULL AND tlsvr0 != 0.0 THEN abs(tlsvr0 - 1) END AS taker_dev
          |  FROM fstat),
+         |fstat2b AS (
+         |  SELECT *,
+         |    CASE WHEN len(dps) > 0 THEN ${fmean("dps")} END AS m_dps,
+         |    CASE WHEN len(tds) > 0 THEN ${fmean("tds")} END AS m_tds,
+         |    CASE WHEN len(kds) > 0 THEN ${fmean("kds")} END AS m_kds
+         |  FROM fstat2),
+         |fstat2c AS (
+         |  SELECT *,
+         |    CASE WHEN len(dps) >= 2 THEN ${pstd("dps", "m_dps")} END AS sd_dps,
+         |    CASE WHEN len(tds) >= 2 THEN ${pstd("tds", "m_tds")} END AS sd_tds,
+         |    CASE WHEN len(kds) >= 2 THEN ${pstd("kds", "m_kds")} END AS sd_kds
+         |  FROM fstat2b),
          |fstat3 AS (
          |  SELECT *,
          |    (list_filter(rev, x -> x != 0))[1] AS s0,
          |    CASE WHEN ocp IS NOT NULL
-         |         THEN ${z("ocp", "dps", fmean("dps"), pstd("dps", fmean("dps")))} END AS z_delta,
+         |         THEN ${z("ocp", "dps", "m_dps", "sd_dps")} END AS z_delta,
          |    CASE WHEN top_dev IS NOT NULL AND top_dev != 0.0
-         |         THEN ${z("top_dev", "tds", fmean("tds"), pstd("tds", fmean("tds")))} END AS z_top,
+         |         THEN ${z("top_dev", "tds", "m_tds", "sd_tds")} END AS z_top,
          |    CASE WHEN taker_dev IS NOT NULL AND taker_dev != 0.0
-         |         THEN ${z("taker_dev", "kds", fmean("kds"), pstd("kds", fmean("kds")))} END AS z_taker
-         |  FROM fstat2),
+         |         THEN ${z("taker_dev", "kds", "m_kds", "sd_kds")} END AS z_taker
+         |  FROM fstat2c),
          |fstat4 AS (
          |  SELECT *,
          |    CASE WHEN s0 IS NULL THEN 0
