@@ -597,6 +597,22 @@ object RuleCorpus {
   val AllRules: Seq[CorpusRule] =
     VolumeRules ++ VolatilityRules ++ MiscRules ++ MomentumRules ++ TrendRules ++ FuturesRules ++ PatternRules ++ CoreRules
 
+  /** Republish a mart series under the VERBATIM reference table contract:
+    * the scanner's Chinese column names over the fixed
+    * `交易对, 周期, 数据时间` leading columns
+    * (indicators/base.py:64-75 via [[graft.operators.Mart.asMartRow]]) —
+    * what a reference user reads when they query the mart by name.
+    */
+  def martTable(s: SparkSession, dir: String, key: String,
+      interval: String = "1m"): DataFrame = {
+    val md = MartSeries.all(key)
+    val renamed = md.fields.foldLeft(
+      md.build(s, dir).withColumnRenamed("turnover", "成交额")) {
+      case (df, (ascii, zh)) => df.withColumnRenamed(ascii, zh)
+    }
+    graft.operators.Mart.asMartRow(renamed, interval)
+  }
+
   // ------------------------------------------------- corpus-wide views
 
   /** Whole-corpus evaluation, ONE window pass per mart TABLE (a table's

@@ -144,6 +144,24 @@ class RuleCorpusSpec extends AnyFunSuite {
     assert(deadFires === 0)
   }
 
+  test("mart republication carries the verbatim reference contract") {
+    val t = RuleCorpus.martTable(spark, TestSession.sf, "rsi")
+    assert(t.columns.take(3).toSeq === Seq("交易对", "周期", "数据时间"))
+    assert(Seq("RSI7", "RSI14", "RSI21", "RSI均值", "位置", "背离", "成交额")
+      .forall(t.columns.contains))
+    assert(t.count() > 0)
+  }
+
+  test("plan shape: a category evaluation joins nothing and never goes cartesian") {
+    // one symbol-partitioned window pass per mart table, unioned — rule
+    // count must scale expression work, not add joins or cartesians
+    val p = RuleCorpus.queries("g06_rules_momentum")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"unexpected join in the category plan:\n${p.take(1500)}")
+  }
+
   test("live coverage: most categories fire on the fixture") {
     val liveCats = allFired.select("category").distinct().as[String]
       .collect().toSet
