@@ -326,7 +326,11 @@ object MartSeries {
     key = "liq", table = "流动性扫描器",
     fields = Seq("liq_score" -> "流动性得分", "liq_level" -> "流动性等级"),
     build = (s, dir) => {
-      val lr = log(col("close") / nullif(lag("close", 1).over(bySym), lit(0.0)))
+      // guard non-positive arguments explicitly: Spark log(<=0) is NULL
+      // but DuckDB ln(0) ERRORS — and zero closes exist at sf0.1 (the
+      // round-3 zero-divisor lesson)
+      val pc = lag("close", 1).over(bySym)
+      val lr = when(col("close") > 0.0 && pc > 0.0, log(col("close") / pc))
       // collect_list skips the first-bar null return, so the frame can be
       // EMPTY/short before the warm-up filter prunes the row — guard the
       // fold denominators (the window computes for every row regardless
@@ -380,7 +384,8 @@ object MartSeries {
          |          list_filter(list(lr) OVER ($W ${fr(60)}), x -> x IS NOT NULL) AS frame
          |        FROM (
          |          SELECT symbol, bucket_ts, quote_volume, volume,
-         |            ln(close / nullif(lag(close) OVER ($W), 0.0)) AS lr
+         |            CASE WHEN close > 0.0 AND lag(close) OVER ($W) > 0.0
+         |                 THEN ln(close / (lag(close) OVER ($W))) END AS lr
          |          FROM candles))))
          |  WHERE rn >= 60)""".stripMargin
     })

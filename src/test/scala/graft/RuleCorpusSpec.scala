@@ -5,6 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.signals.{MartSeries, RuleCorpus}
 import graft.signals.RuleCorpus._
 
+/** Top-level row type for the streaming-parity MemoryStream (a nested
+  * class cannot be encoded).
+  */
+final case class CRow(symbol: String, bucket_ts: Long, open: Double,
+  high: Double, low: Double, close: Double, volume: Double,
+  quote_volume: Double, trade_count: Long, taker_buy_volume: Double)
+
 /** Pins for the full signal-rule corpus (rules/__init__.py `ALL_RULES`
   * ported verbatim — see RuleCorpus.scala's fidelity model).
   */
@@ -160,6 +167,66 @@ class RuleCorpusSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"unexpected join in the category plan:\n${p.take(1500)}")
+  }
+
+  // ------------------------------------------------- streaming parity
+
+  test("streaming MACD rule battery == batch corpus across micro-batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Tables.candles(s, TestSession.sf)
+      .select("symbol", "bucket_ts", "open", "high", "low", "close",
+        "volume", "quote_volume", "trade_count", "taker_buy_volume")
+      .as[CRow].collect().sortBy(_.bucket_ts)
+    val third = rows.length / 3
+    val chunks = Seq(rows.take(third), rows.slice(third, 2 * third),
+      rows.drop(2 * third))
+    val input = MemoryStream[CRow](implicitly[org.apache.spark.sql.Encoder[CRow]], s)
+    val q = graft.streaming.RuleStream.macdRuleStream(input.toDF())
+      .writeStream.format("memory").queryName("mrs").outputMode("append").start()
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = s.table("mrs").select("symbol", "bucket_ts", "rule")
+        .as[(String, Long, String)].collect().toSet
+      val want = allFired.filter(col("mart") === "MACD柱状扫描器")
+        .select("symbol", "bucket_ts", "rule")
+        .as[(String, Long, String)].collect().toSet
+      assert(got.nonEmpty)
+      assert(got === want,
+        s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming per-rule cooldown == the batch greedy scan") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val firedRows = allFired.filter(col("mart") === "MACD柱状扫描器")
+      .as[RuleCorpus.Fired9].collect().sortBy(f => (f.bucket_ts, f.mart))
+    val half = firedRows.length / 2
+    val input = MemoryStream[RuleCorpus.Fired9](
+      implicitly[org.apache.spark.sql.Encoder[RuleCorpus.Fired9]], s)
+    val q = graft.streaming.RuleStream.corpusCooldownStream(input.toDF())
+      .writeStream.format("memory").queryName("mcs").outputMode("append").start()
+    try {
+      input.addData(firedRows.take(half).toSeq); q.processAllAvailable()
+      input.addData(firedRows.drop(half).toSeq); q.processAllAvailable()
+      val got = s.table("mcs").select("symbol", "bucket_ts", "rule")
+        .as[(String, Long, String)].collect().toSet
+      val cds = AllRules.map(r => r.name -> r.cooldown).toMap
+      val want = firedRows.groupBy(f => (f.symbol, f.rule)).toSeq.flatMap {
+        case ((_, rule), fs) =>
+          val cd = cds(rule)
+          var last = Long.MinValue
+          fs.sortBy(f => (f.bucket_ts, f.mart)).flatMap { f =>
+            if (last == Long.MinValue || f.bucket_ts > last + cd) {
+              last = f.bucket_ts; Some((f.symbol, f.bucket_ts, f.rule))
+            } else None
+          }
+      }.toSet
+      assert(got.nonEmpty && got === want)
+    } finally q.stop()
   }
 
   test("live coverage: most categories fire on the fixture") {
