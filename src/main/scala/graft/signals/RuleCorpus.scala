@@ -199,14 +199,25 @@ object RuleCorpus {
   /** Assemble a category's oracle: candles (+metrics/series preludes as
     * needed) + the category's mart CTEs + eval CTEs + one branch per rule.
     */
+  /** Force MATERIALIZED on every generated CTE header (recursive CTEs
+    * excepted — they cannot be): DuckDB inlines plain CTEs per REFERENCE
+    * (the t16 lesson), and the corpus oracle references the shared
+    * `series` lists from ~17 mart CTEs — inlined, the per-symbol O(n²)
+    * fold work multiplies by the reference count and the sf0.1 oracle
+    * never finishes.
+    */
+  private def materialize(ctes: String): String =
+    ctes.replaceAll("(?m)^(\\s*)(\\w+) AS \\(", "$1$2 AS MATERIALIZED (")
+      .replaceAll("(\\w*_rec) AS MATERIALIZED \\(", "$1 AS (")
+
   def categoryOracle(cat: String): String = {
     val byTable = rulesFor(cat).groupBy(_.tableKey).toSeq.sortBy(_._1)
     val defs = byTable.map { case (tk, _) => MartSeries.all(tk) }
     val preludes =
       (if (defs.exists(_.needsMetrics)) Seq(Oracle.METRICS) else Nil) ++
       (if (defs.exists(_.needsSeries)) Seq(MartSeries.SeriesCte) else Nil)
-    val ctes = (preludes ++ defs.map(_.sqlCte) ++ defs.map(evalCte))
-      .mkString(",\n")
+    val ctes = materialize((preludes ++ defs.map(_.sqlCte) ++ defs.map(evalCte))
+      .mkString(",\n"))
     val branches = byTable.flatMap { case (tk, rs) =>
       rs.map(r => branch(MartSeries.all(tk), r))
     }.mkString("\nUNION ALL\n")
@@ -688,8 +699,8 @@ object RuleCorpus {
     val preludes =
       (if (defs.exists(_.needsMetrics)) Seq(Oracle.METRICS) else Nil) ++
       (if (defs.exists(_.needsSeries)) Seq(MartSeries.SeriesCte) else Nil)
-    val ctes = (preludes ++ defs.map(_.sqlCte) ++ defs.map(evalCte))
-      .mkString(",\n")
+    val ctes = materialize((preludes ++ defs.map(_.sqlCte) ++ defs.map(evalCte))
+      .mkString(",\n"))
     val branches = byTable.flatMap { case (tk, rs) =>
       rs.map { r =>
         val b = branch(MartSeries.all(tk), r)
