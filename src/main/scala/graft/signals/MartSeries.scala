@@ -58,11 +58,20 @@ object MartSeries {
     key: String,
     table: String,
     fields: Seq[(String, String)],
-    build: (SparkSession, String) => DataFrame,
+    buildFrom: (SparkSession, String, DataFrame) => DataFrame,
     sqlCte: String,
     needsSeries: Boolean = false,
     needsMetrics: Boolean = false,
-    needsRecursive: Boolean = false)
+    needsRecursive: Boolean = false) {
+    /** Build over the native 1m candle fact. The `cframe` indirection is
+      * the timeframe dimension: pass any interval's roll-up
+      * ([[graft.operators.Rollup.rollup]]) and the series replays the
+      * scanner at that cadence — the engine's per-timeframe polls
+      * (sqlite_engine.py:224-231).
+      */
+    def build(s: SparkSession, dir: String): DataFrame =
+      buildFrom(s, dir, Tables.candles(s, dir))
+  }
 
   // ------------------------------------------------------------ helpers
 
@@ -77,7 +86,6 @@ object MartSeries {
   private[signals] def q6s(e: String): String =
     s"floor(($e) * 1e6 + 0.5) / 1e6"
 
-  private def candles(s: SparkSession, dir: String) = Tables.candles(s, dir)
 
   // DuckDB prefix-fold helpers (the Ewma-pack oracle idiom:
   // indicators/Ewma.scala — list_reduce folds in graft.Series.ewma's op
@@ -123,8 +131,8 @@ object MartSeries {
   private val macd = MartDef(
     key = "macd", table = "MACD柱状扫描器",
     fields = Seq("dif" -> "DIF", "dea" -> "DEA", "hist" -> "MACD柱状图"),
-    build = (s, dir) => {
-      val c = candles(s, dir)
+    buildFrom = (s, dir, cframe) => {
+      val c = cframe
         .withColumn("dif",
           ewma(s, col("close"), 2.0 / 13.0).over(run) -
             ewma(s, col("close"), 2.0 / 27.0).over(run))
@@ -158,8 +166,8 @@ object MartSeries {
   private val obv = MartDef(
     key = "obv", table = "OBV能量潮扫描器",
     fields = Seq("obv" -> "OBV值", "rate" -> "OBV变化率"),
-    build = (s, dir) =>
-      candles(s, dir)
+    buildFrom = (s, dir, cframe) =>
+      cframe
         .withColumn("d",
           coalesce(signum(col("close") - lag("close", 1).over(bySym)), lit(0.0)))
         .withColumn("obv", sum(col("d") * col("volume")).over(run))
@@ -196,8 +204,8 @@ object MartSeries {
   private val cvd = MartDef(
     key = "cvd", table = "CVD信号排行榜",
     fields = Seq("cvd" -> "CVD值", "rate" -> "变化率"),
-    build = (s, dir) =>
-      candles(s, dir)
+    buildFrom = (s, dir, cframe) =>
+      cframe
         .withColumn("cvd",
           sum(lit(2.0) * col("taker_buy_volume") - col("volume")).over(run))
         .withColumn("rn", row_number().over(bySym))
@@ -238,8 +246,8 @@ object MartSeries {
   private val volratio = MartDef(
     key = "volratio", table = "成交量比率扫描器",
     fields = Seq("vr" -> "量比"),
-    build = (s, dir) =>
-      candles(s, dir)
+    buildFrom = (s, dir, cframe) =>
+      cframe
         .withColumn("vma", avg(col("volume")).over(lastN(20)))
         .withColumn("rn", row_number().over(bySym))
         .filter(col("rn") >= 25)
@@ -266,8 +274,8 @@ object MartSeries {
   private val taker = MartDef(
     key = "taker", table = "主动买卖比扫描器",
     fields = Seq("bsr" -> "主动买卖比"),
-    build = (s, dir) =>
-      candles(s, dir)
+    buildFrom = (s, dir, cframe) =>
+      cframe
         .filter(col("volume") > 0.0)
         .select(col("symbol"), col("bucket_ts"),
           q6(col("quote_volume")).as("turnover"),
@@ -290,8 +298,8 @@ object MartSeries {
     key = "base", table = "基础数据同步器",
     fields = Seq("amp" -> "振幅", "chg" -> "变化率",
       "bsr" -> "主动买卖比", "flow" -> "资金流向"),
-    build = (s, dir) =>
-      candles(s, dir)
+    buildFrom = (s, dir, cframe) =>
+      cframe
         .select(col("symbol"), col("bucket_ts"),
           q6(col("quote_volume")).as("turnover"),
           q6(when(col("low") =!= 0.0,
@@ -325,7 +333,7 @@ object MartSeries {
   private val liquidity = MartDef(
     key = "liq", table = "流动性扫描器",
     fields = Seq("liq_score" -> "流动性得分", "liq_level" -> "流动性等级"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       // guard non-positive arguments explicitly: Spark log(<=0) is NULL
       // but DuckDB ln(0) ERRORS — and zero closes exist at sf0.1 (the
       // round-3 zero-divisor lesson)
@@ -335,7 +343,7 @@ object MartSeries {
       // EMPTY/short before the warm-up filter prunes the row — guard the
       // fold denominators (the window computes for every row regardless
       // of the later rn filter).
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("lr", lr)
         .withColumn("frame", collect_list(col("lr")).over(lastN(60)))
         .withColumn("m",
@@ -399,9 +407,9 @@ object MartSeries {
   private val scalping = MartDef(
     key = "scalp", table = "剥头皮信号扫描器",
     fields = Seq("scalp_sig" -> "剥头皮信号", "rsi" -> "RSI"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val d = col("close") - lag("close", 1).over(bySym)
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("g", when(d > 0.0, d).otherwise(0.0))
         .withColumn("l", when(d < 0.0, -d).otherwise(0.0))
       val c2 = c
@@ -462,9 +470,9 @@ object MartSeries {
     key = "boll", table = "布林带扫描器",
     fields = Seq("price" -> "价格", "bup" -> "上轨价格", "blo" -> "下轨价格",
       "bw" -> "带宽", "pctb" -> "百分比b"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       import graft.indicators.Windows.{meanOf, stdOf}
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("frame", collect_list(col("close")).over(lastN(20)))
         .withColumn("m", meanOf(col("frame")))
         .withColumn("sd", stdOf(col("frame"), col("m"), 1))
@@ -510,9 +518,9 @@ object MartSeries {
   private val atr = MartDef(
     key = "atr", table = "ATR波幅扫描器",
     fields = Seq("cls" -> "波动分类", "atrp" -> "ATR百分比"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       import graft.indicators.Windows.trueRange
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("tr", trueRange(col("high"), col("low"), col("close")))
       val c2 = c.withColumn("atr", ewma(s, col("tr"), 1.0 / 14.0).over(run))
         .withColumn("af", sort_array(collect_list(col("atr")).over(lastN(30))))
@@ -556,8 +564,8 @@ object MartSeries {
   private val donchian = MartDef(
     key = "donch", table = "Donchian",
     fields = Seq("price" -> "当前价格", "dup" -> "上轨", "dlo" -> "下轨"),
-    build = (s, dir) =>
-      candles(s, dir)
+    buildFrom = (s, dir, cframe) =>
+      cframe
         .withColumn("u", max(col("high")).over(lastN(20)))
         .withColumn("l", min(col("low")).over(lastN(20)))
         .withColumn("rn", row_number().over(bySym))
@@ -584,9 +592,9 @@ object MartSeries {
   private val keltner = MartDef(
     key = "kelt", table = "Keltner",
     fields = Seq("price" -> "当前价格", "kup" -> "上轨", "klo" -> "下轨"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       import graft.indicators.Windows.trueRange
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("tr", trueRange(col("high"), col("low"), col("close")))
       c.withColumn("mid", ewma(s, col("close"), 2.0 / 21.0).over(run))
         .withColumn("a", ewma(s, col("tr"), 1.0 / 10.0).over(run))
@@ -625,8 +633,8 @@ object MartSeries {
     key = "sr", table = "全量支撑阻力扫描器",
     fields = Seq("sup" -> "支撑位", "res" -> "阻力位",
       "ds" -> "距支撑百分比", "dr" -> "距阻力百分比"),
-    build = (s, dir) =>
-      candles(s, dir)
+    buildFrom = (s, dir, cframe) =>
+      cframe
         .withColumn("sup0", min(col("low")).over(lastN(20)))
         .withColumn("res0", max(col("high")).over(lastN(20)))
         .withColumn("rn", row_number().over(bySym))
@@ -664,10 +672,10 @@ object MartSeries {
   private val vwap = MartDef(
     key = "vwap", table = "VWAP离线信号扫描",
     fields = Seq("devp" -> "偏离百分比"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val vp = when(col("volume") === 0.0, 1e-9).otherwise(col("volume"))
       val tp = (col("high") + col("low") + col("close")) / 3
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("vv", vp)
         .withColumn("vwap0",
           sum(tp * col("vv")).over(lastN(300)) /
@@ -709,9 +717,9 @@ object MartSeries {
   private val cci = MartDef(
     key = "cci", table = "CCI",
     fields = Seq("cci" -> "CCI"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       import graft.indicators.Windows.{madOf, meanOf}
-      candles(s, dir)
+      cframe
         .withColumn("tp", (col("high") + col("low") + col("close")) / 3)
         .withColumn("frame", collect_list(col("tp")).over(lastN(20)))
         .withColumn("ma", meanOf(col("frame")))
@@ -748,8 +756,8 @@ object MartSeries {
   private val wr = MartDef(
     key = "wr", table = "WilliamsR",
     fields = Seq("wr" -> "WilliamsR"),
-    build = (s, dir) =>
-      candles(s, dir)
+    buildFrom = (s, dir, cframe) =>
+      cframe
         .withColumn("hh", max(col("high")).over(lastN(14)))
         .withColumn("ll", min(col("low")).over(lastN(14)))
         .withColumn("rn", row_number().over(bySym))
@@ -777,9 +785,9 @@ object MartSeries {
   private val mfi = MartDef(
     key = "mfi", table = "MFI资金流量扫描器",
     fields = Seq("mfi" -> "MFI值"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val tp = (col("high") + col("low") + col("close")) / 3
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("tp", tp)
         .withColumn("mf", col("tp") * col("volume"))
         .withColumn("d", signum(col("tp") - lag("tp", 1).over(bySym)))
@@ -817,10 +825,10 @@ object MartSeries {
   private val adx = MartDef(
     key = "adx", table = "ADX",
     fields = Seq("adx" -> "ADX"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val ph = lag("high", 1).over(bySym); val plo = lag("low", 1).over(bySym)
       val pc = lag("close", 1).over(bySym)
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("tr0", when(ph.isNull, 0.0).otherwise(
           greatest(col("high") - col("low"), abs(col("high") - pc),
             abs(col("low") - pc))))
@@ -891,9 +899,9 @@ object MartSeries {
   private val harmonic = MartDef(
     key = "harm", table = "谐波信号扫描器",
     fields = Seq("harm" -> "谐波值"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val tp = (col("high") + col("low") + col("close")) / 3
-      val c0 = candles(s, dir).withColumn("tp", tp)
+      val c0 = cframe.withColumn("tp", tp)
         .withColumn("dtp", col("tp") - lag("tp", 1).over(bySym))
         .withColumn("g", when(col("dtp") > 0, col("dtp")).otherwise(0.0))
         .withColumn("l", when(col("dtp") < 0, -col("dtp")).otherwise(0.0))
@@ -954,9 +962,9 @@ object MartSeries {
   private val kdj = MartDef(
     key = "kdj", table = "KDJ随机指标扫描器",
     fields = Seq("k" -> "K值", "d" -> "D值", "j" -> "J值", "kdj_sig" -> "信号概述"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val h9 = max(col("high")).over(lastN(9)); val l9 = min(col("low")).over(lastN(9))
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("nb", count(lit(1)).over(lastN(9)))
         .withColumn("rsv",
           when(col("nb") === 9,
@@ -1029,9 +1037,9 @@ object MartSeries {
     key = "rsi", table = "智能RSI扫描器",
     fields = Seq("rsi7" -> "RSI7", "rsi14" -> "RSI14", "rsi21" -> "RSI21",
       "rsi_avg" -> "RSI均值", "pos" -> "位置", "dvg" -> "背离"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val d = col("close") - lag("close", 1).over(bySym)
-      val c0 = candles(s, dir)
+      val c0 = cframe
         .withColumn("g", when(d > 0.0, d).otherwise(when(d.isNull, d).otherwise(0.0)))
         .withColumn("l", when(d < 0.0, -d).otherwise(when(d.isNull, d).otherwise(0.0)))
       val c1 = Seq(7, 14, 21).foldLeft(c0) { (df, k) =>
@@ -1147,11 +1155,11 @@ object MartSeries {
     * symbol — the Spark form for true recurrences (ratchets, line
     * validity scans) that window functions cannot express.
     */
-  private def mapSeriesAll(s: SparkSession, dir: String)(
+  private def mapSeriesAll(s: SparkSession, frame: DataFrame)(
       fn: Array[graft.indicators.Series.Bar] => Iterator[MartRow]): DataFrame = {
     import graft.indicators.Series
     import s.implicits._
-    Tables.candles(s, dir)
+    frame
       .select(col("symbol"), col("bucket_ts"), col("open"), col("high"),
         col("low"), col("close"), col("volume"), col("quote_volume"),
         col("taker_buy_volume"))
@@ -1178,7 +1186,7 @@ object MartSeries {
   private val strend = MartDef(
     key = "strend", table = "SuperTrend",
     fields = Seq("sdir" -> "方向"),
-    build = (s, dir) => mapSeriesAll(s, dir) { bars =>
+    buildFrom = (s, dir, cframe) => mapSeriesAll(s, cframe) { bars =>
       import graft.indicators.Series.{ewma => sewma, trueRanges}
       val n = bars.length
       if (n < 10) Iterator.empty
@@ -1267,7 +1275,7 @@ object MartSeries {
   private val tline = MartDef(
     key = "tline", table = "趋势线榜单",
     fields = Seq("tldir" -> "趋势方向", "tldist" -> "距离趋势线%"),
-    build = (s, dir) => mapSeriesAll(s, dir) { bars =>
+    buildFrom = (s, dir, cframe) => mapSeriesAll(s, cframe) { bars =>
       val n = bars.length
       if (n < 35) Iterator.empty
       else {
@@ -1421,8 +1429,8 @@ object MartSeries {
   private val precise = MartDef(
     key = "precise", table = "超级精准趋势扫描器",
     fields = Seq("tdir" -> "趋势方向", "tstr" -> "趋势强度"),
-    build = (s, dir) => {
-      val c = zlCols(s, candles(s, dir))
+    buildFrom = (s, dir, cframe) => {
+      val c = zlCols(s, cframe)
         .withColumn("up", col("basis") + col("band"))
         .withColumn("dn", col("basis") - col("band"))
         .withColumn("pc", lag("close", 1).over(bySym))
@@ -1478,8 +1486,8 @@ object MartSeries {
   private val zl = MartDef(
     key = "zl", table = "零延迟趋势扫描器",
     fields = Seq("zdir" -> "方向"),
-    build = (s, dir) => {
-      val c = zlCols(s, candles(s, dir))
+    buildFrom = (s, dir, cframe) => {
+      val c = zlCols(s, cframe)
         .withColumn("ev",
           when(col("basis").isNotNull && col("close") > col("basis") + col("band"), 1)
           .when(col("basis").isNotNull && col("close") < col("basis") - col("band"), -1))
@@ -1519,10 +1527,10 @@ object MartSeries {
   private val ichi = MartDef(
     key = "ichi", table = "Ichimoku",
     fields = Seq("isig" -> "信号", "istr" -> "强度"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       def mid(k: Int) = (max(col("high")).over(lastN(k)) +
         min(col("low")).over(lastN(k))) / 2
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("tk", mid(9)).withColumn("kj", mid(26))
         .withColumn("sb0", mid(52))
         .withColumn("rn", row_number().over(bySym))
@@ -1575,8 +1583,8 @@ object MartSeries {
   private val cloud = MartDef(
     key = "cloud", table = "趋势云反转扫描器",
     fields = Seq("cdir" -> "方向", "shape" -> "形态"),
-    build = (s, dir) => {
-      val c0 = candles(s, dir)
+    buildFrom = (s, dir, cframe) => {
+      val c0 = cframe
         .withColumn("rn", row_number().over(bySym))
         .withColumn("sma20", avg(col("close")).over(lastN(20)))
         .withColumn("sin",
@@ -1648,9 +1656,9 @@ object MartSeries {
   private val ha = MartDef(
     key = "ha", table = "多空信号扫描器",
     fields = Seq("hdir" -> "方向", "hstr" -> "强度"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val a1 = 2.0 / 11.0
-      val c0 = candles(s, dir)
+      val c0 = cframe
         .withColumn("os", ewma(s, col("open"), a1).over(run))
         .withColumn("hs", ewma(s, col("high"), a1).over(run))
         .withColumn("ls", ewma(s, col("low"), a1).over(run))
@@ -1725,9 +1733,9 @@ object MartSeries {
   private val volsig = MartDef(
     key = "volsig", table = "量能信号扫描器",
     fields = Seq("vdir" -> "方向", "vbull" -> "多头比例", "vbear" -> "空头比例"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val periods = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18, 20)
-      val c0 = periods.foldLeft(candles(s, dir)) { (df, k) =>
+      val c0 = periods.foldLeft(cframe) { (df, k) =>
         df.withColumn(s"ma$k", ewma(s, col("close"), 2.0 / (k + 1.0)).over(run))
       }
       val c1 = periods.foldLeft(c0) { (df, k) =>
@@ -1788,8 +1796,8 @@ object MartSeries {
   private val gc = MartDef(
     key = "gc", table = "G，C点扫描器",
     fields = Seq("gdir" -> "趋势方向", "gscore" -> "带宽评分"),
-    build = (s, dir) => {
-      val c = candles(s, dir)
+    buildFrom = (s, dir, cframe) => {
+      val c = cframe
         .withColumn("e7", ewma(s, col("close"), 2.0 / 8.0).over(run))
         .withColumn("e25", ewma(s, col("close"), 2.0 / 26.0).over(run))
         .withColumn("e99", ewma(s, col("close"), 2.0 / 100.0).over(run))
@@ -1860,7 +1868,7 @@ object MartSeries {
     fields = Seq("tlsr" -> "大户多空比", "tlsvr" -> "主动成交多空比",
       "bias" -> "情绪差值", "oi_z" -> "持仓Z分数", "risk" -> "风险分",
       "streak" -> "OI连续根数", "flip" -> "情绪翻转信号"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val wSym = Window.partitionBy("symbol").orderBy("bucket_ts")
       val wRun = wSym.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       def truthy(c: Column) = c.isNotNull && c =!= 0.0
@@ -2074,10 +2082,10 @@ object MartSeries {
   private val kpat = MartDef(
     key = "kpat", table = "K线形态扫描器",
     fields = Seq("ptype" -> "形态类型", "pstr" -> "强度"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       import graft.indicators.{KRules, Windows}
       import Windows.{bySymbol, lag1, lagN, meanOf}
-      val daily = graft.operators.Rollup.rollup(candles(s, dir), 86400L)
+      val daily = graft.operators.Rollup.rollup(cframe, 86400L)
         .withColumn("po", lag1(col("open"))).withColumn("pc", lag1(col("close")))
         .withColumn("ph", lag1(col("high"))).withColumn("pl", lag1(col("low")))
         .withColumn("o2", lagN(col("open"), 2)).withColumn("c2", lagN(col("close"), 2))
@@ -2228,9 +2236,9 @@ object MartSeries {
   private val smc = MartDef(
     key = "smc", table = "大资金操盘扫描器",
     fields = Seq("event" -> "结构事件", "bias_d" -> "偏向", "score" -> "评分"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       val wc = bySym.rowsBetween(-5, 5)
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("nb11", count(lit(1)).over(wc))
         .withColumn("isph", col("nb11") === 11 && col("high") === max(col("high")).over(wc))
         .withColumn("ispl", col("nb11") === 11 && col("low") === min(col("low")).over(wc))
@@ -2301,10 +2309,10 @@ object MartSeries {
   private val fib = MartDef(
     key = "fib", table = "量能斐波狙击扫描器",
     fields = Seq("fdir" -> "方向", "fzone" -> "价格区域"),
-    build = (s, dir) => {
+    buildFrom = (s, dir, cframe) => {
       import graft.indicators.Windows.{meanOf, stdOf}
       val hlc3 = (col("high") + col("low") + col("close")) / 3
-      val c = candles(s, dir)
+      val c = cframe
         .withColumn("src", hlc3)
         .withColumn("basis",
           sum(col("src") * col("volume")).over(lastN(20)) /
@@ -2358,8 +2366,8 @@ object MartSeries {
   private val vpvr = MartDef(
     key = "vpvr", table = "VPVR排行生成器",
     fields = Seq("vpos" -> "价值区位置", "poc" -> "控制点价格"),
-    build = (s, dir) => {
-      val c = candles(s, dir)
+    buildFrom = (s, dir, cframe) => {
+      val c = cframe
         .withColumn("cf", collect_list(struct(col("close").as("p"),
           col("volume").as("v"))).over(lastN(60)))
         .withColumn("rn", row_number().over(bySym))

@@ -172,6 +172,24 @@ object RuleCorpus {
     }.reduce(_.unionByName(_))
   }
 
+  /** Category evaluation at a ROLLED-UP cadence — the engine's
+    * per-timeframe polls (rules carry timeframes 1h/4h/1d;
+    * sqlite_engine.py:224-231 evaluates each): the mart series replay the
+    * scanners over `Rollup.rollup(candles, seconds)` bars instead of the
+    * native 1m fact. Warm-ups count BARS, so a 1h evaluation needs the
+    * same 35 bars of (now hourly) history — exactly how the reference's
+    * scanners treat interval-rolled frames.
+    */
+  def categoryQueryAt(cat: String, seconds: Long): Q = (s, dir) => {
+    val rolled = graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
+    val byTable = rulesFor(cat).groupBy(_.tableKey).toSeq.sortBy(_._1)
+    byTable.map { case (tk, rs) =>
+      val md = MartSeries.all(tk)
+      fired(evalFrame(md.buildFrom(s, dir, rolled), md.fields.map(_._1)),
+        md.table, rs)
+    }.reduce(_.unionByName(_))
+  }
+
   // ----------------------------------------------------------- oracle
 
   private def evalCte(md: MartSeries.MartDef): String = {
@@ -223,6 +241,26 @@ object RuleCorpus {
     }.mkString("\nUNION ALL\n")
     val recur = if (defs.exists(_.needsRecursive)) "RECURSIVE " else ""
     s"WITH $recur${Oracle.CANDLES},\n$ctes\n$branches"
+  }
+
+  /** [[categoryOracle]] over the rolled cadence: the 1m candle CTE is
+    * renamed and a MATERIALIZED `candles` roll-up at `seconds` replaces
+    * it, so every mart CTE reads the rolled bars unchanged.
+    */
+  def categoryOracleAt(cat: String, seconds: Long): String = {
+    val base = categoryOracle(cat)
+    val prelude = Oracle.CANDLES
+    val rolled =
+      s"""${prelude.replace("candles AS (", "candles_1m AS (")},
+         |candles AS MATERIALIZED (
+         |  SELECT symbol, bucket_ts // $seconds * $seconds AS bucket_ts,
+         |         min_by(open, bucket_ts) AS open, max(high) AS high,
+         |         min(low) AS low, max_by(close, bucket_ts) AS close,
+         |         sum(volume) AS volume, sum(quote_volume) AS quote_volume,
+         |         CAST(sum(trade_count) AS BIGINT) AS trade_count,
+         |         sum(taker_buy_volume) AS taker_buy_volume
+         |  FROM candles_1m GROUP BY 1, 2)""".stripMargin
+    base.replace(prelude, rolled)
   }
 
   // -------------------------------------------------------- rule data
@@ -755,6 +793,7 @@ object RuleCorpus {
     "g10_rules_futures" -> categoryQuery("futures"),
     "g11_rules_pattern" -> categoryQuery("pattern"),
     "g05_rules_core" -> categoryQuery("core"),
+    "g15_rules_volume_1h" -> categoryQueryAt("volume", 3600L),
     "g13_rules_cooldown" -> corpusCooldown,
     "g14_rules_summary" -> corpusSummary)
 
@@ -767,6 +806,7 @@ object RuleCorpus {
     "g10_rules_futures" -> categoryOracle("futures"),
     "g11_rules_pattern" -> categoryOracle("pattern"),
     "g05_rules_core" -> categoryOracle("core"),
+    "g15_rules_volume_1h" -> categoryOracleAt("volume", 3600L),
     "g13_rules_cooldown" -> cooldownOracle,
     "g14_rules_summary" -> summaryOracle)
 }
