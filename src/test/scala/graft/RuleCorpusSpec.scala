@@ -52,6 +52,65 @@ class RuleCorpusSpec extends AnyFunSuite {
     AllRules.foreach { r => expr(fullCond(r)) } // throws on parse failure
   }
 
+  test("rule-by-rule fidelity against the extracted reference metadata") {
+    // src/test/resources/reference_rules.json is the mechanical dump of
+    // signal-service/src/rules/** (SignalRule fields incl. condition
+    // configs, lambdas elided) — every ported rule must match on every
+    // metadata axis
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/reference_rules.json"), "UTF-8").mkString
+    // minimal JSON read via Spark (no extra deps)
+    val refRows = spark.read.option("multiLine", true)
+      .json(spark.createDataset(Seq(raw))).collect()
+    assert(refRows.length === 129)
+    val mine = AllRules.map(r => ((r.name, r.category), r)).toMap
+    refRows.foreach { row =>
+      val key = (row.getAs[String]("name"), row.getAs[String]("category"))
+      val m = mine.get(key)
+      assert(m.isDefined, s"reference rule not ported: $key")
+      val r = m.get
+      assert(MartSeries.all(r.tableKey).table ===
+        row.getAs[String]("table").stripSuffix(".py"), key)
+      assert(r.subcategory === row.getAs[String]("subcategory"), key)
+      assert(r.direction === row.getAs[String]("direction"), key)
+      assert(r.strength === row.getAs[Long]("strength").toInt, key)
+      assert(r.priority === row.getAs[String]("priority"), key)
+      assert(r.cooldown === row.getAs[Long]("cooldown"), key)
+      def num(a: Any): Double = a match {
+        case l: java.lang.Long => l.toDouble
+        case d: java.lang.Double => d
+        case x => x.toString.toDouble
+      }
+      assert(r.minVolume === num(row.get(row.fieldIndex("min_volume"))), key)
+      assert(r.timeframes === row.getSeq[String](row.fieldIndex("timeframes")).toSeq, key)
+      val refCt = row.getAs[String]("ctype")
+      val myCt = r.cond match {
+        case _: StateChange => "state_change"
+        case _: ThresholdCrossUp => "cross_up"
+        case _: ThresholdCrossDown => "cross_down"
+        case _: LineCrossUp => "line_cross_up"
+        case _: LineCrossDown => "line_cross_down"
+        case _: ContainsAny => "contains"
+        case _: RangeEnter => "range_enter"
+        case _: RangeExit => "range_exit"
+        case _: Custom => "custom"
+      }
+      assert(myCt === refCt, key)
+      (r.cond, Option(row.getAs[org.apache.spark.sql.Row]("config"))) match {
+        case (StateChange(_, from, to), Some(cfg)) =>
+          assert(from === cfg.getSeq[String](cfg.fieldIndex("from_values")).toSeq, key)
+          assert(to === cfg.getSeq[String](cfg.fieldIndex("to_values")).toSeq, key)
+        case (ThresholdCrossUp(_, t), Some(cfg)) =>
+          assert(t === num(cfg.get(cfg.fieldIndex("threshold"))), key)
+        case (ThresholdCrossDown(_, t), Some(cfg)) =>
+          assert(t === num(cfg.get(cfg.fieldIndex("threshold"))), key)
+        case (ContainsAny(_, ps), Some(cfg)) =>
+          assert(ps === cfg.getSeq[String](cfg.fieldIndex("patterns")).toSeq, key)
+        case _ => ()
+      }
+    }
+  }
+
   // ----------------------------------------- unit semantics (synthetic)
 
   /** A tiny controlled mart: one field `v`, turnover column. */
