@@ -662,6 +662,136 @@ object RuleCorpus {
     graft.operators.Mart.asMartRow(renamed, interval)
   }
 
+  // --------------------------------------------------- signal messages
+
+  /** Message templates + field maps, read from the extracted reference
+    * metadata (src/main/resources/reference_rules.json — the mechanical
+    * dump RuleCorpusSpec audits the corpus against). Keyed (name,
+    * category); values (message_template, argName → Chinese mart field).
+    */
+  private lazy val msgData: Map[(String, String), (String, Map[String, String])] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(getClass.getResourceAsStream("/reference_rules.json"))
+    (0 until root.size).map { i =>
+      val n = root.get(i)
+      val fields = {
+        val it = n.get("fields").properties().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }
+      ((n.get("name").asText(), n.get("category").asText()),
+        (n.get("template").asText(), fields))
+    }.toMap
+  }
+
+  private val IntFields = Set("streak")
+
+  /** Shared-dialect SQL for a rule's formatted message
+    * (rules/base.py:150-161 `format_message`): template placeholders
+    * `{arg:spec}` resolve through the rule's fields map to the mart's
+    * eval columns; numeric args coerce null/0 like Python's
+    * `curr.get(f, 0) or 0` and PRE-ROUND to the spec's precision before
+    * printf so half-boundary formatting can't diverge across engines.
+    * Policies (documented deviations): spec-less doubles render %.2f
+    * (Python renders str(float)); a template whose args don't all
+    * resolve renders as the RAW template — exactly the reference's
+    * KeyError fallback (base.py:159-161; e.g. 放量上涨's {ratio} is
+    * missing from its own fields map), and also our fallback for
+    * message-only mart columns the engine doesn't carry (dead-rule
+    * tables only).
+    */
+  def messageSql(r: CorpusRule): String = {
+    val md = MartSeries.all(r.tableKey)
+    val ascii = md.fields.map { case (a, zh) => zh -> a }.toMap + ("成交额" -> "turnover")
+    val (template, fmap) = msgData((r.name, r.category))
+    def lit(t: String) = "'" + t.replace("'", "''") + "'"
+    if (template.isEmpty) return lit("")
+    val ph = java.util.regex.Pattern.compile("\\{(\\w+)(?::([^}]*))?\\}")
+    val m = ph.matcher(template)
+    val parts = Seq.newBuilder[String]
+    var last = 0
+    var ok = true
+    while (m.find()) {
+      if (m.start() > last) parts += lit(template.substring(last, m.start()))
+      val arg = m.group(1); val spec = Option(m.group(2)).getOrElse("")
+      (fmap.get(arg).flatMap(ascii.get) match {
+        case None => ok = false; None
+        case Some(f) => Some(f)
+      }).foreach { f =>
+        val dec = "\\.([0-9])f".r
+        parts += (spec match {
+          case dec(d0) =>
+            // 1eN literals: both engines type them DOUBLE (Spark parses
+            // 10.0 as DECIMAL, and printf %f rejects Decimal)
+            val d = d0.toInt
+            s"printf('%.${d}f', floor(coalesce($f, 0.0) * 1e$d + 0.5) / 1e$d)"
+          case "" if IntFields(f) =>
+            s"printf('%d', CAST(coalesce($f, 0) AS BIGINT))"
+          case "" if md.fields.exists(x => x._1 == f) &&
+              Set("pos", "dvg", "kdj_sig", "cls", "liq_level", "scalp_sig",
+                "event", "bias_d", "shape", "fzone", "vpos", "sdir", "tdir",
+                "tldir", "zdir", "cdir", "hdir", "vdir", "gdir", "isig",
+                "flip", "ptype")(f) =>
+            s"(CASE WHEN $f IS NULL OR $f = '' THEN '0' ELSE $f END)"
+          case "" =>
+            s"printf('%.2f', floor(coalesce($f, 0.0) * 1e2 + 0.5) / 1e2)"
+          case other =>
+            ok = false; lit("")
+        })
+      }
+      last = m.end()
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (!ok) lit(template)
+    else parts.result().toList match {
+      case single :: Nil => single
+      case many => many.mkString("concat(", ", ", ")")
+    }
+  }
+
+  /** g16 — the formatted signal FEED (what the reference publishes per
+    * fired signal): the whole corpus with each rule's rendered message.
+    */
+  private val corpusMessages: Q = (s, dir) => {
+    AllRules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
+      val md = MartSeries.all(tk)
+      val ev = evalFrame(md.build(s, dir), md.fields.map(_._1))
+      val sigs = array(rs.map { r =>
+        when(expr(fullCond(r)), struct(
+          lit(r.name).as("rule"), lit(md.table).as("mart"),
+          lit(r.direction).as("direction"), lit(r.strength).as("strength"),
+          expr(messageSql(r)).as("message")))
+      }: _*)
+      ev.select(col("symbol"), col("bucket_ts"), explode(sigs).as("g"))
+        .where(col("g").isNotNull)
+        .select(col("symbol"), col("bucket_ts"), col("g.rule").as("rule"),
+          col("g.mart").as("mart"), col("g.direction").as("direction"),
+          col("g.strength").as("strength"), col("g.message").as("message"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def messagesOracle: String = {
+    val byTable = AllRules.groupBy(_.tableKey).toSeq.sortBy(_._1)
+    val defs = byTable.map { case (tk, _) => MartSeries.all(tk) }
+    val preludes =
+      (if (defs.exists(_.needsMetrics)) Seq(Oracle.METRICS) else Nil) ++
+      (if (defs.exists(_.needsSeries)) Seq(MartSeries.SeriesCte) else Nil)
+    val ctes = materialize((preludes ++ defs.map(_.sqlCte) ++ defs.map(evalCte))
+      .mkString(",\n"))
+    val branches = byTable.flatMap { case (tk, rs) =>
+      rs.map { r =>
+        val md = MartSeries.all(tk)
+        s"""SELECT symbol, bucket_ts, '${r.name}' AS rule, '${md.table}' AS mart,
+           |  '${r.direction}' AS direction, CAST(${r.strength} AS INT) AS strength,
+           |  ${messageSql(r)} AS message
+           |FROM e_${md.key} WHERE ${fullCond(r)}""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    val recur = if (defs.exists(_.needsRecursive)) "RECURSIVE " else ""
+    s"WITH $recur${Oracle.CANDLES},\n$ctes\n$branches"
+  }
+
   // ------------------------------------------------- corpus-wide views
 
   /** Whole-corpus evaluation, ONE window pass per mart TABLE (a table's
@@ -794,6 +924,7 @@ object RuleCorpus {
     "g11_rules_pattern" -> categoryQuery("pattern"),
     "g05_rules_core" -> categoryQuery("core"),
     "g15_rules_volume_1h" -> categoryQueryAt("volume", 3600L),
+    "g16_rules_messages" -> corpusMessages,
     "g13_rules_cooldown" -> corpusCooldown,
     "g14_rules_summary" -> corpusSummary)
 
@@ -807,6 +938,7 @@ object RuleCorpus {
     "g11_rules_pattern" -> categoryOracle("pattern"),
     "g05_rules_core" -> categoryOracle("core"),
     "g15_rules_volume_1h" -> categoryOracleAt("volume", 3600L),
+    "g16_rules_messages" -> messagesOracle,
     "g13_rules_cooldown" -> cooldownOracle,
     "g14_rules_summary" -> summaryOracle)
 }
