@@ -664,8 +664,62 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** D11 — exact-substring dedup REWRITE (the removal half of Lee et
+    * al. 2022's ExactSubstr recipe, whose detection half is d08): every
+    * 15-token window at stride 1 keys an inverted index on the shared
+    * md5-60 hash; for each window value the FIRST corpus occurrence
+    * (min (doc_id, position)) is the canonical copy and every later
+    * occurrence's span is excised from its document. Output: the
+    * REWRITTEN corpus (kept text, token counts removed) — what actually
+    * ships to training.
+    *
+    * Scale shape: one explode → ONE shuffle on the 8-byte window hash
+    * (count + first-occurrence rank in the same window pass) → removal
+    * spans regroup per doc (bounded by doc length) → a row-local HOF
+    * rebuild. No joins, no candidate pairs; a stop-phrase hash with
+    * massive df skews its rank partition — AQE skew splitting handles
+    * the count, and the rank only needs the ONE global minimum, which
+    * min-combines map-side. Window width 15 is the fixture scaling of
+    * the reference recipe's 50-token spans (docs here are ~10² tokens).
+    */
+  private val substringRewrite: Q = (s, dir) => {
+    val W = 15
+    val docs = withClones(Tables.documents(s, dir))
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= lit("")))
+      .withColumn("n", size(col("toks")))
+    val wins = docs
+      .filter(col("n") >= W)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), col("n") - (W - 1)),
+        j => struct(j.as("j"),
+          md5Hash60(concat_ws(" ", slice(col("toks"), j, lit(W)))).as("h"))))
+        .as("w"))
+      .select(col("doc_id"), col("w.j").as("j"), col("w.h").as("h"))
+    val byHash = Window.partitionBy("h")
+    val ranked = wins
+      .withColumn("occ", count(lit(1)).over(byHash))
+      .withColumn("rk", row_number().over(
+        byHash.orderBy(col("doc_id"), col("j"))))
+    val removals = ranked.filter(col("occ") >= 2 && col("rk") >= 2)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("j"))).as("spans"))
+    docs.join(removals, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"), array().cast("array<int>")))
+      // sequence(1, 0) descends in Spark — guard the empty-doc case
+      .withColumn("kept", filter(
+        when(col("n") >= 1, sequence(lit(1), col("n")))
+          .otherwise(array().cast("array<int>")), p =>
+        !exists(col("spans"), j => p >= j && p < j + W)))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        size(col("spans")).as("removed_spans"),
+        (col("n") - size(col("kept"))).as("removed_tokens"),
+        concat_ws(" ", transform(col("kept"),
+          p => element_at(col("toks"), p))).as("text_clean"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d10_incremental_dedup" -> incrementalDedup,
+    "d11_substring_rewrite" -> substringRewrite,
     "d01_dedup_exact" -> exact,
     "d02_dedup_ngram_jaccard" -> ngramJaccard,
     "d03_dedup_minhash_lsh" -> minhashLsh,
@@ -678,6 +732,33 @@ object Dedup {
     "d08_span_dedup" -> spanDedup)
 
   val oracle: Map[String, String] = Map(
+    "d11_substring_rewrite" ->
+      s"""WITH $CLONES_SQL,
+         |toked AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM uni),
+         |sized AS MATERIALIZED (SELECT doc_id, toks, len(toks) AS n FROM toked),
+         |wins AS MATERIALIZED (
+         |  SELECT doc_id, j,
+         |    ('0x' || substr(md5(array_to_string(toks[j:j+14], ' ')), 1, 15))::BIGINT AS h
+         |  FROM sized, LATERAL (SELECT unnest(generate_series(1, CAST(n AS INT) - 14)) AS j) u
+         |  WHERE n >= 15),
+         |rankedw AS (
+         |  SELECT doc_id, j,
+         |    count(*) OVER (PARTITION BY h) AS occ,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, j) AS rk
+         |  FROM wins),
+         |rem AS (
+         |  SELECT doc_id, list_sort(list(j)) AS spans
+         |  FROM rankedw WHERE occ >= 2 AND rk >= 2 GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(s.n AS INT) AS n_tokens,
+         |  CAST(coalesce(len(r.spans), 0) AS INT) AS removed_spans,
+         |  CAST(s.n - len(k.kept) AS INT) AS removed_tokens,
+         |  coalesce(array_to_string(list_transform(k.kept, p -> s.toks[p]), ' '), '') AS text_clean
+         |FROM sized s LEFT JOIN rem r USING (doc_id),
+         |  LATERAL (SELECT list_filter(generate_series(1, CAST(s.n AS INT)), p ->
+         |    len(list_filter(coalesce(r.spans, []), j -> p >= j AND p < j + 15)) = 0)
+         |    AS kept) k""".stripMargin,
     "d10_incremental_dedup" ->
       s"""WITH toked AS (
          |  SELECT doc_id,
