@@ -11,6 +11,28 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   val sf = TestSession.sf
 
+  test("d11: clone spans are excised from the later occurrence, originals keep theirs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("d11_substring_rewrite")(spark, sf)
+      .select($"doc_id", $"n_tokens", $"removed_tokens").as[(Long, Int, Int)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // clones (+1e6 ids) of long docs share a ≥15-token prefix with their
+    // original; the ORIGINAL is the canonical first occurrence, so the
+    // clone must lose tokens and never the whole pair both survive intact
+    val longClones = out.keys.filter(_ >= 1000000L)
+      .filter(id => out(id)._1 >= 30)
+    assert(longClones.nonEmpty)
+    val excised = longClones.count(id => out(id)._2 > 0)
+    assert(excised.toDouble / longClones.size >= 0.9,
+      s"only $excised of ${longClones.size} long clones lost duplicated spans")
+    // removal is strictly the later occurrence: a removed span implies the
+    // pair's original retains at least one copy of the text (its own
+    // removed count can only come from OTHER duplicate windows)
+    val total = out.values.map(_._1.toLong).sum
+    val removed = out.values.map(_._2.toLong).sum
+    assert(removed > 0 && removed < total)
+  }
+
   /** Clone pairs whose perturbation is genuinely small: the clone rewrites
     * the last 20 chars (+22-char marker), so short docs lose most of their
     * shingles and are correctly NOT near-duplicates — exclude them from the
