@@ -94,21 +94,32 @@ object Cycle {
       graft.indicators.Market.queries ++
       graft.indicators.Patterns.queries
 
+  /** Working-frame partition dial: `spark.graft.cycle.workingPartitions`
+    * if set, else defaultParallelism/4 (= 8 on the local[32] harness).
+    * The working set is symbols × ≤500 bars — metadata-sized relative to
+    * the fact — so fewer/fuller tasks beat parallelism; a real cluster
+    * sets the conf to track its executor count (the r6/r7 carried ask:
+    * the dial must scale with the cluster, not stay a hard-coded 8).
+    */
+  def workingPartitions(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.cycle.workingPartitions").map(_.toInt)
+      .getOrElse(math.max(2, s.sparkContext.defaultParallelism / 4))
+
   /** The per-interval working frames, each persisted: the 1m fact is read
     * ONCE, the 6 higher intervals are map-side roll-ups of that cache, and
     * every frame is cut to the trailing 500-bar window per symbol before
     * any indicator sees it. The explicit symbol repartition keeps each
     * frame clustered for every downstream window WITHOUT the 32-partition
-    * default — at symbols × ≤500 bars, fewer/fuller tasks beat parallelism
-    * (a real cluster would size this to its symbol count).
+    * default (see [[workingPartitions]]).
     */
   def workingFrames(s: SparkSession, dir: String,
       intervals: Seq[(String, Long)] = Intervals): Seq[(String, DataFrame)] = {
     val base = Tables.candles(s, dir)
+    val parts = workingPartitions(s)
     intervals.map { case (iv, secs) =>
       val frame = if (secs == 60L) base else Rollup.rollup(base, secs)
       iv -> trailing(frame, WorkingBars)
-        .repartition(8, col("symbol")).persist()
+        .repartition(parts, col("symbol")).persist()
     }
   }
 
@@ -156,6 +167,25 @@ object Cycle {
     } finally pool.shutdown()
   }
 
+  /** The futures-sentiment branches, built under BOTH frame overrides:
+    * the futures pack reads the metrics fact AND the candle fact (the
+    * taker-ratio scanner, Futures.scala:27) — without the candle override
+    * that one branch would scan the uncut store. Both `base` and
+    * `metricsFrame` are expected cached by the caller; CycleSpec pins
+    * that every branch plan reads the caches, never the store.
+    */
+  def futuresBranchPlans(s: SparkSession, dir: String,
+      base: DataFrame, metricsFrame: DataFrame): Seq[DataFrame] =
+    Tables.withCandleFrame(base) {
+      Tables.withMetricsFrame(metricsFrame) {
+        graft.indicators.Futures.queries.toSeq.sortBy(_._1)
+          .map { case (key, q) =>
+            melt(Mart.asMartRow(snapshot(q(s, dir), base), "5m"),
+              Mart.RegistryNames.getOrElse(key, key))
+          }
+      }
+    }
+
   /** The cycle core, parameterized by an optional priority selector: with
     * one, BOTH facts are semi-joined to the (broadcast, ~150-row) priority
     * symbol set BEFORE any frame or indicator plan is built — non-priority
@@ -175,28 +205,24 @@ object Cycle {
     // materialize the interval caches up front (7 small jobs) so the
     // parallel branches read them instead of racing to compute them
     frames.foreach(_._2.count())
-    base.unpersist()
     val candleBranches = branchPlans(s, dir, frames, candlePack)
     // futures sentiment at its native 5m cadence, once per cycle — cut to
-    // the same priority set via the metrics-frame override
-    val metricsFrame = prio match {
+    // the same priority set via the metrics-frame override; persisted so
+    // the futures branches share one metrics read instead of one scan
+    // (+ semi-join) per indicator
+    val metricsFrame = (prio match {
       case Some(p) => Tables.metrics5m(s, dir)
         .join(broadcast(p), Seq("symbol"), "left_semi")
       case None => Tables.metrics5m(s, dir)
-    }
-    // both overrides: the futures pack reads the metrics fact AND the
-    // candle fact (the taker-ratio scanner, Futures.scala:27) — without
-    // the candle override that one branch would scan the uncut store
-    val futuresBranches = Tables.withCandleFrame(base) {
-      Tables.withMetricsFrame(metricsFrame) {
-        graft.indicators.Futures.queries.toSeq.sortBy(_._1)
-          .map { case (key, q) =>
-            melt(Mart.asMartRow(snapshot(q(s, dir), base), "5m"),
-              Mart.RegistryNames.getOrElse(key, key))
-          }
-      }
-    }
+    }).persist()
+    val futuresBranches = futuresBranchPlans(s, dir, base, metricsFrame)
     val out = runBranches(candleBranches ++ futuresBranches)
+    // the futures branches read `base` (withCandleFrame above) — it must
+    // stay cached until runBranches has executed them, or each branch
+    // re-scans the 1m fact + re-runs the priority semi-join (the r6/r7
+    // carried unpersist-ordering bug; CycleSpec pins the cached read)
+    base.unpersist()
+    metricsFrame.unpersist()
     frames.foreach(_._2.unpersist())
     prio.foreach(_.unpersist())
     out

@@ -116,19 +116,32 @@ object Relational {
     * The watermark is refresh-catalog metadata in production (a scalar
     * known at plan time — that's what makes the pruning STATIC); the
     * stateless stand-in reads the corpus max once, a 1-row aggregate
-    * collect, before building the plan. Store writes land under the JVM
-    * temp dir keyed by the sf dir and are idempotent (overwrite).
+    * collect, before building the plan. Store writes land under a
+    * PER-PROCESS subdir of the JVM temp dir keyed by the sf dir (two
+    * concurrent runners never overwrite-vs-read the same path; within a
+    * process, repeated invocations are idempotent overwrites and the
+    * registry runs serially). The values are q6-quantized BEFORE the
+    * Decimal(38,12) store cast so the comparison grid is shared with the
+    * pure-double oracle: post-q6, every price/volume sits essentially ON
+    * a 6-dp grid point, and the store round-trip's ≤5e-13 decimal
+    * quantization can no longer move a value across a `round(x, 6)`
+    * half-boundary (the r7 ADVICE latent-flip).
     */
   private val r19b: Q = (s, dir) => {
     val seconds = 3600L
+    def q6all(df: DataFrame): DataFrame =
+      Tables.DecimalCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, floor(col(c) * lit(1e6) + lit(0.5)) / lit(1e6)))
     val c1m = candles(s, dir)
     val wmTs = (c1m.agg(max(col("bucket_ts"))).head.getLong(0)
       / seconds - 5L) * seconds
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_r19b_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
-    Tables.writeCandles(c1m, s"$root/base")
+      "graft_r19b_" + java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getPid + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+    Tables.writeCandles(q6all(c1m), s"$root/base")
     Tables.writeCandles(
-      Rollup.rollup(c1m, seconds).filter(col("bucket_ts") < wmTs),
+      q6all(Rollup.rollup(c1m, seconds).filter(col("bucket_ts") < wmTs)),
       s"$root/stored")
     Rollup.realtimeRead(s, s"$root/stored", s"$root/base", seconds, wmTs)
       .select(col("symbol"), col("bucket_ts"),
@@ -560,20 +573,57 @@ object Relational {
         |  FROM candles GROUP BY 1, 2),
         |wm AS (SELECT (max(bucket_ts) // 3600 - 5) * 3600 AS wm FROM candles)
         |SELECT up.*, bucket_ts >= (SELECT wm FROM wm) AS from_tail FROM up""".stripMargin),
-    // r19b: the persisted-store read must equal the same fully-fresh
-    // materialization — identical algebraic spec as r19; the parquet
-    // round-trip through the store is exact (doubles bit-preserved).
+    // r19b: the persisted-store read must equal the refresh-maintained
+    // materialization. The Spark side q6-quantizes before the
+    // Decimal(38,12) store cast (see the r19b builder Scaladoc); the
+    // oracle mirrors the q6 at the same two points — on the rolled
+    // stored values, and on the 1m base the tail re-aggregates — so both
+    // engines' pre-round values sit on the shared 6-dp grid and the
+    // store round-trip cannot flip the final round(x, 6).
     "r19b_realtime_store" -> Oracle.withCandles(
-      """, up AS (
+      """, wm AS (SELECT (max(bucket_ts) // 3600 - 5) * 3600 AS wm FROM candles),
+        |q6base AS (
+        |  SELECT symbol, bucket_ts,
+        |    floor(open * 1e6 + 0.5) / 1e6 AS open,
+        |    floor(high * 1e6 + 0.5) / 1e6 AS high,
+        |    floor(low * 1e6 + 0.5) / 1e6 AS low,
+        |    floor(close * 1e6 + 0.5) / 1e6 AS close,
+        |    floor(volume * 1e6 + 0.5) / 1e6 AS volume,
+        |    floor(quote_volume * 1e6 + 0.5) / 1e6 AS quote_volume,
+        |    trade_count,
+        |    floor(taker_buy_volume * 1e6 + 0.5) / 1e6 AS taker_buy_volume
+        |  FROM candles),
+        |stored AS (
         |  SELECT symbol, bucket_ts // 3600 * 3600 AS bucket_ts,
-        |    round(min_by(open, bucket_ts), 6) AS open, round(max(high), 6) AS high,
-        |    round(min(low), 6) AS low, round(max_by(close, bucket_ts), 6) AS close,
-        |    round(sum(volume), 6) AS volume, round(sum(quote_volume), 6) AS quote_volume,
+        |    floor(min_by(open, bucket_ts) * 1e6 + 0.5) / 1e6 AS open,
+        |    floor(max(high) * 1e6 + 0.5) / 1e6 AS high,
+        |    floor(min(low) * 1e6 + 0.5) / 1e6 AS low,
+        |    floor(max_by(close, bucket_ts) * 1e6 + 0.5) / 1e6 AS close,
+        |    floor(sum(volume) * 1e6 + 0.5) / 1e6 AS volume,
+        |    floor(sum(quote_volume) * 1e6 + 0.5) / 1e6 AS quote_volume,
         |    CAST(sum(trade_count) AS BIGINT) AS trade_count,
-        |    round(sum(taker_buy_volume), 6) AS taker_buy_volume
-        |  FROM candles GROUP BY 1, 2),
-        |wm AS (SELECT (max(bucket_ts) // 3600 - 5) * 3600 AS wm FROM candles)
-        |SELECT up.*, bucket_ts >= (SELECT wm FROM wm) AS from_tail FROM up""".stripMargin),
+        |    floor(sum(taker_buy_volume) * 1e6 + 0.5) / 1e6 AS taker_buy_volume
+        |  FROM candles WHERE bucket_ts < (SELECT wm FROM wm)
+        |  GROUP BY 1, 2),
+        |tail AS (
+        |  SELECT symbol, bucket_ts // 3600 * 3600 AS bucket_ts,
+        |    min_by(open, bucket_ts) AS open, max(high) AS high,
+        |    min(low) AS low, max_by(close, bucket_ts) AS close,
+        |    sum(volume) AS volume, sum(quote_volume) AS quote_volume,
+        |    CAST(sum(trade_count) AS BIGINT) AS trade_count,
+        |    sum(taker_buy_volume) AS taker_buy_volume
+        |  FROM q6base WHERE bucket_ts >= (SELECT wm FROM wm) GROUP BY 1, 2),
+        |up AS (
+        |  SELECT *, FALSE AS from_tail FROM stored
+        |  UNION ALL
+        |  SELECT *, TRUE AS from_tail FROM tail)
+        |SELECT symbol, bucket_ts,
+        |  round(open, 6) AS open, round(high, 6) AS high,
+        |  round(low, 6) AS low, round(close, 6) AS close,
+        |  round(volume, 6) AS volume, round(quote_volume, 6) AS quote_volume,
+        |  trade_count, round(taker_buy_volume, 6) AS taker_buy_volume,
+        |  from_tail
+        |FROM up""".stripMargin),
     "r18_pivot_dow" -> Oracle.withCandles(
       """, dowed AS (
         |  SELECT symbol, volume, (bucket_ts // 86400 + 4) % 7 AS dow

@@ -101,4 +101,25 @@ class CycleSpec extends AnyFunSuite {
     }
     pframes.foreach(_._2.unpersist())
   }
+
+  test("futures branches read the cached facts, never the store") {
+    // the r6/r7 carried unpersist-ordering bug: `base` was unpersisted
+    // BEFORE the futures branches (which read it via withCandleFrame)
+    // executed, so each branch re-scanned the 1m fact and re-ran the
+    // priority semi-join once per cycle. Pin: with both facts cached,
+    // every futures branch plan is cache-backed end to end.
+    val base = Tables.candles(spark, sf).persist()
+    val mframe = Tables.metrics5m(spark, sf).persist()
+    base.count(); mframe.count()
+    try {
+      val branches = operators.Cycle.futuresBranchPlans(spark, sf, base, mframe)
+      assert(branches.nonEmpty)
+      branches.foreach { b =>
+        val leaves = b.queryExecution.optimizedPlan.collectLeaves()
+        assert(leaves.nonEmpty && leaves.forall(
+            _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+          s"futures branch touches the store: leaves = ${leaves.map(_.nodeName)}")
+      }
+    } finally { base.unpersist(); mframe.unpersist() }
+  }
 }

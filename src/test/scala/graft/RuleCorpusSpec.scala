@@ -53,10 +53,12 @@ class RuleCorpusSpec extends AnyFunSuite {
   }
 
   test("rule-by-rule fidelity against the extracted reference metadata") {
-    // src/test/resources/reference_rules.json is the mechanical dump of
+    // src/main/resources/reference_rules.json is the mechanical dump of
     // signal-service/src/rules/** (SignalRule fields incl. condition
-    // configs, lambdas elided) — every ported rule must match on every
-    // metadata axis
+    // configs, lambdas elided). It ships in MAIN resources because it is
+    // a runtime input too — RuleCorpus.msgData reads the message
+    // templates from it for g16 — and this spec audits every ported rule
+    // against it on every metadata axis.
     val raw = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/reference_rules.json"), "UTF-8").mkString
     // minimal JSON read via Spark (no extra deps)
@@ -286,6 +288,52 @@ class RuleCorpusSpec extends AnyFunSuite {
       }.toSet
       assert(got.nonEmpty && got === want)
     } finally q.stop()
+  }
+
+  test("cooldown scan streams at O(1) state: dense always-firing series") {
+    // the r7 verdict's named heap exposure: a per-(symbol, rule) toArray
+    // buffers millions of rows for an always-firing rule. The scan must
+    // (a) not materialize groups (no FlatMapGroups/object hash in the
+    // plan) and (b) produce the exact greedy emission over a dense
+    // multi-year series
+    val s = spark
+    import s.implicits._
+    val n = 200000 // ~139 days of 1m bars, every bar fired
+    val rows = (1 to n).map(i => RuleCorpus.Fired10(
+      "A", i * 60L, "MACD金叉", "MACD柱状扫描器", "volume", "macd",
+      "BUY", 65, "medium", "m"))
+    val out = RuleCorpus.cooldownScan(rows.toDF())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("FlatMapGroups"),
+      s"cooldown scan still buffers per group:\n${plan.take(800)}")
+    val got = out.select("bucket_ts").as[Long].collect().sorted.toSeq
+    val want = Seq.newBuilder[Long]
+    var last = Long.MinValue
+    rows.foreach { f =>
+      if (last == Long.MinValue || f.bucket_ts > last + 3600L) {
+        want += f.bucket_ts; last = f.bucket_ts
+      }
+    }
+    assert(got === want.result())
+  }
+
+  test("f02 tick == whole-corpus cooldown feed restricted to the priority cut") {
+    // every mart series is per-symbol window math, so cutting the facts
+    // to the priority set BEFORE evaluation (the tick's 100 TB shape)
+    // must commute with evaluating everything and filtering after —
+    // including cooldown state (per-symbol) and rendered messages
+    val prio = operators.Relational.queries("r07_topk_union")(spark, TestSession.sf)
+      .as[String].collect().toSet
+    assert(prio.nonEmpty)
+    val tick = RuleCorpus.queries("f02_production_tick")(spark, TestSession.sf)
+      .collect().map(_.toSeq).toSet
+    val full = RuleCorpus.cooldownScan(
+        RuleCorpus.corpusFiredShared(spark, TestSession.sf))
+      .filter(col("symbol").isin(prio.toSeq: _*))
+      .collect().map(_.toSeq).toSet
+    assert(tick.nonEmpty)
+    assert(tick === full,
+      s"tick-only: ${(tick -- full).take(2)}; full-only: ${(full -- tick).take(2)}")
   }
 
   test("live coverage: most categories fire on the fixture") {
