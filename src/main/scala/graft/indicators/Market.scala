@@ -49,16 +49,22 @@ object Market {
     if (n < MIN) None
     else {
       val cl = bars.map(_.close)
+      // Zero-price/zero-volume bars (present at sf0.1+) are degenerate
+      // observations: every ratio over them is EXPLICITLY excluded or
+      // zero-filled, identically in both engines — JVM IEEE (x/0 → ±Inf,
+      // log(0) → -Inf) and DuckDB (x/0.0 → NULL, ln(0) → error) disagree
+      // at these edges, which was the r2-r7 accepted i18/i23 sf0.1 flip.
       // Amihud: baseline from the FIRST `AMIHUD` bars (reference iterates
       // df.iloc[1..window-1]), current from the last bar.
       val ils = (1 until math.min(AMIHUD, n)).flatMap { i =>
         val volUsd = bars(i).volume * cl(i)
-        if (volUsd > 0.0) Some(math.abs(math.log(cl(i) / cl(i - 1))) / volUsd)
+        if (volUsd > 0.0 && cl(i - 1) != 0.0)
+          Some(math.abs(math.log(cl(i) / cl(i - 1))) / volUsd)
         else None
       }.toArray
       val curDenom = bars(n - 1).volume * cl(n - 1)
       val curIl =
-        if (curDenom == 0.0) Double.NaN
+        if (curDenom == 0.0 || cl(n - 2) == 0.0) Double.NaN
         else math.abs(math.log(cl(n - 1) / cl(n - 2))) / curDenom
       val (amihudRaw, amihudScore) =
         if (ils.isEmpty || curIl.isNaN) (Double.NaN, 0.0)
@@ -75,7 +81,7 @@ object Market {
       val pairs = ((n - w) until n).flatMap { i =>
         if (i == 0) None
         else Some((2.0 * bars(i).taker_buy_volume - bars(i).volume,
-          cl(i) / cl(i - 1) - 1.0))
+          if (cl(i - 1) == 0.0) 0.0 else cl(i) / cl(i - 1) - 1.0))
       }.toArray
       val (kyleRaw, kyleScore) =
         if (pairs.length < math.max(5.0, w * 0.6)) (Double.NaN, 0.0)
@@ -91,7 +97,10 @@ object Market {
           }
         }
       // volatility component: sample std of the last VOL log returns
-      val rets = (n - VOL until n).map(i => math.log(cl(i) / cl(i - 1))).toArray
+      // (zero-price endpoints → 0.0 return, window length stays fixed)
+      val rets = (n - VOL until n).map(i =>
+        if (cl(i - 1) == 0.0 || cl(i) == 0.0) 0.0
+        else math.log(cl(i) / cl(i - 1))).toArray
       val rm = mean(rets)
       var rss = 0.0; rets.foreach(x => rss += (x - rm) * (x - rm))
       val sigma = math.sqrt(rss / (VOL - 1))
@@ -240,8 +249,11 @@ object Market {
       if (bull && swingLow.exists(close < _)) { event = "reversal_down"; score -= 4.5 }
       else if (!bull && swingHigh.exists(close > _)) { event = "reversal_up"; score += 4.5 }
       // anchored distance strength: adjusted EWMA of |pct change| * close
+      // (zero-price denominator → 0.0, matching the oracle — see the i18
+      // zero-bar comment)
       val absRet = Array.tabulate(n)(i =>
-        if (i == 0) 0.0 else math.abs(cl(i) / cl(i - 1) - 1.0))
+        if (i == 0 || cl(i - 1) == 0.0) 0.0
+        else math.abs(cl(i) / cl(i - 1) - 1.0))
       val atr = adjEwmaLast(absRet, 1, 2.0 / 15.0) * close
       val anchor = if (bull) swingLow else swingHigh
       anchor.foreach { a =>
@@ -415,12 +427,15 @@ object Market {
     "i18_liquidity" -> withSeries(
       s""", comp AS (
          |  SELECT symbol, bucket_ts, n, cl, vol, qv,
-         |    CASE WHEN len(ils) = 0 OR vol[n] * cl[n] = 0.0 THEN 0.0
+    -- zero-price/zero-volume bars are excluded or zero-filled EXACTLY as
+    -- in the Scala kernel (see the i18 builder comment): DuckDB x/0.0 is
+    -- NULL and ln(0) errors, so every ratio guards its denominator
+         |    CASE WHEN len(ils) = 0 OR vol[n] * cl[n] = 0.0 OR cl[n-1] = 0.0 THEN 0.0
          |         ELSE 100.0 / (1.0 + exp(
          |           CASE WHEN il_sd = 0.0 THEN 0.0
          |                ELSE (abs(ln(cl[n] / cl[n-1])) / (vol[n] * cl[n]) - il_m) / il_sd END))
          |    END AS amihud_score,
-         |    CASE WHEN len(ils) = 0 OR vol[n] * cl[n] = 0.0 THEN 0.0
+         |    CASE WHEN len(ils) = 0 OR vol[n] * cl[n] = 0.0 OR cl[n-1] = 0.0 THEN 0.0
          |         ELSE abs(ln(cl[n] / cl[n-1])) / (vol[n] * cl[n]) END AS amihud_raw,
          |    CASE WHEN kyle_sxx = 0.0 OR kyle_m < greatest(5.0, least($KYLE, n) * 0.6) THEN 0.0
          |         ELSE 100.0 / (1.0 + exp(abs(kyle_sxy / kyle_sxx) / 0.001)) END AS kyle_score,
@@ -443,14 +458,16 @@ object Market {
          |      SELECT symbol, bucket_ts, n, cl, vol, qv,
          |        list_filter(
          |          list_transform(generate_series(2, least($AMIHUD, n)), i ->
-         |            CASE WHEN vol[i] * cl[i] > 0.0
+         |            CASE WHEN vol[i] * cl[i] > 0.0 AND cl[i-1] != 0.0
          |                 THEN abs(ln(cl[i] / cl[i-1])) / (vol[i] * cl[i]) END),
          |          x -> x IS NOT NULL) AS ils,
          |        list_transform(generate_series(greatest(2, n - least($KYLE, n) + 1), n), i ->
          |          2.0 * tbv[i] - vol[i]) AS kx,
          |        list_transform(generate_series(greatest(2, n - least($KYLE, n) + 1), n), i ->
-         |          cl[i] / cl[i-1] - 1.0) AS ky,
-         |        list_transform(generate_series(n - $VOL + 1, n), i -> ln(cl[i] / cl[i-1])) AS rets
+         |          CASE WHEN cl[i-1] = 0.0 THEN 0.0 ELSE cl[i] / cl[i-1] - 1.0 END) AS ky,
+         |        list_transform(generate_series(n - $VOL + 1, n), i ->
+         |          CASE WHEN cl[i-1] = 0.0 OR cl[i] = 0.0 THEN 0.0
+         |               ELSE ln(cl[i] / cl[i-1]) END) AS rets
          |      FROM series WHERE n >= $MIN)))
          |SELECT symbol, bucket_ts, round(score, 6) AS score, $LEVEL AS level,
          |  round(amihud_score, 6) AS amihud_score, round(kyle_score, 6) AS kyle_score,
@@ -534,7 +551,9 @@ object Market {
          |    CASE WHEN len(sls) > 0 THEN sls[-1] END AS sl,
          |    cl[n] >= ${graft.indicators.Market.redForOracle("cl", "2.0/35.0")} AS bull,
          |    ${graft.indicators.Market.adjEwmaSql(
-           s"list_transform(generate_series(2, n), i -> abs(cl[i] / cl[i-1] - 1.0))",
+           s"""list_transform(generate_series(2, n), i ->
+              CASE WHEN cl[i-1] = 0.0 THEN 0.0
+                   ELSE abs(cl[i] / cl[i-1] - 1.0) END)""",
            "2.0/15.0")} * cl[n] AS atr
          |  FROM pv),
          |sc AS (

@@ -19,8 +19,16 @@ object Rolling {
 
   /** I10 — Bollinger bands (batch/bollinger.py:9-47): MA20 ± 2σ, bandwidth,
     * %b, 10-bar mid slope.
+    *
+    * Rounding: every output uses the shared `floor(x·10⁶ + 0.5)/10⁶` IEEE
+    * sequence instead of `round` — mid_slope = (mid − mid10)/10 lands on
+    * exact decimal halves (prices live on a coarse grid), where Spark's
+    * decimal HALF_UP and DuckDB's scaled-double rounding disagree (the
+    * i32_williams_r class; this was the accepted i10 sf0.1 flip).
     */
-  private val bollinger: Q = (s, dir) =>
+  private val bollinger: Q = (s, dir) => {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     candles(s, dir)
       .withColumn("frame", collect_list(col("close")).over(lastN(20)))
       .withColumn("mid", meanOf(col("frame")))
@@ -29,13 +37,14 @@ object Rolling {
       .withColumn("mid10", lagN(col("mid"), 10))
       .filter(col("nbars") === 20 && col("mid10").isNotNull)
       .select(col("symbol"), col("bucket_ts"),
-        round(col("mid"), 6).as("mid"),
-        round(col("mid") + lit(2.0) * col("sd"), 6).as("upper"),
-        round(col("mid") - lit(2.0) * col("sd"), 6).as("lower"),
-        round(lit(4.0) * col("sd") / nullif(col("mid"), lit(0.0)), 6).as("bandwidth"),
-        round((col("close") - (col("mid") - lit(2.0) * col("sd"))) /
-          nullif(lit(4.0) * col("sd"), lit(0.0)), 6).as("pct_b"),
-        round((col("mid") - col("mid10")) / 10, 6).as("mid_slope"))
+        q6(col("mid")).as("mid"),
+        q6(col("mid") + lit(2.0) * col("sd")).as("upper"),
+        q6(col("mid") - lit(2.0) * col("sd")).as("lower"),
+        q6(lit(4.0) * col("sd") / nullif(col("mid"), lit(0.0))).as("bandwidth"),
+        q6((col("close") - (col("mid") - lit(2.0) * col("sd"))) /
+          nullif(lit(4.0) * col("sd"), lit(0.0))).as("pct_b"),
+        q6((col("mid") - col("mid10")) / 10).as("mid_slope"))
+  }
 
   /** I32 — Williams %R(14) (lean_indicators.py:168-192).
     *
@@ -271,11 +280,13 @@ object Rolling {
 
   val oracle: Map[String, String] = Map(
     "i10_bollinger" -> Oracle.withCandles(
-      s"""SELECT symbol, bucket_ts, round(mid, 6) AS mid,
-         |  round(mid + 2.0 * sd, 6) AS upper, round(mid - 2.0 * sd, 6) AS lower,
-         |  round(4.0 * sd / nullif(mid, 0.0), 6) AS bandwidth,
-         |  round((close - (mid - 2.0 * sd)) / nullif(4.0 * sd, 0.0), 6) AS pct_b,
-         |  round((mid - mid10) / 10, 6) AS mid_slope
+      s"""SELECT symbol, bucket_ts,
+         |  floor(mid * 1e6 + 0.5) / 1e6 AS mid,
+         |  floor((mid + 2.0 * sd) * 1e6 + 0.5) / 1e6 AS upper,
+         |  floor((mid - 2.0 * sd) * 1e6 + 0.5) / 1e6 AS lower,
+         |  floor((4.0 * sd / nullif(mid, 0.0)) * 1e6 + 0.5) / 1e6 AS bandwidth,
+         |  floor(((close - (mid - 2.0 * sd)) / nullif(4.0 * sd, 0.0)) * 1e6 + 0.5) / 1e6 AS pct_b,
+         |  floor(((mid - mid10) / 10) * 1e6 + 0.5) / 1e6 AS mid_slope
          |FROM (
          |  SELECT symbol, bucket_ts, close, mid, nbars,
          |         sqrt(list_reduce(list_prepend(0.0, list_transform(frame, x -> (x - mid) * (x - mid))),
