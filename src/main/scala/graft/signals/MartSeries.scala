@@ -1870,12 +1870,18 @@ object MartSeries {
       "streak" -> "OI连续根数", "flip" -> "情绪翻转信号"),
     buildFrom = (s, dir, cframe) => {
       val wSym = Window.partitionBy("symbol").orderBy("bucket_ts")
-      val wRun = wSym.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the reference pulls a TRAILING 240-bar history per evaluation
+      // (futures_aggregate.py:135 `get_metrics_history(symbol, 240, ...)`)
+      // — bounding the per-row stats window is both the faithful shape
+      // and what keeps the replay linear in history depth (an unbounded
+      // prefix made the per-symbol cost quadratic: 161 s on the 10-year
+      // uni10 corpus, invisible at the fixtures' ≤240 bars)
+      val wHist = wSym.rowsBetween(-239, 0)
       def truthy(c: Column) = c.isNotNull && c =!= 0.0
-      def fmean(arr: Column) = aggregate(arr, lit(0.0), (a, x) => a + x) /
-        size(arr).cast("double")
+      def fmean(arr: Column) =
+        graft.functions.ArrayFoldCols.seqSum(arr) / size(arr).cast("double")
       def pstd(arr: Column, m: Column) = sqrt(
-        aggregate(arr, lit(0.0), (a, x) => a + (x - m) * (x - m)) /
+        graft.functions.ArrayFoldCols.sumSqDev(arr, m) /
           size(arr).cast("double"))
       val c0 = Tables.metrics5m(s, dir)
         .withColumnRenamed("create_time", "bucket_ts")
@@ -1887,34 +1893,44 @@ object MartSeries {
         .withColumn("p_tlsr", lag("sum_toptrader_long_short_ratio", 1).over(wSym))
         .withColumn("oivs", collect_list(
           when(col("sum_open_interest_value") =!= 0.0,
-            col("sum_open_interest_value"))).over(wRun))
+            col("sum_open_interest_value"))).over(wHist))
         .withColumn("tops", collect_list(
           when(col("sum_toptrader_long_short_ratio") =!= 0.0,
-            col("sum_toptrader_long_short_ratio"))).over(wRun))
+            col("sum_toptrader_long_short_ratio"))).over(wHist))
         .withColumn("takers", collect_list(
           when(col("sum_taker_long_short_vol_ratio") =!= 0.0,
-            col("sum_taker_long_short_vol_ratio"))).over(wRun))
+            col("sum_taker_long_short_vol_ratio"))).over(wHist))
+      // Every derived array and multi-use stat below is wrapped in
+      // CodegenBarrier: a plain withColumn stage is NOT a staging point —
+      // CollapseProject re-inlines deterministic aliases into every
+      // consumer, so sd_dps's lambda re-evaluated fmean(dps) per element
+      // and each z-score re-expanded its whole array pipeline: O(n³) per
+      // symbol in series depth. Invisible at 13 bars/symbol (sf0.1's
+      // metrics cadence) — 161 s at the 10-year uni10 corpus (134 bars),
+      // 2 s with the barriers. The barrier's non-determinism is the
+      // supported lever that pins each alias to ONE evaluation.
+      val stage = graft.functions.CodegenBarrierCol.barrier _
       val c1 = c0
-        .withColumn("m_oiv", when(size(col("oivs")) > 0, fmean(col("oivs"))))
-        .withColumn("dps", when(size(col("oivs")) >= 2,
+        .withColumn("m_oiv", stage(when(size(col("oivs")) > 0, fmean(col("oivs")))))
+        .withColumn("dps", stage(when(size(col("oivs")) >= 2,
           transform(sequence(lit(2), size(col("oivs"))), j =>
             (element_at(col("oivs"), j) - element_at(col("oivs"), j - 1)) /
               element_at(col("oivs"), j - 1)))
-          .otherwise(array().cast("array<double>")))
-        .withColumn("tds", transform(col("tops"), v => abs(v - 1)))
-        .withColumn("kds", transform(col("takers"), v => abs(v - 1)))
-        .withColumn("dl", when(size(col("oivs")) >= 2,
+          .otherwise(array().cast("array<double>"))))
+        .withColumn("tds", stage(transform(col("tops"), v => abs(v - 1))))
+        .withColumn("kds", stage(transform(col("takers"), v => abs(v - 1))))
+        .withColumn("dl", stage(when(size(col("oivs")) >= 2,
           transform(sequence(lit(2), size(col("oivs"))), j =>
             when(element_at(col("oivs"), j) === element_at(col("oivs"), j - 1), 0)
               .when(element_at(col("oivs"), j) > element_at(col("oivs"), j - 1), 1)
               .otherwise(-1)))
-          .otherwise(array().cast("array<int>")))
+          .otherwise(array().cast("array<int>"))))
       val c2 = c1.withColumn("sd_oiv",
-          when(size(col("oivs")) >= 2, pstd(col("oivs"), col("m_oiv"))))
+          stage(when(size(col("oivs")) >= 2, pstd(col("oivs"), col("m_oiv")))))
         .withColumn("ocp",
           when(truthy(col("oiv")) && truthy(col("p_oiv")),
             nullif(col("oiv") - col("p_oiv"), lit(0.0)) / col("p_oiv")))
-        .withColumn("rev", reverse(col("dl")))
+        .withColumn("rev", stage(reverse(col("dl"))))
       val s0 = element_at(filter(col("rev"), x => x =!= 0), 1)
       val breaks = filter(
         zip_with(col("rev"), sequence(lit(1), greatest(size(col("rev")), lit(1))),
@@ -1929,12 +1945,12 @@ object MartSeries {
       // O(n²) per row; as multi-use columns CollapseProject materializes
       // each ONCE and the z-scores are plain arithmetic over them)
       val c3 = c2
-        .withColumn("m_dps", when(size(col("dps")) > 0, fmean(col("dps"))))
-        .withColumn("sd_dps", when(size(col("dps")) >= 2, pstd(col("dps"), col("m_dps"))))
-        .withColumn("m_tds", when(size(col("tds")) > 0, fmean(col("tds"))))
-        .withColumn("sd_tds", when(size(col("tds")) >= 2, pstd(col("tds"), col("m_tds"))))
-        .withColumn("m_kds", when(size(col("kds")) > 0, fmean(col("kds"))))
-        .withColumn("sd_kds", when(size(col("kds")) >= 2, pstd(col("kds"), col("m_kds"))))
+        .withColumn("m_dps", stage(when(size(col("dps")) > 0, fmean(col("dps")))))
+        .withColumn("sd_dps", stage(when(size(col("dps")) >= 2, pstd(col("dps"), col("m_dps")))))
+        .withColumn("m_tds", stage(when(size(col("tds")) > 0, fmean(col("tds")))))
+        .withColumn("sd_tds", stage(when(size(col("tds")) >= 2, pstd(col("tds"), col("m_tds")))))
+        .withColumn("m_kds", stage(when(size(col("kds")) > 0, fmean(col("kds")))))
+        .withColumn("sd_kds", stage(when(size(col("kds")) >= 2, pstd(col("kds"), col("m_kds")))))
       def zCol(v: Column, arr: String): Column =
         when(size(col(arr)) >= 2,
           when(col(s"sd_$arr") === 0.0, 0.0)
@@ -1985,9 +2001,11 @@ object MartSeries {
          |    oivr[i] AS oiv, tlsrr[i] AS tlsr0, lsrr[i] AS lsr0, tlsvrr[i] AS tlsvr0,
          |    CASE WHEN i > 1 THEN oivr[i-1] END AS p_oiv,
          |    CASE WHEN i > 1 THEN tlsrr[i-1] END AS p_tlsr,
-         |    list_filter(oivr[1:i], x -> x != 0.0) AS oivs,
-         |    list_filter(tlsrr[1:i], x -> x != 0.0) AS tops,
-         |    list_filter(tlsvrr[1:i], x -> x != 0.0) AS takers
+    -- trailing 240-bar history (futures_aggregate.py:135), mirroring the
+    -- Spark builder's bounded frame
+         |    list_filter(oivr[greatest(1, i - 239):i], x -> x != 0.0) AS oivs,
+         |    list_filter(tlsrr[greatest(1, i - 239):i], x -> x != 0.0) AS tops,
+         |    list_filter(tlsvrr[greatest(1, i - 239):i], x -> x != 0.0) AS takers
          |  FROM fser, LATERAL (SELECT unnest(generate_series(1, n)) AS i) u),
          |fstat AS (
          |  SELECT symbol, bucket_ts, oiv, tlsr0, lsr0, tlsvr0, p_oiv, p_tlsr,
