@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -57,6 +57,88 @@ object ArrayFolds {
     var i = 0
     while (i < n) { s += math.abs(a.getDouble(i) - m); i += 1 }
     s
+  }
+
+  // ---- futures-series per-row kernels (signals/MartSeries `fut`) ------
+  // Each walks a trailing-window array in tight loops, replacing the
+  // interpreted transform+fold spelling whose per-ELEMENT lambda dispatch
+  // dominated the mart at depth. Fold orders are ascending, seeded 0.0 —
+  // bit-identical to the DuckDB oracle's list_transform + list_reduce
+  // over the same windows.
+
+  /** Stats over the consecutive pct-change series of `a`
+    * ((a_j − a_{j−1})/a_{j−1}, j ascending): (count, mean | null if 0,
+    * population std | null if count < 2). Matches the oracle's `dps`
+    * list + fmean/pstd CASE guards.
+    */
+  def pctStats(a: ArrayData): GenericInternalRow = {
+    val len = a.numElements()
+    val n = len - 1
+    if (n < 1) return new GenericInternalRow(Array[Any](0, null, null))
+    var s = 0.0
+    var j = 1
+    while (j < len) {
+      s += (a.getDouble(j) - a.getDouble(j - 1)) / a.getDouble(j - 1)
+      j += 1
+    }
+    val m = s / n
+    if (n < 2) return new GenericInternalRow(Array[Any](n, m, null))
+    var ss = 0.0
+    j = 1
+    while (j < len) {
+      val p = (a.getDouble(j) - a.getDouble(j - 1)) / a.getDouble(j - 1)
+      val d = p - m
+      ss += d * d
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](n, m, math.sqrt(ss / n)))
+  }
+
+  /** Stats over the |x − 1| deviation series of `a`: (count, mean | null
+    * if 0, population std | null if count < 2) — the oracle's
+    * `tds`/`kds` lists + guards.
+    */
+  def absDev1Stats(a: ArrayData): GenericInternalRow = {
+    val n = a.numElements()
+    if (n < 1) return new GenericInternalRow(Array[Any](0, null, null))
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += math.abs(a.getDouble(i) - 1.0); i += 1 }
+    val m = s / n
+    if (n < 2) return new GenericInternalRow(Array[Any](n, m, null))
+    var ss = 0.0
+    i = 0
+    while (i < n) {
+      val d = math.abs(a.getDouble(i) - 1.0) - m
+      ss += d * d
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, m, math.sqrt(ss / n)))
+  }
+
+  /** Signed tail-streak over the consecutive-delta signs of `a`, walking
+    * the MOST RECENT delta backwards (the reference's 尾部连续根数 and
+    * exactly the dl → reverse → first-opposing-break spelling): null if
+    * fewer than 2 elements, 0 if every delta is zero, else ±(number of
+    * deltas, zeros included, before the first nonzero sign opposing the
+    * most recent nonzero sign).
+    */
+  def tailStreakSigned(a: ArrayData): Any = {
+    val len = a.numElements()
+    if (len < 2) return null
+    var s0 = 0
+    var mag = 0
+    var j = len - 1
+    var done = false
+    while (j >= 1 && !done) {
+      val d = a.getDouble(j) - a.getDouble(j - 1)
+      val sign = if (d == 0.0) 0 else if (d > 0.0) 1 else -1
+      if (sign != 0 && s0 == 0) s0 = sign
+      if (sign != 0 && sign != s0) done = true
+      else mag += 1
+      j -= 1
+    }
+    if (s0 == 0) 0 else s0 * mag
   }
 }
 
@@ -116,6 +198,49 @@ case class SumAbsDev(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared shape for the struct-returning futures-series kernels: one
+  * tight array walk per row, (n, m, sd) out. CodegenFallback is fine
+  * here — the interpreted dispatch is once per ROW (the per-element work
+  * is inside the JVM loop), unlike the HOF spelling it replaces.
+  */
+abstract class FutStatsExpr extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("m", DoubleType, nullable = true),
+    StructField("sd", DoubleType, nullable = true)))
+}
+
+case class PctStats(child: Expression) extends FutStatsExpr {
+  override def prettyName: String = "pct_stats"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayFolds.pctStats(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): PctStats =
+    copy(child = newChild)
+}
+
+case class AbsDev1Stats(child: Expression) extends FutStatsExpr {
+  override def prettyName: String = "abs_dev1_stats"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayFolds.absDev1Stats(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): AbsDev1Stats =
+    copy(child = newChild)
+}
+
+case class TailStreakSigned(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tail_streak_signed"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayFolds.tailStreakSigned(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): TailStreakSigned =
+    copy(child = newChild)
+}
+
 /** Column-side entry points. */
 object ArrayFoldCols {
   def arrayDot(a: Column, b: Column): Column =
@@ -126,4 +251,10 @@ object ArrayFoldCols {
     GraftBridge.column(SumSqDev(GraftBridge.expression(a), GraftBridge.expression(m)))
   def sumAbsDev(a: Column, m: Column): Column =
     GraftBridge.column(SumAbsDev(GraftBridge.expression(a), GraftBridge.expression(m)))
+  def pctStats(a: Column): Column =
+    GraftBridge.column(PctStats(GraftBridge.expression(a)))
+  def absDev1Stats(a: Column): Column =
+    GraftBridge.column(AbsDev1Stats(GraftBridge.expression(a)))
+  def tailStreakSigned(a: Column): Column =
+    GraftBridge.column(TailStreakSigned(GraftBridge.expression(a)))
 }

@@ -1900,65 +1900,38 @@ object MartSeries {
         .withColumn("takers", collect_list(
           when(col("sum_taker_long_short_vol_ratio") =!= 0.0,
             col("sum_taker_long_short_vol_ratio"))).over(wHist))
-      // Every derived array and multi-use stat below is wrapped in
-      // CodegenBarrier: a plain withColumn stage is NOT a staging point —
-      // CollapseProject re-inlines deterministic aliases into every
-      // consumer, so sd_dps's lambda re-evaluated fmean(dps) per element
-      // and each z-score re-expanded its whole array pipeline: O(n³) per
-      // symbol in series depth. Invisible at 13 bars/symbol (sf0.1's
-      // metrics cadence) — 161 s at the 10-year uni10 corpus (134 bars),
-      // 2 s with the barriers. The barrier's non-determinism is the
-      // supported lever that pins each alias to ONE evaluation.
+      // Per-row derived-series stats via the tight-loop kernels
+      // ([[graft.functions.ArrayFolds]] pctStats / absDev1Stats /
+      // tailStreakSigned — fold orders bit-matching the oracle's
+      // list_transform + list_reduce spellings). The interpreted
+      // transform+fold spelling paid per-ELEMENT lambda dispatch on every
+      // row's window — 50+ s at 134-bar depth; the kernels walk each
+      // window array once per row in plain JVM loops. CodegenBarrier
+      // wraps every multi-use stat so CollapseProject cannot re-inline
+      // an alias into each of its consumers.
       val stage = graft.functions.CodegenBarrierCol.barrier _
+      val kern = graft.functions.ArrayFoldCols
       val c1 = c0
         .withColumn("m_oiv", stage(when(size(col("oivs")) > 0, fmean(col("oivs")))))
-        .withColumn("dps", stage(when(size(col("oivs")) >= 2,
-          transform(sequence(lit(2), size(col("oivs"))), j =>
-            (element_at(col("oivs"), j) - element_at(col("oivs"), j - 1)) /
-              element_at(col("oivs"), j - 1)))
-          .otherwise(array().cast("array<double>"))))
-        .withColumn("tds", stage(transform(col("tops"), v => abs(v - 1))))
-        .withColumn("kds", stage(transform(col("takers"), v => abs(v - 1))))
-        .withColumn("dl", stage(when(size(col("oivs")) >= 2,
-          transform(sequence(lit(2), size(col("oivs"))), j =>
-            when(element_at(col("oivs"), j) === element_at(col("oivs"), j - 1), 0)
-              .when(element_at(col("oivs"), j) > element_at(col("oivs"), j - 1), 1)
-              .otherwise(-1)))
-          .otherwise(array().cast("array<int>"))))
+        .withColumn("ps", stage(kern.pctStats(col("oivs"))))
+        .withColumn("ts", stage(kern.absDev1Stats(col("tops"))))
+        .withColumn("ks", stage(kern.absDev1Stats(col("takers"))))
+        .withColumn("streak0", stage(kern.tailStreakSigned(col("oivs"))))
       val c2 = c1.withColumn("sd_oiv",
           stage(when(size(col("oivs")) >= 2, pstd(col("oivs"), col("m_oiv")))))
         .withColumn("ocp",
           when(truthy(col("oiv")) && truthy(col("p_oiv")),
             nullif(col("oiv") - col("p_oiv"), lit(0.0)) / col("p_oiv")))
-        .withColumn("rev", stage(reverse(col("dl"))))
-      val s0 = element_at(filter(col("rev"), x => x =!= 0), 1)
-      val breaks = filter(
-        zip_with(col("rev"), sequence(lit(1), greatest(size(col("rev")), lit(1))),
-          (x, i) => when(x =!= 0 && x =!= s0, i)), x => x.isNotNull)
-      val mag = when(s0.isNull, 0)
-        .otherwise(when(size(breaks) > 0, array_min(breaks) - 1)
-          .otherwise(size(col("rev"))))
       val topDev = when(truthy(col("tlsr0")), abs(col("tlsr0") - 1))
       val takerDev = when(truthy(col("tlsvr0")), abs(col("tlsvr0") - 1))
-      // STAGED stats columns (the t13 HOF-inlining lesson: a mean
-      // aggregate inlined inside a std lambda re-evaluates per element —
-      // O(n²) per row; as multi-use columns CollapseProject materializes
-      // each ONCE and the z-scores are plain arithmetic over them)
-      val c3 = c2
-        .withColumn("m_dps", stage(when(size(col("dps")) > 0, fmean(col("dps")))))
-        .withColumn("sd_dps", stage(when(size(col("dps")) >= 2, pstd(col("dps"), col("m_dps")))))
-        .withColumn("m_tds", stage(when(size(col("tds")) > 0, fmean(col("tds")))))
-        .withColumn("sd_tds", stage(when(size(col("tds")) >= 2, pstd(col("tds"), col("m_tds")))))
-        .withColumn("m_kds", stage(when(size(col("kds")) > 0, fmean(col("kds")))))
-        .withColumn("sd_kds", stage(when(size(col("kds")) >= 2, pstd(col("kds"), col("m_kds")))))
-      def zCol(v: Column, arr: String): Column =
-        when(size(col(arr)) >= 2,
-          when(col(s"sd_$arr") === 0.0, 0.0)
-            .otherwise((v - col(s"m_$arr")) / col(s"sd_$arr")))
-      val c4 = c3
-        .withColumn("z_delta", when(col("ocp").isNotNull, zCol(col("ocp"), "dps")))
-        .withColumn("z_top", when(truthy(topDev), zCol(topDev, "tds")))
-        .withColumn("z_taker", when(truthy(takerDev), zCol(takerDev, "kds")))
+      def zCol(v: Column, st: String): Column =
+        when(col(s"$st.n") >= 2,
+          when(col(s"$st.sd") === 0.0, 0.0)
+            .otherwise((v - col(s"$st.m")) / col(s"$st.sd")))
+      val c4 = c2
+        .withColumn("z_delta", when(col("ocp").isNotNull, zCol(col("ocp"), "ps")))
+        .withColumn("z_top", when(truthy(topDev), zCol(topDev, "ts")))
+        .withColumn("z_taker", when(truthy(takerDev), zCol(takerDev, "ks")))
       val risk = when(col("z_delta").isNotNull || col("z_top").isNotNull ||
           col("z_taker").isNotNull,
         coalesce(col("z_delta"), lit(0.0)) + coalesce(col("z_top"), lit(0.0)) +
@@ -1972,9 +1945,7 @@ object MartSeries {
         q6(when(truthy(col("tlsr0")) && truthy(col("lsr0")),
           col("tlsr0") - col("lsr0"))).as("bias"),
         q6(oiZ).as("oi_z"), q6(risk).as("risk"),
-        when(size(col("dl")) === 0, lit(null).cast("int"))
-          .otherwise(when(s0.isNull, 0)
-            .otherwise(when(s0 > 0, mag).otherwise(-mag))).as("streak"),
+        col("streak0").as("streak"),
         when(truthy(col("p_tlsr")) && truthy(col("tlsr0")),
           when(col("p_tlsr") < 1 && col("tlsr0") > 1, "1")
             .when(col("p_tlsr") > 1 && col("tlsr0") < 1, "-1")
