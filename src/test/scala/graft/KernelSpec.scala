@@ -171,4 +171,74 @@ class KernelSpec extends AnyFunSuite {
       .filter(col("k") =!= col("t")).count()
     assert(diverged == 0L, s"sorted_intersect_count diverges on $diverged pairs")
   }
+
+  test("futures stat kernels == the interpreted HOF spelling bit-for-bit") {
+    // pct_stats / abs_dev1_stats / tail_streak_signed replaced the fut
+    // mart's transform+fold columns (r8); each must reproduce the HOF
+    // spelling's exact IEEE sequence on adversarial arrays (empty, one
+    // element, flat runs, zeros, random)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(8)
+    val arrays: Seq[Seq[Double]] =
+      Seq(Seq.empty[Double], Seq(3.0), Seq(2.0, 2.0), Seq(1.0, 2.0, 2.0, 1.0)) ++
+      (1 to 60).map { i =>
+        Seq.fill(rnd.nextInt(12) + 1)(
+          if (rnd.nextInt(5) == 0) 1.0 else 0.5 + rnd.nextDouble() * 2)
+      }
+    val df2 = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "arr")
+    val kern = graft.functions.ArrayFoldCols
+    def fmean(arr: Column) = aggregate(arr, lit(0.0), (a, x) => a + x) /
+      size(arr).cast("double")
+    def pstd(arr: Column, m: Column) = sqrt(
+      aggregate(arr, lit(0.0), (a, x) => a + (x - m) * (x - m)) /
+        size(arr).cast("double"))
+    // twins, the pre-kernel spelling verbatim
+    val dps = when(size(col("arr")) >= 2,
+      transform(sequence(lit(2), size(col("arr"))), j =>
+        (element_at(col("arr"), j) - element_at(col("arr"), j - 1)) /
+          element_at(col("arr"), j - 1)))
+      .otherwise(array().cast("array<double>"))
+    val devs = transform(col("arr"), v => abs(v - 1))
+    val dl = when(size(col("arr")) >= 2,
+      transform(sequence(lit(2), size(col("arr"))), j =>
+        when(element_at(col("arr"), j) === element_at(col("arr"), j - 1), 0)
+          .when(element_at(col("arr"), j) > element_at(col("arr"), j - 1), 1)
+          .otherwise(-1)))
+      .otherwise(array().cast("array<int>"))
+    val staged = df2
+      .withColumn("dps", dps).withColumn("devs", devs).withColumn("dl", dl)
+      .withColumn("m_dps", when(size(col("dps")) > 0, fmean(col("dps"))))
+      .withColumn("m_devs", when(size(col("devs")) > 0, fmean(col("devs"))))
+    val rev = reverse(col("dl"))
+    // `get` instead of the fut builder's original ANSI `element_at`: on an
+    // all-zero delta run the filtered array is EMPTY and element_at(_, 1)
+    // throws — a latent crash the fixtures never hit (oiv sums never
+    // repeat) and that the kernel handles by returning streak 0
+    val s0 = get(filter(rev, x => x =!= 0), lit(0))
+    val breaks = filter(
+      zip_with(rev, sequence(lit(1), greatest(size(rev), lit(1))),
+        (x, i) => when(x =!= 0 && x =!= s0, i)), x => x.isNotNull)
+    val mag = when(s0.isNull, 0)
+      .otherwise(when(size(breaks) > 0, array_min(breaks) - 1)
+        .otherwise(size(rev)))
+    val diverged = staged.select(
+        kern.pctStats(col("arr")).as("ps"),
+        kern.absDev1Stats(col("arr")).as("ds"),
+        kern.tailStreakSigned(col("arr")).as("st"),
+        size(col("dps")).as("t_pn"), col("m_dps").as("t_pm"),
+        when(size(col("dps")) >= 2, pstd(col("dps"), col("m_dps"))).as("t_psd"),
+        size(col("devs")).as("t_dn"), col("m_devs").as("t_dm"),
+        when(size(col("devs")) >= 2, pstd(col("devs"), col("m_devs"))).as("t_dsd"),
+        when(size(col("dl")) === 0, lit(null).cast("int"))
+          .otherwise(when(s0.isNull, 0)
+            .otherwise(when(s0 > 0, mag).otherwise(-mag))).as("t_st"))
+      .filter(!(col("ps.n") <=> col("t_pn") && col("ps.m") <=> col("t_pm") &&
+        col("ps.sd") <=> col("t_psd") &&
+        col("ds.n") <=> col("t_dn") && col("ds.m") <=> col("t_dm") &&
+        col("ds.sd") <=> col("t_dsd") && col("st") <=> col("t_st")))
+    assert(diverged.count() == 0L,
+      s"fut kernels diverge: ${diverged.take(3).mkString("; ")}")
+  }
 }
