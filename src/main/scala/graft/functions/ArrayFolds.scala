@@ -116,6 +116,85 @@ object ArrayFolds {
     new GenericInternalRow(Array[Any](n, m, math.sqrt(ss / n)))
   }
 
+  /** Mean over the non-null elements of `a`, ascending — equals
+    * `aggregate(filter(a, isNotNull), 0.0, (acc,x) -> acc+x) /
+    * size(filter(a, isNotNull))` (one summed fold, ONE division at the
+    * end). Returns (n, m | null if n == 0) — the harmonic mart's
+    * valid-RSI mean (signals/MartSeries `harm`, batch/harmonic.py:7-44).
+    */
+  def meanNonNull(a: ArrayData): GenericInternalRow = {
+    val len = a.numElements()
+    var s = 0.0
+    var n = 0
+    var i = 0
+    while (i < len) {
+      if (!a.isNullAt(i)) { s += a.getDouble(i); n += 1 }
+      i += 1
+    }
+    if (n == 0) new GenericInternalRow(Array[Any](0, null))
+    else new GenericInternalRow(Array[Any](n, s / n))
+  }
+
+  /** One-pass VPVR histogram over the trailing (p, v) struct window
+    * (signals/MartSeries `vpvr`, batch/vpvr.py:29-118): min/max price,
+    * 12-bin volume histogram, POC = first argmax bin. Returns
+    * (mybin, pocb, poc) — everything downstream of the window list.
+    *
+    * Bit-identical to the HOF spelling it replaces:
+    *  - per-bin volume sums accumulate in ascending element order, which
+    *    equals the filter-then-`aggregate` fold per bin;
+    *  - POC bin is the FIRST argmax (= `array_position(bins,
+    *    array_max(bins)) - 1`);
+    *  - a flat window (phi == plo → `nullif` width NULL) gives
+    *    (0.0, 11.0, close): mybin/poc take the `when(w.isNull, …)`
+    *    guards, but the bins do NOT — `least(NULL, 11.0)` SKIPS the null
+    *    (both engines), so every element lands in bin 11 and the POC bin
+    *    is 11. An empty window (NULL min/max, nothing to bin) gives
+    *    (0.0, 0.0, close) — all-zero bins, first argmax 0;
+    *  - `poc`/`mybin` arithmetic keeps the expression tree's exact op
+    *    order (`plo + ((pocb + 0.5) * (phi - plo)) / 12`,
+    *    `least(floor((p - plo) / w * 12), 11.0)`).
+    * Assumes the candle fact's clean-double contract (no NaN prices or
+    * volumes), like the other window kernels here.
+    */
+  def vpvrPoc(cf: ArrayData, close: Double): GenericInternalRow = {
+    val n = cf.numElements()
+    var plo = Double.PositiveInfinity
+    var phi = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val p = cf.getStruct(i, 2).getDouble(0)
+      if (p < plo) plo = p
+      if (p > phi) phi = p
+      i += 1
+    }
+    val w = phi - plo
+    if (n == 0)
+      return new GenericInternalRow(Array[Any](0.0, 0.0, close))
+    if (w == 0.0)
+      return new GenericInternalRow(Array[Any](0.0, 11.0, close))
+    val bins = new Array[Double](12)
+    i = 0
+    while (i < n) {
+      val row = cf.getStruct(i, 2)
+      val b = math.min(math.floor((row.getDouble(0) - plo) / w * 12), 11.0).toInt
+      bins(b) += row.getDouble(1)
+      i += 1
+    }
+    var pocb = 0
+    var mx = bins(0)
+    i = 1
+    while (i < 12) {
+      if (bins(i) > mx) { mx = bins(i); pocb = i }
+      i += 1
+    }
+    val pb = pocb.toDouble
+    new GenericInternalRow(Array[Any](
+      math.min(math.floor((close - plo) / w * 12), 11.0),
+      pb,
+      plo + (pb + 0.5) * (phi - plo) / 12))
+  }
+
   /** Signed tail-streak over the consecutive-delta signs of `a`, walking
     * the MOST RECENT delta backwards (the reference's 尾部连续根数 and
     * exactly the dl → reverse → first-opposing-break spelling): null if
@@ -228,6 +307,39 @@ case class AbsDev1Stats(child: Expression) extends FutStatsExpr {
     copy(child = newChild)
 }
 
+case class MeanNonNull(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("m", DoubleType, nullable = true)))
+  override def prettyName: String = "mean_non_null"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayFolds.meanNonNull(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): MeanNonNull =
+    copy(child = newChild)
+}
+
+case class VpvrPoc(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(StructType(Seq(
+      StructField("p", DoubleType), StructField("v", DoubleType)))),
+    DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("mybin", DoubleType, nullable = false),
+    StructField("pocb", DoubleType, nullable = false),
+    StructField("poc", DoubleType, nullable = false)))
+  override def prettyName: String = "vpvr_poc"
+  override protected def nullSafeEval(cf: Any, close: Any): Any =
+    ArrayFolds.vpvrPoc(cf.asInstanceOf[ArrayData], close.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): VpvrPoc =
+    copy(left = newLeft, right = newRight)
+}
+
 case class TailStreakSigned(child: Expression) extends UnaryExpression
     with ExpectsInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -257,4 +369,8 @@ object ArrayFoldCols {
     GraftBridge.column(AbsDev1Stats(GraftBridge.expression(a)))
   def tailStreakSigned(a: Column): Column =
     GraftBridge.column(TailStreakSigned(GraftBridge.expression(a)))
+  def vpvrPoc(cf: Column, close: Column): Column =
+    GraftBridge.column(VpvrPoc(GraftBridge.expression(cf), GraftBridge.expression(close)))
+  def meanNonNull(a: Column): Column =
+    GraftBridge.column(MeanNonNull(GraftBridge.expression(a)))
 }

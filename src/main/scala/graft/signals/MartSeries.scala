@@ -913,11 +913,15 @@ object MartSeries {
         when(col(s"al$k") =!= 0.0,
           lit(100.0) - lit(100.0) / (lit(1.0) + col(s"ag$k") / col(s"al$k")))
       }: _*)
-      val valid = filter(rsis, x => x.isNotNull)
-      val harm = when(size(valid) > 0,
-        floor(aggregate(valid, lit(0.0), (a, x) => a + x) /
-          size(valid).cast("double") * 100 + 0.5) / 100)
-      c1.withColumn("rn", row_number().over(bySym))
+      // skip-null mean as a tight-loop kernel (the filter+aggregate HOF
+      // spelling paid 96 interpreted lambda dispatches per row;
+      // ArrayFolds.meanNonNull is the same ascending fold + one division,
+      // KernelSpec-pinned against the HOF twin)
+      val harm = when(col("vs.n") > 0,
+        floor(col("vs.m") * 100 + 0.5) / 100)
+      c1.withColumn("vs", graft.functions.CodegenBarrierCol.barrier(
+          graft.functions.ArrayFoldCols.meanNonNull(rsis)))
+        .withColumn("rn", row_number().over(bySym))
         .filter(col("rn") >= 35)
         .select(col("symbol"), col("bucket_ts"),
           q6(col("quote_volume")).as("turnover"), harm.as("harm"))
@@ -2062,7 +2066,8 @@ object MartSeries {
     * i20 candle-rule battery ([[graft.indicators.KRules]] — shared-dialect
     * SQL reused VERBATIM in both engines) plus the i20b chart shapes
     * (head-and-shoulders / double top-bottom over trailing confirmed ±2
-    * pivots) evaluated causally per bar. 形态类型 joins the Chinese names
+    * pivots, visibility bounded at the scanner's 50-bar lookback —
+    * k_pattern.py:206) evaluated causally per bar. 形态类型 joins the Chinese names
     * the corpus's CONTAINS rules substring-match (头肩/双/锤子/吞没/十字
     * live; 三角/楔形 have no detector in the engine's i20b shape set —
     * that one rule stays empty here). Channel shapes gate no rule and are
@@ -2092,12 +2097,19 @@ object MartSeries {
         .withColumn("nb5", count(lit(1)).over(wc))
         .withColumn("isph", col("nb5") === 5 && col("high") === max(col("high")).over(wc))
         .withColumn("ispl", col("nb5") === 5 && col("low") === min(col("low")).over(wc))
+        // The scanner's poll sees only the trailing 50 bars
+        // (k_pattern.py:206 lookback=50), so each bar's visible pivots
+        // are bounded at that frame — the faithful shape, and it caps
+        // per-row pivot-list work at O(50) regardless of history depth
+        // (the unbounded spelling grew with the partition). Pivot
+        // CONFIRMATION (isph/ispl) stays global ±2 — only visibility is
+        // windowed.
         .withColumn("hs", collect_list(when(col("isph"),
           struct(col("bucket_ts").as("ts"), col("high").as("v"))))
-          .over(bySymbol.rowsBetween(Window.unboundedPreceding, -2)))
+          .over(bySymbol.rowsBetween(-49, -2)))
         .withColumn("ls", collect_list(when(col("ispl"),
           struct(col("bucket_ts").as("ts"), col("low").as("v"))))
-          .over(bySymbol.rowsBetween(Window.unboundedPreceding, -2)))
+          .over(bySymbol.rowsBetween(-49, -2)))
       def lastV(a: String, i: Int) = try_element_at(col(a), lit(-i)).getField("v")
       def lastT(a: String, i: Int) = try_element_at(col(a), lit(-i)).getField("ts")
       val (h1, h2v, h3v) = (lastV("hs", 1), lastV("hs", 2), lastV("hs", 3))
@@ -2172,7 +2184,7 @@ object MartSeries {
          |      OVER wtrail, x -> x IS NOT NULL) AS ls
          |  FROM kpiv
          |  WINDOW wtrail AS (PARTITION BY symbol ORDER BY bucket_ts
-         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+         |                    ROWS BETWEEN 49 PRECEDING AND 2 PRECEDING)),
          |kpiv3 AS (
          |  SELECT *,
          |    list_aggregate(list_transform(list_filter(ls,
@@ -2356,31 +2368,27 @@ object MartSeries {
     key = "vpvr", table = "VPVR排行生成器",
     fields = Seq("vpos" -> "价值区位置", "poc" -> "控制点价格"),
     buildFrom = (s, dir, cframe) => {
+      // The 12-bin histogram ran as a transform(sequence(0,11)) of
+      // filter+aggregate HOFs — ~720 interpreted lambda dispatches per
+      // row, the whole-corpus passes' single largest cost at depth. One
+      // tight-loop kernel ([[graft.functions.ArrayFolds.vpvrPoc]], fold
+      // orders bit-matching the oracle's list_filter/list_reduce
+      // spelling; KernelSpec pins it against the old HOF twin) walks the
+      // window once per row. CodegenBarrier pins the struct to a single
+      // evaluation across its three consumers.
       val c = cframe
         .withColumn("cf", collect_list(struct(col("close").as("p"),
           col("volume").as("v"))).over(lastN(60)))
         .withColumn("rn", row_number().over(bySym))
         .filter(col("rn") >= 30)
-        .withColumn("plo", array_min(transform(col("cf"), x => x("p"))))
-        .withColumn("phi", array_max(transform(col("cf"), x => x("p"))))
-      val w = nullif(col("phi") - col("plo"), lit(0.0))
-      val binOf = (p: Column) => least(floor((p - col("plo")) / w * 12), lit(11.0))
-      val c2 = c.withColumn("bins", transform(sequence(lit(0), lit(11)), b =>
-        aggregate(filter(col("cf"), x => binOf(x("p")) === b.cast("double")),
-          lit(0.0), (a, x) => a + x("v"))))
-      val pocBin = array_position(col("bins"), array_max(col("bins"))) - 1
-      val pocPrice = col("plo") + (pocBin.cast("double") + lit(0.5)) *
-        (col("phi") - col("plo")) / 12
-      val myBin = when(w.isNull, lit(0.0)).otherwise(binOf(col("close")))
-      val c3 = c2.withColumn("pocb", pocBin.cast("double"))
-        .withColumn("pocp", when(w.isNull, col("close")).otherwise(pocPrice))
-        .withColumn("mybin", myBin)
-      c3.select(col("symbol"), col("bucket_ts"),
+        .withColumn("vp", graft.functions.CodegenBarrierCol.barrier(
+          graft.functions.ArrayFoldCols.vpvrPoc(col("cf"), col("close"))))
+      c.select(col("symbol"), col("bucket_ts"),
         q6(col("quote_volume")).as("turnover"),
-        when(col("mybin") > col("pocb") + 1, "价值区上方")
-          .when(col("mybin") < col("pocb") - 1, "价值区下方")
+        when(col("vp.mybin") > col("vp.pocb") + 1, "价值区上方")
+          .when(col("vp.mybin") < col("vp.pocb") - 1, "价值区下方")
           .otherwise("价值区内").as("vpos"),
-        q6(col("pocp")).as("poc"))
+        q6(col("vp.poc")).as("poc"))
     },
     sqlCte = {
       val binOf = (p: String) =>

@@ -241,4 +241,79 @@ class KernelSpec extends AnyFunSuite {
     assert(diverged.count() == 0L,
       s"fut kernels diverge: ${diverged.take(3).mkString("; ")}")
   }
+
+  test("vpvr_poc kernel == the 12-bin filter/aggregate HOF spelling bit-for-bit") {
+    // vpvr_poc replaced the vpvr mart's per-row histogram battery (r8).
+    // Twin = the pre-kernel spelling verbatim. Adversarial windows: empty,
+    // single element, flat price (nullif width NULL branch), exact-tie bin
+    // volumes (first-argmax), close at/outside the [plo, phi] edges.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val cases: Seq[(Seq[(Double, Double)], Double)] =
+      Seq(
+        (Seq.empty, 5.0),
+        (Seq((3.0, 7.0)), 3.0),
+        (Seq((2.0, 1.0), (2.0, 4.0), (2.0, 2.0)), 2.0),          // flat
+        (Seq((0.0, 5.0), (12.0, 5.0), (6.0, 5.0)), 12.0),        // ties, close == phi
+        (Seq((0.0, 1.0), (12.0, 1.0)), 0.0),                     // close == plo
+        (Seq((1.0, 2.0), (2.0, 3.0)), 9.0),                      // close above phi
+        (Seq((1.0, 2.0), (2.0, 3.0)), -4.0)) ++                  // close below plo
+      (1 to 80).map { _ =>
+        val n = rnd.nextInt(15) + 1
+        val win = Seq.fill(n)((
+          if (rnd.nextInt(6) == 0) 10.0 else rnd.nextDouble() * 20,
+          if (rnd.nextInt(4) == 0) 1.0 else rnd.nextDouble() * 5))
+        (win, if (rnd.nextInt(5) == 0) win.last._1 else rnd.nextDouble() * 20)
+      }
+    val df2 = cases.zipWithIndex.map { case ((w, c), i) => (i.toLong, w, c) }
+      .toDF("id", "cfr", "close")
+      .withColumn("cf", transform(col("cfr"),
+        x => struct(x("_1").as("p"), x("_2").as("v"))))
+    // twin: the pre-kernel spelling verbatim
+    val plo = array_min(transform(col("cf"), x => x("p")))
+    val phi = array_max(transform(col("cf"), x => x("p")))
+    val w = nullif(phi - plo, lit(0.0))
+    val binOf = (p: Column) => least(floor((p - plo) / w * 12), lit(11.0))
+    val bins = transform(sequence(lit(0), lit(11)), b =>
+      aggregate(filter(col("cf"), x => binOf(x("p")) === b.cast("double")),
+        lit(0.0), (a, x) => a + x("v")))
+    val pocBin = array_position(bins, array_max(bins)) - 1
+    val pocPrice = plo + (pocBin.cast("double") + lit(0.5)) * (phi - plo) / 12
+    val diverged = df2.select(col("id"),
+        graft.functions.ArrayFoldCols.vpvrPoc(col("cf"), col("close")).as("k"),
+        when(w.isNull, lit(0.0)).otherwise(binOf(col("close"))).as("t_mybin"),
+        pocBin.cast("double").as("t_pocb"),
+        when(w.isNull, col("close")).otherwise(pocPrice).as("t_poc"))
+      .filter(!(col("k.mybin") <=> col("t_mybin") &&
+        col("k.pocb") <=> col("t_pocb") && col("k.poc") <=> col("t_poc")))
+    assert(diverged.count() == 0L,
+      s"vpvr_poc diverges: ${diverged.take(3).mkString("; ")}")
+  }
+
+  test("mean_non_null kernel == filter+aggregate HOF spelling bit-for-bit") {
+    // mean_non_null replaced the harm mart's valid-RSI mean (r8): same
+    // ascending fold over non-null elements, ONE division at the end.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    val cases: Seq[Seq[Option[Double]]] =
+      Seq(Seq.empty, Seq(None), Seq(None, None), Seq(Some(3.0)),
+        Seq(None, Some(2.0), None, Some(-1.5))) ++
+      (1 to 60).map { _ =>
+        Seq.fill(rnd.nextInt(33))(
+          if (rnd.nextInt(4) == 0) None else Some(rnd.nextDouble() * 100 - 20))
+      }
+    val df2 = cases.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "arr")
+    val valid = filter(col("arr"), x => x.isNotNull)
+    val diverged = df2.select(col("id"),
+        graft.functions.ArrayFoldCols.meanNonNull(col("arr")).as("k"),
+        size(valid).as("t_n"),
+        when(size(valid) > 0, aggregate(valid, lit(0.0), (a, x) => a + x) /
+          size(valid).cast("double")).as("t_m"))
+      .filter(!(col("k.n") <=> col("t_n") && col("k.m") <=> col("t_m")))
+    assert(diverged.count() == 0L,
+      s"mean_non_null diverges: ${diverged.take(3).mkString("; ")}")
+  }
 }
