@@ -188,10 +188,25 @@ object RuleCorpus {
     * bars of (now hourly) history — exactly how the reference's scanners
     * treat interval-rolled frames.
     */
+  /** The interval roll-up materialized ONCE per (session, corpus dir,
+    * interval) and shared by every mart plan at that cadence. Each mart
+    * is its own plan, so an inline `Rollup.rollup` re-rolls the full 1m
+    * fact once PER MART (35 redundant scan+shuffle passes for a
+    * whole-corpus evaluation). The reference keeps interval bars as
+    * materialized kline tables the scanners read
+    * (data-service roll-up jobs; see SURVEY §2.2 r04) — the memoized
+    * localCheckpoint is that shape, sized at fact/interval rows.
+    */
+  private val sharedRolled = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+  private def rolledShared(s: SparkSession, dir: String, seconds: Long): DataFrame =
+    sharedRolled.computeIfAbsent((s, dir, seconds), _ =>
+      graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
+        .localCheckpoint())
+
   private def rulesQueryAt(rules: Seq[CorpusRule], seconds: Long): Q =
     (s, dir) => {
-      val rolled =
-        graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
+      val rolled = rolledShared(s, dir, seconds)
       rules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
         val md = MartSeries.all(tk)
         fired(evalFrame(md.buildFrom(s, dir, rolled), md.fields.map(_._1)),
