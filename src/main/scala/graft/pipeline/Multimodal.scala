@@ -176,6 +176,12 @@ object Multimodal {
     * safe). This is the fixture/ingest half of m01b: the binary column
     * exactly as it would arrive from object storage.
     */
+  // ImageIO defaults to FILE-backed image streams (one temp file per
+  // encode/decode — a million tmpfs creates per sf1 pass, and wall time
+  // then tracks the tmp dir's state). Memory-backed streams are the
+  // right shape for byte-array round-trips.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def encodeJpeg(id: Long): Array[Byte] = {
     val w = 8 + (id % 24).toInt
     val h = 8 + ((id * 7) % 24).toInt
