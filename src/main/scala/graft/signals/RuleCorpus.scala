@@ -217,6 +217,24 @@ object RuleCorpus {
   def categoryQueryAt(cat: String, seconds: Long): Q =
     rulesQueryAt(rulesFor(cat), seconds)
 
+  /** The engine's NATIVE timeframe dispatch (sqlite_engine.py:224-231):
+    * per table it unions the active rules' declared timeframes, polls the
+    * table's data at each, and evaluates exactly the rules declaring that
+    * timeframe. The batch twin: for each timeframe in the corpus's
+    * declared set (1h/4h/1d — base.py:38's default, two volume rules 1h
+    * only), evaluate that timeframe's rule subset over the interval's
+    * rolled bars and tag the fired rows. Each cadence shares its
+    * [[rolledShared]] roll-up; the whole dispatch stays one window pass
+    * per (mart, timeframe) with zero joins.
+    */
+  private[graft] val TfSeconds =
+    Seq("1h" -> 3600L, "4h" -> 14400L, "1d" -> 86400L)
+  def nativeTfQuery: Q = (s, dir) =>
+    TfSeconds.map { case (tf, secs) =>
+      rulesQueryAt(AllRules.filter(_.timeframes.contains(tf)), secs)(s, dir)
+        .withColumn("timeframe", lit(tf))
+    }.reduce(_.unionByName(_))
+
   // ----------------------------------------------------------- oracle
 
   private def evalCte(md: MartSeries.MartDef): String = {
@@ -293,6 +311,18 @@ object RuleCorpus {
 
   def categoryOracleAt(cat: String, seconds: Long): String =
     rolledPrelude(rulesOracle(rulesFor(cat)), seconds)
+
+  /** [[nativeTfQuery]]'s oracle: one full cadence-rewritten corpus oracle
+    * per timeframe, each inside its own derived table (DuckDB scopes a
+    * subquery's WITH locally, so the three cadences' identical CTE names
+    * cannot collide), tagged and UNION ALL'd.
+    */
+  def nativeTfOracle: String =
+    TfSeconds.map { case (tf, secs) =>
+      val o = rolledPrelude(
+        rulesOracle(AllRules.filter(_.timeframes.contains(tf))), secs)
+      s"SELECT b.*, '$tf' AS timeframe FROM (\n$o\n) b"
+    }.mkString("\nUNION ALL\n")
 
   // -------------------------------------------------------- rule data
 
@@ -1090,6 +1120,7 @@ object RuleCorpus {
     "g13_rules_cooldown" -> corpusCooldown,
     "g14_rules_summary" -> corpusSummary,
     "g17_rules_corpus_1h" -> rulesQueryAt(AllRules, 3600L),
+    "g18_rules_native_tf" -> nativeTfQuery,
     "f02_production_tick" -> productionTick)
 
   val oracle: Map[String, String] = Map(
@@ -1106,5 +1137,6 @@ object RuleCorpus {
     "g13_rules_cooldown" -> cooldownOracle,
     "g14_rules_summary" -> summaryOracle,
     "g17_rules_corpus_1h" -> rolledPrelude(rulesOracle(AllRules), 3600L),
+    "g18_rules_native_tf" -> nativeTfOracle,
     "f02_production_tick" -> tickOracle)
 }

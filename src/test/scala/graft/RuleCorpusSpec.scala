@@ -230,6 +230,27 @@ class RuleCorpusSpec extends AnyFunSuite {
       s"unexpected join in the category plan:\n${p.take(1500)}")
   }
 
+  test("native-timeframe dispatch: the 1h slice IS the 1h corpus") {
+    // g18 evaluates each rule at each timeframe it declares
+    // (sqlite_engine.py:224-231). Every rule declares 1h (base.py:38
+    // default; the two volume rules are 1h-only), so g18's 1h slice must
+    // equal g17's whole-corpus 1h evaluation row-for-row — the dispatch
+    // adds cadences, never alters a cadence's evaluation.
+    val s = spark
+    import s.implicits._
+    val cols = Seq("symbol", "bucket_ts", "rule", "mart")
+    val slice = RuleCorpus.queries("g18_rules_native_tf")(s, TestSession.sf)
+      .filter(col("timeframe") === "1h")
+      .select(cols.map(col): _*).as[(String, Long, String, String)]
+      .collect().toSet
+    val whole = RuleCorpus.queries("g17_rules_corpus_1h")(s, TestSession.sf)
+      .select(cols.map(col): _*).as[(String, Long, String, String)]
+      .collect().toSet
+    assert(slice.nonEmpty)
+    assert(slice === whole,
+      s"slice-only: ${(slice -- whole).take(3)}; corpus-only: ${(whole -- slice).take(3)}")
+  }
+
   // ------------------------------------------------- streaming parity
 
   test("streaming MACD rule battery == batch corpus across micro-batches") {
