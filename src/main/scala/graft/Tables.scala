@@ -202,6 +202,15 @@ object Tables {
     try build finally candleOverride.remove()
   }
 
+  /** True while a [[withCandleFrame]]/[[withMetricsFrame]] override is
+    * active on this thread — (session, dir)-keyed memoizers must NOT
+    * cache frames built under an override (a priority-cut roll-up cached
+    * under the uncut key, or vice versa, would silently serve the wrong
+    * fact to the next caller).
+    */
+  private[graft] def factOverrideActive: Boolean =
+    candleOverride.get != null || metricsOverride.get != null
+
   /** [[withCandleFrame]]'s twin for the metrics fact — the priority cycle
     * ([[graft.operators.Cycle]] f01b) cuts BOTH facts to the priority
     * symbol set before any indicator plan is built.

@@ -200,7 +200,14 @@ object RuleCorpus {
   private val sharedRolled = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long), DataFrame]()
   private def rolledShared(s: SparkSession, dir: String, seconds: Long): DataFrame =
-    sharedRolled.computeIfAbsent((s, dir, seconds), _ =>
+    // under a fact-frame override (the f03 priority cut) the roll-up must
+    // neither be served from nor stored into the (session, dir)-keyed
+    // cache — it still checkpoints so the cadence's 35 mart plans share
+    // one materialization within the overridden build
+    if (graft.Tables.factOverrideActive)
+      graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
+        .localCheckpoint()
+    else sharedRolled.computeIfAbsent((s, dir, seconds), _ =>
       graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
         .localCheckpoint())
 
@@ -829,23 +836,30 @@ object RuleCorpus {
   def corpusFiredMsg(s: SparkSession, dir: String): DataFrame =
     AllRules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
       val md = MartSeries.all(tk)
-      val ev = evalFrame(md.build(s, dir), md.fields.map(_._1))
-      val sigs = array(rs.map { r =>
-        when(expr(fullCond(r)), struct(
-          lit(r.name).as("rule"), lit(md.table).as("mart"),
-          lit(r.category).as("category"), lit(r.subcategory).as("subcategory"),
-          lit(r.direction).as("direction"), lit(r.strength).as("strength"),
-          lit(r.priority).as("priority"),
-          expr(messageSql(r)).as("message")))
-      }: _*)
-      ev.select(col("symbol"), col("bucket_ts"), explode(sigs).as("g"))
-        .where(col("g").isNotNull)
-        .select(col("symbol"), col("bucket_ts"), col("g.rule").as("rule"),
-          col("g.mart").as("mart"), col("g.category").as("category"),
-          col("g.subcategory").as("subcategory"),
-          col("g.direction").as("direction"), col("g.strength").as("strength"),
-          col("g.priority").as("priority"), col("g.message").as("message"))
+      firedMsg(evalFrame(md.build(s, dir), md.fields.map(_._1)), md, rs)
     }.reduce(_.unionByName(_))
+
+  /** [[fired]] + the rendered message in the same when-struct (per-row
+    * expression work; no extra shuffle).
+    */
+  private def firedMsg(ev: DataFrame, md: MartSeries.MartDef,
+      rs: Seq[CorpusRule]): DataFrame = {
+    val sigs = array(rs.map { r =>
+      when(expr(fullCond(r)), struct(
+        lit(r.name).as("rule"), lit(md.table).as("mart"),
+        lit(r.category).as("category"), lit(r.subcategory).as("subcategory"),
+        lit(r.direction).as("direction"), lit(r.strength).as("strength"),
+        lit(r.priority).as("priority"),
+        expr(messageSql(r)).as("message")))
+    }: _*)
+    ev.select(col("symbol"), col("bucket_ts"), explode(sigs).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("symbol"), col("bucket_ts"), col("g.rule").as("rule"),
+        col("g.mart").as("mart"), col("g.category").as("category"),
+        col("g.subcategory").as("subcategory"),
+        col("g.direction").as("direction"), col("g.strength").as("strength"),
+        col("g.priority").as("priority"), col("g.message").as("message"))
+  }
 
   /** The 35-mart evaluation materialized ONCE per (session, corpus dir)
     * and shared by every whole-corpus entry (g13 cooldown, g14 summary,
@@ -924,6 +938,289 @@ object RuleCorpus {
   /** g13 — the cooldown view over the shared corpus materialization. */
   private val corpusCooldown: Q = (s, dir) =>
     cooldownScan(corpusFiredShared(s, dir)).drop("message")
+
+  /** [[Fired9]] + the evaluation timeframe (the [[nativeTfQuery]] row). */
+  final case class FiredTf(symbol: String, bucket_ts: Long, rule: String,
+    mart: String, category: String, subcategory: String, direction: String,
+    strength: Int, priority: String, timeframe: String)
+  private implicit val encFiredTf: org.apache.spark.sql.Encoder[FiredTf] =
+    org.apache.spark.sql.Encoders.product[FiredTf]
+
+  /** [[cooldownScan]] with the reference's FULL state key — the engine
+    * cools down per `f"{rule.name}_{symbol}_{timeframe}"`
+    * (sqlite_engine.py:203-212), so the same rule firing at 1h and 4h
+    * carries independent cooldown clocks. Same O(1)-state streaming
+    * greedy scan, timeframe added to the partition/sort/run key.
+    */
+  def cooldownScanTf(firedRows: DataFrame): DataFrame = {
+    val s = firedRows.sparkSession
+    import s.implicits._
+    firedRows.as[FiredTf]
+      .repartition(col("symbol"), col("rule"), col("timeframe"))
+      .sortWithinPartitions(col("symbol"), col("rule"), col("timeframe"),
+        col("bucket_ts"), col("mart"))
+      .mapPartitions { it =>
+        var curSym: String = null
+        var curRule: String = null
+        var curTf: String = null
+        var cd = 0L
+        var last = Long.MinValue
+        it.flatMap { f =>
+          if (f.symbol != curSym || f.rule != curRule || f.timeframe != curTf) {
+            curSym = f.symbol; curRule = f.rule; curTf = f.timeframe
+            cd = CdByRule(f.rule); last = Long.MinValue
+          }
+          if (last == Long.MinValue || f.bucket_ts > last + cd) {
+            last = f.bucket_ts
+            Some(f)
+          } else None
+        }
+      }
+      .toDF()
+  }
+
+  /** g19 — the native dispatch's cooldown: [[nativeTfQuery]]'s fired
+    * stream thinned per (symbol, rule, timeframe).
+    */
+  private val nativeTfCooldown: Q = (s, dir) =>
+    cooldownScanTf(nativeTfQuery(s, dir))
+
+  /** [[nativeTfCooldown]]'s oracle: the g18 fired union as a CTE, the
+    * per-rule cooldowns as a VALUES lookup (duplicate rule names share
+    * identical cooldowns — the engine's shared-name state collapse), and
+    * the same recursive greedy twin as g13's with `timeframe` in the
+    * partition key and the join.
+    */
+  private def nativeTfCooldownOracle: String = {
+    val cds = CdByRule.toSeq.sortBy(_._1)
+      .map { case (n, cd) => s"('$n', CAST($cd AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH RECURSIVE fired AS (
+       |${nativeTfOracle}
+       |),
+       |cds(rule, cd) AS (
+       |  VALUES $cds),
+       |numbered AS (
+       |  SELECT f.*, c.cd,
+       |    row_number() OVER (PARTITION BY f.symbol, f.rule, f.timeframe
+       |      ORDER BY f.bucket_ts, f.mart) AS rn
+       |  FROM fired f JOIN cds c USING (rule)),
+       |rec AS (
+       |  SELECT symbol, rule, mart, category, subcategory, direction,
+       |         strength, priority, timeframe, bucket_ts, cd, rn,
+       |         bucket_ts AS last_emit, TRUE AS emitted
+       |  FROM numbered WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.symbol, n.rule, n.mart, n.category, n.subcategory,
+       |         n.direction, n.strength, n.priority, n.timeframe,
+       |         n.bucket_ts, n.cd, n.rn,
+       |         CASE WHEN n.bucket_ts > r.last_emit + n.cd THEN n.bucket_ts
+       |              ELSE r.last_emit END,
+       |         n.bucket_ts > r.last_emit + n.cd
+       |  FROM rec r JOIN numbered n
+       |    ON n.symbol = r.symbol AND n.rule = r.rule
+       |    AND n.timeframe = r.timeframe AND n.rn = r.rn + 1)
+       |SELECT symbol, bucket_ts, rule, mart, category, subcategory,
+       |       direction, strength, priority, timeframe
+       |FROM rec WHERE emitted""".stripMargin
+  }
+
+  /** [[cooldownScan]]/[[cooldownScanTf]] generalized to ANY fired schema:
+    * the state key is (symbol, rule) plus `timeframe` when the frame has
+    * one; extra columns (message, price) ride along untouched. Same
+    * repartition → sortWithinPartitions → O(1)-state streaming greedy
+    * scan, expressed over [[Row]]s so new feed shapes need no bespoke
+    * case class.
+    */
+  def cooldownScanRows(firedRows: DataFrame): DataFrame = {
+    val schema = firedRows.schema
+    val hasTf = schema.fieldNames.contains("timeframe")
+    val keyCols = Seq("symbol", "rule") ++ (if (hasTf) Seq("timeframe") else Nil)
+    val iSym = schema.fieldIndex("symbol")
+    val iRule = schema.fieldIndex("rule")
+    val iTf = if (hasTf) schema.fieldIndex("timeframe") else -1
+    val iTs = schema.fieldIndex("bucket_ts")
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    firedRows
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(
+        (keyCols.map(col) ++ Seq(col("bucket_ts"), col("mart"))): _*)
+      .mapPartitions { it =>
+        var kSym: String = null
+        var kRule: String = null
+        var kTf: String = null
+        var cd = 0L
+        var last = Long.MinValue
+        it.filter { r =>
+          val sym = r.getString(iSym)
+          val rule = r.getString(iRule)
+          val tf = if (iTf >= 0) r.getString(iTf) else null
+          if (sym != kSym || rule != kRule || tf != kTf) {
+            kSym = sym; kRule = rule; kTf = tf
+            cd = CdByRule(rule); last = Long.MinValue
+          }
+          val ts = r.getLong(iTs)
+          if (last == Long.MinValue || ts > last + cd) { last = ts; true }
+          else false
+        }
+      }
+  }
+
+  /** Reference tables whose scanner writes a price column the published
+    * Signal's falsy-coalesce can read (sqlite_engine.py:250:
+    * `curr.get("当前价格") or curr.get("价格") or curr.get("收盘价") or 0`)
+    * — in every scanner the value is the bar's CLOSE: 当前价格
+    * (macd.py:49, kdj.py:49, atr.py:48, base_data.py:76,
+    * k_pattern.py:240, liquidity.py:153, scalping.py:43,
+    * support_resistance.py:28, trend_line.py:174, volume_ratio.py:36,
+    * vwap.py:47, lean_indicators.py:270 Ichimoku), 价格 (bollinger.py:45,
+    * ema_gc.py:56, buy_sell_ratio.py:24), 收盘价 (base_data.py:75).
+    * Donchian/Keltner are included because THIS engine's marts carry
+    * 当前价格 (the documented evident-intent fix — the reference scanner
+    * omits the column its own rules compare against; MartSeries donch/
+    * kelt note), and the price coalesce reads the maintained row.
+    * Tables not listed lack all three keys, so the engine publishes
+    * price 0 for them. kpat is special-grid: the mart is a DAILY series
+    * at any evaluation cadence, so its price is the bar's DAILY close.
+    */
+  private[graft] val PriceTables: Set[String] =
+    Set("macd", "kdj", "atr", "base", "kpat", "liq", "scalp", "sr",
+      "tline", "volratio", "vwap", "ichi", "boll", "gc", "taker",
+      "donch", "kelt")
+      .map(k => MartSeries.all(k).table)
+  private val KpatTable = MartSeries.all("kpat").table
+
+  /** g20 — the complete published SIGNAL object feed under the native
+    * dispatch (sqlite_engine.py:246-266): each rule at each timeframe it
+    * declares, with the rendered message AND the reference Signal's
+    * price (the bar's close where the table carries a price column,
+    * else 0), thinned by the per-(symbol, rule, timeframe) cooldown.
+    * Price joins the ROLLED candle frame on (symbol, bucket_ts) AFTER
+    * the cooldown scan — the join side is the O(signals) feed, price is
+    * deterministic per (symbol, bar), so post-cooldown joining commutes
+    * with the oracle's pre-cooldown join and never shuffles more than
+    * the published feed.
+    */
+  private val nativeFeed: Q = (s, dir) => {
+    val fired = TfSeconds.map { case (tf, secs) =>
+      val rolled = rolledShared(s, dir, secs)
+      val rs = AllRules.filter(_.timeframes.contains(tf))
+      rs.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, subset) =>
+        val md = MartSeries.all(tk)
+        firedMsg(evalFrame(md.buildFrom(s, dir, rolled), md.fields.map(_._1)),
+          md, subset)
+      }.reduce(_.unionByName(_))
+        .withColumn("timeframe", lit(tf))
+    }.reduce(_.unionByName(_))
+    val cooled = cooldownScanRows(fired)
+    val px = TfSeconds.map { case (tf, secs) =>
+      rolledShared(s, dir, secs)
+        .select(col("symbol"), col("bucket_ts"),
+          lit(tf).as("timeframe"), MartSeries.q6(col("close")).as("px"))
+    }.reduce(_.unionByName(_))
+    // kpat's mart is a DAILY series at any evaluation cadence, so its
+    // rows sit on day-aligned bucket_ts and its price is the daily close
+    val pxDay = rolledShared(s, dir, 86400L)
+      .select(col("symbol"), col("bucket_ts"),
+        MartSeries.q6(col("close")).as("px_day"))
+    cooled.join(px, Seq("symbol", "bucket_ts", "timeframe"), "left")
+      .join(pxDay, Seq("symbol", "bucket_ts"), "left")
+      .withColumn("price",
+        when(col("mart") === KpatTable, coalesce(col("px_day"), lit(0.0)))
+          .when(col("mart").isin((PriceTables - KpatTable).toSeq: _*),
+            coalesce(col("px"), lit(0.0)))
+          .otherwise(lit(0.0)))
+      .drop("px", "px_day")
+  }
+
+  /** One timeframe's feed oracle body: the cadence-rewritten corpus
+    * oracle with messages in the branches, the fired set joined to the
+    * rolled candles for the Signal price.
+    */
+  private def feedOracleAt(rules: Seq[CorpusRule], seconds: Long): String = {
+    val byTable = rules.groupBy(_.tableKey).toSeq.sortBy(_._1)
+    val defs = byTable.map { case (tk, _) => MartSeries.all(tk) }
+    val preludes =
+      (if (defs.exists(_.needsMetrics)) Seq(Oracle.METRICS) else Nil) ++
+      (if (defs.exists(_.needsSeries)) Seq(MartSeries.SeriesCte) else Nil)
+    val ctes = materialize((preludes ++ defs.map(_.sqlCte) ++ defs.map(evalCte))
+      .mkString(",\n"))
+    val branches = byTable.flatMap { case (tk, rs) =>
+      rs.map { r =>
+        branch(MartSeries.all(tk), r)
+          .replace("\nFROM e_", s",\n  ${messageSql(r)} AS message\nFROM e_")
+      }
+    }.mkString("\nUNION ALL\n")
+    val recur = if (defs.exists(_.needsRecursive)) "RECURSIVE " else ""
+    val pset = (PriceTables - KpatTable).toSeq.sorted
+      .map(t => s"'$t'").mkString(", ")
+    val body =
+      s"""WITH $recur${Oracle.CANDLES},
+         |$ctes,
+         |fired_l AS MATERIALIZED (
+         |$branches
+         |),
+         |candles_day AS MATERIALIZED (
+         |  SELECT symbol, bucket_ts // 86400 * 86400 AS bucket_ts,
+         |         max_by(close, bucket_ts) AS close
+         |  FROM candles GROUP BY 1, 2)
+         |SELECT f.*, CASE
+         |    WHEN f.mart = '$KpatTable'
+         |      THEN ${MartSeries.q6s("coalesce(d.close, 0.0)")}
+         |    WHEN f.mart IN ($pset)
+         |      THEN ${MartSeries.q6s("coalesce(c.close, 0.0)")}
+         |    ELSE 0.0 END AS price
+         |FROM fired_l f
+         |LEFT JOIN candles c
+         |  ON f.symbol = c.symbol AND f.bucket_ts = c.bucket_ts
+         |LEFT JOIN candles_day d
+         |  ON f.symbol = d.symbol AND f.bucket_ts = d.bucket_ts""".stripMargin
+    rolledPrelude(body, seconds)
+  }
+
+  /** [[nativeFeed]]'s oracle: per-timeframe feed bodies (each in its own
+    * derived table — local WITH scope) tagged and unioned, then the
+    * recursive greedy cooldown with the full (symbol, rule, timeframe)
+    * key and message/price threaded through the recursion.
+    */
+  private def nativeFeedOracle: String = {
+    val union = TfSeconds.map { case (tf, secs) =>
+      val body = feedOracleAt(AllRules.filter(_.timeframes.contains(tf)), secs)
+      s"SELECT b.*, '$tf' AS timeframe FROM (\n$body\n) b"
+    }.mkString("\nUNION ALL\n")
+    val cds = CdByRule.toSeq.sortBy(_._1)
+      .map { case (n, cd) => s"('$n', CAST($cd AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH RECURSIVE fired AS (
+       |$union
+       |),
+       |cds(rule, cd) AS (
+       |  VALUES $cds),
+       |numbered AS (
+       |  SELECT f.*, c.cd,
+       |    row_number() OVER (PARTITION BY f.symbol, f.rule, f.timeframe
+       |      ORDER BY f.bucket_ts, f.mart) AS rn
+       |  FROM fired f JOIN cds c USING (rule)),
+       |rec AS (
+       |  SELECT symbol, rule, mart, category, subcategory, direction,
+       |         strength, priority, timeframe, message, price, bucket_ts,
+       |         cd, rn, bucket_ts AS last_emit, TRUE AS emitted
+       |  FROM numbered WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.symbol, n.rule, n.mart, n.category, n.subcategory,
+       |         n.direction, n.strength, n.priority, n.timeframe,
+       |         n.message, n.price, n.bucket_ts, n.cd, n.rn,
+       |         CASE WHEN n.bucket_ts > r.last_emit + n.cd THEN n.bucket_ts
+       |              ELSE r.last_emit END,
+       |         n.bucket_ts > r.last_emit + n.cd
+       |  FROM rec r JOIN numbered n
+       |    ON n.symbol = r.symbol AND n.rule = r.rule
+       |    AND n.timeframe = r.timeframe AND n.rn = r.rn + 1)
+       |SELECT symbol, bucket_ts, rule, mart, category, subcategory,
+       |       direction, strength, priority, timeframe, price, message
+       |FROM rec WHERE emitted""".stripMargin
+  }
 
   /** g14 — corpus summary: fire counts and distinct symbols per rule —
     * the signal-feed statistics a corpus operator reports.
@@ -1104,6 +1401,81 @@ object RuleCorpus {
            |  WHERE symbol IN (SELECT symbol FROM prio))""".stripMargin)
   }
 
+  /** f03 — the COMPLETE native tick: f02's composition upgraded to the
+    * engine's real dispatch. Hourly priority cut (r07, broadcast) →
+    * both facts semi-joined to the cut → the per-timeframe rule dispatch
+    * (g18: each rule at each cadence it declares, over that cadence's
+    * roll-up of ONLY the priority symbols) → the per-(symbol, rule,
+    * timeframe) cooldown scan (g19, the engine's full state key). This
+    * is the whole steady-state loop of core/engine.py:121-255 +
+    * sqlite_engine.py:203-276 as one DAG: at 100 TB non-priority symbols
+    * never reach a roll-up or window pass, each cadence's roll-up is
+    * materialized once and fanned to its 35 mart plans, and the cooldown
+    * streams at O(1) state. Cut-commutes-with-evaluation holds per
+    * symbol (every mart series and the cooldown key are per-symbol), so
+    * f03 == g19 restricted to priority symbols — RuleCorpusSpec pins it.
+    */
+  private val nativeTick: Q = (s, dir) => {
+    val prio = graft.Tables.barrier(
+      graft.operators.Relational.queries("r07_topk_union")(s, dir))
+    val cutCandles = graft.Tables.candles(s, dir)
+      .join(broadcast(prio), Seq("symbol"), "left_semi")
+    val cutMetrics = graft.Tables.metrics5m(s, dir)
+      .join(broadcast(prio), Seq("symbol"), "left_semi")
+    val firedRows = graft.Tables.withCandleFrame(cutCandles) {
+      graft.Tables.withMetricsFrame(cutMetrics) {
+        nativeTfQuery(s, dir)
+      }
+    }
+    cooldownScanTf(firedRows)
+  }
+
+  /** [[nativeTick]]'s DuckDB twin: the g19 oracle with the r07 ranking
+    * spliced in as top-level CTEs (visible inside each cadence
+    * subquery's local WITH) and every cadence's fact preludes replaced
+    * by prio-filtered reads of the shared base derivations.
+    */
+  private def nativeTickOracle: String = {
+    val base = nativeTfCooldownOracle
+    val r07 = graft.operators.Relational.oracle("r07_topk_union")
+    val prefix = "WITH " + Oracle.CANDLES + "\n"
+    require(r07.startsWith(prefix), "r07 oracle no longer candle-prefixed")
+    val frag = r07.stripPrefix(prefix).replace("FROM candles", "FROM candles_base")
+    val selIdx = frag.indexOf("\nSELECT symbol FROM")
+    require(frag.startsWith(", win AS (") && selIdx > 0,
+      "r07 oracle shape changed; update nativeTickOracle's splice")
+    val winCte = frag.substring(2, selIdx)
+    val prioSel = frag.substring(selIdx + 1)
+    val candlesBase = Oracle.CANDLES
+      .replace("candles AS (", "candles_base AS MATERIALIZED (")
+    val metricsBase = Oracle.METRICS
+      .replace("metrics AS (", "metrics_base AS MATERIALIZED (")
+    val prelude =
+      s"""$candlesBase,
+         |$metricsBase,
+         |$winCte,
+         |prio AS MATERIALIZED (
+         |$prioSel),
+         |candles_cut AS MATERIALIZED (
+         |  SELECT * FROM candles_base
+         |  WHERE symbol IN (SELECT symbol FROM prio)),
+         |metrics_cut AS MATERIALIZED (
+         |  SELECT * FROM metrics_base
+         |  WHERE symbol IN (SELECT symbol FROM prio)),
+         |""".stripMargin
+    val candles1m = Oracle.CANDLES.replace("candles AS (", "candles_1m AS (")
+    val metricsMat = Oracle.METRICS
+      .replace("metrics AS (", "metrics AS MATERIALIZED (")
+    require(base.startsWith("WITH RECURSIVE ") && base.contains(candles1m)
+      && base.contains(metricsMat),
+      "g19 oracle preludes changed; update nativeTickOracle's splice")
+    "WITH RECURSIVE " + prelude +
+      base.stripPrefix("WITH RECURSIVE ")
+        .replace(candles1m, "candles_1m AS (SELECT * FROM candles_cut)")
+        .replace(metricsMat,
+          "metrics AS MATERIALIZED (SELECT * FROM metrics_cut)")
+  }
+
   // --------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1121,7 +1493,10 @@ object RuleCorpus {
     "g14_rules_summary" -> corpusSummary,
     "g17_rules_corpus_1h" -> rulesQueryAt(AllRules, 3600L),
     "g18_rules_native_tf" -> nativeTfQuery,
-    "f02_production_tick" -> productionTick)
+    "g19_rules_native_cooldown" -> nativeTfCooldown,
+    "g20_native_feed" -> nativeFeed,
+    "f02_production_tick" -> productionTick,
+    "f03_native_tick" -> nativeTick)
 
   val oracle: Map[String, String] = Map(
     "g09_rules_volume" -> categoryOracle("volume"),
@@ -1138,5 +1513,8 @@ object RuleCorpus {
     "g14_rules_summary" -> summaryOracle,
     "g17_rules_corpus_1h" -> rolledPrelude(rulesOracle(AllRules), 3600L),
     "g18_rules_native_tf" -> nativeTfOracle,
-    "f02_production_tick" -> tickOracle)
+    "g19_rules_native_cooldown" -> nativeTfCooldownOracle,
+    "g20_native_feed" -> nativeFeedOracle,
+    "f02_production_tick" -> tickOracle,
+    "f03_native_tick" -> nativeTickOracle)
 }

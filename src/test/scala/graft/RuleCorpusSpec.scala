@@ -338,6 +338,37 @@ class RuleCorpusSpec extends AnyFunSuite {
     assert(got === want.result())
   }
 
+  test("per-timeframe cooldown carries independent clocks per timeframe") {
+    // the engine keys cooldown state by f"{rule}_{symbol}_{timeframe}"
+    // (sqlite_engine.py:203-212): the SAME rule firing at 1h and 4h must
+    // not suppress each other. Interleave two cadences of an always-firing
+    // rule; a scan that collapsed the key to (symbol, rule) would emit
+    // roughly half the rows. Also pin the O(1)-state plan shape.
+    val s = spark
+    import s.implicits._
+    val n = 5000
+    val rows = (1 to n).flatMap { i =>
+      Seq("1h", "4h").map(tf => RuleCorpus.FiredTf(
+        "A", i * 60L, "MACD金叉", "MACD柱状扫描器", "volume", "macd",
+        "BUY", 65, "medium", tf))
+    }
+    val out = RuleCorpus.cooldownScanTf(rows.toDF())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("FlatMapGroups"),
+      s"tf cooldown scan still buffers per group:\n${plan.take(800)}")
+    val got = out.select("timeframe", "bucket_ts").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = Seq.newBuilder[Long]
+    var last = Long.MinValue
+    (1 to n).foreach { i =>
+      val ts = i * 60L
+      if (last == Long.MinValue || ts > last + 3600L) { want += ts; last = ts }
+    }
+    val perTf = want.result()
+    assert(got("1h") === perTf && got("4h") === perTf,
+      s"clocks interfered: 1h=${got("1h").length}, 4h=${got("4h").length}, want=${perTf.length} each")
+  }
+
   test("f02 tick == whole-corpus cooldown feed restricted to the priority cut") {
     // every mart series is per-symbol window math, so cutting the facts
     // to the priority set BEFORE evaluation (the tick's 100 TB shape)
@@ -350,6 +381,46 @@ class RuleCorpusSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     val full = RuleCorpus.cooldownScan(
         RuleCorpus.corpusFiredShared(spark, TestSession.sf))
+      .filter(col("symbol").isin(prio.toSeq: _*))
+      .collect().map(_.toSeq).toSet
+    assert(tick.nonEmpty)
+    assert(tick === full,
+      s"tick-only: ${(tick -- full).take(2)}; full-only: ${(full -- tick).take(2)}")
+  }
+
+  test("g20 feed == g19 cooldown rows + price/message riding along") {
+    // the published-Signal feed must not let the extra columns perturb
+    // the cooldown emission: dropping price/message from g20 yields
+    // exactly g19's row set (same dispatch, same greedy scan key)
+    val s = spark
+    import s.implicits._
+    val cols = Seq("symbol", "bucket_ts", "rule", "mart", "timeframe")
+    val feed = RuleCorpus.queries("g20_native_feed")(s, TestSession.sf)
+    assert(feed.columns.contains("price") && feed.columns.contains("message"))
+    val got = feed.select(cols.map(col): _*)
+      .as[(String, Long, String, String, String)].collect().toSet
+    val want = RuleCorpus.queries("g19_rules_native_cooldown")(s, TestSession.sf)
+      .select(cols.map(col): _*)
+      .as[(String, Long, String, String, String)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got === want,
+      s"feed-only: ${(got -- want).take(3)}; g19-only: ${(want -- got).take(3)}")
+  }
+
+  test("f03 native tick == native cooldown feed restricted to the priority cut") {
+    // the per-timeframe dispatch and its cooldown key are per-symbol, so
+    // the priority cut commutes with the whole native loop; this also
+    // guards the rolledShared cache against fact-override poisoning (g19
+    // populates the uncut cache, f03 builds cut roll-ups — a leak either
+    // way breaks the equality or the g18/g19 oracles)
+    val s = spark
+    import s.implicits._
+    val prio = operators.Relational.queries("r07_topk_union")(s, TestSession.sf)
+      .as[String].collect().toSet
+    assert(prio.nonEmpty)
+    val tick = RuleCorpus.queries("f03_native_tick")(s, TestSession.sf)
+      .collect().map(_.toSeq).toSet
+    val full = RuleCorpus.queries("g19_rules_native_cooldown")(s, TestSession.sf)
       .filter(col("symbol").isin(prio.toSeq: _*))
       .collect().map(_.toSeq).toSet
     assert(tick.nonEmpty)
