@@ -160,4 +160,55 @@ object RuleStream {
       }
       .toDF()
   }
+
+  private[graft] final case class FiredWmTf(symbol: String, bucket_ts: Long,
+    rule: String, mart: String, category: String, subcategory: String,
+    direction: String, strength: Int, priority: String, timeframe: String,
+    event_time: java.sql.Timestamp)
+
+  /** [[corpusCooldownStream]] with the engine's FULL cooldown state key —
+    * `f"{rule}_{symbol}_{timeframe}"` (sqlite_engine.py:203-212) — the
+    * streaming twin of [[RuleCorpus.cooldownScanTf]] (g19): the same
+    * rule's 1h and 4h streams thin under independent clocks.
+    */
+  def corpusCooldownStreamTf(fired: DataFrame): DataFrame = {
+    val spark = fired.sparkSession
+    import spark.implicits._
+    implicit val encWm: Encoder[FiredWmTf] = Encoders.product[FiredWmTf]
+    implicit val encOut: Encoder[RuleCorpus.FiredTf] =
+      Encoders.product[RuleCorpus.FiredTf]
+    implicit val encKey: Encoder[(String, String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    val cds = RuleCorpus.AllRules.map(r => r.name -> r.cooldown).toMap
+    fired
+      .withColumn("event_time", timestamp_seconds(col("bucket_ts")))
+      .withWatermark("event_time", "1 second")
+      .as[FiredWmTf]
+      .groupByKey(f => (f.symbol, f.rule, f.timeframe))
+      .flatMapGroupsWithState[Long, RuleCorpus.FiredTf](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, it, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val cd = cds(key._2)
+          val fs = it.toArray.sortBy(f => (f.bucket_ts, f.mart))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[RuleCorpus.FiredTf]
+          fs.foreach { f =>
+            if (last == Long.MinValue || f.bucket_ts > last + cd) {
+              out += RuleCorpus.FiredTf(f.symbol, f.bucket_ts, f.rule, f.mart,
+                f.category, f.subcategory, f.direction, f.strength,
+                f.priority, f.timeframe)
+              last = f.bucket_ts
+            }
+          }
+          if (last != Long.MinValue) {
+            state.update(last)
+            state.setTimeoutTimestamp(math.max((last + 2 * cd) * 1000L,
+              state.getCurrentWatermarkMs() + 1000L))
+          }
+          out.result().iterator
+        }
+      }
+      .toDF()
+  }
 }

@@ -311,6 +311,36 @@ class RuleCorpusSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming tf-keyed cooldown == the batch cooldownScanTf scan") {
+    // the engine's full state key, streamed: an interleaved 1h/4h
+    // always-firing series split across micro-batches must reproduce the
+    // batch greedy emission with independent per-timeframe clocks
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (1 to 3000).flatMap { i =>
+      Seq("1h", "4h").map(tf => RuleCorpus.FiredTf(
+        "A", i * 60L, "MACD金叉", "MACD柱状扫描器", "volume", "macd",
+        "BUY", 65, "medium", tf))
+    }.sortBy(_.bucket_ts)
+    val half = rows.length / 2
+    val input = MemoryStream[RuleCorpus.FiredTf](
+      implicitly[org.apache.spark.sql.Encoder[RuleCorpus.FiredTf]], s)
+    val q = graft.streaming.RuleStream.corpusCooldownStreamTf(input.toDF())
+      .writeStream.format("memory").queryName("tcs").outputMode("append").start()
+    try {
+      input.addData(rows.take(half)); q.processAllAvailable()
+      input.addData(rows.drop(half)); q.processAllAvailable()
+      val got = s.table("tcs").select("timeframe", "bucket_ts")
+        .as[(String, Long)].collect().toSet
+      val want = RuleCorpus.cooldownScanTf(rows.toDF())
+        .select("timeframe", "bucket_ts").as[(String, Long)].collect().toSet
+      assert(got.nonEmpty)
+      assert(got === want,
+        s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("cooldown scan streams at O(1) state: dense always-firing series") {
     // the r7 verdict's named heap exposure: a per-(symbol, rule) toArray
     // buffers millions of rows for an always-firing rule. The scan must
