@@ -541,6 +541,18 @@ object Text {
     * must bracket construction+execution together (Bench does).
     */
   private val bpeMerges: Q = (s, dir) => {
+    val session = s
+    import session.implicits._
+    trainBpe(s, dir)._1.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** The shared trainer behind t16 (the merge table) and t18 (the encoded
+    * stream): returns the learned merges AND the final merged token
+    * stream (doc_id, s) — the space-padded text after all rounds, merged
+    * tokens joined with the U+0001 marker.
+    */
+  private def trainBpe(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var cur = Tables.barrier(Tables.documents(s, dir)
       .select(col("doc_id"), concat(lit(" "),
         concat_ws(" ", filter(toks(col("text")), t => t =!= lit(""))),
@@ -576,9 +588,30 @@ object Text {
         learned += ((round, l, r, cnt))
       }
     }
-    val session = s
-    import session.implicits._
-    learned.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+    (learned.toSeq, cur)
+  }
+
+  /** T18 — BPE ENCODING with the learned merge table (the apply half of
+    * Sennrich et al. 2016: real pipelines train once, then tokenize the
+    * whole corpus with the shipped merges — this is the per-document
+    * token accounting that sizes a training run): per doc, the token
+    * count after all [[MergeRounds]] merges and how many emitted tokens
+    * are merge products (contain the U+0001 join marker).
+    *
+    * Scale shape: training is t16's (the merge table is driver-sized by
+    * construction); encoding is a row-local string pass over the already
+    * barrier-materialized stream — one corpus scan, zero shuffle, and
+    * each merge application is the same two-pass `replace` the trainer
+    * used, so the oracle's round replay reproduces the stream
+    * bit-identically.
+    */
+  private val bpeEncode: Q = (s, dir) => {
+    val stream = trainBpe(s, dir)._2
+    val tk = filter(split(col("s"), " "), t => t =!= lit(""))
+    stream.select(col("doc_id"),
+      size(tk).cast("bigint").as("n_tokens"),
+      size(filter(tk, t => t.contains("\u0001"))).cast("bigint")
+        .as("n_merged"))
   }
 
   /** T17 — DSIR importance weighting (Xie et al., "Data Selection for
@@ -640,6 +673,7 @@ object Text {
   }
 
   val queries: Map[String, Q] = Map(
+    "t18_bpe_encode" -> bpeEncode,
     "t17_dsir_weights" -> dsirWeights,
     "t16_bpe_merges" -> bpeMerges,
     "t15_bpe_pairs" -> bpePairs,
@@ -800,6 +834,23 @@ object Text {
          |SELECT doc_id, n_tokens, round(raw, 6) AS dsir_logratio,
          |  round(raw, 6) > 0.0 AS keep
          |FROM sc""".stripMargin,
+    // t18 replays t16's full training chain (bit-identical replace
+    // semantics), then counts the FINAL stream's tokens per doc.
+    "t18_bpe_encode" ->
+      s"""WITH s0 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ' ' || array_to_string(list_filter(string_split(text, ' '),
+         |      t -> t != ''), ' ') || ' ' AS s
+         |  FROM documents),
+         |${(1 to MergeRounds).map(t16RoundCtes).mkString(",\n")},
+         |fin AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(s, ' '), t -> t != '') AS tk
+         |  FROM s$MergeRounds)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(tk, t -> contains(t, chr(1)))) AS BIGINT)
+         |    AS n_merged
+         |FROM fin""".stripMargin,
     "t16_bpe_merges" ->
       s"""WITH s0 AS MATERIALIZED (
          |  SELECT doc_id,

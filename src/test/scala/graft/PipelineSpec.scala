@@ -400,6 +400,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length == 4, s"expected early stop after 4 merges: ${out.length}")
   }
 
+  test("t18 BPE encode: the learned merges applied per doc, hand-computed token/merge counts") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t18").toString
+    // t16's fixture plus doc 7 ("z z w"), chosen so rounds 1-4 replay the
+    // t16 test's exact merge order and round 5 merges (z, w) — leaving
+    // doc 7 with one merged and one UNMERGED token:
+    //   r1 (x,y)×3  r2 (p,q)  r3 (x␁y,x␁y)  r4 (x␁y␁x␁y,x␁y)  r5 (z,w)
+    Seq((1L, "x y x y x y"), (2L, "p q"), (4L, "p q"), (7L, "z z w"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Text.queries("t18_bpe_encode")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((1L, 1L)), 2L -> ((1L, 1L)),
+      4L -> ((1L, 1L)), 7L -> ((2L, 1L))), s"encode counts wrong: $out")
+  }
+
   test("t17 DSIR: target-vocabulary docs outscore raw-only docs; target slice excluded") {
     val session = spark
     import session.implicits._
