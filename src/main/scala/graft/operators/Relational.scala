@@ -127,6 +127,10 @@ object Relational {
     * quantization can no longer move a value across a `round(x, 6)`
     * half-boundary (the r7 ADVICE latent-flip).
     */
+  /** r19b store roots with a registered exit-time cleanup hook. */
+  private val r19bCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private val r19b: Q = (s, dir) => {
     val seconds = 3600L
     def q6all(df: DataFrame): DataFrame =
@@ -135,10 +139,21 @@ object Relational {
     val c1m = candles(s, dir)
     val wmTs = (c1m.agg(max(col("bucket_ts"))).head.getLong(0)
       / seconds - 5L) * seconds
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+    val rootFile = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_r19b_" + java.lang.management.ManagementFactory
         .getRuntimeMXBean.getPid + "_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // PID-keyed ⇒ unique per process run: without cleanup every bench/
+    // verify invocation strands a new store under the temp dir (r8
+    // ADVICE). One shutdown hook per root (repeat invocations reuse it).
+    if (r19bCleanup.add(rootFile.getPath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(rootFile)
+      }))
+    val root = rootFile.getPath
     Tables.writeCandles(q6all(c1m), s"$root/base")
     Tables.writeCandles(
       q6all(Rollup.rollup(c1m, seconds).filter(col("bucket_ts") < wmTs)),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Oracle, Tables}
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,36 +154,27 @@ object Signals {
         col("sig.direction").as("direction"), col("sig.strength").as("strength"))
   }
 
+  /** The fired-signal row ([[graft.streaming.StreamRollup]]'s stream
+    * element type; the batch cooldown runs over untyped Rows).
+    */
   final case class Fired(symbol: String, bucket_ts: Long, rule: String,
     direction: String, strength: Int)
-  private implicit val encFired: Encoder[Fired] = Encoders.product[Fired]
 
   /** Fired signals after per-(symbol, rule) cooldown (pg_engine.py:612-636):
     * a signal emits only if ≥ `cooldownSec` after the previously EMITTED
     * one — a per-key greedy scan (stateful, not window-expressible), the
     * batch twin of the streaming
-    * [[graft.streaming.StreamRollup.cooldownStream]].
+    * [[graft.streaming.StreamRollup.cooldownStream]]. Runs as the shared
+    * O(1)-state streaming scan ([[graft.signals.RuleCorpus
+    * .cooldownScanRows]]): hash-partition on (symbol, rule), sort within
+    * partitions, one constant-memory pass — no per-group buffering, so an
+    * always-firing rule over years of bars never materializes on a task's
+    * heap (the r8 verdict's last `it.toArray` group buffer, retired). The
+    * pg engine's non-strict `>= last + cd` emission maps to
+    * `strict = false`.
     */
-  /** Greedy per-(symbol, rule) cooldown scan over any fired-signal frame. */
-  private def cooldown(s: SparkSession, signals: DataFrame, cd: Long): DataFrame = {
-    import s.implicits._
-    signals.as[Fired]
-      .groupByKey(f => (f.symbol, f.rule))
-      .flatMapGroups { (_, it) =>
-        val fs = it.toArray
-        java.util.Arrays.sort(fs, Ordering.by((f: Fired) => f.bucket_ts))
-        val out = Array.newBuilder[Fired]
-        var last = Long.MinValue
-        fs.foreach { f =>
-          if (last == Long.MinValue || f.bucket_ts >= last + cd) {
-            out += f
-            last = f.bucket_ts
-          }
-        }
-        out.result().iterator
-      }
-      .toDF()
-  }
+  private def cooldown(s: SparkSession, signals: DataFrame, cd: Long): DataFrame =
+    graft.signals.RuleCorpus.cooldownScanRows(signals, _ => cd, strict = false)
 
   private val cooled: Q = (s, dir) => cooldown(s, fired(s, dir), 600L)
 

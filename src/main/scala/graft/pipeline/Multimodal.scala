@@ -171,17 +171,19 @@ object Multimodal {
   final case class Decoded(doc_id: Long, width: Int, height: Int)
   private implicit val encDecoded: Encoder[Decoded] = Encoders.product[Decoded]
 
+  // ImageIO defaults to FILE-backed image streams (one temp file per
+  // encode/decode — a million tmpfs creates per sf1 pass, and wall time
+  // then tracks the tmp dir's state). Memory-backed streams are the
+  // right shape for byte-array round-trips. NOTE: setUseCache is a
+  // PROCESS-GLOBAL ImageIO mutation, executed at object init — it
+  // applies to every ImageIO user in the JVM, not just this module.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Synthesize one real JPEG per doc: dims derived from doc_id, solid
     * fill color likewise (setRGB, no AWT graphics pipeline — headless
     * safe). This is the fixture/ingest half of m01b: the binary column
     * exactly as it would arrive from object storage.
     */
-  // ImageIO defaults to FILE-backed image streams (one temp file per
-  // encode/decode — a million tmpfs creates per sf1 pass, and wall time
-  // then tracks the tmp dir's state). Memory-backed streams are the
-  // right shape for byte-array round-trips.
-  javax.imageio.ImageIO.setUseCache(false)
-
   def encodeJpeg(id: Long): Array[Byte] = {
     val w = 8 + (id % 24).toInt
     val h = 8 + ((id * 7) % 24).toInt

@@ -2103,7 +2103,15 @@ object MartSeries {
         // per-row pivot-list work at O(50) regardless of history depth
         // (the unbounded spelling grew with the partition). Pivot
         // CONFIRMATION (isph/ispl) stays global ±2 — only visibility is
-        // windowed.
+        // windowed. Accepted edge (r8 ADVICE): a pivot at the far LEFT
+        // of the 50-bar frame whose ±2 confirming neighbors precede the
+        // frame is visible here though the reference's own 50-bar poll
+        // could not have confirmed it. Both this engine and the DuckDB
+        // oracle confirm globally, so they agree with each other; the
+        // divergence would only surface against the live reference, on
+        // shapes anchored ≥48 bars back — beyond every rule's pattern
+        // depth (the shape rules read the LAST 2-3 pivots, which sit
+        // well inside the frame on any bar that fires).
         .withColumn("hs", collect_list(when(col("isph"),
           struct(col("bucket_ts").as("ts"), col("high").as("v"))))
           .over(bySymbol.rowsBetween(-49, -2)))

@@ -103,7 +103,17 @@ object RuleCorpus {
         // coalesce to '' mirrors the reference's `str(prev.get(fld, ""))`
         // missing-key coercion (base.py:58-61): several from-vocabularies
         // (scalp_sig, bias_d, fdir) explicitly include "", which a bare
-        // NULL IN (...) would leave unreachable (r7 ADVICE)
+        // NULL IN (...) would leave unreachable (r7 ADVICE). Scope note
+        // (r8 ADVICE): a present-but-None value would render "None", not
+        // "" — but in THESE mart series a NULL state column only ever
+        // models the scanner not having emitted the field at all
+        // (warm-up bars before the indicator's history fills, rows the
+        // reference scanner never writes), never a stored None: every
+        // state field is a CASE/classification expression that yields a
+        // vocabulary string on any row the scanner would emit. So the
+        // missing-key '' coercion is the faithful one for all current
+        // fields; a future mart that stores explicit NULL states must
+        // coerce those fields to 'None' instead.
         s"has_prev AND coalesce(prev_$f, '') IN (${strs(from)})" +
           s" AND coalesce($f, '') IN (${strs(to)})"
       case ThresholdCrossUp(f, t) =>
@@ -166,14 +176,31 @@ object RuleCorpus {
         col("g.priority").as("priority"))
   }
 
+  /** Union a fired-branch list, materializing WIDE unions in parallel:
+    * past ~10 mart branches the cost is the DRIVER — each branch is its
+    * own analyze/optimize/codegen pass over a large when-expression tree
+    * (the corpus data is window math over metadata-sized frames; at
+    * sf0.1 a 35-branch serial union spends ~9 s almost entirely
+    * single-threaded on the driver). [[graft.operators.Cycle
+    * .runBranches]] checkpoints every branch eagerly on a pool, so
+    * optimization + codegen + execution overlap across branches — the
+    * same medicine that took f01's 287-branch fan-out from 227 s to
+    * ~30 s (r3). Small unions (the per-category g05–g12 entries) stay
+    * lazy: a handful of branches doesn't amortize the eager jobs, and a
+    * lazy plan composes better downstream.
+    */
+  private def firedUnion(branches: Seq[DataFrame]): DataFrame =
+    if (branches.sizeIs < 5) branches.reduce(_.unionByName(_))
+    else graft.operators.Cycle.runBranches(branches)
+
   /** Fired union for an arbitrary rule subset: per mart table one window
     * pass, union across the subset's tables.
     */
   private def rulesQuery(rules: Seq[CorpusRule]): Q = (s, dir) =>
-    rules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
+    firedUnion(rules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
       val md = MartSeries.all(tk)
       fired(evalFrame(md.build(s, dir), md.fields.map(_._1)), md.table, rs)
-    }.reduce(_.unionByName(_))
+    })
 
   /** Category evaluation: per mart table one window pass, union across
     * the category's tables.
@@ -199,26 +226,42 @@ object RuleCorpus {
     */
   private val sharedRolled = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long), DataFrame]()
+  /** Build + checkpoint one cadence's roll-up, clustered for the marts:
+    * the roll-up aggregates on (symbol, bucket), so its natural
+    * partitioning does NOT satisfy the marts' symbol-clustered window
+    * distribution — left as-is, every one of the ~35 downstream mart
+    * plans re-shuffles AND re-sorts the checkpointed frame. One
+    * repartition(symbol) + in-partition (symbol, bucket_ts) sort BEFORE
+    * the checkpoint makes the LogicalRDD carry exactly the partitioning/
+    * ordering the window passes require (Dataset.localCheckpoint
+    * preserves both), so the whole cadence's dispatch runs exchange-free
+    * — one shuffle per cadence instead of one per (mart, cadence), the
+    * difference between 3 and ~105 shuffles for a native evaluation.
+    */
+  private def rolledClustered(s: SparkSession, dir: String,
+      seconds: Long): DataFrame =
+    graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .localCheckpoint()
   private def rolledShared(s: SparkSession, dir: String, seconds: Long): DataFrame =
     // under a fact-frame override (the f03 priority cut) the roll-up must
     // neither be served from nor stored into the (session, dir)-keyed
     // cache — it still checkpoints so the cadence's 35 mart plans share
     // one materialization within the overridden build
     if (graft.Tables.factOverrideActive)
-      graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
-        .localCheckpoint()
+      rolledClustered(s, dir, seconds)
     else sharedRolled.computeIfAbsent((s, dir, seconds), _ =>
-      graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
-        .localCheckpoint())
+      rolledClustered(s, dir, seconds))
 
   private def rulesQueryAt(rules: Seq[CorpusRule], seconds: Long): Q =
     (s, dir) => {
       val rolled = rolledShared(s, dir, seconds)
-      rules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
+      firedUnion(rules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
         val md = MartSeries.all(tk)
         fired(evalFrame(md.buildFrom(s, dir, rolled), md.fields.map(_._1)),
           md.table, rs)
-      }.reduce(_.unionByName(_))
+      })
     }
 
   def categoryQueryAt(cat: String, seconds: Long): Q =
@@ -237,10 +280,15 @@ object RuleCorpus {
   private[graft] val TfSeconds =
     Seq("1h" -> 3600L, "4h" -> 14400L, "1d" -> 86400L)
   def nativeTfQuery: Q = (s, dir) =>
-    TfSeconds.map { case (tf, secs) =>
-      rulesQueryAt(AllRules.filter(_.timeframes.contains(tf)), secs)(s, dir)
-        .withColumn("timeframe", lit(tf))
-    }.reduce(_.unionByName(_))
+    firedUnion(TfSeconds.flatMap { case (tf, secs) =>
+      val rolled = rolledShared(s, dir, secs)
+      AllRules.filter(_.timeframes.contains(tf))
+        .groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
+          val md = MartSeries.all(tk)
+          fired(evalFrame(md.buildFrom(s, dir, rolled), md.fields.map(_._1)),
+            md.table, rs).withColumn("timeframe", lit(tf))
+        }
+    })
 
   // ----------------------------------------------------------- oracle
 
@@ -834,10 +882,10 @@ object RuleCorpus {
     * so the superset costs the same shuffle budget as the fired set.
     */
   def corpusFiredMsg(s: SparkSession, dir: String): DataFrame =
-    AllRules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
+    firedUnion(AllRules.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, rs) =>
       val md = MartSeries.all(tk)
       firedMsg(evalFrame(md.build(s, dir), md.fields.map(_._1)), md, rs)
-    }.reduce(_.unionByName(_))
+    })
 
   /** [[fired]] + the rendered message in the same when-struct (per-row
     * expression work; no extra shuffle).
@@ -979,11 +1027,11 @@ object RuleCorpus {
       .toDF()
   }
 
-  /** g19 — the native dispatch's cooldown: [[nativeTfQuery]]'s fired
-    * stream thinned per (symbol, rule, timeframe).
+  /** g19 — the native dispatch's cooldown: the shared fired stream
+    * thinned per (symbol, rule, timeframe).
     */
   private val nativeTfCooldown: Q = (s, dir) =>
-    cooldownScanTf(nativeTfQuery(s, dir))
+    cooldownScanTf(nativeFiredShared(s, dir).drop("message"))
 
   /** [[nativeTfCooldown]]'s oracle: the g18 fired union as a CTE, the
     * per-rule cooldowns as a VALUES lookup (duplicate rule names share
@@ -1027,15 +1075,25 @@ object RuleCorpus {
 
   /** [[cooldownScan]]/[[cooldownScanTf]] generalized to ANY fired schema:
     * the state key is (symbol, rule) plus `timeframe` when the frame has
-    * one; extra columns (message, price) ride along untouched. Same
-    * repartition → sortWithinPartitions → O(1)-state streaming greedy
-    * scan, expressed over [[Row]]s so new feed shapes need no bespoke
-    * case class.
+    * one; extra columns (message, price) ride along untouched; `mart`
+    * joins the sort as the tie-break when present. Same repartition →
+    * sortWithinPartitions → O(1)-state streaming greedy scan, expressed
+    * over [[Row]]s so new feed shapes need no bespoke case class.
+    *
+    * `cdOf` maps a rule name to its cooldown seconds (defaults to the
+    * corpus registry); `strict` selects the emission comparison — the
+    * sqlite engine re-emits strictly MORE than `cd` after the last
+    * emission (sqlite_engine.py:205-212, the default), the pg engine at
+    * `cd` or more (pg_engine.py:612-636, the g02 path).
     */
-  def cooldownScanRows(firedRows: DataFrame): DataFrame = {
+  def cooldownScanRows(firedRows: DataFrame,
+      cdOf: String => Long = CdByRule,
+      strict: Boolean = true): DataFrame = {
     val schema = firedRows.schema
     val hasTf = schema.fieldNames.contains("timeframe")
     val keyCols = Seq("symbol", "rule") ++ (if (hasTf) Seq("timeframe") else Nil)
+    val tieBreak =
+      if (schema.fieldNames.contains("mart")) Seq(col("mart")) else Nil
     val iSym = schema.fieldIndex("symbol")
     val iRule = schema.fieldIndex("rule")
     val iTf = if (hasTf) schema.fieldIndex("timeframe") else -1
@@ -1045,7 +1103,7 @@ object RuleCorpus {
     firedRows
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions(
-        (keyCols.map(col) ++ Seq(col("bucket_ts"), col("mart"))): _*)
+        (keyCols.map(col) ++ Seq(col("bucket_ts")) ++ tieBreak): _*)
       .mapPartitions { it =>
         var kSym: String = null
         var kRule: String = null
@@ -1058,10 +1116,12 @@ object RuleCorpus {
           val tf = if (iTf >= 0) r.getString(iTf) else null
           if (sym != kSym || rule != kRule || tf != kTf) {
             kSym = sym; kRule = rule; kTf = tf
-            cd = CdByRule(rule); last = Long.MinValue
+            cd = cdOf(rule); last = Long.MinValue
           }
           val ts = r.getLong(iTs)
-          if (last == Long.MinValue || ts > last + cd) { last = ts; true }
+          val cooled =
+            if (strict) ts > last + cd else ts >= last + cd
+          if (last == Long.MinValue || cooled) { last = ts; true }
           else false
         }
       }
@@ -1091,6 +1151,74 @@ object RuleCorpus {
       .map(k => MartSeries.all(k).table)
   private val KpatTable = MartSeries.all("kpat").table
 
+  /** The native dispatch's fired-with-message stream (the 11-column
+    * superset every native-family view projects from): each rule
+    * evaluated at each timeframe it declares over that cadence's shared
+    * roll-up, with the rendered message riding in the same when-struct.
+    * Row-identical to [[nativeTfQuery]] plus `message` — the fired
+    * predicate is [[fullCond]] in both.
+    */
+  private def nativeFiredMsg(s: SparkSession, dir: String): DataFrame =
+    firedUnion(TfSeconds.flatMap { case (tf, secs) =>
+      val rolled = rolledShared(s, dir, secs)
+      val rs = AllRules.filter(_.timeframes.contains(tf))
+      rs.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, subset) =>
+        val md = MartSeries.all(tk)
+        firedMsg(evalFrame(md.buildFrom(s, dir, rolled), md.fields.map(_._1)),
+          md, subset).withColumn("timeframe", lit(tf))
+      }
+    })
+
+  /** [[nativeFiredMsg]] materialized ONCE per (session, corpus dir) and
+    * shared by the whole native-dispatch family — the engine evaluates
+    * each (table, timeframe) once per tick and fans the fired set to
+    * dispatch/cooldown/publication (sqlite_engine.py:218-276); it never
+    * re-runs the scanners per consumer. g18 projects the tagged fired
+    * set (drop message), g19 is the tf-keyed cooldown scan over it, g20
+    * the cooldown + price join — exactly the [[corpusFiredShared]]
+    * pattern one dispatch level up (the r8 verdict's top ask: the
+    * standalone builds re-evaluated the 3-cadence × 35-mart corpus four
+    * times, 124 s of a 312 s bench). The fired superset is sparse
+    * (O(fired signals)), so the checkpoint pins metadata-sized blocks.
+    * Like [[rolledShared]], a fact-frame override (the f03 priority cut)
+    * bypasses the cache entirely — overridden builds neither read nor
+    * poison the (session, dir) key.
+    */
+  private val sharedNativeFired = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  def nativeFiredShared(s: SparkSession, dir: String): DataFrame =
+    if (graft.Tables.factOverrideActive) nativeFiredMsg(s, dir)
+    else sharedNativeFired.computeIfAbsent((s, dir), _ =>
+      nativeFiredMsg(s, dir).localCheckpoint())
+
+  /** Drop every memoized (session, dir)-keyed materialization owned by
+    * this registry — the roll-up, whole-corpus fired and native fired
+    * checkpoints — releasing their pinned blocks and forcing the next
+    * consumer to rebuild from the store. MUST be called whenever a
+    * corpus dir's parquet files are rewritten in-session (the r8 advisor
+    * finding: the caches otherwise serve stale data silently —
+    * [[graft.ScaleGen]] regenerates dirs and calls this between
+    * generations) and MAY be called at any quiescent point to bound a
+    * long session's checkpoint footprint. Not safe concurrently with a
+    * running query over the same dir: the unpersist pulls blocks out
+    * from under in-flight tasks (they recompute, but from the possibly
+    * rewritten store).
+    */
+  def invalidateShared(): Unit = {
+    def drop(dfs: Iterable[DataFrame]): Unit = dfs.foreach { df =>
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    drop(sharedRolled.values.asScala)
+    drop(sharedFired.values.asScala)
+    drop(sharedNativeFired.values.asScala)
+    sharedRolled.clear(); sharedFired.clear(); sharedNativeFired.clear()
+  }
+
   /** g20 — the complete published SIGNAL object feed under the native
     * dispatch (sqlite_engine.py:246-266): each rule at each timeframe it
     * declares, with the rendered message AND the reference Signal's
@@ -1103,17 +1231,7 @@ object RuleCorpus {
     * the published feed.
     */
   private val nativeFeed: Q = (s, dir) => {
-    val fired = TfSeconds.map { case (tf, secs) =>
-      val rolled = rolledShared(s, dir, secs)
-      val rs = AllRules.filter(_.timeframes.contains(tf))
-      rs.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, subset) =>
-        val md = MartSeries.all(tk)
-        firedMsg(evalFrame(md.buildFrom(s, dir, rolled), md.fields.map(_._1)),
-          md, subset)
-      }.reduce(_.unionByName(_))
-        .withColumn("timeframe", lit(tf))
-    }.reduce(_.unionByName(_))
-    val cooled = cooldownScanRows(fired)
+    val cooled = cooldownScanRows(nativeFiredShared(s, dir))
     val px = TfSeconds.map { case (tf, secs) =>
       rolledShared(s, dir, secs)
         .select(col("symbol"), col("bucket_ts"),
@@ -1348,13 +1466,22 @@ object RuleCorpus {
     * cooldown feed (g13 ⋈ g16) restricted to priority symbols —
     * RuleCorpusSpec pins that equality.
     */
+  /** Cut a bucketed fact to the priority set and checkpoint the result
+    * ONCE: the broadcast semi-join never shuffles and the checkpoint
+    * keeps the scan's bucketed-by-symbol partitioning and (symbol, time)
+    * sort, so every downstream mart window pass reads the cut fact
+    * exchange-free AND scan-free — without it each of the ~35 mart plans
+    * re-scans the full fact and re-probes the semi-join (35 store scans
+    * per tick; the r8 f02 `weak` mark's root cost).
+    */
+  private def cutChecked(fact: DataFrame, prio: DataFrame): DataFrame =
+    fact.join(broadcast(prio), Seq("symbol"), "left_semi").localCheckpoint()
+
   private val productionTick: Q = (s, dir) => {
     val prio = graft.Tables.barrier(
       graft.operators.Relational.queries("r07_topk_union")(s, dir))
-    val cutCandles = graft.Tables.candles(s, dir)
-      .join(broadcast(prio), Seq("symbol"), "left_semi")
-    val cutMetrics = graft.Tables.metrics5m(s, dir)
-      .join(broadcast(prio), Seq("symbol"), "left_semi")
+    val cutCandles = cutChecked(graft.Tables.candles(s, dir), prio)
+    val cutMetrics = cutChecked(graft.Tables.metrics5m(s, dir), prio)
     val firedRows = graft.Tables.withCandleFrame(cutCandles) {
       graft.Tables.withMetricsFrame(cutMetrics) {
         corpusFiredMsg(s, dir)
@@ -1418,10 +1545,8 @@ object RuleCorpus {
   private val nativeTick: Q = (s, dir) => {
     val prio = graft.Tables.barrier(
       graft.operators.Relational.queries("r07_topk_union")(s, dir))
-    val cutCandles = graft.Tables.candles(s, dir)
-      .join(broadcast(prio), Seq("symbol"), "left_semi")
-    val cutMetrics = graft.Tables.metrics5m(s, dir)
-      .join(broadcast(prio), Seq("symbol"), "left_semi")
+    val cutCandles = cutChecked(graft.Tables.candles(s, dir), prio)
+    val cutMetrics = cutChecked(graft.Tables.metrics5m(s, dir), prio)
     val firedRows = graft.Tables.withCandleFrame(cutCandles) {
       graft.Tables.withMetricsFrame(cutMetrics) {
         nativeTfQuery(s, dir)
@@ -1492,7 +1617,8 @@ object RuleCorpus {
     "g13_rules_cooldown" -> corpusCooldown,
     "g14_rules_summary" -> corpusSummary,
     "g17_rules_corpus_1h" -> rulesQueryAt(AllRules, 3600L),
-    "g18_rules_native_tf" -> nativeTfQuery,
+    "g18_rules_native_tf" -> ((s, dir) =>
+      nativeFiredShared(s, dir).drop("message")),
     "g19_rules_native_cooldown" -> nativeTfCooldown,
     "g20_native_feed" -> nativeFeed,
     "f02_production_tick" -> productionTick,

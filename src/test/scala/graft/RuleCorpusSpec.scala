@@ -458,6 +458,51 @@ class RuleCorpusSpec extends AnyFunSuite {
       s"tick-only: ${(tick -- full).take(2)}; full-only: ${(full -- tick).take(2)}")
   }
 
+  test("native family's shared materialization == the standalone dispatch") {
+    // g18/g19/g20 project from ONE checkpointed fired stream
+    // (nativeFiredShared — the engine's evaluate-once-fan-out shape,
+    // sqlite_engine.py:218-276). The projection must be row-identical to
+    // building the dispatch from scratch: any drift between firedMsg's
+    // when-structs and fired's means the shared stream is not the g18
+    // the oracle checks.
+    val shared = RuleCorpus.queries("g18_rules_native_tf")(spark, TestSession.sf)
+    assert(!shared.columns.contains("message"))
+    val got = shared.collect().map(_.toSeq).toSet
+    val standalone = RuleCorpus.nativeTfQuery(spark, TestSession.sf)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got === standalone,
+      s"shared-only: ${(got -- standalone).take(3)}; standalone-only: ${(standalone -- got).take(3)}")
+  }
+
+  test("g02's cooldown runs the O(1)-state scan and keeps pg semantics") {
+    // the last per-group `it.toArray` buffer (operators/Signals.scala,
+    // r8 verdict item 4) is retired: g02 must plan as the streaming scan
+    // (no FlatMapGroups) and keep the pg engine's NON-strict emission
+    // (`>= last + cd`, pg_engine.py:612-636) vs the sqlite engine's
+    // strict one — the brute-force twin here uses >= on purpose.
+    val out = operators.Signals.queries("g02_signal_cooldown")(spark, TestSession.sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("FlatMapGroups"),
+      s"g02 still buffers per group:\n${plan.take(800)}")
+    val fired = operators.Signals.queries("g01_signal_rules")(spark, TestSession.sf)
+      .select("symbol", "bucket_ts", "rule")
+      .as[(String, Long, String)].collect()
+    val want = fired.groupBy(f => (f._1, f._3)).toSeq.flatMap { case (_, fs) =>
+      var last = Long.MinValue
+      fs.sortBy(_._2).flatMap { f =>
+        if (last == Long.MinValue || f._2 >= last + 600L) {
+          last = f._2; Some(f)
+        } else None
+      }
+    }.toSet
+    val got = out.select("symbol", "bucket_ts", "rule")
+      .as[(String, Long, String)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got === want,
+      s"scan-only: ${(got -- want).take(3)}; brute-only: ${(want -- got).take(3)}")
+  }
+
   test("live coverage: most categories fire on the fixture") {
     val liveCats = allFired.select("category").distinct().as[String]
       .collect().toSet
