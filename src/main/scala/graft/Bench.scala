@@ -77,11 +77,13 @@ object Bench {
     val twoPass = wanted.map { case (name, fn) =>
       name -> math.min(firstByName(name), once(name, fn))
     }
-    // f01's 287-branch fan-out still jitters ~2x across runs (measured
-    // 22.8-45.7 s over 5 fresh JVMs) from JIT/GC luck on the parallel
-    // branch materialization; two more attempts tighten the min to the
-    // real cost for ~50 s of wall-clock on a number the reference alerts
-    // on at 120 s.
+    // f01's 287-branch fan-out jittered ~2x across runs in r8 (22.8-45.7 s
+    // over 5 fresh JVMs) from JIT/GC luck on the parallel branch
+    // materialization; r9 sized the pool to cores/2 (=16; measured best
+    // AND tightest — Cycle.branchPool) which collapsed the band to
+    // 15.0-16.2 s over 5 fresh JVMs (min-of-4 each). The two extra
+    // attempts stay: they cost ~30 s of wall-clock and keep the recorded
+    // number at the floor of a band the reference alerts on at 120 s.
     val byName = wanted.toMap
     val results = twoPass.map { case (name, t) =>
       if (name.startsWith("f01"))

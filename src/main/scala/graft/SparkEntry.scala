@@ -78,6 +78,7 @@ object SparkEntry {
       operators.Events.oracle ++
       operators.Signals.oracle ++
       operators.Maintenance.oracle ++
+      operators.Cycle.oracle ++
       signals.RuleCorpus.oracle ++
       functions.EwmaWindow.oracle ++
       indicators.Rolling.oracle ++

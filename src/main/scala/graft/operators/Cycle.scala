@@ -152,12 +152,28 @@ object Cycle {
     * snapshots — O(symbols × fields) rows — so the checkpoint cache is
     * executor-memory trivia at any corpus size.
     */
+  /** Branch materialization pool width: `spark.graft.cycle.branchPool`
+    * if set, else min(16, cores) — defaultParallelism/2 on the local[32]
+    * harness, the r8 verdict's suggested sizing. Branch cost is
+    * DRIVER-bound (analyze/optimize/codegen per branch over
+    * metadata-sized frames), so the dial trades plan-pipeline
+    * parallelism against GC/scheduler contention with the executor's
+    * task threads. Measured on the r9 HEAD (fresh JVM per run, f01
+    * min-of-4 each): pool 12 → 20.6/22.3 s, pool 16 → 15.0/16.2 s,
+    * pool 24 → 14.6/18.4 s; at 16 five fresh JVMs landed 15.0–16.2 s —
+    * both the floor and the tightest band (r8's band at 12 was
+    * 22.8–45.7 s).
+    */
+  private def branchPool(branches: Seq[DataFrame]): Int =
+    branches.headOption.map(_.sparkSession)
+      .flatMap(_.conf.getOption("spark.graft.cycle.branchPool")).map(_.toInt)
+      .getOrElse(math.min(16, Runtime.getRuntime.availableProcessors))
+
   def runBranches(branches: Seq[DataFrame]): DataFrame = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(
-      math.min(12, Runtime.getRuntime.availableProcessors))
+    val pool = Executors.newFixedThreadPool(branchPool(branches))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val done = Await.result(
@@ -230,6 +246,107 @@ object Cycle {
 
   private val fullCycle: Q = cycleOf(None)
 
+  /** f01c — ORACLE SLICE of the cycle composition (r8 verdict item 8):
+    * two representative indicators (Donchian 20, Williams %R 14) at two
+    * intervals (1h, 1d), run through f01's OWN machinery — the shared
+    * fact read, [[workingFrames]]' roll-up + trailing-500 cut, the
+    * [[Tables.withCandleFrame]] override, the latest-row [[snapshot]] —
+    * then melted to a typed (symbol, itv, bucket_ts, indicator, field,
+    * value) frame. This turns CycleSpec's structural trust into DuckDB
+    * oracle proof for the COMPOSITION (cut → roll-up → indicator →
+    * snapshot); the full 287-branch pack stays rows-gated, since its
+    * breadth is the same machinery over more indicators. The melt keeps
+    * values DOUBLE (not the mart row's display strings): cross-engine
+    * double→string formatting is presentation, not semantics, and the
+    * string mart-row contract is pinned by CycleSpec.
+    */
+  private val SliceIntervals = Seq("1h" -> 3600L, "1d" -> 86400L)
+  private val SlicePack = Seq("i33_donchian", "i32_williams_r")
+  private val cycleSlice: Q = (s, dir) => {
+    val base = Tables.candles(s, dir).persist()
+    val frames = Tables.withCandleFrame(base)(
+      workingFrames(s, dir, SliceIntervals))
+    frames.foreach(_._2.count())
+    val pack = candlePack
+    val branches = frames.flatMap { case (iv, working) =>
+      Tables.withCandleFrame(working) {
+        SlicePack.map { key =>
+          val snap = snapshot(pack(key)(s, dir), working)
+          val fields = snap.columns.filterNot(Set("symbol", "bucket_ts"))
+          val kv: Column = explode(map(fields.flatMap(f =>
+            Seq(lit(f), col(f).cast("double"))): _*))
+          snap.select(col("symbol"), lit(iv).as("itv"), col("bucket_ts"),
+            lit(Mart.RegistryNames(key)).as("indicator"),
+            kv.as(Seq("field", "value")))
+        }
+      }
+    }
+    val out = runBranches(branches)
+    base.unpersist(); frames.foreach(_._2.unpersist())
+    out
+  }
+
+  /** [[cycleSlice]]'s DuckDB twin: per interval, the roll-up (the same
+    * aggregation text as the corpus oracles' rolled prelude), the
+    * trailing-500 cut, both indicator window passes, the latest
+    * warm-row per symbol, melted by UNION ALL. Donchian mirrors i33's
+    * round(…, 6); Williams mirrors i32's floor(x·1e6 + 0.5)/1e6
+    * dyadic-half idiom.
+    */
+  private def cycleSliceOracle: String = {
+    val perIv = SliceIntervals.map { case (iv, secs) =>
+      val ctes =
+        s"""r$secs AS MATERIALIZED (
+           |  SELECT symbol, bucket_ts // $secs * $secs AS bucket_ts,
+           |         max(high) AS high, min(low) AS low,
+           |         max_by(close, bucket_ts) AS close
+           |  FROM candles GROUP BY 1, 2),
+           |w$secs AS MATERIALIZED (
+           |  SELECT symbol, bucket_ts, high, low, close FROM (
+           |    SELECT *, row_number() OVER
+           |      (PARTITION BY symbol ORDER BY bucket_ts DESC) AS rn
+           |    FROM r$secs) WHERE rn <= $WorkingBars),
+           |don$secs AS MATERIALIZED (
+           |  SELECT * FROM (
+           |    SELECT symbol, bucket_ts, close,
+           |           max(high) OVER wd AS up, min(low) OVER wd AS lo,
+           |           count(*) OVER wd AS nb,
+           |           row_number() OVER
+           |             (PARTITION BY symbol ORDER BY bucket_ts DESC) AS rn
+           |    FROM w$secs
+           |    WINDOW wd AS (PARTITION BY symbol ORDER BY bucket_ts
+           |                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+           |  WHERE nb = 20 AND rn = 1),
+           |wil$secs AS MATERIALIZED (
+           |  SELECT * FROM (
+           |    SELECT symbol, bucket_ts, close,
+           |           max(high) OVER ww AS hh, min(low) OVER ww AS ll,
+           |           count(*) OVER ww AS nb,
+           |           row_number() OVER
+           |             (PARTITION BY symbol ORDER BY bucket_ts DESC) AS rn
+           |    FROM w$secs
+           |    WINDOW ww AS (PARTITION BY symbol ORDER BY bucket_ts
+           |                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+           |  WHERE nb = 14 AND rn = 1)""".stripMargin
+      val branches =
+        s"""SELECT symbol, '$iv' AS itv, bucket_ts, 'Donchian' AS indicator,
+           |  'upper' AS field, round(up, 6) AS value FROM don$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'Donchian', 'lower',
+           |  round(lo, 6) FROM don$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'Donchian', 'mid',
+           |  round((up + lo) / 2, 6) FROM don$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'Donchian', 'position',
+           |  round((close - lo) / nullif(up - lo, 0.0), 6) FROM don$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'WilliamsR', 'williams_r',
+           |  floor((-100.0 * (hh - close) / nullif(hh - ll, 0.0)) * 1e6 + 0.5) / 1e6
+           |  FROM wil$secs""".stripMargin
+      (ctes, branches)
+    }
+    s"""WITH ${graft.Oracle.CANDLES},
+       |${perIv.map(_._1).mkString(",\n")}
+       |${perIv.map(_._2).mkString("\nUNION ALL ")}""".stripMargin
+  }
+
   /** f01b — the reference's ACTUAL production tick
     * (async_full_engine.py:54-131): the hourly priority re-evaluation
     * (r07's ranking union, ~150 symbols) gates the 120 s indicator loop,
@@ -242,5 +359,9 @@ object Cycle {
 
   val queries: Map[String, Q] = Map(
     "f01_indicator_cycle" -> fullCycle,
-    "f01b_priority_cycle" -> priorityCycle)
+    "f01b_priority_cycle" -> priorityCycle,
+    "f01c_cycle_slice" -> cycleSlice)
+
+  val oracle: Map[String, String] = Map(
+    "f01c_cycle_slice" -> cycleSliceOracle)
 }
