@@ -333,18 +333,55 @@ object Curation {
           !col("contaminated")).as("keep"))
   }
 
+  /** p07 — deterministic train/val/test split, the partition every
+    * training run needs before anything else touches the corpus: doc →
+    * one of train/val/test by a content-stable hash bucket
+    * (md5-60(doc_id) mod 1000: buckets 0–49 test, 50–99 val, rest
+    * train — 5/5/90). Hash-threshold rather than exact per-source
+    * quotas is the 100 TB shape: the assignment is ROW-LOCAL (zero
+    * shuffle, zero sort, no window), reproducible across reruns and
+    * engine versions, and stable under corpus growth — a doc keeps its
+    * split forever, so yesterday's val doc can never leak into
+    * tomorrow's train set. Per-source proportions converge to 5/5/90 by
+    * the hash's uniformity (p02 holds the exact-quota variant when a
+    * fixed sample SIZE is the contract). Keying the hash on doc_id
+    * splits by DOCUMENT; a pipeline that must keep near-duplicates
+    * together keys the same hash on a canopy id (d03/d05's component
+    * key) instead — same plan shape.
+    */
+  private val hashSplit: Q = (s, dir) => {
+    val h = pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(1000L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), h.as("bucket"),
+        when(h < 50, "test").when(h < 100, "val").otherwise("train")
+          .as("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_pack_chunks" -> packChunks,
     "p02_stratified_sample" -> stratifiedSample,
     "p03_mix_rebalance" -> mixRebalance,
     "p04_shard_manifest" -> shardManifest,
     "p06_temperature_mix" -> temperatureMix,
+    "p07_hash_split" -> hashSplit,
     "c01_contamination" -> contamination,
     "c02_bloom_decontam" -> bloomDecontam,
     "c03_ngram_decontam" -> ngramDecontam,
     "p05_curation_manifest" -> curationManifest)
 
   val oracle: Map[String, String] = Map(
+    "p07_hash_split" ->
+      // the md5-60 parse twin (Dedup.md5Hash60): both engines hash the
+      // decimal string image of doc_id, so the bucket is byte-defined
+      """SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 50 THEN 'test'
+        |       WHEN bucket < 100 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS bucket
+        |  FROM documents)""".stripMargin,
     "p01_pack_chunks" ->
       s"""WITH sized AS (
          |  SELECT doc_id, source,

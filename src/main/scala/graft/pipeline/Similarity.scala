@@ -623,6 +623,79 @@ object Similarity {
         not(coalesce(col("dup"), lit(false))).as("kept"))
   }
 
+  /** k-means geometry: K centroids, Lloyd iterations. Constants suit the
+    * driver corpora (N ≤ 500k); a 10^9-vector curation run raises K
+    * toward √N — the per-iteration shape (one corpus scan, one
+    * map-side-combined (k, dim) aggregate to K×64 driver rows, centroid
+    * literals broadcast in the plan) is unchanged, because the state a
+    * Lloyd trainer carries IS the K×dim centroid table.
+    */
+  private val KmeansK = 8
+  private val KmeansIters = 3
+
+  /** S9 — k-means (Lloyd) clustering over the embedding corpus — the
+    * cluster structure curation pipelines build for diversity sampling,
+    * per-cluster dedup (SemDeDup runs INSIDE k-means cells) and corpus
+    * cartography. 3 Lloyd iterations from a deterministic seed set (the
+    * K smallest vec_ids), then the final assignment with its squared-L2
+    * distance.
+    *
+    * Cross-engine design — iterative float means COMPOUND drift (a
+    * 1-ulp centroid difference flips a boundary assignment, which moves
+    * the next centroid, ...), so every round is made bit-exact instead
+    * of tolerance-matched:
+    *  - member sums run over the 1e6-scaled INTEGER image of each
+    *    vector (`xi`): BIGINT sums are order-free exact (≤ ~6e10 per
+    *    component at sf1, nowhere near overflow);
+    *  - each new centroid component is ONE deterministic IEEE op chain:
+    *    floor(sum/count + 0.5)/1e6 — both engines divide the same exact
+    *    integers, so the q6-grid centroid is identical;
+    *  - distances fold in the same sequence in both engines (the
+    *    [[dot]] kernel vs the DOT replay): d = e·e − 2·(e·c) + c·c with
+    *    c·c pre-folded left-to-right;
+    *  - argmin tie-breaks on cluster id (struct-min here, `ORDER BY d,
+    *    k` there); a cluster that loses all members keeps its previous
+    *    centroid in both engines.
+    * The per-iteration driver collect is the K×64 centroid table — what
+    * a real Lloyd trainer holds (the t16 trainer-state precedent).
+    */
+  private val kmeans: Q = (s, dir) => {
+    val emb = Tables.barrier(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        .withColumn("xi", transform(col("e"),
+          v => floor(v * lit(1e6) + lit(0.5)).cast("long")))
+        .withColumn("en", dot(col("e"), col("e"))))
+    val init: Array[Seq[Double]] = emb.orderBy("vec_id").limit(KmeansK)
+      .select("xi").collect()
+      .map(_.getSeq[Long](0).map(_.toDouble / 1e6).toSeq)
+    def assign(cents: Array[Seq[Double]]): Column =
+      array_min(array(cents.zipWithIndex.map { case (c, k) =>
+        val cl = array(c.map(lit): _*)
+        // same left fold as the oracle's DOT(c, c)
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct((col("en") - lit(2.0) * dot(col("e"), cl) + lit(cc)).as("d"),
+          lit(k).as("k"))
+      }: _*))
+    var cents = init
+    for (_ <- 1 to KmeansIters) {
+      val sums = emb.withColumn("a", assign(cents))
+        .select(col("a.k").as("k"), posexplode(col("xi")).as(Seq("pos", "xv")))
+        .groupBy(col("k"), col("pos"))
+        .agg(sum(col("xv")).as("sv"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.clone()
+      sums.groupBy(_.getInt(0)).foreach { case (k, rows) =>
+        next(k) = rows.sortBy(_.getInt(1)).map(r =>
+          math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5) / 1e6).toSeq
+      }
+      cents = next
+    }
+    emb.withColumn("a", assign(cents))
+      .select(col("vec_id"), col("a.k").as("cluster"),
+        (floor(col("a.d") * lit(1e6) + lit(0.5)) / lit(1e6)).as("dist"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> cosineTopK,
     "s02_lsh_ann" -> lshAnn,
@@ -632,6 +705,7 @@ object Similarity {
     "s06_pq_ann" -> pqAnn,
     "s07_knn_graph" -> knnGraph,
     "s08_class_stats" -> classStats,
+    "s09_kmeans" -> kmeans,
     "d09_semantic_dedup" -> semanticDedup)
 
   private val EMB =
@@ -661,6 +735,64 @@ object Similarity {
     (Seq("bucket") ++ (0 until OraclePlanes).map(k => s"xor(bucket, ${1 << k})"))
       .mkString("[", ", ", "]")
 
+  /** [[kmeans]]'s DuckDB twin: the Lloyd rounds unrolled as MATERIALIZED
+    * CTE chains — per round the argmin assignment (`ORDER BY d, k`), the
+    * exact integer (k, dim) sums, the q6-grid centroid rebuild with the
+    * empty-cluster coalesce, then the final assignment with its
+    * distance. Every arithmetic step is the same op sequence as the
+    * Spark side (see [[kmeans]]'s cross-engine design note).
+    */
+  private def kmeansOracle: String = {
+    val rounds = (1 to KmeansIters).map { t =>
+      val prev = s"c${t - 1}x"
+      s"""a$t AS MATERIALIZED (
+         |  SELECT vec_id, k FROM (
+         |    SELECT emb.vec_id, cx.k,
+         |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |             emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc,
+         |             cx.k) AS rn
+         |    FROM emb CROSS JOIN $prev cx) WHERE rn = 1),
+         |m$t AS MATERIALIZED (
+         |  SELECT a$t.k, dd.d AS pos, sum(emb.xi[dd.d]) AS sv,
+         |         count(*) AS cnt
+         |  FROM a$t JOIN emb USING (vec_id),
+         |       (SELECT unnest(range(1, 65)) AS d) dd
+         |  GROUP BY 1, 2),
+         |c$t AS MATERIALIZED (
+         |  SELECT ks.k, coalesce(nc.c, $prev.c) AS c
+         |  FROM (SELECT unnest(range(0, $KmeansK)) AS k) ks
+         |  LEFT JOIN (SELECT k, list(floor(CAST(sv AS DOUBLE) / cnt + 0.5)
+         |                              / 1e6 ORDER BY pos) AS c
+         |             FROM m$t GROUP BY k) nc USING (k)
+         |  LEFT JOIN $prev USING (k)),
+         |c${t}x AS (SELECT k, c, ${DOT.format("c", "c")} AS cc FROM c$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH emb0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |         list_transform(embedding::DOUBLE[],
+       |           v -> CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS xi
+       |  FROM embeddings),
+       |emb AS MATERIALIZED (
+       |  SELECT vec_id, e, xi, ${DOT.format("e", "e")} AS en FROM emb0),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+       |         list_transform(xi, v -> CAST(v AS DOUBLE) / 1e6) AS c
+       |  FROM (SELECT vec_id, xi FROM emb ORDER BY vec_id LIMIT $KmeansK)),
+       |c0x AS (SELECT k, c, ${DOT.format("c", "c")} AS cc FROM c0),
+       |$rounds
+       |SELECT vec_id, CAST(k AS INT) AS cluster,
+       |       floor(d * 1e6 + 0.5) / 1e6 AS dist
+       |FROM (
+       |  SELECT emb.vec_id, cx.k,
+       |         emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc AS d,
+       |         row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+       |           emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc,
+       |           cx.k) AS rn
+       |  FROM emb CROSS JOIN c${KmeansIters}x cx)
+       |WHERE rn = 1""".stripMargin
+  }
+
   /** Sequential squared-L2 fold — the DuckDB twin of [[sqdist]]. */
   private val SQDIST =
     "list_reduce(list_prepend(0.0, list_transform(list_zip(%s, %s), p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
@@ -668,6 +800,7 @@ object Similarity {
   private val MLIST = "[0, 1, 2, 3, 4, 5, 6, 7]"
 
   val oracle: Map[String, String] = Map(
+    "s09_kmeans" -> kmeansOracle,
     "s06_pq_ann" ->
       // replays the PQ pipeline verbatim: same stride codebook, same
       // per-subspace argmin (d ASC, j ASC), same m-ordered ADC fold (the

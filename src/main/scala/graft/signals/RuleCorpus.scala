@@ -238,13 +238,32 @@ object RuleCorpus {
     * — one shuffle per cadence instead of one per (mart, cadence), the
     * difference between 3 and ~105 shuffles for a native evaluation.
     */
+  /** Eagerly checkpoint `df` with AQE disabled for the materialization:
+    * under AQE the final stage becomes a coalesced shuffle read whose
+    * partitioning the checkpoint's LogicalRDD cannot carry (probed on
+    * this Spark: the checkpointed frame reports unknown partitioning and
+    * every consumer re-shuffles — the window plan grows an Exchange +
+    * Sort). With AQE off for just this one eager materialization the
+    * LogicalRDD keeps BOTH the hash partitioning and the per-partition
+    * sort, so downstream symbol-window passes plan exchange-free and
+    * sort-free. The conf flip is session-scoped but brackets a single
+    * eager job built and awaited on the calling thread; the registry
+    * runs queries serially, so nothing else plans inside the window.
+    */
+  private def checkpointKeepLayout(s: SparkSession, df: DataFrame): DataFrame = {
+    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.localCheckpoint()
+    finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   private def rolledClustered(s: SparkSession, dir: String,
       seconds: Long): DataFrame =
-    graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
-      .repartition(col("symbol"))
-      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
-      .localCheckpoint()
-  private def rolledShared(s: SparkSession, dir: String, seconds: Long): DataFrame =
+    checkpointKeepLayout(s,
+      graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), seconds)
+        .repartition(col("symbol"))
+        .sortWithinPartitions(col("symbol"), col("bucket_ts")))
+  private[graft] def rolledShared(s: SparkSession, dir: String, seconds: Long): DataFrame =
     // under a fact-frame override (the f03 priority cut) the roll-up must
     // neither be served from nor stored into the (session, dir)-keyed
     // cache — it still checkpoints so the cadence's 35 mart plans share
@@ -1475,7 +1494,8 @@ object RuleCorpus {
     * per tick; the r8 f02 `weak` mark's root cost).
     */
   private def cutChecked(fact: DataFrame, prio: DataFrame): DataFrame =
-    fact.join(broadcast(prio), Seq("symbol"), "left_semi").localCheckpoint()
+    checkpointKeepLayout(fact.sparkSession,
+      fact.join(broadcast(prio), Seq("symbol"), "left_semi"))
 
   private val productionTick: Q = (s, dir) => {
     val prio = graft.Tables.barrier(

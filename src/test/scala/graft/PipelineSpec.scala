@@ -585,6 +585,73 @@ class PipelineSpec extends AnyFunSuite {
       f"candidate rate $rBig%.2f exceeds the band-bucket-cap ceiling")
   }
 
+  test("s09 k-means: 3 Lloyd rounds replayed in plain Scala match exactly") {
+    // the cross-engine design claims every round is bit-exact (integer
+    // sums, one-IEEE-op-chain centroids, sequential distance folds);
+    // replaying the identical algorithm in driver-side Scala over the
+    // collected vectors must reproduce assignment AND q6 distance for
+    // every vector — any drift means the "exact by construction" story
+    // is broken before DuckDB even gets a vote
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val xi = vecs.map { case (id, e) =>
+      id -> e.map(v => math.floor(v * 1e6 + 0.5).toLong) }.toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    var cents = vecs.take(8).map(v => xi(v._1).map(_.toDouble / 1e6))
+    def best(e: Seq[Double]): (Int, Double) = {
+      val en = dot(e, e)
+      cents.zipWithIndex.map { case (c, k) =>
+        (en - 2.0 * dot(e, c) + dot(c, c), k)
+      }.min match { case (d, k) => (k, d) }
+    }
+    for (_ <- 1 to 3) {
+      val byK = vecs.groupBy(v => best(v._2)._1)
+      cents = cents.zipWithIndex.map { case (old, k) =>
+        byK.get(k).fold(old) { ms =>
+          val n = ms.length
+          (0 until 64).map { d =>
+            math.floor(ms.map(m => xi(m._1)(d)).sum.toDouble / n + 0.5) / 1e6
+          }
+        }
+      }
+    }
+    val want = vecs.map { case (id, e) =>
+      val (k, d) = best(e)
+      (id, k, math.floor(d * 1e6 + 0.5) / 1e6)
+    }.toSet
+    val got = SparkEntry.queries("s09_kmeans")(spark, sf)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(got.nonEmpty && got.map(_._2).size > 1)
+    assert(got === want,
+      s"spark-only: ${(got -- want).take(3)}; scala-only: ${(want -- got).take(3)}")
+  }
+
+  test("p07 split is exhaustive, disjoint, hash-stable, and ~5/5/90") {
+    import spark.implicits._
+    val out = SparkEntry.queries("p07_hash_split")(spark, sf)
+      .select($"doc_id", $"bucket", $"split").as[(Long, Long, String)]
+      .collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length.toLong === nDocs) // one row per doc, no dup/drop
+    // recompute the bucket from first principles (JVM MessageDigest on
+    // the same decimal-string bytes) for a sample — pins the md5-60
+    // parse against an independent implementation
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    out.take(100).foreach { case (id, bucket, split) =>
+      val hex = mdig.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      assert(java.lang.Long.parseLong(hex, 16) % 1000 === bucket, s"doc $id")
+      val expect = if (bucket < 50) "test" else if (bucket < 100) "val" else "train"
+      assert(split === expect)
+    }
+    val frac = out.groupBy(_._3).view.mapValues(_.length.toDouble / out.length)
+    assert(frac("train") > 0.8 && frac("test") < 0.12 && frac("val") < 0.12,
+      frac.toMap.toString)
+  }
+
   test("m01b decodes real JPEG bytes back to the fixture dimensions") {
     // unit level: the encode→decode roundtrip is a real JPEG container
     val bytes = pipeline.Multimodal.encodeJpeg(5L)

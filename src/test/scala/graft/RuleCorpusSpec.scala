@@ -503,6 +503,23 @@ class RuleCorpusSpec extends AnyFunSuite {
       s"scan-only: ${(got -- want).take(3)}; brute-only: ${(want -- got).take(3)}")
   }
 
+  test("clustered roll-up checkpoints make mart window passes exchange-free") {
+    // the round-9 scale claim: rolledShared repartitions by symbol and
+    // pre-sorts (symbol, bucket_ts) BEFORE the checkpoint, and
+    // Dataset.localCheckpoint preserves both — so a mart series built
+    // from the rolled frame must plan its symbol windows with NO shuffle
+    // exchange and NO extra sort below them (3 shuffles per native
+    // evaluation instead of ~105). Pin one representative mart at the 1h
+    // cadence: its physical plan over the checkpointed roll-up contains
+    // zero ShuffleExchange nodes.
+    val md = MartSeries.all("macd")
+    val rolled = RuleCorpus.rolledShared(spark, TestSession.sf, 3600L)
+    val plan = md.buildFrom(spark, TestSession.sf, rolled)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"mart pass over the clustered checkpoint still shuffles:\n${plan.take(1200)}")
+  }
+
   test("live coverage: most categories fire on the fixture") {
     val liveCats = allFired.select("category").distinct().as[String]
       .collect().toSet
