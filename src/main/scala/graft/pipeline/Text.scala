@@ -672,7 +672,54 @@ object Text {
         (round(col("raw"), 6) > 0.0).as("keep"))
   }
 
+  /** t19 — Zipf rank-frequency corpus diagnostics: the corpus-QA summary
+    * a curation run reports before training — vocabulary size, total
+    * tokens, hapax legomena count/fraction (singleton terms: high hapax
+    * = noisy/OCR-damaged text), type-token ratio, and the Zipf slope (a
+    * healthy natural-language corpus fits ln(freq) ≈ a + s·ln(rank)
+    * with s ≈ −1; |s| far from 1 flags templated or deduplicated-to-
+    * death text). One output row.
+    *
+    * Scale shape: explode → map-side-combined token counts (the shuffle
+    * moves the VOCABULARY, not the corpus — the t15 argument), one
+    * vocabulary-sized rank pass, and the regression over the top-1000
+    * terms. Cross-engine exactness: JVM `Math.log` and DuckDB `ln` may
+    * differ in the last ulp, so both engines quantize ln(rank)/ln(freq)
+    * onto the 1e-6 integer grid FIRST; the fit sums are then exact
+    * BIGINT arithmetic, and the final slope is one identical double op
+    * chain over identical integers (the s09 k-means discipline).
+    */
+  private val zipfStats: Q = (s, dir) => {
+    val freq = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("tok"))
+    val top = freq.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 1000)
+      .select(
+        floor(log(col("r").cast("double")) * lit(1e6) + lit(0.5)).as("xi"),
+        floor(log(col("freq").cast("double")) * lit(1e6) + lit(0.5)).as("yi"))
+    val fit = top.agg(count(lit(1)).as("n"),
+      sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+      sum(col("xi") * col("yi")).as("sxy"),
+      sum(col("xi") * col("xi")).as("sxx"))
+    val corpus = freq.agg(count(lit(1)).as("vocab_size"),
+      sum(col("freq")).as("total_tokens"),
+      sum(when(col("freq") === 1, 1L).otherwise(0L)).as("hapax"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    corpus.crossJoin(broadcast(fit))
+      .select(col("vocab_size"), col("total_tokens"), col("hapax"),
+        q6(d(col("hapax")) / d(col("vocab_size"))).as("hapax_frac"),
+        q6(d(col("vocab_size")) / d(col("total_tokens"))).as("ttr"),
+        q6((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+           (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+          .as("zipf_slope"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t19_zipf_stats" -> zipfStats,
     "t18_bpe_encode" -> bpeEncode,
     "t17_dsir_weights" -> dsirWeights,
     "t16_bpe_merges" -> bpeMerges,
@@ -1027,6 +1074,44 @@ object Text {
          |  stop_hits,
          |  CAST($GopherPassSql AS INT) AS gopher_pass
          |FROM feat""".stripMargin,
+    "t19_zipf_stats" ->
+      // lns quantized onto the 1e-6 integer grid BEFORE the fit sums
+      // (JVM Math.log vs DuckDB ln last-ulp); the sums are then exact
+      // BIGINT and the slope one identical double op chain
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY tok),
+        |top AS (
+        |  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS xi,
+        |         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS yi
+        |  FROM (SELECT freq,
+        |          row_number() OVER (ORDER BY freq DESC, tok) AS r
+        |        FROM freq)
+        |  WHERE r <= 1000),
+        |fit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+        |         CAST(sum(xi * yi) AS BIGINT) AS sxy,
+        |         CAST(sum(xi * xi) AS BIGINT) AS sxx
+        |  FROM top),
+        |corpus AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |         CAST(sum(freq) AS BIGINT) AS total_tokens,
+        |         CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS hapax
+        |  FROM freq)
+        |SELECT vocab_size, total_tokens, hapax,
+        |  floor(CAST(hapax AS DOUBLE) / CAST(vocab_size AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS hapax_frac,
+        |  floor(CAST(vocab_size AS DOUBLE) / CAST(total_tokens AS DOUBLE) * 1e6
+        |    + 0.5) / 1e6 AS ttr,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 AS zipf_slope
+        |FROM corpus, fit""".stripMargin,
     "t07_vocab_topk" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

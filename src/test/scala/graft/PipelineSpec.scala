@@ -652,6 +652,31 @@ class PipelineSpec extends AnyFunSuite {
       frac.toMap.toString)
   }
 
+  test("t19 zipf stats: grid-quantized fit replayed in plain Scala matches") {
+    import spark.implicits._
+    val freqs = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect()
+    val ranked = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (i + 1L, f) }.take(1000)
+    val xi = ranked.map { case (r, _) => math.floor(math.log(r.toDouble) * 1e6 + 0.5).toLong }
+    val yi = ranked.map { case (_, f) => math.floor(math.log(f.toDouble) * 1e6 + 0.5).toLong }
+    val n = xi.length.toLong
+    val (sx, sy) = (xi.sum, yi.sum)
+    val sxy = xi.zip(yi).map { case (a, b) => a * b }.sum
+    val sxx = xi.map(a => a * a).sum
+    val slope = math.floor((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) * 1e6 + 0.5) / 1e6
+    val hapax = freqs.count(_._2 == 1L).toLong
+    val row = SparkEntry.queries("t19_zipf_stats")(spark, sf).collect().head
+    assert(row.getAs[Long]("vocab_size") === freqs.length.toLong)
+    assert(row.getAs[Long]("total_tokens") === freqs.map(_._2).sum)
+    assert(row.getAs[Long]("hapax") === hapax)
+    assert(row.getAs[Double]("zipf_slope") === slope)
+    assert(slope < 0.0) // frequency falls with rank on any natural corpus
+  }
+
   test("m01b decodes real JPEG bytes back to the fixture dimensions") {
     // unit level: the encode→decode roundtrip is a real JPEG container
     val bytes = pipeline.Multimodal.encodeJpeg(5L)
