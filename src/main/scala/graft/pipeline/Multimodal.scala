@@ -224,12 +224,157 @@ object Multimodal {
     }(encDecoded).toDF()
   }
 
+  /** Patterned JPEG fixture for the perceptual-hash family: a 64×64
+    * grayscale image of 8×8 macro-blocks ALIGNED to the JPEG DCT grid,
+    * whose block values walk ±16 from 128 along each row — the SIGN of
+    * each horizontal neighbor difference encodes one bit of a per-id
+    * 56-bit signature (7 comparisons × 8 rows). DCT-aligned flat blocks
+    * quantize as pure DC (error ≲ ±4 at default quality), so the
+    * 16-level step margin survives the lossy round-trip and the decoded
+    * dHash equals the planted signature. `nudge` bumps ONE pixel by +1 —
+    * a byte-different, perceptually identical twin (the near-dup the
+    * operator must find; exact dedup by content hash would miss it).
+    */
+  private def mix56(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  def encodePatternedJpeg(baseId: Long, nudge: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sig = mix56(baseId)
+    var by = 0
+    while (by < 8) {
+      var v = 128
+      var bx = 0
+      while (bx < 8) {
+        var y = by * 8
+        while (y < by * 8 + 8) {
+          var x = bx * 8
+          while (x < bx * 8 + 8) {
+            val vv = if (nudge && x == 0 && y == 0) v + 1 else v
+            img.setRGB(x, y, vv << 16 | vv << 8 | vv)
+            x += 1
+          }
+          y += 1
+        }
+        if (bx < 7) {
+          val bit = (sig >>> (by * 7 + bx)) & 1L
+          v = if (bit == 1L) v + 16 else v - 16
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  final case class Hashed(doc_id: Long, phash: Long)
+  private implicit val encHashed: Encoder[Hashed] = Encoders.product[Hashed]
+
+  /** Decode a JPEG and compute the 56-bit dHash: average each 8×8 block's
+    * green channel, then bit (bx, by) = 1 iff block(bx+1, by) > block(bx,
+    * by) — the standard difference-hash, robust to re-encoding/scaling
+    * noise that breaks exact byte dedup.
+    */
+  def dHash56(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val bw = img.getWidth / 8
+    val bh = img.getHeight / 8
+    val means = Array.ofDim[Double](8, 8)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var sum = 0L
+        var y = by * bh
+        while (y < (by + 1) * bh) {
+          var x = bx * bw
+          while (x < (bx + 1) * bw) {
+            sum += (img.getRGB(x, y) >> 8) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        means(by)(bx) = sum.toDouble / (bw * bh)
+        bx += 1
+      }
+      by += 1
+    }
+    var h = 0L
+    by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 7) {
+        if (means(by)(bx + 1) > means(by)(bx))
+          h |= 1L << (by * 7 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    h
+  }
+
+  /** M5 — perceptual-hash image NEAR-dedup: the multimodal twin of the
+    * d03/d04 text families — exact content hashing misses re-encoded /
+    * resized / pixel-perturbed image duplicates, so training pipelines
+    * dedup images by a perceptual hash. Every 5th doc gets an injected
+    * byte-different pixel-nudged twin (id + 1e6, the d-family clone
+    * pattern); the operator decodes real JPEG bytes (batched
+    * mapPartitions, the m01b plumbing), computes the 56-bit dHash
+    * row-locally, bands it into 4 × 14-bit SimHash-style bands (d04's
+    * shape: a true near-dup pair at Hamming ≤ 3 shares ≥ 1 exact band),
+    * bucket-joins candidates and verifies Hamming ≤ 3 via bit_count.
+    * At 100 TB: decode+hash is one row-local pass, the join is banded —
+    * O(candidates), never O(N²) — and the verify is integer popcount.
+    * No SQL oracle (a JPEG decoder is not expressible in DuckDB);
+    * PipelineSpec pins exact recovery: all injected twins found at
+    * Hamming 0, zero false pairs across the corpus.
+    */
+  private val phashNearDup: Q = (s, dir) => {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+      .as[Long](Encoders.scalaLong)
+    val hashed = ids.mapPartitions { it =>
+      it.grouped(64).flatMap(_.flatMap { id =>
+        val base = Hashed(id, dHash56(encodePatternedJpeg(id, nudge = false)))
+        if (id % 5 == 0)
+          Seq(base, Hashed(id + 1000000L,
+            dHash56(encodePatternedJpeg(id, nudge = true))))
+        else Seq(base)
+      })
+    }(encHashed).toDF()
+    val banded = hashed.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"),
+          shiftright(col("phash"), k * 14).bitwiseAND(lit(0x3FFFL))
+            .as("bval"))): _*)).as("b"))
+      .select(col("doc_id"), col("phash"),
+        col("b.band").as("band"), col("b.bval").as("bval"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.phash").as("ah"), col("b.phash").as("bh"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        bit_count(col("ah").bitwiseXOR(col("bh"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_decode" -> decode,
     "m01b_image_decode" -> imageDecode,
     "m02_frame_sample" -> frameSample,
     "m03_resize_sample" -> resize,
-    "m04_audio_qc" -> audioQc)
+    "m04_audio_qc" -> audioQc,
+    "m05_phash_neardup" -> phashNearDup)
 
   /** The corpus is ASCII, so UTF-8 bytes == character codes and DuckDB can
     * replay the byte features with `ascii`/`octet_length`.

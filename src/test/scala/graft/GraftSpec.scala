@@ -42,7 +42,11 @@ class RegistrySpec extends AnyFunSuite {
   test("every query has an oracle or a documented rows-only justification") {
     val rowsOnly = Set("f01_indicator_cycle", "f01b_priority_cycle",
       "d03_dedup_minhash_lsh", "d04_dedup_simhash",
-      "h24b_group_quantiles_approx")
+      "h24b_group_quantiles_approx",
+      // m05 decodes real JPEG bytes — no DuckDB decoder exists;
+      // PipelineSpec pins exact twin recovery + zero false pairs, and
+      // f01's composition itself is oracle-proved by the f01c slice
+      "m05_phash_neardup")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with neither oracle nor rows-only entry: $missing")
     val stale = rowsOnly -- SparkEntry.queries.keySet

@@ -677,6 +677,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(slope < 0.0) // frequency falls with rank on any natural corpus
   }
 
+  test("m05 phash near-dup: every injected pixel-nudged twin found, zero false pairs") {
+    import spark.implicits._
+    val got = SparkEntry.queries("m05_phash_neardup")(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    val ids = Tables.documents(spark, sf).select($"doc_id").as[Long].collect()
+    val want = ids.filter(_ % 5 == 0).map(id => (id, id + 1000000L)).toSet
+    assert(want.nonEmpty)
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    assert(gotPairs === want,
+      s"missing: ${(want -- gotPairs).take(3)}; spurious: ${(gotPairs -- want).take(3)}")
+    // the nudge is sub-quantization: the twins must hash IDENTICALLY
+    assert(got.forall(_._3 === 0), got.filter(_._3 > 0).take(3).mkString(","))
+  }
+
   test("m01b decodes real JPEG bytes back to the fixture dimensions") {
     // unit level: the encode→decode roundtrip is a real JPEG container
     val bytes = pipeline.Multimodal.encodeJpeg(5L)
