@@ -200,6 +200,25 @@ class PlanSpec extends AnyFunSuite {
       s"s06 grew non-window shuffles:\n${exchanges.mkString("\n")}")
   }
 
+  test("p07: the split is row-local — zero exchanges, no join, no window") {
+    // the 100 TB argument for the hash-threshold split IS the plan shape:
+    // assignment must never sort, shuffle, or rank (an Exchange or Window
+    // means someone regressed it to the exact-quota p02 shape)
+    val p = plan("p07_hash_split")
+    assert(!p.contains("Exchange"), s"p07 must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"p07 must not join:\n${p.take(1500)}")
+    assert(!p.contains("Window"), s"p07 must not rank:\n${p.take(1500)}")
+  }
+
+  test("s09: the final k-means assignment joins nothing (centroid literals)") {
+    // centroids ride the plan as broadcast LITERALS (what a Lloyd trainer
+    // holds) — a Join in the assignment pass means the K×64 table
+    // regressed to a shuffled/broadcast relation per row
+    val p = plan("s09_kmeans")
+    assert(!p.contains("Join"), s"s09 assignment must not join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t12: char entropy is row-local — zero exchanges, no join") {
     // the fixed-alphabet histogram is 27 length(replace(...)) expressions
     // plus two folds, all per-row; an Exchange means the histogram
