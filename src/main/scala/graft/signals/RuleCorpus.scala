@@ -1046,11 +1046,11 @@ object RuleCorpus {
       .toDF()
   }
 
-  /** g19 — the native dispatch's cooldown: the shared fired stream
-    * thinned per (symbol, rule, timeframe).
+  /** g19 — the native dispatch's cooldown: the shared COOLED stream
+    * (see [[nativeCooledShared]]) minus the message column.
     */
   private val nativeTfCooldown: Q = (s, dir) =>
-    cooldownScanTf(nativeFiredShared(s, dir).drop("message"))
+    nativeCooledShared(s, dir).drop("message")
 
   /** [[nativeTfCooldown]]'s oracle: the g18 fired union as a CTE, the
     * per-rule cooldowns as a VALUES lookup (duplicate rule names share
@@ -1210,6 +1210,23 @@ object RuleCorpus {
     else sharedNativeFired.computeIfAbsent((s, dir), _ =>
       nativeFiredMsg(s, dir).localCheckpoint())
 
+  /** The native dispatch's COOLED stream — [[cooldownScanRows]] over
+    * [[nativeFiredShared]] (full (symbol, rule, timeframe) state key,
+    * message riding along) — materialized once per (session, dir): the
+    * engine's single dispatch loop cools down once per tick
+    * (sqlite_engine.py:203-276), then fans the emitted set to
+    * publication; g19 and g20 are projections of this (drop message /
+    * join price). Sparse (≤ the fired superset), so the checkpoint is
+    * metadata-sized. Override-bypassed like its parents.
+    */
+  private val sharedNativeCooled = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  def nativeCooledShared(s: SparkSession, dir: String): DataFrame =
+    if (graft.Tables.factOverrideActive)
+      cooldownScanRows(nativeFiredMsg(s, dir))
+    else sharedNativeCooled.computeIfAbsent((s, dir), _ =>
+      cooldownScanRows(nativeFiredShared(s, dir)).localCheckpoint())
+
   /** Drop every memoized (session, dir)-keyed materialization owned by
     * this registry — the roll-up, whole-corpus fired and native fired
     * checkpoints — releasing their pinned blocks and forcing the next
@@ -1235,7 +1252,9 @@ object RuleCorpus {
     drop(sharedRolled.values.asScala)
     drop(sharedFired.values.asScala)
     drop(sharedNativeFired.values.asScala)
-    sharedRolled.clear(); sharedFired.clear(); sharedNativeFired.clear()
+    drop(sharedNativeCooled.values.asScala)
+    sharedRolled.clear(); sharedFired.clear()
+    sharedNativeFired.clear(); sharedNativeCooled.clear()
   }
 
   /** g20 — the complete published SIGNAL object feed under the native
@@ -1250,7 +1269,7 @@ object RuleCorpus {
     * the published feed.
     */
   private val nativeFeed: Q = (s, dir) => {
-    val cooled = cooldownScanRows(nativeFiredShared(s, dir))
+    val cooled = nativeCooledShared(s, dir)
     val px = TfSeconds.map { case (tf, secs) =>
       rolledShared(s, dir, secs)
         .select(col("symbol"), col("bucket_ts"),
