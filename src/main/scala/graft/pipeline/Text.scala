@@ -483,7 +483,13 @@ object Text {
     * Scale shape: pairs are built row-locally by shifted-slice zips and
     * only then exploded into the (pair → count) aggregate, which
     * map-side combines — the shuffle moves the pair VOCABULARY, not the
-    * corpus; the global top-K ranks a Zipf-bounded vocabulary relation.
+    * corpus. The top-K is `orderBy(...).limit(K)` — Spark plans a
+    * TakeOrderedAndProject, a PARALLEL map-side bounded-heap top-k —
+    * never a rank over the full pair vocabulary through one partition
+    * (the pair vocabulary is a superset-order of the unigram one; an
+    * unpartitioned Window here single-tasks billions of rows at 100 TB).
+    * The ≤K survivors are then ranked by position in one sorted array
+    * (no Window node at all; PlanSpec-pinned).
     */
   private val bpePairs: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
@@ -491,7 +497,6 @@ object Text {
         regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
       .withColumn("bpe", filter(col("bpe"), t => !t.rlike("^\\s+$")))
     val n = size(col("bpe"))
-    val w = Window.orderBy(col("pair_count").desc, col("l"), col("r"))
     d.withColumn("pr", zip_with(
         slice(col("bpe"), lit(1), greatest(n - 1, lit(0))),
         slice(col("bpe"), lit(2), greatest(n - 1, lit(0))),
@@ -499,8 +504,14 @@ object Text {
       .select(explode(col("pr")).as("p"))
       .select(col("p.l").as("l"), col("p.r").as("r"))
       .groupBy(col("l"), col("r")).agg(count(lit(1)).as("pair_count"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= PairTopK)
+      .orderBy(col("pair_count").desc, col("l"), col("r")).limit(PairTopK)
+      .agg(sort_array(collect_list(struct(
+        (-col("pair_count")).as("nc"), col("l").as("l"), col("r").as("r"))))
+        .as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "v")))
+      .select(col("v.l").as("l"), col("v.r").as("r"),
+        (-col("v.nc")).as("pair_count"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Merge rounds for t16 (real tokenizer training runs ~50k; the loop is
@@ -681,9 +692,14 @@ object Text {
     * death text). One output row.
     *
     * Scale shape: explode → map-side-combined token counts (the shuffle
-    * moves the VOCABULARY, not the corpus — the t15 argument), one
-    * vocabulary-sized rank pass, and the regression over the top-1000
-    * terms. Cross-engine exactness: JVM `Math.log` and DuckDB `ln` may
+    * moves the VOCABULARY, not the corpus — the t15 argument); the
+    * top-1000 cut is `orderBy(...).limit(1000)` (TakeOrderedAndProject,
+    * a parallel map-side bounded-heap top-k — a 100 TB corpus's
+    * hapax-heavy vocabulary is billions of rows, so ranking it through
+    * an unpartitioned Window would single-task the whole relation), the
+    * survivors ranked by position in one sorted array (no Window node;
+    * PlanSpec-pinned), and the regression runs over those ≤1000 rows.
+    * Cross-engine exactness: JVM `Math.log` and DuckDB `ln` may
     * differ in the last ulp, so both engines quantize ln(rank)/ln(freq)
     * onto the 1e-6 integer grid FIRST; the fit sums are then exact
     * BIGINT arithmetic, and the final slope is one identical double op
@@ -693,12 +709,16 @@ object Text {
     val freq = Tables.documents(s, dir)
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("tok"))
-    val top = freq.withColumn("r", row_number().over(w))
-      .filter(col("r") <= 1000)
+    val top = freq
+      .orderBy(col("freq").desc, col("tok")).limit(1000)
+      .agg(sort_array(collect_list(struct(
+        (-col("freq")).as("nf"), col("tok").as("tok")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "v")))
       .select(
-        floor(log(col("r").cast("double")) * lit(1e6) + lit(0.5)).as("xi"),
-        floor(log(col("freq").cast("double")) * lit(1e6) + lit(0.5)).as("yi"))
+        floor(log((col("pos") + 1).cast("double")) * lit(1e6) + lit(0.5))
+          .as("xi"),
+        floor(log((-col("v.nf")).cast("double")) * lit(1e6) + lit(0.5))
+          .as("yi"))
     val fit = top.agg(count(lit(1)).as("n"),
       sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
       sum(col("xi") * col("yi")).as("sxy"),

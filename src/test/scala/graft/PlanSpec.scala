@@ -281,6 +281,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"t15 must not join:\n${p.take(1500)}")
   }
 
+  test("t15/t19: vocabulary top-k is a parallel TakeOrderedAndProject, never a Window") {
+    // round-9 verdict: ranking the FULL token/pair vocabulary through an
+    // unpartitioned row_number() Window moves every vocab row to a single
+    // task (billions of rows at 100 TB). The fix plans the cut as
+    // orderBy+limit (TakeOrderedAndProject — map-side bounded heaps) and
+    // ranks the <=K survivors positionally in one sorted array, so the
+    // plan must contain NO Window node at all.
+    for (q <- Seq("t15_bpe_pairs", "t19_zipf_stats")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost the parallel top-k cut:\n${p.take(1500)}")
+      assert(!p.contains("Window"),
+        s"$q ranks through a Window again:\n${p.take(1500)}")
+    }
+  }
+
   test("t17: DSIR scoring is row-local — the fit collapses to a literal weight table") {
     // building the query runs the model FIT (one driver-side 512-row
     // collect); the returned SCORING plan must then be a pure scan +
