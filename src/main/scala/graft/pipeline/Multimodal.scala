@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
@@ -336,18 +337,24 @@ object Multimodal {
     * PipelineSpec pins exact recovery: all injected twins found at
     * Hamming 0, zero false pairs across the corpus.
     */
-  private val phashNearDup: Q = (s, dir) => {
-    val ids = Tables.documents(s, dir).select(col("doc_id"))
-      .as[Long](Encoders.scalaLong)
-    val hashed = ids.mapPartitions { it =>
-      it.grouped(64).flatMap(_.flatMap { id =>
-        val base = Hashed(id, dHash56(encodePatternedJpeg(id, nudge = false)))
-        if (id % 5 == 0)
-          Seq(base, Hashed(id + 1000000L,
-            dHash56(encodePatternedJpeg(id, nudge = true))))
-        else Seq(base)
-      })
-    }(encHashed).toDF()
+  /** Band-bucket occupancy cap for [[phashPairs]] (the d03/d04 lesson
+    * applied to images): real image corpora are degenerate-heavy — flat /
+    * black frames and letterboxed stills collapse to a handful of dHash
+    * values, so one hot 14-bit band value would make the banded self-join
+    * quadratic in the corpus. A per-(band, bval) count drops buckets over
+    * the cap, bounding candidates to ≤ cap·bands per image — LINEAR.
+    * Popular band values = common visual structure (gradients, borders),
+    * not near-duplication; PipelineSpec pins both halves (exact twin
+    * recall AND boundedness on N identical flat-gray JPEGs).
+    */
+  val PhashBucketCap = 16
+
+  /** The candidate-pair stage of m05 over a (doc_id, phash) relation:
+    * 4 × 14-bit banding, occupancy-capped bucket self-join, popcount
+    * verify at Hamming ≤ 3. Factored out so the degenerate-corpus
+    * boundedness pin can drive it with a synthetic hash relation.
+    */
+  def phashPairs(hashed: DataFrame): DataFrame = {
     val banded = hashed.select(col("doc_id"), col("phash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"),
@@ -355,6 +362,10 @@ object Multimodal {
             .as("bval"))): _*)).as("b"))
       .select(col("doc_id"), col("phash"),
         col("b.band").as("band"), col("b.bval").as("bval"))
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bval"))))
+      .filter(col("df") <= PhashBucketCap)
+      .select(col("doc_id"), col("phash"), col("band"), col("bval"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -366,6 +377,26 @@ object Multimodal {
         bit_count(col("ah").bitwiseXOR(col("bh"))).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  private val phashNearDup: Q = (s, dir) => {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+      .as[Long](Encoders.scalaLong)
+    val hashed = ids.mapPartitions { it =>
+      it.grouped(64).flatMap(_.flatMap { id =>
+        val base = Hashed(id, dHash56(encodePatternedJpeg(id, nudge = false)))
+        if (id % 5 == 0) {
+          // twin ids live in the disjoint [1e6, 2e6) range; a corpus band
+          // with >=1e6 docs would alias a real doc_id, so fail loudly at
+          // the task rather than emit duplicate doc_id rows
+          require(id < 1000000L,
+            s"doc_id $id >= 1e6: twin-id offset would shadow a real doc")
+          Seq(base, Hashed(id + 1000000L,
+            dHash56(encodePatternedJpeg(id, nudge = true))))
+        } else Seq(base)
+      })
+    }(encHashed).toDF()
+    phashPairs(hashed)
   }
 
   val queries: Map[String, Q] = Map(

@@ -691,6 +691,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._3 === 0), got.filter(_._3 > 0).take(3).mkString(","))
   }
 
+  test("m05 degenerate corpus: N identical flat-gray JPEGs stay bounded, small groups recovered") {
+    // real image corpora are degenerate-heavy (flat/black frames collapse
+    // to one dHash value); without the occupancy cap one hot band value
+    // makes the self-join emit N²/2 pairs. Pin both sides of the cap:
+    import spark.implicits._
+    val gray = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      pipeline.Multimodal.dHash56(bos.toByteArray)
+    }
+    val cap = pipeline.Multimodal.PhashBucketCap
+    // N > cap: every bucket overflows and is dropped — ZERO pairs, not N²/2
+    val big = (1L to 100L).map(id => (id, gray)).toDF("doc_id", "phash")
+    assert(pipeline.Multimodal.phashPairs(big).count() === 0L,
+      "an over-cap degenerate bucket must be dropped, not joined")
+    // N <= cap: the duplicate group survives intact (full C(N,2) recovery,
+    // within the cap·bands·N linear bound)
+    val small = (1L to 8L).map(id => (id, gray)).toDF("doc_id", "phash")
+    val n = pipeline.Multimodal.phashPairs(small).count()
+    assert(n === 28L, s"expected C(8,2)=28 hamming-0 pairs, got $n")
+    assert(n <= cap.toLong * 4 * 8)
+  }
+
   test("m01b decodes real JPEG bytes back to the fixture dimensions") {
     // unit level: the encode→decode roundtrip is a real JPEG container
     val bytes = pipeline.Multimodal.encodeJpeg(5L)
