@@ -677,17 +677,26 @@ object Similarity {
         struct((col("en") - lit(2.0) * dot(col("e"), cl) + lit(cc)).as("d"),
           lit(k).as("k"))
       }: _*))
+    // member sums as `dim` per-component sum(element_at(xi, i)) aggregates
+    // on ONE row-local corpus scan — K rows × (dim sums + count) out. The
+    // r9 posexplode shape map-side-combined to the same K×dim shuffle but
+    // materialized dim× the corpus rows in the map stage first; BIGINT
+    // sums are order-free exact, so the q6-grid centroids are unchanged.
+    val dim = init.head.length
     var cents = init
     for (_ <- 1 to KmeansIters) {
-      val sums = emb.withColumn("a", assign(cents))
-        .select(col("a.k").as("k"), posexplode(col("xi")).as(Seq("pos", "xv")))
-        .groupBy(col("k"), col("pos"))
-        .agg(sum(col("xv")).as("sv"), count(lit(1)).as("cnt"))
+      val aggs = (0 until dim).map(i =>
+        sum(element_at(col("xi"), i + 1)).as(s"s$i")) :+
+        count(lit(1)).as("cnt")
+      val rows = emb.withColumn("a", assign(cents))
+        .groupBy(col("a.k").as("k"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = cents.clone()
-      sums.groupBy(_.getInt(0)).foreach { case (k, rows) =>
-        next(k) = rows.sortBy(_.getInt(1)).map(r =>
-          math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5) / 1e6).toSeq
+      rows.foreach { r =>
+        val cnt = r.getLong(dim + 1)
+        next(r.getInt(0)) = (0 until dim).map(i =>
+          math.floor(r.getLong(i + 1).toDouble / cnt + 0.5) / 1e6).toSeq
       }
       cents = next
     }
