@@ -39,6 +39,23 @@ object Oracle {
       |  FROM events GROUP BY 1, 2
       |)""".stripMargin
 
+  /** `list_reduce` EWMA over a list expression — identical op order to
+    * `Series.ewma` (the indicator packs and the cycle slice share this so
+    * their replays stay bit-equal).
+    */
+  def red(l: String, alpha: String): String =
+    s"list_reduce($l, (acc, x) -> ($alpha) * x + (1.0 - ($alpha)) * acc)"
+
+  /** Per-index EWMA series (prefix folds, O(n²) — oracle-side only). */
+  def redSeries(l: String, alpha: String): String =
+    s"list_transform(generate_series(1, len($l)), i -> ${red(s"($l)[1:i]", alpha)})"
+
+  /** True-range list over (hi, lo, cl, n) series columns. */
+  val TRS: String =
+    """list_transform(generate_series(1, n), i ->
+      |  CASE WHEN i = 1 THEN hi[1] - lo[1]
+      |       ELSE greatest(hi[i] - lo[i], abs(hi[i] - cl[i-1]), abs(lo[i] - cl[i-1])) END)""".stripMargin
+
   /** Prepend the candle CTE: `withCandles("SELECT ... FROM candles ...")`. */
   def withCandles(sql: String): String = s"WITH $CANDLES\n$sql"
 

@@ -246,22 +246,34 @@ object Cycle {
 
   private val fullCycle: Q = cycleOf(None)
 
-  /** f01c — ORACLE SLICE of the cycle composition (r8 verdict item 8):
-    * two representative indicators (Donchian 20, Williams %R 14) at two
-    * intervals (1h, 1d), run through f01's OWN machinery — the shared
-    * fact read, [[workingFrames]]' roll-up + trailing-500 cut, the
+  /** f01c — ORACLE SLICE of the cycle composition (r8 verdict item 8,
+    * widened per the r9 verdict): FOUR representative indicators — one
+    * per execution path the cycle machinery drives — at three intervals
+    * (1h, 4h, 1d), run through f01's OWN machinery — the shared fact
+    * read, [[workingFrames]]' roll-up + trailing-500 cut, the
     * [[Tables.withCandleFrame]] override, the latest-row [[snapshot]] —
     * then melted to a typed (symbol, itv, bucket_ts, indicator, field,
-    * value) frame. This turns CycleSpec's structural trust into DuckDB
-    * oracle proof for the COMPOSITION (cut → roll-up → indicator →
-    * snapshot); the full 287-branch pack stays rows-gated, since its
-    * breadth is the same machinery over more indicators. The melt keeps
-    * values DOUBLE (not the mart row's display strings): cross-engine
-    * double→string formatting is presentation, not semantics, and the
-    * string mart-row contract is pinned by CycleSpec.
+    * value) frame:
+    *  - Donchian 20 / Williams %R 14: the rolling-window Column path;
+    *  - MACD (i04): the EWMA family — three chained `Series.ewma` folds
+    *    through the per-symbol series path;
+    *  - SuperTrend (i29): the stateful band-ratchet latch — the
+    *    path-dependent replay the oracle mirrors with WITH RECURSIVE.
+    * This turns CycleSpec's structural trust into DuckDB oracle proof
+    * for the COMPOSITION (cut → roll-up → indicator → snapshot); the
+    * full 287-branch pack stays rows-gated, since its breadth is the
+    * same machinery over more indicators. The melt keeps NUMERIC fields
+    * as DOUBLE and drops string fields (i04's `signal`, i29's
+    * `direction` — their cross/latch logic is oracled by the standalone
+    * i04/i29 entries; mart display strings are presentation, pinned by
+    * CycleSpec). The 1d frames hold ~27 bars on the driver corpora, so
+    * the n≥35 EWMA/stateful guard mutes i04/i29 there in BOTH engines —
+    * their substantive slice rows come from 1h (~64 bars) and 4h.
     */
-  private val SliceIntervals = Seq("1h" -> 3600L, "1d" -> 86400L)
-  private val SlicePack = Seq("i33_donchian", "i32_williams_r")
+  private val SliceIntervals =
+    Seq("1h" -> 3600L, "4h" -> 14400L, "1d" -> 86400L)
+  private val SlicePack =
+    Seq("i33_donchian", "i32_williams_r", "i04_macd", "i29_supertrend")
   private val cycleSlice: Q = (s, dir) => {
     val base = Tables.candles(s, dir).persist()
     val frames = Tables.withCandleFrame(base)(
@@ -272,8 +284,12 @@ object Cycle {
       Tables.withCandleFrame(working) {
         SlicePack.map { key =>
           val snap = snapshot(pack(key)(s, dir), working)
-          val fields = snap.columns.filterNot(Set("symbol", "bucket_ts"))
-          val kv: Column = explode(map(fields.flatMap(f =>
+          val fields = snap.schema.fields.collect {
+            case f if f.name != "symbol" && f.name != "bucket_ts" &&
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+              f.name
+          }
+          val kv: Column = explode(map(fields.toSeq.flatMap(f =>
             Seq(lit(f), col(f).cast("double"))): _*))
           snap.select(col("symbol"), lit(iv).as("itv"), col("bucket_ts"),
             lit(Mart.RegistryNames(key)).as("indicator"),
@@ -288,12 +304,20 @@ object Cycle {
 
   /** [[cycleSlice]]'s DuckDB twin: per interval, the roll-up (the same
     * aggregation text as the corpus oracles' rolled prelude), the
-    * trailing-500 cut, both indicator window passes, the latest
-    * warm-row per symbol, melted by UNION ALL. Donchian mirrors i33's
-    * round(…, 6); Williams mirrors i32's floor(x·1e6 + 0.5)/1e6
-    * dyadic-half idiom.
+    * trailing-500 cut, then each indicator's replay over the rolled
+    * working frame, latest warm-row per symbol, melted by UNION ALL.
+    * Donchian mirrors i33's round(…, 6); Williams mirrors i32's
+    * floor(x·1e6 + 0.5)/1e6 dyadic-half idiom; MACD replays the three
+    * chained EWMAs as `list_reduce` prefix folds (the standalone i04
+    * oracle's form); SuperTrend replays the band ratchet bar-by-bar
+    * under WITH RECURSIVE (the standalone i29 form — DuckDB 1.0
+    * list_reduce over STRUCT elements is vectorization-dependent, so
+    * path-dependent state recurses instead). Named WINDOW clauses are
+    * suffixed per interval: under WITH RECURSIVE, DuckDB scopes sibling
+    * CTEs' window names in ONE namespace.
     */
   private def cycleSliceOracle: String = {
+    import graft.Oracle.{red, redSeries, TRS}
     val perIv = SliceIntervals.map { case (iv, secs) =>
       val ctes =
         s"""r$secs AS MATERIALIZED (
@@ -309,25 +333,70 @@ object Cycle {
            |don$secs AS MATERIALIZED (
            |  SELECT * FROM (
            |    SELECT symbol, bucket_ts, close,
-           |           max(high) OVER wd AS up, min(low) OVER wd AS lo,
-           |           count(*) OVER wd AS nb,
+           |           max(high) OVER wd$secs AS up, min(low) OVER wd$secs AS lo,
+           |           count(*) OVER wd$secs AS nb,
            |           row_number() OVER
            |             (PARTITION BY symbol ORDER BY bucket_ts DESC) AS rn
            |    FROM w$secs
-           |    WINDOW wd AS (PARTITION BY symbol ORDER BY bucket_ts
+           |    WINDOW wd$secs AS (PARTITION BY symbol ORDER BY bucket_ts
            |                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
            |  WHERE nb = 20 AND rn = 1),
            |wil$secs AS MATERIALIZED (
            |  SELECT * FROM (
            |    SELECT symbol, bucket_ts, close,
-           |           max(high) OVER ww AS hh, min(low) OVER ww AS ll,
-           |           count(*) OVER ww AS nb,
+           |           max(high) OVER ww$secs AS hh, min(low) OVER ww$secs AS ll,
+           |           count(*) OVER ww$secs AS nb,
            |           row_number() OVER
            |             (PARTITION BY symbol ORDER BY bucket_ts DESC) AS rn
            |    FROM w$secs
-           |    WINDOW ww AS (PARTITION BY symbol ORDER BY bucket_ts
+           |    WINDOW ww$secs AS (PARTITION BY symbol ORDER BY bucket_ts
            |                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-           |  WHERE nb = 14 AND rn = 1)""".stripMargin
+           |  WHERE nb = 14 AND rn = 1),
+           |ser$secs AS MATERIALIZED (
+           |  SELECT symbol, max(bucket_ts) AS bucket_ts,
+           |         list(high ORDER BY bucket_ts) AS hi,
+           |         list(low ORDER BY bucket_ts) AS lo,
+           |         list(close ORDER BY bucket_ts) AS cl,
+           |         count(*) AS n
+           |  FROM w$secs GROUP BY symbol),
+           |macd$secs AS MATERIALIZED (
+           |  SELECT symbol, bucket_ts,
+           |         difs[len(difs)] AS dif, deas[len(deas)] AS dea
+           |  FROM (
+           |    SELECT symbol, bucket_ts, difs,
+           |           ${redSeries("difs", "2.0/10.0")} AS deas
+           |    FROM (
+           |      SELECT symbol, bucket_ts,
+           |             list_transform(generate_series(1, n), i ->
+           |               ${red("cl[1:i]", "2.0/13.0")} - ${red("cl[1:i]", "2.0/27.0")}) AS difs
+           |      FROM ser$secs WHERE n >= 35))),
+           |pre$secs AS MATERIALIZED (
+           |  SELECT symbol, bucket_ts, n, hi, lo, cl,
+           |         ${redSeries("trs", "1.0/10.0")} AS atrs
+           |  FROM (SELECT symbol, bucket_ts, n, hi, lo, cl, $TRS AS trs
+           |        FROM ser$secs WHERE n >= 35)),
+           |rec$secs AS (
+           |  SELECT symbol, bucket_ts, n, hi, lo, cl, atrs, 1 AS i,
+           |         (hi[1] + lo[1]) / 2.0 + 3.0 * atrs[1] AS fu,
+           |         (hi[1] + lo[1]) / 2.0 - 3.0 * atrs[1] AS fl,
+           |         0.0::DOUBLE AS st, 1 AS d
+           |  FROM pre$secs
+           |  UNION ALL
+           |  SELECT symbol, bucket_ts, n, hi, lo, cl, atrs, i + 1,
+           |         x.fu2, x.fl2,
+           |         CASE WHEN y.d2 = 1 THEN x.fu2 ELSE x.fl2 END, y.d2
+           |  FROM rec$secs,
+           |    LATERAL (SELECT
+           |      CASE WHEN cl[i] > fu THEN (hi[i+1] + lo[i+1]) / 2.0 + 3.0 * atrs[i+1]
+           |           ELSE least((hi[i+1] + lo[i+1]) / 2.0 + 3.0 * atrs[i+1], fu) END AS fu2,
+           |      CASE WHEN cl[i] < fl THEN (hi[i+1] + lo[i+1]) / 2.0 - 3.0 * atrs[i+1]
+           |           ELSE greatest((hi[i+1] + lo[i+1]) / 2.0 - 3.0 * atrs[i+1], fl) END AS fl2) x,
+           |    LATERAL (SELECT
+           |      CASE WHEN st = fu THEN (CASE WHEN cl[i+1] > x.fu2 THEN -1 ELSE 1 END)
+           |           ELSE (CASE WHEN cl[i+1] < x.fl2 THEN 1 ELSE -1 END) END AS d2) y
+           |  WHERE i < n),
+           |st$secs AS MATERIALIZED (
+           |  SELECT symbol, bucket_ts, fu, fl, st FROM rec$secs WHERE i = n)""".stripMargin
       val branches =
         s"""SELECT symbol, '$iv' AS itv, bucket_ts, 'Donchian' AS indicator,
            |  'upper' AS field, round(up, 6) AS value FROM don$secs
@@ -339,10 +408,22 @@ object Cycle {
            |  round((close - lo) / nullif(up - lo, 0.0), 6) FROM don$secs
            |UNION ALL SELECT symbol, '$iv', bucket_ts, 'WilliamsR', 'williams_r',
            |  floor((-100.0 * (hh - close) / nullif(hh - ll, 0.0)) * 1e6 + 0.5) / 1e6
-           |  FROM wil$secs""".stripMargin
+           |  FROM wil$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'MACD柱状扫描器', 'dif',
+           |  round(dif, 6) FROM macd$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'MACD柱状扫描器', 'dea',
+           |  round(dea, 6) FROM macd$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'MACD柱状扫描器', 'hist',
+           |  round(2.0 * (dif - dea), 6) FROM macd$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'SuperTrend', 'supertrend',
+           |  round(st, 6) FROM st$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'SuperTrend', 'final_upper',
+           |  round(fu, 6) FROM st$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'SuperTrend', 'final_lower',
+           |  round(fl, 6) FROM st$secs""".stripMargin
       (ctes, branches)
     }
-    s"""WITH ${graft.Oracle.CANDLES},
+    s"""WITH RECURSIVE ${graft.Oracle.CANDLES},
        |${perIv.map(_._1).mkString(",\n")}
        |${perIv.map(_._2).mkString("\nUNION ALL ")}""".stripMargin
   }
