@@ -166,13 +166,22 @@ object Cycle {
     */
   private def branchPool(branches: Seq[DataFrame]): Int =
     branches.headOption.map(_.sparkSession)
-      .flatMap(_.conf.getOption("spark.graft.cycle.branchPool")).map(_.toInt)
+      .flatMap(_.conf.getOption("spark.graft.cycle.branchPool"))
+      .flatMap(v => v.toIntOption.filter(_ > 0).orElse {
+        // a malformed dial must not surface as a NumberFormatException
+        // deep inside query construction — fall back to the default
+        System.err.println(
+          s"[cycle] ignoring malformed spark.graft.cycle.branchPool='$v'")
+        None
+      })
       .getOrElse(math.min(16, Runtime.getRuntime.availableProcessors))
 
   def runBranches(branches: Seq[DataFrame]): DataFrame = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    require(branches.nonEmpty,
+      "runBranches needs at least one branch plan (empty indicator pack?)")
     val pool = Executors.newFixedThreadPool(branchPool(branches))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {

@@ -189,9 +189,12 @@ object RuleCorpus {
     * lazy: a handful of branches doesn't amortize the eager jobs, and a
     * lazy plan composes better downstream.
     */
-  private def firedUnion(branches: Seq[DataFrame]): DataFrame =
+  private def firedUnion(branches: Seq[DataFrame]): DataFrame = {
+    require(branches.nonEmpty,
+      "firedUnion needs at least one fired branch (empty rule subset?)")
     if (branches.sizeIs < 5) branches.reduce(_.unionByName(_))
     else graft.operators.Cycle.runBranches(branches)
+  }
 
   /** Fired union for an arbitrary rule subset: per mart table one window
     * pass, union across the subset's tables.
@@ -226,6 +229,31 @@ object RuleCorpus {
     */
   private val sharedRolled = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long), DataFrame]()
+  /** Content fingerprint of a corpus dir's parquet tables (names, sizes,
+    * mtimes, one level into table directories). Every (session, dir)
+    * cache key embeds it, so an in-session rewrite of a served dir can
+    * never serve stale checkpointed data — the rewritten dir simply
+    * fingerprints to a NEW key (the r9 advisor finding: staleness used
+    * to depend on callers remembering to invalidate).
+    * [[invalidateShared]] stays the memory-release hook: superseded
+    * keys keep their pinned blocks until it runs.
+    */
+  private def dirKey(dir: String): String = {
+    def stamp(f: java.io.File): Long =
+      (f.getName.hashCode.toLong * 31 + f.lastModified()) * 31 + f.length()
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val fp = entries.foldLeft(17L) { (acc, e) =>
+      val inner =
+        if (e.isDirectory)
+          Option(e.listFiles()).getOrElse(Array.empty[java.io.File])
+            .sortBy(_.getName).foldLeft(stamp(e))((a, f) => a * 31 + stamp(f))
+        else stamp(e)
+      acc * 31 + inner
+    }
+    s"$dir@$fp"
+  }
   /** Build + checkpoint one cadence's roll-up, clustered for the marts:
     * the roll-up aggregates on (symbol, bucket), so its natural
     * partitioning does NOT satisfy the marts' symbol-clustered window
@@ -248,14 +276,24 @@ object RuleCorpus {
     * sort, so downstream symbol-window passes plan exchange-free and
     * sort-free. The conf flip is session-scoped but brackets a single
     * eager job built and awaited on the calling thread; the registry
-    * runs queries serially, so nothing else plans inside the window.
+    * runs queries serially, so nothing else plans inside the window —
+    * but branch pools ([[graft.operators.Cycle.runBranches]]) and
+    * parallel test suites can plan on OTHER threads, so the bracket is
+    * JVM-globally synchronized: two interleaved brackets would otherwise
+    * restore each other's mid-bracket value and leave AQE off for the
+    * whole session (read-prev / set / restore is not atomic). A
+    * concurrent non-bracket thread that plans during the window merely
+    * loses AQE for that one plan — a perf nit, never a wrong answer or
+    * a lost layout (its own checkpoints don't need the layout).
     */
-  private def checkpointKeepLayout(s: SparkSession, df: DataFrame): DataFrame = {
-    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.localCheckpoint()
-    finally s.conf.set("spark.sql.adaptive.enabled", prev)
-  }
+  private val aqeBracketLock = new Object
+  private def checkpointKeepLayout(s: SparkSession, df: DataFrame): DataFrame =
+    aqeBracketLock.synchronized {
+      val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.localCheckpoint()
+      finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    }
 
   private def rolledClustered(s: SparkSession, dir: String,
       seconds: Long): DataFrame =
@@ -270,7 +308,7 @@ object RuleCorpus {
     // one materialization within the overridden build
     if (graft.Tables.factOverrideActive)
       rolledClustered(s, dir, seconds)
-    else sharedRolled.computeIfAbsent((s, dir, seconds), _ =>
+    else sharedRolled.computeIfAbsent((s, dirKey(dir), seconds), _ =>
       rolledClustered(s, dir, seconds))
 
   private def rulesQueryAt(rules: Seq[CorpusRule], seconds: Long): Q =
@@ -941,7 +979,7 @@ object RuleCorpus {
   private val sharedFired =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   def corpusFiredShared(s: SparkSession, dir: String): DataFrame =
-    sharedFired.computeIfAbsent((s, dir), _ =>
+    sharedFired.computeIfAbsent((s, dirKey(dir)), _ =>
       corpusFiredMsg(s, dir).localCheckpoint())
 
   final case class Fired9(symbol: String, bucket_ts: Long, rule: String,
@@ -1099,14 +1137,21 @@ object RuleCorpus {
     * sortWithinPartitions → O(1)-state streaming greedy scan, expressed
     * over [[Row]]s so new feed shapes need no bespoke case class.
     *
-    * `cdOf` maps a rule name to its cooldown seconds (defaults to the
-    * corpus registry); `strict` selects the emission comparison — the
-    * sqlite engine re-emits strictly MORE than `cd` after the last
-    * emission (sqlite_engine.py:205-212, the default), the pg engine at
-    * `cd` or more (pg_engine.py:612-636, the g02 path).
+    * `cdOf` maps a rule name to its cooldown seconds — the default
+    * serves the corpus registry and FAILS FAST with the offending rule
+    * name on anything outside it (a bare `Map.apply` would surface as a
+    * bare NoSuchElementException deep inside a task); callers scanning
+    * non-corpus feeds pass their own `cdOf`. `strict` selects the
+    * emission comparison — the sqlite engine re-emits strictly MORE
+    * than `cd` after the last emission (sqlite_engine.py:205-212, the
+    * default), the pg engine at `cd` or more (pg_engine.py:612-636,
+    * the g02 path).
     */
   def cooldownScanRows(firedRows: DataFrame,
-      cdOf: String => Long = CdByRule,
+      cdOf: String => Long = rule => CdByRule.getOrElse(rule,
+        throw new IllegalArgumentException(
+          s"rule '$rule' has no registered cooldown: pass an explicit " +
+            "cdOf to cooldownScanRows for non-corpus feeds")),
       strict: Boolean = true): DataFrame = {
     val schema = firedRows.schema
     val hasTf = schema.fieldNames.contains("timeframe")
@@ -1207,7 +1252,7 @@ object RuleCorpus {
     (SparkSession, String), DataFrame]()
   def nativeFiredShared(s: SparkSession, dir: String): DataFrame =
     if (graft.Tables.factOverrideActive) nativeFiredMsg(s, dir)
-    else sharedNativeFired.computeIfAbsent((s, dir), _ =>
+    else sharedNativeFired.computeIfAbsent((s, dirKey(dir)), _ =>
       nativeFiredMsg(s, dir).localCheckpoint())
 
   /** The native dispatch's COOLED stream — [[cooldownScanRows]] over
@@ -1224,21 +1269,21 @@ object RuleCorpus {
   def nativeCooledShared(s: SparkSession, dir: String): DataFrame =
     if (graft.Tables.factOverrideActive)
       cooldownScanRows(nativeFiredMsg(s, dir))
-    else sharedNativeCooled.computeIfAbsent((s, dir), _ =>
+    else sharedNativeCooled.computeIfAbsent((s, dirKey(dir)), _ =>
       cooldownScanRows(nativeFiredShared(s, dir)).localCheckpoint())
 
   /** Drop every memoized (session, dir)-keyed materialization owned by
     * this registry — the roll-up, whole-corpus fired and native fired
     * checkpoints — releasing their pinned blocks and forcing the next
-    * consumer to rebuild from the store. MUST be called whenever a
-    * corpus dir's parquet files are rewritten in-session (the r8 advisor
-    * finding: the caches otherwise serve stale data silently —
-    * [[graft.ScaleGen]] regenerates dirs and calls this between
-    * generations) and MAY be called at any quiescent point to bound a
-    * long session's checkpoint footprint. Not safe concurrently with a
-    * running query over the same dir: the unpersist pulls blocks out
-    * from under in-flight tasks (they recompute, but from the possibly
-    * rewritten store).
+    * consumer to rebuild from the store. Since the cache keys embed the
+    * dir's content fingerprint ([[dirKey]]), an in-session rewrite can
+    * no longer serve stale data regardless of whether this runs — but a
+    * rewrite strands the superseded keys' pinned blocks, so call this at
+    * a quiescent point after regenerating dirs ([[graft.ScaleGen]] does,
+    * between generations) or to bound a long session's checkpoint
+    * footprint. Not safe concurrently with a running query over the
+    * same dir: the unpersist pulls blocks out from under in-flight
+    * tasks (they recompute, but from the possibly rewritten store).
     */
   def invalidateShared(): Unit = {
     def drop(dfs: Iterable[DataFrame]): Unit = dfs.foreach { df =>
