@@ -34,6 +34,26 @@ object Mart {
         rest.map(col): _*)
   }
 
+  /** Separator for the fused multi-interval composite key
+    * ([[graft.operators.Cycle.fusedFrame]]): U+0001 can never occur in a
+    * symbol (the t16 merge-marker precedent).
+    */
+  val IvTagSep = "\u0001"
+
+  /** [[asMartRow]] for a fused multi-interval frame whose symbol carries
+    * the interval tag `symbol + IvTagSep + iv`: the tag splits back into
+    * the (交易对, 周期) mart key columns.
+    */
+  def asMartRowTagged(df: DataFrame): DataFrame = {
+    val rest = df.columns.filterNot(Set("symbol", "bucket_ts").contains)
+    df.select(
+      substring_index(col("symbol"), IvTagSep, 1).as("交易对") +:
+        substring_index(col("symbol"), IvTagSep, -1).as("周期") +:
+        date_format(timestamp_seconds(col("bucket_ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("数据时间") +:
+        rest.map(col): _*)
+  }
+
   /** S7 mart sink with the reference's schema-on-write DRIFT TOLERANCE
     * (db/reader.py:262-279): the writer aligns the incoming frame to the
     * union of stored+incoming columns — columns the batch lacks pad with

@@ -54,6 +54,37 @@ class CycleSpec extends AnyFunSuite {
     frames.foreach(_._2.unpersist())
   }
 
+  test("fused interval branches == per-interval branches row-for-row") {
+    // the f01 driver-cost lever: ONE plan per indicator over a composite
+    // symbol+iv key must emit exactly the rows of one plan per
+    // (indicator, interval) — any divergence means an indicator is not
+    // per-symbol pure (a cross-symbol aggregate would mix intervals)
+    frames.foreach(_._2.persist()) // earlier tests may have unpersisted
+    val fused = operators.Cycle.fusedFrame(spark,
+      operators.Cycle.workingFrames(spark, sf, miniIntervals, persist = false))
+    fused.count()
+    try {
+      val fusedBranches =
+        operators.Cycle.fusedBranchPlans(spark, sf, fused, miniPack)
+      // the cache contract carries over: every fused branch plan must be
+      // backed by the fused cache, never the store
+      fusedBranches.foreach { b =>
+        val leaves = b.queryExecution.optimizedPlan.collectLeaves()
+        assert(leaves.nonEmpty && leaves.forall(
+            _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+          s"fused branch touches the store: leaves = ${leaves.map(_.nodeName)}")
+      }
+      val fusedOut = operators.Cycle.runBranches(fusedBranches)
+        .collect().map(_.toString).sorted
+      val perIv = operators.Cycle.runBranches(branches)
+        .collect().map(_.toString).sorted
+      assert(fusedOut.length == perIv.length,
+        s"row counts differ: fused=${fusedOut.length} perIv=${perIv.length}")
+      assert(fusedOut.sameElements(perIv),
+        s"first diff: ${fusedOut.zip(perIv).find { case (a, b) => a != b }}")
+    } finally { fused.unpersist(); () }
+  }
+
   test("priority cycle: non-priority symbols never reach a frame or branch") {
     // the f01b cut mechanics (async_full_engine.py:54-131): the base fact
     // is semi-joined to the priority set BEFORE frames are built, so a
