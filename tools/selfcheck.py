@@ -42,8 +42,17 @@ def norm_rows(names, rows):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # optional: --json <path> writes the machine-readable per-query tally
+    # (the r9 postmortem: the driver's CORRECTNESS_r09.json arrived empty,
+    # so each round now commits its own gate evidence at HEAD)
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -93,6 +102,14 @@ def main():
         passed.append(name)
         print(f"PASS  {name:34s} rows={len(gr)}")
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
+    if json_out:
+        tally = {"sf_dir": sf_dir,
+                 "passed": len(passed), "failed": len(failed),
+                 "rows_only": len(skipped),
+                 "queries": {**{n: "pass" for n in passed},
+                             **{n: "fail" for n in failed},
+                             **{n: "rows_only" for n in skipped}}}
+        Path(json_out).write_text(json.dumps(tally, indent=1, sort_keys=True))
     if failed:
         print("failed:", " ".join(failed))
         sys.exit(1)
