@@ -379,21 +379,29 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Twin-id offset for [[phashNearDup]]'s injected near-duplicates:
+    * one above the corpus max doc_id, so a twin id can never shadow a
+    * real doc whatever the corpus's id layout (the r9 advisor finding:
+    * a fixed +1e6 offset silently collides on corpora with sparse
+    * clone-band id strides — ScaleGen's sf1 ids reach 9e7). One
+    * single-column max over the id relation, paid once at plan build —
+    * the twin injection is the FIXTURE device that makes recall
+    * pinnable, not a production stage.
+    */
+  private[graft] def twinBase(ids: org.apache.spark.sql.Dataset[Long]): Long =
+    ids.toDF("id").agg(max(col("id"))).head.getLong(0) + 1L
+
   private val phashNearDup: Q = (s, dir) => {
     val ids = Tables.documents(s, dir).select(col("doc_id"))
       .as[Long](Encoders.scalaLong)
+    val tb = twinBase(ids)
     val hashed = ids.mapPartitions { it =>
       it.grouped(64).flatMap(_.flatMap { id =>
         val base = Hashed(id, dHash56(encodePatternedJpeg(id, nudge = false)))
-        if (id % 5 == 0) {
-          // twin ids live in the disjoint [1e6, 2e6) range; a corpus band
-          // with >=1e6 docs would alias a real doc_id, so fail loudly at
-          // the task rather than emit duplicate doc_id rows
-          require(id < 1000000L,
-            s"doc_id $id >= 1e6: twin-id offset would shadow a real doc")
-          Seq(base, Hashed(id + 1000000L,
+        if (id % 5 == 0)
+          Seq(base, Hashed(tb + id,
             dHash56(encodePatternedJpeg(id, nudge = true))))
-        } else Seq(base)
+        else Seq(base)
       })
     }(encHashed).toDF()
     phashPairs(hashed)

@@ -682,7 +682,8 @@ class PipelineSpec extends AnyFunSuite {
     val got = SparkEntry.queries("m05_phash_neardup")(spark, sf)
       .as[(Long, Long, Int)].collect()
     val ids = Tables.documents(spark, sf).select($"doc_id").as[Long].collect()
-    val want = ids.filter(_ % 5 == 0).map(id => (id, id + 1000000L)).toSet
+    val tb = ids.max + 1L // twin ids sit above the corpus max (collision-free)
+    val want = ids.filter(_ % 5 == 0).map(id => (id, tb + id)).toSet
     assert(want.nonEmpty)
     val gotPairs = got.map(t => (t._1, t._2)).toSet
     assert(gotPairs === want,
