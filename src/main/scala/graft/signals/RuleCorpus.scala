@@ -332,7 +332,10 @@ object RuleCorpus {
     * only), evaluate that timeframe's rule subset over the interval's
     * rolled bars and tag the fired rows. Each cadence shares its
     * [[rolledShared]] roll-up; the whole dispatch stays one window pass
-    * per (mart, timeframe) with zero joins.
+    * per (mart, timeframe) with zero joins. This per-cadence spelling is
+    * the SEMANTIC REFERENCE the fused production path
+    * ([[nativeFiredFused]], one plan per mart) is pinned row-identical
+    * to by RuleCorpusSpec.
     */
   private[graft] val TfSeconds =
     Seq("1h" -> 3600L, "4h" -> 14400L, "1d" -> 86400L)
@@ -1215,23 +1218,123 @@ object RuleCorpus {
       .map(k => MartSeries.all(k).table)
   private val KpatTable = MartSeries.all("kpat").table
 
+  /** [[firedMsg]]/[[fired]] with each rule's DECLARED timeframes riding
+    * in the when-struct (`tfs`), so the fused dispatch can filter (candle
+    * marts) or fan (the cadence-independent metrics mart) post-evaluation.
+    */
+  private def firedTfs(ev: DataFrame, md: MartSeries.MartDef,
+      rs: Seq[CorpusRule], withMsg: Boolean): DataFrame = {
+    val sigs = array(rs.map { r =>
+      val fields = Seq(
+        lit(r.name).as("rule"), lit(md.table).as("mart"),
+        lit(r.category).as("category"), lit(r.subcategory).as("subcategory"),
+        lit(r.direction).as("direction"), lit(r.strength).as("strength"),
+        lit(r.priority).as("priority")) ++
+        (if (withMsg) Seq(expr(messageSql(r)).as("message")) else Nil) :+
+        array(r.timeframes.map(lit): _*).as("tfs")
+      when(expr(fullCond(r)), struct(fields: _*))
+    }: _*)
+    val msgCol = if (withMsg) Seq(col("g.message").as("message")) else Nil
+    ev.select(col("symbol"), col("bucket_ts"), explode(sigs).as("g"))
+      .where(col("g").isNotNull)
+      .select(Seq(col("symbol"), col("bucket_ts"), col("g.rule").as("rule"),
+        col("g.mart").as("mart"), col("g.category").as("category"),
+        col("g.subcategory").as("subcategory"),
+        col("g.direction").as("direction"), col("g.strength").as("strength"),
+        col("g.priority").as("priority")) ++ msgCol :+
+        col("g.tfs").as("tfs"): _*)
+  }
+
+  /** Every cadence's rolled bars as ONE composite-keyed clustered
+    * checkpoint: symbol becomes `symbol + U+0001 + tf` (the
+    * [[graft.operators.Cycle.fusedFrame]] key), so each per-symbol mart
+    * series treats every (symbol, timeframe) slice independently and ONE
+    * plan per mart replaces one per (mart, cadence). Outside a fact
+    * override the union reads the per-cadence [[rolledShared]]
+    * checkpoints (cached, also serving g15/g17 and the g20 price join);
+    * under the f03 priority cut it rolls the cut fact directly — the
+    * per-cadence checkpoints would be redundant work when the fused
+    * union is checkpointed anyway. One repartition on the composite key
+    * + in-partition sort before the checkpoint keeps every downstream
+    * mart window pass exchange-free and sort-free (the [[rolledClustered]]
+    * layout argument, one dispatch level up).
+    */
+  private[graft] def fusedRolledFrame(s: SparkSession, dir: String): DataFrame = {
+    val sep = graft.operators.Mart.IvTagSep
+    val union = TfSeconds.map { case (tf, secs) =>
+      val rolled =
+        if (graft.Tables.factOverrideActive)
+          graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), secs)
+        else rolledShared(s, dir, secs)
+      rolled.withColumn("symbol", concat(col("symbol"), lit(sep + tf)))
+    }.reduce(_.unionByName(_))
+    checkpointKeepLayout(s, union
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts")))
+  }
+
+  /** Release one eager checkpoint's pinned blocks (the fused frame is a
+    * build-time scaffold: once the fired branches are materialized its
+    * blocks are dead weight).
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
+  /** The FUSED native dispatch — row-identical to the per-cadence
+    * [[nativeTfQuery]] (RuleCorpusSpec pins the equality through the
+    * shared stream), at one plan per MART instead of one per (mart,
+    * cadence) (~35 vs ~105 driver analyze/optimize passes — the f01
+    * fusion lever one level up; plan cost was the f03 floor, r10 plan
+    * audit). Soundness: every candle mart series is per-symbol pure, so
+    * evaluating it over the composite-keyed [[fusedRolledFrame]] yields
+    * exactly the per-cadence series side by side; rules are row-local
+    * predicates, so evaluating a mart's FULL rule set at every cadence
+    * and keeping each fired row only where `timeframe ∈ rule.timeframes`
+    * commutes with the reference's evaluate-only-declared dispatch
+    * (sqlite_engine.py:224-231). The metrics-clocked `fut` mart ignores
+    * the candle frame entirely (its cadence is the metrics fact's own) —
+    * it evaluates ONCE and fans each fired row across the rule's
+    * declared timeframes, which is literally what the per-cadence
+    * dispatch computed three times.
+    */
+  private[graft] def nativeFiredFused(s: SparkSession, dir: String,
+      withMsg: Boolean): DataFrame = {
+    val sep = graft.operators.Mart.IvTagSep
+    val fused = fusedRolledFrame(s, dir)
+    val branches = AllRules.groupBy(_.tableKey).toSeq.sortBy(_._1)
+      .map { case (tk, rs) =>
+        val md = MartSeries.all(tk)
+        if (md.needsMetrics)
+          firedTfs(evalFrame(md.build(s, dir), md.fields.map(_._1)),
+              md, rs, withMsg)
+            .withColumn("timeframe", explode(col("tfs")))
+            .drop("tfs")
+        else
+          firedTfs(evalFrame(md.buildFrom(s, dir, fused),
+              md.fields.map(_._1)), md, rs, withMsg)
+            .withColumn("timeframe", substring_index(col("symbol"), sep, -1))
+            .withColumn("symbol", substring_index(col("symbol"), sep, 1))
+            .where(array_contains(col("tfs"), col("timeframe")))
+            .drop("tfs")
+      }
+    val out = firedUnion(branches)
+    dropCheckpoint(fused)
+    out
+  }
+
   /** The native dispatch's fired-with-message stream (the 11-column
     * superset every native-family view projects from): each rule
-    * evaluated at each timeframe it declares over that cadence's shared
-    * roll-up, with the rendered message riding in the same when-struct.
-    * Row-identical to [[nativeTfQuery]] plus `message` — the fired
-    * predicate is [[fullCond]] in both.
+    * evaluated at each timeframe it declares, with the rendered message
+    * riding in the same when-struct. Row-identical to [[nativeTfQuery]]
+    * plus `message` — the fired predicate is [[fullCond]] in both — but
+    * built through the fused dispatch (one plan per mart).
     */
   private def nativeFiredMsg(s: SparkSession, dir: String): DataFrame =
-    firedUnion(TfSeconds.flatMap { case (tf, secs) =>
-      val rolled = rolledShared(s, dir, secs)
-      val rs = AllRules.filter(_.timeframes.contains(tf))
-      rs.groupBy(_.tableKey).toSeq.sortBy(_._1).map { case (tk, subset) =>
-        val md = MartSeries.all(tk)
-        firedMsg(evalFrame(md.buildFrom(s, dir, rolled), md.fields.map(_._1)),
-          md, subset).withColumn("timeframe", lit(tf))
-      }
-    })
+    nativeFiredFused(s, dir, withMsg = true)
 
   /** [[nativeFiredMsg]] materialized ONCE per (session, corpus dir) and
     * shared by the whole native-dispatch family — the engine evaluates
@@ -1633,7 +1736,10 @@ object RuleCorpus {
     val cutMetrics = cutChecked(graft.Tables.metrics5m(s, dir), prio)
     val firedRows = graft.Tables.withCandleFrame(cutCandles) {
       graft.Tables.withMetricsFrame(cutMetrics) {
-        nativeTfQuery(s, dir)
+        // the fused dispatch: one plan per mart (~35), not one per
+        // (mart, cadence) (~105) — under the override the plan floor was
+        // paid PER EVALUATION, which made it f03's dominant cost
+        nativeFiredFused(s, dir, withMsg = false)
       }
     }
     cooldownScanTf(firedRows)

@@ -520,6 +520,34 @@ class RuleCorpusSpec extends AnyFunSuite {
       s"mart pass over the clustered checkpoint still shuffles:\n${plan.take(1200)}")
   }
 
+  test("fused roll-up checkpoint keeps mart passes exchange-free") {
+    // the f03 fusion (r10): every cadence's rolled bars under the
+    // composite symbol+U+0001+tf key, clustered + checkpointed ONCE —
+    // a mart series built from the fused frame must plan its symbol
+    // windows with no shuffle exchange, so the fused dispatch costs one
+    // shuffle for the whole 35-mart build instead of one per mart.
+    val md = MartSeries.all("macd")
+    val fused = RuleCorpus.fusedRolledFrame(spark, TestSession.sf)
+    try {
+      val plan = md.buildFrom(spark, TestSession.sf, fused)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"mart pass over the fused checkpoint still shuffles:\n${plan.take(1200)}")
+      // and the frame really carries all three cadences under the tag
+      val sep = operators.Mart.IvTagSep
+      val tfs = fused.select(substring_index(col("symbol"), sep, -1))
+        .distinct().as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet
+      assert(tfs === Set("1h", "4h", "1d"), s"fused frame cadences: $tfs")
+    } finally {
+      fused.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+    }
+  }
+
   test("live coverage: most categories fire on the fixture") {
     val liveCats = allFired.select("category").distinct().as[String]
       .collect().toSet
