@@ -750,6 +750,40 @@ object Similarity {
         not(coalesce(col("dup"), lit(false))).as("kept"))
   }
 
+  /** p08 — cluster-prototype diversity pruning: the diversification half
+    * of D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+    * Document De-Duplication and Diversification"), whose dedup half is
+    * d09b. After SemDeDup, D4 prunes the points CLOSEST to their k-means
+    * centroid — the most prototypical, hence most redundant, examples —
+    * and keeps the diverse tail. Here: within each of s09's trained
+    * cells, rank members by squared-L2 distance to the centroid
+    * DESCENDING (farthest = most diverse first, vec_id tie-break) and
+    * keep rank ≤ ceil(3·|cell|/4) — the closest quarter is pruned. The
+    * keep quota is pure integer arithmetic (`(3·csz + 3) div 4`), and
+    * the rank order compares the same bit-exact distance both engines
+    * compute (the s09 cross-engine design), so the flag is exact — no
+    * tolerance anywhere.
+    *
+    * Scale shape: the assignment is s09's (row-local scan per Lloyd
+    * round, K×64-row shuffle); the pruning pass is ONE window over the
+    * cell key. The cell is the shuffle key and K dials toward √N on big
+    * corpora (the d09/d09b argument), so per-cell rank state stays
+    * bounded — nothing here is global.
+    */
+  private val diversitySample: Q = (s, dir) => {
+    val assign = kmeansAssign(s, dir)
+    val wRank = Window.partitionBy("cluster")
+      .orderBy(col("d").desc, col("vec_id"))
+    val wCell = Window.partitionBy("cluster")
+    assign
+      .withColumn("div_rank", row_number().over(wRank))
+      .withColumn("cell_size", count(lit(1)).over(wCell))
+      .select(col("vec_id"), col("cluster"),
+        (floor(col("d") * lit(1e6) + lit(0.5)) / lit(1e6)).as("dist"),
+        col("div_rank"), col("cell_size"),
+        (col("div_rank") <= expr("(cell_size * 3 + 3) div 4")).as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> cosineTopK,
     "s02_lsh_ann" -> lshAnn,
@@ -761,7 +795,8 @@ object Similarity {
     "s08_class_stats" -> classStats,
     "s09_kmeans" -> kmeans,
     "d09_semantic_dedup" -> semanticDedup,
-    "d09b_semdedup_kmeans" -> semanticDedupKmeans)
+    "d09b_semdedup_kmeans" -> semanticDedupKmeans,
+    "p08_diversity_prune" -> diversitySample)
 
   private val EMB =
     """emb AS (
@@ -876,6 +911,33 @@ object Similarity {
        |       du.vec_id IS NULL AS kept
        |FROM fin f LEFT JOIN dups du ON f.vec_id = du.vec_id""".stripMargin
 
+  /** [[diversitySample]]'s twin: the s09 round CTEs, the final
+    * assignment, then the per-cell descending-distance rank and the
+    * integer keep quota (`(3·csz + 3) // 4` — DuckDB's `//` is the same
+    * floor division as Spark's `div`).
+    */
+  private def diversityPruneOracle: String =
+    s"""WITH $kmeansOracleCtes,
+       |fin AS MATERIALIZED (
+       |  SELECT vec_id, k, d FROM (
+       |    SELECT emb.vec_id, cx.k,
+       |           emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc AS d,
+       |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+       |             emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc,
+       |             cx.k) AS rn
+       |    FROM emb CROSS JOIN c${KmeansIters}x cx) WHERE rn = 1)
+       |SELECT vec_id, CAST(k AS INT) AS cluster,
+       |       floor(d * 1e6 + 0.5) / 1e6 AS dist,
+       |       CAST(div_rank AS INT) AS div_rank,
+       |       CAST(cell_size AS BIGINT) AS cell_size,
+       |       div_rank <= (cell_size * 3 + 3) // 4 AS kept
+       |FROM (
+       |  SELECT vec_id, k, d,
+       |         row_number() OVER (PARTITION BY k ORDER BY d DESC, vec_id)
+       |           AS div_rank,
+       |         count(*) OVER (PARTITION BY k) AS cell_size
+       |  FROM fin)""".stripMargin
+
   /** Sequential squared-L2 fold — the DuckDB twin of [[sqdist]]. */
   private val SQDIST =
     "list_reduce(list_prepend(0.0, list_transform(list_zip(%s, %s), p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
@@ -885,6 +947,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s09_kmeans" -> kmeansOracle,
     "d09b_semdedup_kmeans" -> semdedupKmeansOracle,
+    "p08_diversity_prune" -> diversityPruneOracle,
     "s06_pq_ann" ->
       // replays the PQ pipeline verbatim: same stride codebook, same
       // per-subspace argmin (d ASC, j ASC), same m-ordered ADC fold (the

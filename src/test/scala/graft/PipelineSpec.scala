@@ -629,6 +629,33 @@ class PipelineSpec extends AnyFunSuite {
       s"spark-only: ${(got -- want).take(3)}; scala-only: ${(want -- got).take(3)}")
   }
 
+  test("p08 diversity prune: exact per-cell quota, prototypes pruned") {
+    // the D4 diversification pin: within every s09 cell the kept count is
+    // exactly ceil(3·|cell|/4), the pruned quarter is the CLOSEST to the
+    // centroid (max kept-distance ≥ every pruned distance under the
+    // desc/vec_id order), and the flag covers each doc exactly once
+    import spark.implicits._
+    val out = SparkEntry.queries("p08_diversity_prune")(spark, sf)
+      .select($"vec_id", $"cluster", $"dist", $"div_rank", $"cell_size",
+        $"kept")
+      .as[(Long, Int, Double, Int, Long, Boolean)].collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong === nVecs) // one decision per vector
+    out.groupBy(_._2).foreach { case (k, ms) =>
+      val csz = ms.length.toLong
+      assert(ms.forall(_._5 === csz), s"cell $k: cell_size mismatch")
+      assert(ms.map(_._4).sorted.toSeq === (1 to ms.length), s"cell $k ranks")
+      val kept = ms.filter(_._6)
+      assert(kept.length.toLong === (csz * 3 + 3) / 4,
+        s"cell $k: kept ${kept.length} of $csz")
+      // every pruned member sits at or inside the kept set's inner edge
+      val prunedMaxD = ms.filterNot(_._6).map(_._3).maxOption.getOrElse(-1.0)
+      val keptMinD = kept.map(_._3).min
+      assert(prunedMaxD <= keptMinD,
+        s"cell $k: pruned a farther point (pruned max $prunedMaxD > kept min $keptMinD)")
+    }
+  }
+
   test("p07 split is exhaustive, disjoint, hash-stable, and ~5/5/90") {
     import spark.implicits._
     val out = SparkEntry.queries("p07_hash_split")(spark, sf)
