@@ -111,6 +111,18 @@ object Cycle {
     * any indicator sees it. The explicit symbol repartition keeps each
     * frame clustered for every downstream window WITHOUT the 32-partition
     * default (see [[workingPartitions]]).
+    *
+    * Measured negative result (r10): CASCADING the roll-ups — each level
+    * aggregating the previous level's persisted uncut bars instead of
+    * re-scanning the fact cache, the hierarchical-cagg layout — is exact
+    * (the interval set nests, 60│300│…│604800; argmin/argmax/min/max/
+    * integer sums compose — CycleSpec pins cascaded ≡ from-1m bit-for-bit)
+    * but SLOWER here at every measured scale (f01b 4.5→9.1 s sf0.1, f01
+    * 19.2→20.8 s sf1): materializing the uncut intermediate caches costs
+    * more than the hash aggregations re-scanning the already-persisted
+    * fact, whose shuffle carries only output-sized rows. The cascade only
+    * pays when the finest level cannot be held (a cold store scan), which
+    * is the incremental-refresh path's territory, not the cycle's.
     */
   def workingFrames(s: SparkSession, dir: String,
       intervals: Seq[(String, Long)] = Intervals,

@@ -54,6 +54,28 @@ class CycleSpec extends AnyFunSuite {
     frames.foreach(_._2.unpersist())
   }
 
+  test("cascaded roll-ups == from-1m roll-ups (uncut, full history)") {
+    // hierarchical-cagg nesting property (r10; measured slower than
+    // re-scanning the cached fact in the cycle itself — workingFrames
+    // scaladoc — but the property matters for refresh paths that CAN'T
+    // hold the finest level): rolling 1m→5m→1h equals rolling 1m→1h.
+    // OHLC argmin/argmax/min/max and the integer trade count compose
+    // EXACTLY across nested buckets; the double volume sums merely
+    // regroup additions — pin full equality on the driver fixture so
+    // any drift (a non-nesting boundary, a wrong source) fails loudly.
+    val base = Tables.candles(spark, sf)
+    val direct = operators.Rollup.rollup(base, 3600L)
+    val cascaded = operators.Rollup.rollup(
+      operators.Rollup.rollup(base, 300L), 3600L)
+    val cols = direct.columns.sorted.map(col).toSeq
+    val d = direct.select(cols: _*).collect().map(_.toString).sorted
+    val c = cascaded.select(cols: _*).collect().map(_.toString).sorted
+    assert(d.length == c.length && d.length > 0,
+      s"row counts differ: direct=${d.length} cascaded=${c.length}")
+    assert(d.sameElements(c),
+      s"first diff: ${d.zip(c).find { case (a, b) => a != b }}")
+  }
+
   test("fused interval branches == per-interval branches row-for-row") {
     // the f01 driver-cost lever: ONE plan per indicator over a composite
     // symbol+iv key must emit exactly the rows of one plan per
