@@ -873,18 +873,27 @@ object Similarity {
        |$rounds""".stripMargin
   }
 
+  /** The final-round assignment subquery all three k-means oracles share
+    * (s09 / d09b / p08): per vector the argmin cluster (`ORDER BY d, k`)
+    * with its raw distance, plus any extra columns the consumer threads
+    * through (d09b keeps the vector and its norm for the within-cell
+    * pass). ONE spelling so a fix to the distance chain or tie-break can
+    * never make the oracles disagree with each other.
+    */
+  private def finalAssignSql(extraOuter: String, extraInner: String): String =
+    s"""SELECT vec_id, k, d$extraOuter FROM (
+       |    SELECT emb.vec_id, cx.k,$extraInner
+       |           emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc AS d,
+       |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+       |             emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc,
+       |             cx.k) AS rn
+       |    FROM emb CROSS JOIN c${KmeansIters}x cx) WHERE rn = 1""".stripMargin
+
   private def kmeansOracle: String =
     s"""WITH $kmeansOracleCtes
        |SELECT vec_id, CAST(k AS INT) AS cluster,
        |       floor(d * 1e6 + 0.5) / 1e6 AS dist
-       |FROM (
-       |  SELECT emb.vec_id, cx.k,
-       |         emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc AS d,
-       |         row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-       |           emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc,
-       |           cx.k) AS rn
-       |  FROM emb CROSS JOIN c${KmeansIters}x cx)
-       |WHERE rn = 1""".stripMargin
+       |FROM (${finalAssignSql("", "")})""".stripMargin
 
   /** [[semanticDedupKmeans]]'s twin: the s09 round CTEs, the final
     * assignment kept with its raw distance and norm, then d09's
@@ -894,13 +903,7 @@ object Similarity {
   private def semdedupKmeansOracle: String =
     s"""WITH $kmeansOracleCtes,
        |fin AS MATERIALIZED (
-       |  SELECT vec_id, k, d, e, sqrt(en) AS n FROM (
-       |    SELECT emb.vec_id, cx.k, emb.e, emb.en,
-       |           emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc AS d,
-       |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-       |             emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc,
-       |             cx.k) AS rn
-       |    FROM emb CROSS JOIN c${KmeansIters}x cx) WHERE rn = 1),
+       |  ${finalAssignSql(", e, sqrt(en) AS n", " emb.e, emb.en,")}),
        |dups AS (
        |  SELECT DISTINCT a.vec_id
        |  FROM fin a JOIN fin b ON a.k = b.k AND b.vec_id != a.vec_id
@@ -919,13 +922,7 @@ object Similarity {
   private def diversityPruneOracle: String =
     s"""WITH $kmeansOracleCtes,
        |fin AS MATERIALIZED (
-       |  SELECT vec_id, k, d FROM (
-       |    SELECT emb.vec_id, cx.k,
-       |           emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc AS d,
-       |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-       |             emb.en - 2 * (${DOT.format("emb.e", "cx.c")}) + cx.cc,
-       |             cx.k) AS rn
-       |    FROM emb CROSS JOIN c${KmeansIters}x cx) WHERE rn = 1)
+       |  ${finalAssignSql("", "")})
        |SELECT vec_id, CAST(k AS INT) AS cluster,
        |       floor(d * 1e6 + 0.5) / 1e6 AS dist,
        |       CAST(div_rank AS INT) AS div_rank,

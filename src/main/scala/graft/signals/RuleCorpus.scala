@@ -1277,7 +1277,7 @@ object RuleCorpus {
     * build-time scaffold: once the fired branches are materialized its
     * blocks are dead weight).
     */
-  private def dropCheckpoint(df: DataFrame): Unit =
+  private[graft] def dropCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
@@ -1312,6 +1312,12 @@ object RuleCorpus {
           firedTfs(evalFrame(md.build(s, dir), md.fields.map(_._1)),
               md, rs, withMsg)
             .withColumn("timeframe", explode(col("tfs")))
+            // constrain the fan to the dispatch's cadence set — the
+            // candle branch is structurally limited to TfSeconds tags,
+            // and the per-cadence semantic reference only iterates
+            // TfSeconds, so a future rule declaring an off-set timeframe
+            // must not silently widen the fused output
+            .where(col("timeframe").isin(TfSeconds.map(_._1): _*))
             .drop("tfs")
         else
           firedTfs(evalFrame(md.buildFrom(s, dir, fused),
@@ -1321,7 +1327,11 @@ object RuleCorpus {
             .where(array_contains(col("tfs"), col("timeframe")))
             .drop("tfs")
       }
-    val out = firedUnion(branches)
+    // ALWAYS the eager path (never firedUnion's lazy small-list union):
+    // every branch must be materialized before the fused checkpoint's
+    // blocks are released below — a lazy union would execute after the
+    // lineage-truncated localCheckpoint lost its blocks
+    val out = graft.operators.Cycle.runBranches(branches)
     dropCheckpoint(fused)
     out
   }

@@ -539,13 +539,7 @@ class RuleCorpusSpec extends AnyFunSuite {
         .distinct().as[String](org.apache.spark.sql.Encoders.STRING)
         .collect().toSet
       assert(tfs === Set("1h", "4h", "1d"), s"fused frame cadences: $tfs")
-    } finally {
-      fused.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ =>
-      }
-    }
+    } finally RuleCorpus.dropCheckpoint(fused)
   }
 
   test("live coverage: most categories fire on the fixture") {
