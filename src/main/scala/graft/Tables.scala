@@ -53,9 +53,34 @@ object Tables {
   private val matCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Content stamp of a corpus dir's parquet entries (names, sizes,
+    * mtimes; one level into table directories). The SHARED staleness key:
+    * both the RuleCorpus checkpoint caches and [[materialized]] embed it,
+    * so an in-session rewrite of a served dir changes every cache key at
+    * once — no layer can serve data derived from the old files (the r10
+    * review found the fingerprint sat only ABOVE this cache, which would
+    * have rebuilt a "fresh" corpus from stale bucketed candles).
+    */
+  def dirStamp(dir: String): Long = {
+    def stamp(f: java.io.File): Long =
+      (f.getName.hashCode.toLong * 31 + f.lastModified()) * 31 + f.length()
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    entries.foldLeft(17L) { (acc, e) =>
+      val inner =
+        if (e.isDirectory)
+          Option(e.listFiles()).getOrElse(Array.empty[java.io.File])
+            .sortBy(_.getName).foldLeft(stamp(e))((a, f) => a * 31 + stamp(f))
+        else stamp(e)
+      acc * 31 + inner
+    }
+  }
+
   private def materialized(spark: SparkSession, dir: String, name: String,
       sortCols: Seq[String])(derive: => DataFrame): DataFrame = {
-    val key = spark.sparkContext.applicationId + "|" + dir + "|" + name
+    val key = spark.sparkContext.applicationId + "|" + dir + "@" +
+      dirStamp(dir) + "|" + name
     matCache.computeIfAbsent(key, { _ =>
       val appRoot = new java.io.File(
         System.getProperty("java.io.tmpdir") + "/graft-mat/" +

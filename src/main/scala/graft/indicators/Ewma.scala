@@ -329,15 +329,12 @@ object Ewma {
   private def withSeries(sql: String): String =
     Oracle.withCandles(s", $SERIES\n$sql")
 
-  /** `list_reduce` EWMA over a list expression — identical op order to
-    * [[Series.ewma]].
-    */
-  private def red(l: String, alpha: String): String =
-    s"list_reduce($l, (acc, x) -> ($alpha) * x + (1.0 - ($alpha)) * acc)"
-
-  /** Per-index EWMA series (prefix folds, O(n²) — oracle-side only). */
+  // ONE spelling of the EWMA fold repo-wide (graft.Oracle) — the string
+  // IS the bit-exactness contract with Series.ewma, so no pack keeps a
+  // private copy that could drift (r10 review finding)
+  private def red(l: String, alpha: String): String = Oracle.red(l, alpha)
   private def redSeries(l: String, alpha: String): String =
-    s"list_transform(generate_series(1, len($l)), i -> ${red(s"($l)[1:i]", alpha)})"
+    Oracle.redSeries(l, alpha)
 
   private val TRS =
     """list_transform(generate_series(1, n), i ->

@@ -661,9 +661,12 @@ object Market {
          |        END, 6) AS distance_pct
          |FROM lines""".stripMargin))
 
-  /** Scalar EWMA fold (shared with the other packs' oracles). */
+  /** Scalar EWMA fold — delegates to the repo-wide single spelling
+    * ([[graft.Oracle.red]]; the string is the bit-exactness contract
+    * with `Series.ewma`, so no private copies — r10 review finding).
+    */
   def redForOracle(l: String, alpha: String): String =
-    s"list_reduce($l, (acc, x) -> ($alpha) * x + (1.0 - ($alpha)) * acc)"
+    graft.Oracle.red(l, alpha)
 
   /** Adjusted-EWMA last value (pandas `ewm(span).mean()` default): two
     * parallel scalar folds num/den, same op order as [[adjEwmaLast]].

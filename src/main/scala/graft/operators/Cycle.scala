@@ -132,10 +132,15 @@ object Cycle {
     intervals.map { case (iv, secs) =>
       val frame = if (secs == 60L) base else Rollup.rollup(base, secs)
       val cut = trailing(frame, WorkingBars)
-        .repartition(parts, col("symbol"))
       // persist=false when the frames feed [[fusedFrame]], which caches
-      // the union instead — caching both would double the working set
-      iv -> (if (persist) cut.persist() else cut)
+      // the union instead — caching both would double the working set.
+      // The clustering exchange is also fusedFrame's job there (it
+      // repartitions the UNION on the tagged symbol); a per-interval
+      // repartition would add 7 redundant shuffles of the working set
+      // per tick (r10 review finding).
+      iv -> (if (persist)
+        cut.repartition(parts, col("symbol")).persist()
+      else cut)
     }
   }
 

@@ -388,8 +388,13 @@ object Multimodal {
     * the twin injection is the FIXTURE device that makes recall
     * pinnable, not a production stage.
     */
-  private[graft] def twinBase(ids: org.apache.spark.sql.Dataset[Long]): Long =
-    ids.toDF("id").agg(max(col("id"))).head.getLong(0) + 1L
+  private[graft] def twinBase(ids: org.apache.spark.sql.Dataset[Long]): Long = {
+    // max over an EMPTY relation is a single null row — guard so an
+    // empty corpus yields an empty m05 result instead of an NPE at
+    // plan-build time
+    val row = ids.toDF("id").agg(max(col("id"))).head
+    (if (row.isNullAt(0)) 0L else row.getLong(0)) + 1L
+  }
 
   private val phashNearDup: Q = (s, dir) => {
     val ids = Tables.documents(s, dir).select(col("doc_id"))

@@ -238,22 +238,8 @@ object RuleCorpus {
     * [[invalidateShared]] stays the memory-release hook: superseded
     * keys keep their pinned blocks until it runs.
     */
-  private def dirKey(dir: String): String = {
-    def stamp(f: java.io.File): Long =
-      (f.getName.hashCode.toLong * 31 + f.lastModified()) * 31 + f.length()
-    val entries = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val fp = entries.foldLeft(17L) { (acc, e) =>
-      val inner =
-        if (e.isDirectory)
-          Option(e.listFiles()).getOrElse(Array.empty[java.io.File])
-            .sortBy(_.getName).foldLeft(stamp(e))((a, f) => a * 31 + stamp(f))
-        else stamp(e)
-      acc * 31 + inner
-    }
-    s"$dir@$fp"
-  }
+  private def dirKey(dir: String): String =
+    s"$dir@${graft.Tables.dirStamp(dir)}"
   /** Build + checkpoint one cadence's roll-up, clustered for the marts:
     * the roll-up aggregates on (symbol, bucket), so its natural
     * partitioning does NOT satisfy the marts' symbol-clustered window

@@ -49,6 +49,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: selfcheck.py <sfDir> <outDir> [--json PATH] [query ...]")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir, out_dir = argv[0], argv[1]
