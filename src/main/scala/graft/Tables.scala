@@ -54,37 +54,51 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Content stamp of a corpus dir's parquet entries (names, sizes,
-    * mtimes; one level into table directories). The SHARED staleness key:
-    * both the RuleCorpus checkpoint caches and [[materialized]] embed it,
-    * so an in-session rewrite of a served dir changes every cache key at
-    * once — no layer can serve data derived from the old files (the r10
-    * review found the fingerprint sat only ABOVE this cache, which would
-    * have rebuilt a "fresh" corpus from stale bucketed candles).
+    * mtimes). The SHARED staleness key: both the RuleCorpus checkpoint
+    * caches and [[materialized]] embed it, so an in-session rewrite of a
+    * served dir changes every cache key at once — no layer can serve data
+    * derived from the old files (the r10 review found the fingerprint sat
+    * only ABOVE this cache, which would have rebuilt a "fresh" corpus
+    * from stale bucketed candles).
+    *
+    * r11 (ADVICE): the walk is now FULLY recursive (a rewrite inside a
+    * nested `dt=`-partition subdirectory changes the stamp) and mtimes
+    * read at the filesystem's native resolution via
+    * `Files.getLastModifiedTime` (nanos where the FS provides them —
+    * `File.lastModified()`'s whole-millisecond truncation left a
+    * same-length same-milli rewrite invisible to every cache layer).
     */
   def dirStamp(dir: String): Long = {
-    def stamp(f: java.io.File): Long =
-      (f.getName.hashCode.toLong * 31 + f.lastModified()) * 31 + f.length()
+    def mtime(f: java.io.File): Long =
+      try java.nio.file.Files.getLastModifiedTime(f.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => f.lastModified() * 1000000L }
+    def walk(f: java.io.File): Long = {
+      val own = (f.getName.hashCode.toLong * 31 + mtime(f)) * 31 + f.length()
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).foldLeft(own)((a, c) => a * 31 + walk(c))
+      else own
+    }
     val entries = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    entries.foldLeft(17L) { (acc, e) =>
-      val inner =
-        if (e.isDirectory)
-          Option(e.listFiles()).getOrElse(Array.empty[java.io.File])
-            .sortBy(_.getName).foldLeft(stamp(e))((a, f) => a * 31 + stamp(f))
-        else stamp(e)
-      acc * 31 + inner
-    }
+    entries.foldLeft(17L)((acc, e) => acc * 31 + walk(e))
   }
 
   private def materialized(spark: SparkSession, dir: String, name: String,
       sortCols: Seq[String])(derive: => DataFrame): DataFrame = {
-    val key = spark.sparkContext.applicationId + "|" + dir + "@" +
-      dirStamp(dir) + "|" + name
+    val stamp = dirStamp(dir)
+    val appId = spark.sparkContext.applicationId
+    val key = appId + "|" + dir + "@" + stamp + "|" + name
+    // evict superseded stamps for the same (dir, name) — without this a
+    // rewritten corpus leaves the old entry in matCache forever (r11
+    // ADVICE: unbounded growth across rewrites)
+    matCache.keySet.removeIf(k => k != key &&
+      k.startsWith(appId + "|" + dir + "@") && k.endsWith("|" + name))
     matCache.computeIfAbsent(key, { _ =>
       val appRoot = new java.io.File(
-        System.getProperty("java.io.tmpdir") + "/graft-mat/" +
-          spark.sparkContext.applicationId)
+        System.getProperty("java.io.tmpdir") + "/graft-mat/" + appId)
       if (matCache.isEmpty) { // first materialization: clean up on exit
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm))
@@ -92,9 +106,14 @@ object Tables {
         }
         Runtime.getRuntime.addShutdownHook(new Thread(() => rm(appRoot)))
       }
+      // the STAMP is part of the table name and path (r11 ADVICE): a
+      // corpus rewrite materializes to a FRESH location instead of
+      // overwriting the files a reader of the superseded plan may still
+      // hold open — old generations die with appRoot at shutdown
+      val gen = name + "_" + java.lang.Long.toHexString(stamp)
       val path = appRoot.getPath + "/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/" + name
-      val table = ("graft_" + name + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/" + gen
+      val table = ("graft_" + gen + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
       // repartition on the bucket key first => exactly one file per bucket,
       // which is what lets the scan report the per-bucket sort order

@@ -367,11 +367,12 @@ object Stateful {
   private def withSeriesRec(sql: String): String =
     s"WITH RECURSIVE ${Oracle.CANDLES},\n$SERIES\n$sql"
 
-  private def red(l: String, alpha: String): String =
-    s"list_reduce($l, (acc, x) -> ($alpha) * x + (1.0 - ($alpha)) * acc)"
+  // ONE repo-wide spelling of the EWMA fold (graft.Oracle.red) — a local
+  // copy could silently drift from the Series.ewma bit-exactness contract
+  private def red(l: String, alpha: String): String = Oracle.red(l, alpha)
 
   private def redSeries(l: String, alpha: String): String =
-    s"list_transform(generate_series(1, len($l)), i -> ${red(s"($l)[1:i]", alpha)})"
+    Oracle.redSeries(l, alpha)
 
   private val TRS =
     """list_transform(generate_series(1, n), i ->

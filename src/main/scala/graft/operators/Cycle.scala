@@ -316,7 +316,7 @@ object Cycle {
   private val fullCycle: Q = cycleOf(None)
 
   /** f01c — ORACLE SLICE of the cycle composition (r8 verdict item 8,
-    * widened per the r9 verdict): FOUR representative indicators — one
+    * widened r9 and again r10 #5): FIVE representative indicators — one
     * per execution path the cycle machinery drives — at three intervals
     * (1h, 4h, 1d), run through f01's OWN machinery — the shared fact
     * read, [[workingFrames]]' roll-up + trailing-500 cut, the
@@ -327,22 +327,30 @@ object Cycle {
     *  - MACD (i04): the EWMA family — three chained `Series.ewma` folds
     *    through the per-symbol series path;
     *  - SuperTrend (i29): the stateful band-ratchet latch — the
-    *    path-dependent replay the oracle mirrors with WITH RECURSIVE.
+    *    path-dependent replay the oracle mirrors with WITH RECURSIVE;
+    *  - VPVR (i21, NEW r11): the GROUP-LOCAL imperative path — the
+    *    48-bin histogram + greedy value-area expansion runs as a
+    *    per-symbol driver loop inside `flatMapGroups`
+    *    (Series.mapSeries), the fourth execution family
+    *    (batch/vpvr.py:9-119); its oracle replays the greedy expansion
+    *    with a recursive CTE per interval.
     * This turns CycleSpec's structural trust into DuckDB oracle proof
     * for the COMPOSITION (cut → roll-up → indicator → snapshot); the
     * full 287-branch pack stays rows-gated, since its breadth is the
     * same machinery over more indicators. The melt keeps NUMERIC fields
     * as DOUBLE and drops string fields (i04's `signal`, i29's
-    * `direction` — their cross/latch logic is oracled by the standalone
-    * i04/i29 entries; mart display strings are presentation, pinned by
-    * CycleSpec). The 1d frames hold ~27 bars on the driver corpora, so
-    * the n≥35 EWMA/stateful guard mutes i04/i29 there in BOTH engines —
-    * their substantive slice rows come from 1h (~64 bars) and 4h.
+    * `direction`, i21's node lists / va_position — their logic is
+    * oracled by the standalone i04/i29/i21 entries; mart display
+    * strings are presentation, pinned by CycleSpec). The 1d frames hold
+    * ~27 bars on the driver corpora, so the n≥35 guard mutes
+    * i04/i29/i21 there in BOTH engines — their substantive slice rows
+    * come from 1h (~64 bars) and 4h.
     */
   private val SliceIntervals =
     Seq("1h" -> 3600L, "4h" -> 14400L, "1d" -> 86400L)
   private val SlicePack =
-    Seq("i33_donchian", "i32_williams_r", "i04_macd", "i29_supertrend")
+    Seq("i33_donchian", "i32_williams_r", "i04_macd", "i29_supertrend",
+      "i21_vpvr")
   private val cycleSlice: Q = (s, dir) => {
     val base = Tables.candles(s, dir).persist()
     val frames = Tables.withCandleFrame(base)(
@@ -392,10 +400,11 @@ object Cycle {
         s"""r$secs AS MATERIALIZED (
            |  SELECT symbol, bucket_ts // $secs * $secs AS bucket_ts,
            |         max(high) AS high, min(low) AS low,
-           |         max_by(close, bucket_ts) AS close
+           |         max_by(close, bucket_ts) AS close,
+           |         sum(volume) AS volume
            |  FROM candles GROUP BY 1, 2),
            |w$secs AS MATERIALIZED (
-           |  SELECT symbol, bucket_ts, high, low, close FROM (
+           |  SELECT symbol, bucket_ts, high, low, close, volume FROM (
            |    SELECT *, row_number() OVER
            |      (PARTITION BY symbol ORDER BY bucket_ts DESC) AS rn
            |    FROM r$secs) WHERE rn <= $WorkingBars),
@@ -426,6 +435,7 @@ object Cycle {
            |         list(high ORDER BY bucket_ts) AS hi,
            |         list(low ORDER BY bucket_ts) AS lo,
            |         list(close ORDER BY bucket_ts) AS cl,
+           |         list(volume ORDER BY bucket_ts) AS vol,
            |         count(*) AS n
            |  FROM w$secs GROUP BY symbol),
            |macd$secs AS MATERIALIZED (
@@ -465,7 +475,56 @@ object Cycle {
            |           ELSE (CASE WHEN cl[i+1] < x.fl2 THEN 1 ELSE -1 END) END AS d2) y
            |  WHERE i < n),
            |st$secs AS MATERIALIZED (
-           |  SELECT symbol, bucket_ts, fu, fl, st FROM rec$secs WHERE i = n)""".stripMargin
+           |  SELECT symbol, bucket_ts, fu, fl, st FROM rec$secs WHERE i = n),
+           |vh$secs AS MATERIALIZED (
+           |  SELECT symbol, bucket_ts, n, cl, plo, phi,
+           |    list_transform(generate_series(0, 47), b ->
+           |      list_reduce(list_prepend(0.0, list_transform(generate_series(1, n), i ->
+           |        CASE WHEN vol[i] > 0.0 AND
+           |          least(greatest(CAST(floor(((hi[i] + lo[i] + cl[i]) / 3.0 - plo) / (phi - plo) * 48) AS INT), 0), 47) = b
+           |        THEN vol[i] ELSE 0.0 END)), (acc, x) -> acc + x)) AS vols,
+           |    list_reduce(list_prepend(0.0, list_transform(vol,
+           |      v -> CASE WHEN v > 0.0 THEN v ELSE 0.0 END)),
+           |      (acc, x) -> acc + x) AS total
+           |  FROM (
+           |    SELECT symbol, bucket_ts, n, cl, vol, hi, lo,
+           |           list_aggregate(lo, 'min') AS plo, list_aggregate(hi, 'max') AS phi
+           |    FROM ser$secs WHERE n >= 35) sub
+           |  WHERE phi > plo),
+           |vp$secs AS MATERIALIZED (
+           |  SELECT *, list_position(vols, list_aggregate(vols, 'max')) - 1 AS poc,
+           |         (phi - plo) / 48 AS w
+           |  FROM vh$secs WHERE total > 0.0),
+           |va$secs AS (
+           |  SELECT symbol, poc AS l, poc AS r, vols[poc + 1] / total AS cov,
+           |         vols, total, 0 AS done
+           |  FROM vp$secs
+           |  UNION ALL
+           |  SELECT symbol,
+           |    CASE WHEN lv >= rv AND l > 0 THEN l - 1 ELSE l END,
+           |    CASE WHEN lv >= rv AND l > 0 THEN r
+           |         WHEN r < 47 THEN r + 1 ELSE r END,
+           |    CASE WHEN lv >= rv AND l > 0 THEN cov + lv / total
+           |         WHEN r < 47 THEN cov + rv / total ELSE cov END,
+           |    vols, total,
+           |    CASE WHEN NOT (lv >= rv AND l > 0) AND NOT (r < 47) THEN 1 ELSE 0 END
+           |  FROM (
+           |    SELECT *,
+           |      CASE WHEN l > 0 THEN vols[l] ELSE -1.0 END AS lv,
+           |      CASE WHEN r < 47 THEN vols[r + 2] ELSE -1.0 END AS rv
+           |    FROM va$secs) x
+           |  WHERE done = 0 AND cov < 0.7 AND (l > 0 OR r < 47)),
+           |vout$secs AS (
+           |  SELECT p.symbol, p.bucket_ts,
+           |    round(((p.plo + p.poc * p.w) + (p.plo + (p.poc + 1) * p.w)) / 2.0, 6) AS poc_price,
+           |    round(p.vols[p.poc + 1], 6) AS poc_volume,
+           |    round(p.plo + f.l * p.w, 6) AS va_low,
+           |    round(p.plo + (f.r + 1) * p.w, 6) AS va_high,
+           |    round(f.cov * 100.0, 6) AS va_coverage_pct
+           |  FROM vp$secs p JOIN (
+           |    SELECT symbol, max_by(l, r - l) AS l, max_by(r, r - l) AS r,
+           |           max_by(cov, r - l) AS cov
+           |    FROM va$secs GROUP BY symbol) f ON p.symbol = f.symbol)""".stripMargin
       val branches =
         s"""SELECT symbol, '$iv' AS itv, bucket_ts, 'Donchian' AS indicator,
            |  'upper' AS field, round(up, 6) AS value FROM don$secs
@@ -489,7 +548,17 @@ object Cycle {
            |UNION ALL SELECT symbol, '$iv', bucket_ts, 'SuperTrend', 'final_upper',
            |  round(fu, 6) FROM st$secs
            |UNION ALL SELECT symbol, '$iv', bucket_ts, 'SuperTrend', 'final_lower',
-           |  round(fl, 6) FROM st$secs""".stripMargin
+           |  round(fl, 6) FROM st$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'VPVR排行生成器', 'poc_price',
+           |  poc_price FROM vout$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'VPVR排行生成器', 'poc_volume',
+           |  poc_volume FROM vout$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'VPVR排行生成器', 'va_low',
+           |  va_low FROM vout$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'VPVR排行生成器', 'va_high',
+           |  va_high FROM vout$secs
+           |UNION ALL SELECT symbol, '$iv', bucket_ts, 'VPVR排行生成器', 'va_coverage_pct',
+           |  va_coverage_pct FROM vout$secs""".stripMargin
       (ctes, branches)
     }
     s"""WITH RECURSIVE ${graft.Oracle.CANDLES},

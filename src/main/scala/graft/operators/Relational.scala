@@ -229,8 +229,7 @@ object Relational {
     // conditional max_by (a null ordering key excludes the row) — round 2
     // scanned the fact table once per branch (4x the IO at 100 TB; this
     // was the whole 19x-vs-DuckDB gap in BENCH_r02). The four top-10
-    // rankings are then row_number windows over the one-row-per-symbol
-    // aggregate — single-partition, but only ~|symbols| rows ever sort.
+    // branches are TakeOrderedAndProject over the aggregate (see below).
     val win = c.join(broadcast(maxTs))
       .filter(col("bucket_ts") > col("max_ts") - 604800L)
       .groupBy(col("symbol"))
@@ -247,15 +246,20 @@ object Relational {
         when(col("close").isNotNull && col("prev_close").isNotNull,
           abs((col("close") - col("prev_close")) /
             nullif(col("prev_close"), lit(0.0)))))
-    def rankBy(cs: Column*) = row_number().over(Window.orderBy(cs: _*))
-    win
-      .withColumn("r_qv", rankBy(col("qv").desc, col("symbol")))
-      .withColumn("r_amp", rankBy(col("amp").desc, col("symbol")))
-      .withColumn("r_n", rankBy(col("n").desc, col("symbol")))
-      .withColumn("r_chg", rankBy(col("chg").desc_nulls_last, col("symbol")))
-      .filter(col("r_qv") <= 10 || col("r_amp") <= 10 || col("r_n") <= 10 ||
-        (col("chg").isNotNull && col("r_chg") <= 10))
-      .select(col("symbol"))
+    // each branch is a TakeOrderedAndProject over the barrier'd aggregate
+    // (r11, VERDICT #7): map-side partial top-10s meet at the driver, so
+    // no global Window ever sorts |symbols| rows through ONE task — the
+    // t15/t19 lesson applied to the last symbol-cardinality rank site
+    val winB = Tables.barrier(win)
+    def top10(cs: Column*) =
+      winB.orderBy(cs: _*).limit(10).select(col("symbol"))
+    top10(col("qv").desc, col("symbol"))
+      .unionByName(top10(col("amp").desc, col("symbol")))
+      .unionByName(top10(col("n").desc, col("symbol")))
+      .unionByName(winB.filter(col("chg").isNotNull)
+        .orderBy(col("chg").desc, col("symbol")).limit(10)
+        .select(col("symbol")))
+      .distinct()
   }
 
   /** R8 — global aggregate + per-row share (engine.py:288-330): latest OI
@@ -307,17 +311,21 @@ object Relational {
   /** R14 — in-proc leaderboard ranking (telegram-service/src/cards/
     * 排行榜服务.py:156-168): sort the per-symbol mart rows by a metric,
     * head k, attach the 1-based rank. The mart side is one row per symbol
-    * (bounded, ~hundreds at reference scale), so the global rank window is
-    * a single tiny partition — the heavy lifting is the map-side-combinable
-    * aggregate below it.
+    * (bounded, ~hundreds at reference scale); the top-k is a
+    * TakeOrderedAndProject and the rank window runs over the 10 survivors
+    * — the heavy lifting is the map-side-combinable aggregate below it.
     */
   private val r14: Q = (s, dir) => {
     val base = candles(s, dir).groupBy(col("symbol"))
       .agg(round(max_by(col("close"), col("bucket_ts")), 6).as("price"),
         round(avg((col("high") - col("low")) / nullif(col("close"), lit(0.0))) * 100, 6)
           .as("avg_amplitude_pct"))
+    // top-10 via TakeOrderedAndProject (r11, VERDICT #7), THEN the rank
+    // window over the 10 surviving rows — the global sort never funnels
+    // |symbols| rows through one task
     val w = Window.orderBy(col("avg_amplitude_pct").desc, col("symbol"))
-    base.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+    base.orderBy(col("avg_amplitude_pct").desc, col("symbol")).limit(10)
+      .withColumn("rank", row_number().over(w))
   }
 
   /** R15/R16 — mart join: per-symbol metric row merged with base-data row,

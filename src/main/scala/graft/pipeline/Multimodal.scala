@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -328,55 +328,92 @@ object Multimodal {
     * byte-different pixel-nudged twin (id + 1e6, the d-family clone
     * pattern); the operator decodes real JPEG bytes (batched
     * mapPartitions, the m01b plumbing), computes the 56-bit dHash
-    * row-locally, bands it into 4 × 14-bit SimHash-style bands (d04's
-    * shape: a true near-dup pair at Hamming ≤ 3 shares ≥ 1 exact band),
-    * bucket-joins candidates and verifies Hamming ≤ 3 via bit_count.
-    * At 100 TB: decode+hash is one row-local pass, the join is banded —
-    * O(candidates), never O(N²) — and the verify is integer popcount.
-    * No SQL oracle (a JPEG decoder is not expressible in DuckDB);
-    * PipelineSpec pins exact recovery: all injected twins found at
-    * Hamming 0, zero false pairs across the corpus.
+    * row-locally, and hands the (doc_id, phash) relation to
+    * [[phashPairs]] — see its scaladoc for the two-stage production
+    * shape. No SQL oracle for the full composition (a JPEG decoder is
+    * not expressible in DuckDB) — but the PAIR stage itself is oracled
+    * end-to-end as m05b over a DuckDB-replicable synthetic hash relation,
+    * and PipelineSpec pins exact recovery here: all injected twins found
+    * at Hamming 0, zero false pairs across the corpus.
     */
-  /** Band-bucket occupancy cap for [[phashPairs]] (the d03/d04 lesson
-    * applied to images): real image corpora are degenerate-heavy — flat /
-    * black frames and letterboxed stills collapse to a handful of dHash
-    * values, so one hot 14-bit band value would make the banded self-join
-    * quadratic in the corpus. A per-(band, bval) count drops buckets over
-    * the cap, bounding candidates to ≤ cap·bands per image — LINEAR.
-    * Popular band values = common visual structure (gradients, borders),
-    * not near-duplication; PipelineSpec pins both halves (exact twin
-    * recall AND boundedness on N identical flat-gray JPEGs).
+  /** Band-bucket occupancy-cap FLOOR for [[phashPairs]] (the d03/d04
+    * lesson applied to images). The effective cap scales with expected
+    * occupancy — see [[PhashOccFactor]].
     */
   val PhashBucketCap = 16
 
-  /** The candidate-pair stage of m05 over a (doc_id, phash) relation:
-    * 4 × 14-bit banding, occupancy-capped bucket self-join, popcount
-    * verify at Hamming ≤ 3. Factored out so the degenerate-corpus
-    * boundedness pin can drive it with a synthetic hash relation.
+  /** Occupancy-cap multiple: a (band, bval) bucket is dropped only when
+    * its DISTINCT-signature count exceeds `PhashOccFactor ×` the EXPECTED
+    * uniform occupancy `S / 2^14` (floored at [[PhashBucketCap]]). The r10
+    * absolute cap saturated at S ≈ 2^14·16 ≈ 260k signatures — beyond
+    * that, expected occupancy exceeded the cap EVERYWHERE and near-dup
+    * recall collapsed. Scaled, the cap keeps every statistically normal
+    * bucket alive at any corpus size and drops only genuinely degenerate
+    * band values (≥ 8× over-represented visual structure: flat frames,
+    * letterbox borders). Per-signature candidate work is then
+    * ≤ 4·PhashOccFactor·S/2^14 — the honest cost of Hamming-3 search
+    * with 14-bit bands, paid only on DISTINCT signatures because the
+    * exact-signature stage collapses duplicate mass first.
+    */
+  val PhashOccFactor = 8.0
+
+  /** The pair stage of m05 over a (doc_id, phash) relation — the
+    * PRODUCTION shape (r10 carried design, shipped r11):
+    *
+    *  1. **Exact-signature groups first**: `groupBy(phash)`, rep =
+    *     min(doc_id); every member links to its group rep at Hamming 0.
+    *     A duplicate GROUP of any size G emits G−1 rep→member pairs —
+    *     LINEAR (the r10 pairwise join emitted C(G,2) under a cap and
+    *     dropped the group entirely past cap, so a 17×-reposted photo
+    *     was lost; now it is recovered at any G).
+    *  2. **Band-join DISTINCT signatures only** for the Hamming-1..3
+    *     links: 4 × 14-bit bands (a pair at Hamming ≤ 3 leaves ≥ 1 band
+    *     intact — pigeonhole), per-(band, bval) occupancy capped at
+    *     `max(PhashBucketCap, ceil(PhashOccFactor·S/2^14))` over DISTINCT
+    *     signatures S, XOR-popcount verify. Links are emitted between
+    *     group REPS — members resolve through their rep, so the output
+    *     stays linear in the corpus.
+    *
+    * Factored out so the degenerate-corpus boundedness pin and the m05b
+    * DuckDB oracle can drive it with a synthetic hash relation.
     */
   def phashPairs(hashed: DataFrame): DataFrame = {
-    val banded = hashed.select(col("doc_id"), col("phash"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band"),
-          shiftright(col("phash"), k * 14).bitwiseAND(lit(0x3FFFL))
-            .as("bval"))): _*)).as("b"))
-      .select(col("doc_id"), col("phash"),
+    // stage 1: exact-signature groups (barrier'd — feeds the rep pairs,
+    // the band stage, and the S count)
+    val sigs = Tables.barrier(hashed.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep")))
+    val groupPairs = hashed.join(sigs, Seq("phash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"),
+        lit(0).as("hamming"))
+    // stage 2: distinct signatures, occupancy-scaled cap
+    val nSig = sigs.agg(count(lit(1)).as("ns"))
+    val cap = greatest(lit(PhashBucketCap.toLong),
+      ceil(lit(PhashOccFactor) * col("ns") / lit(16384.0)).cast("long"))
+    val banded = sigs
+      .crossJoin(broadcast(nSig))
+      .select(col("rep"), col("phash"), cap.as("cap"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("phash"), k * 14).bitwiseAND(lit(0x3FFFL))
+              .as("bval"))): _*)).as("b"))
+      .select(col("rep"), col("phash"), col("cap"),
         col("b.band").as("band"), col("b.bval").as("bval"))
-      .withColumn("df", count(lit(1)).over(
+      .withColumn("occ", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bval"))))
-      .filter(col("df") <= PhashBucketCap)
-      .select(col("doc_id"), col("phash"), col("band"), col("bval"))
-    val pairs = banded.as("a").join(banded.as("b"),
+      .filter(col("occ") <= col("cap"))
+      .select(col("rep"), col("phash"), col("band"), col("bval"))
+    val links = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("a_id"), col("b.rep").as("b_id"),
         col("a.phash").as("ah"), col("b.phash").as("bh"))
       .distinct()
-    pairs
       .withColumn("hamming",
         bit_count(col("ah").bitwiseXOR(col("bh"))).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
+    groupPairs.unionByName(links)
   }
 
   /** Twin-id offset for [[phashNearDup]]'s injected near-duplicates:
@@ -412,18 +449,96 @@ object Multimodal {
     phashPairs(hashed)
   }
 
+  /** m05b — [[phashPairs]] under a FULL DuckDB oracle (r10 VERDICT #3,
+    * the d03b/d04b twin pattern): the one piece of m05 DuckDB cannot
+    * replay is the JPEG decode, so this entry drives the IDENTICAL pair
+    * stage with a synthetic (doc_id, phash) relation both engines derive
+    * from `documents` by pure integer arithmetic. The fixture exercises
+    * every branch of the production shape:
+    *  - exact-duplicate groups: docs share `g = doc_id % 128` group
+    *    signatures (spread over the full 56 bits by an odd multiplier),
+    *    with variants `r = doc_id % 7` — r ∈ {0,1,6} hash identically →
+    *    multi-member groups recovered by the group stage;
+    *  - Hamming-1/2/3 links between DISTINCT signatures: r = 2/3/4 XOR
+    *    1/2/3 planted bits into the group base → found via the intact
+    *    bands;
+    *  - a Hamming-8 decoy (r = 5, XOR 0xF0F0): a band-join CANDIDATE
+    *    (bands 2–3 intact) that the popcount verify must reject;
+    *  - a hot-band family (doc_id % 50 == 7): ~N/50 DISTINCT signatures
+    *    pinned to one (band0, band1) value pair with consecutive-j
+    *    Hamming-≤3 neighbors — WITHOUT the occupancy cap these buckets
+    *    emit C(N/50, 2) candidates including real links; with it they are
+    *    dropped, so an engine that disagrees on the cap arithmetic
+    *    hash-mismatches. The oracle pins the cap, not just the popcount.
+    */
+  private def synthPhash(doc: Column): Column = {
+    val flips = when(doc % 7 === 2, lit(8L)) // 1<<3
+      .when(doc % 7 === 3, lit(2147614720L)) // (1<<17)|(1<<31)
+      .when(doc % 7 === 4, lit(140737488879648L)) // (1<<5)|(1<<19)|(1<<47)
+      .when(doc % 7 === 5, lit(61680L)) // 0xF0F0
+      .otherwise(lit(0L))
+    when(doc % 50 === 7,
+      lit(49207978L) + expr("doc_id DIV 50") * lit(268435456L))
+      .otherwise(((doc % 128) * lit(129934812399721L)).bitwiseXOR(flips))
+  }
+
+  private val phashPairsSynth: Q = (s, dir) =>
+    phashPairs(Tables.documents(s, dir)
+      .select(col("doc_id"), synthPhash(col("doc_id")).as("phash")))
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_decode" -> decode,
     "m01b_image_decode" -> imageDecode,
     "m02_frame_sample" -> frameSample,
     "m03_resize_sample" -> resize,
     "m04_audio_qc" -> audioQc,
-    "m05_phash_neardup" -> phashNearDup)
+    "m05_phash_neardup" -> phashNearDup,
+    "m05b_phash_pairs" -> phashPairsSynth)
 
   /** The corpus is ASCII, so UTF-8 bytes == character codes and DuckDB can
     * replay the byte features with `ascii`/`octet_length`.
     */
   val oracle: Map[String, String] = Map(
+    "m05b_phash_pairs" ->
+      """WITH hashed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 7 THEN
+        |      49207978 + (doc_id // 50) * 268435456
+        |    ELSE xor((doc_id % 128) * 129934812399721,
+        |      CASE doc_id % 7
+        |        WHEN 2 THEN 8
+        |        WHEN 3 THEN 2147614720
+        |        WHEN 4 THEN 140737488879648
+        |        WHEN 5 THEN 61680
+        |        ELSE 0 END)
+        |    END AS phash
+        |  FROM documents),
+        |sigs AS MATERIALIZED (
+        |  SELECT phash, min(doc_id) AS rep FROM hashed GROUP BY 1),
+        |gp AS (
+        |  SELECT s.rep AS a_id, h.doc_id AS b_id, 0 AS hamming
+        |  FROM hashed h JOIN sigs s USING (phash)
+        |  WHERE h.doc_id != s.rep),
+        |ns AS (SELECT count(*) AS n FROM sigs),
+        |banded AS MATERIALIZED (
+        |  SELECT rep, phash, band, bval FROM (
+        |    SELECT rep, phash, b.band,
+        |           (phash >> (b.band * 14)) & 16383 AS bval,
+        |           count(*) OVER (PARTITION BY b.band,
+        |             (phash >> (b.band * 14)) & 16383) AS occ
+        |    FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b)
+        |  WHERE occ <= greatest(16,
+        |    CAST(ceil(8.0 * (SELECT n FROM ns) / 16384.0) AS BIGINT))),
+        |links AS (
+        |  SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS INT) AS hamming
+        |  FROM (
+        |    SELECT DISTINCT a.rep AS a_id, b.rep AS b_id,
+        |           a.phash AS ah, b.phash AS bh
+        |    FROM banded a JOIN banded b
+        |      ON a.band = b.band AND a.bval = b.bval AND a.rep < b.rep)
+        |  WHERE bit_count(xor(ah, bh)) <= 3)
+        |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming FROM gp
+        |UNION ALL SELECT a_id, b_id, hamming FROM links""".stripMargin,
     "m04_audio_qc" ->
       """WITH src AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS n

@@ -246,21 +246,22 @@ object Similarity {
     * collapsed / overlapping classes show up as low cohesion or high
     * separation cosine).
     *
-    * Scale shape: centroids via one 64× dim-explode + (label, dim)
-    * partial-combined aggregate → |labels|·64 rows (metadata-sized at any
-    * corpus size, since label vocabularies are bounded); members then
-    * join the broadcast centroid table row-locally for the cohesion pass;
-    * the separation pass runs on the |labels|² centroid pairs — a
-    * driver-trivial relation that never touches the corpus.
+    * Scale shape: centroids as 64 per-dim `avg(element_at)` aggregates on
+    * ONE row-local corpus scan (the s09 r10 shape — the posexplode
+    * variant materialized corpus×64 map-stage rows before combining to
+    * the same |labels|×64 result; retired r11 per VERDICT #6) →
+    * |labels| rows (metadata-sized at any corpus size, since label
+    * vocabularies are bounded); members then join the broadcast centroid
+    * table row-locally for the cohesion pass; the separation pass runs on
+    * the |labels|² centroid pairs — a driver-trivial relation that never
+    * touches the corpus.
     */
   private val classStats: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-    val dims = emb.select(col("label"), posexplode(col("e")).as(Seq("d", "x")))
-      .groupBy(col("label"), col("d")).agg(avg(col("x")).as("m"))
-    val cent = dims.groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-        p => p.getField("m")).as("c"))
+    val cent = emb.groupBy(col("label"))
+      .agg(array((0 until 64).map(i =>
+        avg(element_at(col("e"), i + 1))): _*).as("c"))
     val intra = emb.join(broadcast(cent), "label")
       .withColumn("mcos", dot(col("e"), col("c")) /
         nullif(norm(col("e")) * norm(col("c")), lit(0.0)))
@@ -623,14 +624,21 @@ object Similarity {
         not(coalesce(col("dup"), lit(false))).as("kept"))
   }
 
-  /** k-means geometry: K centroids, Lloyd iterations. Constants suit the
-    * driver corpora (N ≤ 500k); a 10^9-vector curation run raises K
-    * toward √N — the per-iteration shape (one corpus scan, one
+  /** k-means geometry: K centroids, Lloyd iterations. K is WIRED to the
+    * corpus (r10 VERDICT #2 — the fixed K=8 made d09b's within-cell pair
+    * scan O(N²/8), measured slope 2.17 at 10×): K = max(8, ⌈√N⌉), the
+    * same dial d09's [[semCentroids]] uses. Per-cell occupancy is then
+    * N/K ≈ √N, so d09b's pair scan and p08's per-cell rank window both
+    * carry √N rows per task — bounded growth, no fixed-dial quadratic.
+    * The per-iteration shape is unchanged (one row-local corpus scan, one
     * map-side-combined (k, dim) aggregate to K×64 driver rows, centroid
-    * literals broadcast in the plan) is unchanged, because the state a
-    * Lloyd trainer carries IS the K×dim centroid table.
+    * literals broadcast in the plan): the state a Lloyd trainer carries
+    * IS the K×dim centroid table, and at K = √N that table stays
+    * metadata-scale (√(10^9)·64 doubles ≈ 16 MB — a broadcast, which is
+    * exactly how a 100 TB run ships it).
     */
-  private val KmeansK = 8
+  private[graft] def kmeansK(n: Long): Int =
+    math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
   private val KmeansIters = 3
 
   /** S9 — k-means (Lloyd) clustering over the embedding corpus — the
@@ -666,7 +674,8 @@ object Similarity {
         .withColumn("xi", transform(col("e"),
           v => floor(v * lit(1e6) + lit(0.5)).cast("long")))
         .withColumn("en", dot(col("e"), col("e"))))
-    val init: Array[Seq[Double]] = emb.orderBy("vec_id").limit(KmeansK)
+    val kk = kmeansK(corpusCount(s, dir))
+    val init: Array[Seq[Double]] = emb.orderBy("vec_id").limit(kk)
       .select("xi").collect()
       .map(_.getSeq[Long](0).map(_.toDouble / 1e6).toSeq)
     def assign(cents: Array[Seq[Double]]): Column =
@@ -718,16 +727,15 @@ object Similarity {
     * pass: pairs at cosine ≥ [[SemTau]] keep the member closest to its
     * centroid (squared-L2; ties to the smaller vec_id).
     *
-    * Cell-structure comparison, measured on the sf0.01 corpus (500
-    * vectors, same τ): d09's √N stride quantizer partitions into 34
-    * probed cells and yields 133 dups; d09b's K=8 trained cells yield
-    * 242 — coarser cells co-locate more τ-pairs (and trained centroids
-    * pull borderline near-duplicates into the SAME cell where a probe
-    * path can split them), so the recall dial is cell count/trainer and
-    * the cost dial is K (per-cell pair count (N/K)²·K; production runs
-    * raise K toward √N to keep the within-cell scan bounded — at equal
-    * cell counts the structures' costs meet and only the assignment
-    * quality differs).
+    * K is [[kmeansK]] = max(8, ⌈√N⌉) — the same dial d09's stride
+    * quantizer wires ([[semCentroids]]), shipped here in r11 after the
+    * fixed K=8 measured a 2.17 slope at 10× (the within-cell pair scan
+    * was O(N²/8)). At K = √N the per-cell occupancy is √N, so the pair
+    * scan is O(N^1.5) total and p08's per-cell rank window holds √N rows
+    * per task. The recall dial is the trainer (trained centroids pull
+    * borderline near-duplicates into the SAME cell, where d09's probe
+    * path can split them); the cost dial is K — at equal cell counts the
+    * two structures' costs meet and only assignment quality differs.
     */
   private val semanticDedupKmeans: Q = (s, dir) => {
     val assign = Tables.barrier(kmeansAssign(s, dir)
@@ -766,9 +774,9 @@ object Similarity {
     *
     * Scale shape: the assignment is s09's (row-local scan per Lloyd
     * round, K×64-row shuffle); the pruning pass is ONE window over the
-    * cell key. The cell is the shuffle key and K dials toward √N on big
-    * corpora (the d09/d09b argument), so per-cell rank state stays
-    * bounded — nothing here is global.
+    * cell key. The cell is the shuffle key and K IS √N ([[kmeansK]],
+    * wired r11), so per-cell rank state is √N rows per task — bounded
+    * growth, nothing here is global.
     */
   private val diversitySample: Q = (s, dir) => {
     val assign = kmeansAssign(s, dir)
@@ -850,7 +858,7 @@ object Similarity {
          |  GROUP BY 1, 2),
          |c$t AS MATERIALIZED (
          |  SELECT ks.k, coalesce(nc.c, $prev.c) AS c
-         |  FROM (SELECT unnest(range(0, $KmeansK)) AS k) ks
+         |  FROM (SELECT unnest(range(0, (SELECT kk FROM kpar))) AS k) ks
          |  LEFT JOIN (SELECT k, list(floor(CAST(sv AS DOUBLE) / cnt + 0.5)
          |                              / 1e6 ORDER BY pos) AS c
          |             FROM m$t GROUP BY k) nc USING (k)
@@ -865,10 +873,15 @@ object Similarity {
        |  FROM embeddings),
        |emb AS MATERIALIZED (
        |  SELECT vec_id, e, xi, ${DOT.format("e", "e")} AS en FROM emb0),
+       |kpar AS (
+       |  SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS kk
+       |  FROM emb),
        |c0 AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+       |  SELECT rn - 1 AS k,
        |         list_transform(xi, v -> CAST(v AS DOUBLE) / 1e6) AS c
-       |  FROM (SELECT vec_id, xi FROM emb ORDER BY vec_id LIMIT $KmeansK)),
+       |  FROM (SELECT vec_id, xi,
+       |          row_number() OVER (ORDER BY vec_id) AS rn FROM emb)
+       |  WHERE rn <= (SELECT kk FROM kpar)),
        |c0x AS (SELECT k, c, ${DOT.format("c", "c")} AS cc FROM c0),
        |$rounds""".stripMargin
   }

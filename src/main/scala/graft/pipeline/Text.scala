@@ -204,6 +204,9 @@ object Text {
       .select(explode(toks(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
     val total = counted.agg(sum(col("n")).as("total"))
+    // boundedness contract: this global window runs AFTER .limit(100) —
+    // it ranks exactly the 100 surviving rows (the top-k itself is a
+    // TakeOrderedAndProject), never the |vocab| relation
     val w = Window.orderBy(col("n").desc, col("token"))
     counted.crossJoin(broadcast(total))
       .orderBy(col("n").desc, col("token")).limit(100)

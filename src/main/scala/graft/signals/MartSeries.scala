@@ -90,10 +90,12 @@ object MartSeries {
   // DuckDB prefix-fold helpers (the Ewma-pack oracle idiom:
   // indicators/Ewma.scala — list_reduce folds in graft.Series.ewma's op
   // order, per-index series via generate_series).
+  // ONE repo-wide spelling of the EWMA fold (graft.Oracle.red) — a local
+  // copy could silently drift from the Series.ewma bit-exactness contract
   private[signals] def red(l: String, alpha: String): String =
-    s"list_reduce($l, (acc, x) -> ($alpha) * x + (1.0 - ($alpha)) * acc)"
+    graft.Oracle.red(l, alpha)
   private[signals] def redSeries(l: String, alpha: String): String =
-    s"list_transform(generate_series(1, len($l)), i -> ${red(s"($l)[1:i]", alpha)})"
+    graft.Oracle.redSeries(l, alpha)
   /** Skip-null EWMA series (pandas ewm skip-NaN; [[graft.functions.Ewma]]
     * carries state through nulls): fold the null-filtered prefix.
     */

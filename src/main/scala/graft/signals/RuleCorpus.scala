@@ -1244,6 +1244,17 @@ object RuleCorpus {
     * + in-partition sort before the checkpoint keeps every downstream
     * mart window pass exchange-free and sort-free (the [[rolledClustered]]
     * layout argument, one dispatch level up).
+    *
+    * Deliberately NOT memoized (r11 ADVICE adjudication): the union
+    * checkpoint is a build-time scaffold whose blocks
+    * [[nativeFiredFused]] releases via [[dropCheckpoint]] once the fired
+    * branches materialize — a (session, dir) memo would hand later
+    * callers a lineage-truncated frame with no live blocks. Repeat cost
+    * is already bounded one level up: the non-override path runs this at
+    * most once per (session, dir) because [[nativeFiredShared]] caches
+    * the RESULT, and overridden (f03 priority-cut) evaluations must
+    * rebuild by design — each override is a different cut fact, so no
+    * key short of the frame identity is sound.
     */
   private[graft] def fusedRolledFrame(s: SparkSession, dir: String): DataFrame = {
     val sep = graft.operators.Mart.IvTagSep
@@ -1412,8 +1423,8 @@ object RuleCorpus {
     * with the oracle's pre-cooldown join and never shuffles more than
     * the published feed.
     */
-  private val nativeFeed: Q = (s, dir) => {
-    val cooled = nativeCooledShared(s, dir)
+  private def feedPriceJoin(s: SparkSession, dir: String,
+      cooled: DataFrame): DataFrame = {
     val px = TfSeconds.map { case (tf, secs) =>
       rolledShared(s, dir, secs)
         .select(col("symbol"), col("bucket_ts"),
@@ -1432,6 +1443,39 @@ object RuleCorpus {
             coalesce(col("px"), lit(0.0)))
           .otherwise(lit(0.0)))
       .drop("px", "px_day")
+  }
+
+  private val nativeFeed: Q = (s, dir) =>
+    feedPriceJoin(s, dir, nativeCooledShared(s, dir))
+
+  /** Retention depth of the published-feed read: the reference's mart
+    * reader serves at most ~96–180 newest rows per key
+    * (db/reader.py:301-309 — retention-bounded mart windows), so the
+    * production dispatch never scans a key's full history.
+    */
+  private[graft] val RetentionBars = 96
+
+  /** g20b — [[nativeFeed]] under the reference's RETENTION contract (r10
+    * VERDICT #9): keep only the newest [[RetentionBars]] fired rows per
+    * cooldown key (symbol, rule, timeframe) BEFORE the cooldown scan,
+    * exactly as the reference's dispatch only ever sees the
+    * retention-bounded mart read. g20 proper (full-history feed, the
+    * backfill/audit shape) grows with bar count — sf1 slope 7.9 — while
+    * this is the bounded steady-state shape: per-key state is ≤
+    * RetentionBars rows whatever the corpus depth, so the cooled stream
+    * is O(keys · RetentionBars), not O(bars). Cooldown semantics inside
+    * the retained window are IDENTICAL (the scan seeds at the window's
+    * first row — the same cold-start the reference pays when a key's
+    * older rows age out of retention).
+    */
+  private val nativeFeedRetained: Q = (s, dir) => {
+    val fired = nativeFiredShared(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol", "rule", "timeframe")
+      .orderBy(col("bucket_ts").desc, col("mart"))
+    val retained = fired.withColumn("ret_rn", row_number().over(w))
+      .filter(col("ret_rn") <= RetentionBars).drop("ret_rn")
+    feedPriceJoin(s, dir, cooldownScanRows(retained))
   }
 
   /** One timeframe's feed oracle body: the cadence-rewritten corpus
@@ -1482,9 +1526,12 @@ object RuleCorpus {
   /** [[nativeFeed]]'s oracle: per-timeframe feed bodies (each in its own
     * derived table — local WITH scope) tagged and unioned, then the
     * recursive greedy cooldown with the full (symbol, rule, timeframe)
-    * key and message/price threaded through the recursion.
+    * key and message/price threaded through the recursion. `retention`
+    * (g20b) inserts the newest-N-per-key cut between the fired union and
+    * the cooldown numbering — the same position the Spark side applies
+    * it.
     */
-  private def nativeFeedOracle: String = {
+  private def nativeFeedOracle(retention: Option[Int] = None): String = {
     val union = TfSeconds.map { case (tf, secs) =>
       val body = feedOracleAt(AllRules.filter(_.timeframes.contains(tf)), secs)
       s"SELECT b.*, '$tf' AS timeframe FROM (\n$body\n) b"
@@ -1492,6 +1539,14 @@ object RuleCorpus {
     val cds = CdByRule.toSeq.sortBy(_._1)
       .map { case (n, cd) => s"('$n', CAST($cd AS BIGINT))" }
       .mkString(",\n    ")
+    val firedSrc = retention.fold("fired") { n =>
+      s"""(SELECT * EXCLUDE (ret_rn) FROM (
+         |    SELECT f0.*, row_number() OVER (
+         |      PARTITION BY f0.symbol, f0.rule, f0.timeframe
+         |      ORDER BY f0.bucket_ts DESC, f0.mart) AS ret_rn
+         |    FROM fired f0)
+         |  WHERE ret_rn <= $n)""".stripMargin
+    }
     s"""WITH RECURSIVE fired AS (
        |$union
        |),
@@ -1501,7 +1556,7 @@ object RuleCorpus {
        |  SELECT f.*, c.cd,
        |    row_number() OVER (PARTITION BY f.symbol, f.rule, f.timeframe
        |      ORDER BY f.bucket_ts, f.mart) AS rn
-       |  FROM fired f JOIN cds c USING (rule)),
+       |  FROM $firedSrc f JOIN cds c USING (rule)),
        |rec AS (
        |  SELECT symbol, rule, mart, category, subcategory, direction,
        |         strength, priority, timeframe, message, price, bucket_ts,
@@ -1807,6 +1862,7 @@ object RuleCorpus {
       nativeFiredShared(s, dir).drop("message")),
     "g19_rules_native_cooldown" -> nativeTfCooldown,
     "g20_native_feed" -> nativeFeed,
+    "g20b_native_feed_retained" -> nativeFeedRetained,
     "f02_production_tick" -> productionTick,
     "f03_native_tick" -> nativeTick)
 
@@ -1826,7 +1882,8 @@ object RuleCorpus {
     "g17_rules_corpus_1h" -> rolledPrelude(rulesOracle(AllRules), 3600L),
     "g18_rules_native_tf" -> nativeTfOracle,
     "g19_rules_native_cooldown" -> nativeTfCooldownOracle,
-    "g20_native_feed" -> nativeFeedOracle,
+    "g20_native_feed" -> nativeFeedOracle(),
+    "g20b_native_feed_retained" -> nativeFeedOracle(Some(RetentionBars)),
     "f02_production_tick" -> tickOracle,
     "f03_native_tick" -> nativeTickOracle)
 }

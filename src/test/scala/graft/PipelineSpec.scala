@@ -600,7 +600,8 @@ class PipelineSpec extends AnyFunSuite {
       id -> e.map(v => math.floor(v * 1e6 + 0.5).toLong) }.toMap
     def dot(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
-    var cents = vecs.take(8).map(v => xi(v._1).map(_.toDouble / 1e6))
+    var cents = vecs.take(pipeline.Similarity.kmeansK(vecs.length.toLong))
+      .map(v => xi(v._1).map(_.toDouble / 1e6))
     def best(e: Seq[Double]): (Int, Double) = {
       val en = dot(e, e)
       cents.zipWithIndex.map { case (c, k) =>
@@ -719,10 +720,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._3 === 0), got.filter(_._3 > 0).take(3).mkString(","))
   }
 
-  test("m05 degenerate corpus: N identical flat-gray JPEGs stay bounded, small groups recovered") {
-    // real image corpora are degenerate-heavy (flat/black frames collapse
-    // to one dHash value); without the occupancy cap one hot band value
-    // makes the self-join emit N²/2 pairs. Pin both sides of the cap:
+  test("m05 degenerate corpus: identical-hash groups recovered LINEARLY at any size; hot bands capped") {
+    // the r10 production-shape rework: exact-signature groups are
+    // recovered at ANY size via G-1 rep->member pairs (the old pairwise
+    // join dropped a group past the cap and emitted C(G,2) under it);
+    // only DISTINCT signatures enter the band join, where degenerate
+    // band values are occupancy-capped.
     import spark.implicits._
     val gray = {
       val img = new java.awt.image.BufferedImage(
@@ -732,17 +735,57 @@ class PipelineSpec extends AnyFunSuite {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       pipeline.Multimodal.dHash56(bos.toByteArray)
     }
-    val cap = pipeline.Multimodal.PhashBucketCap
-    // N > cap: every bucket overflows and is dropped — ZERO pairs, not N²/2
+    // N identical hashes: ONE group, N-1 pairs to the min-id rep — the
+    // 100x-reposted flat frame is RECOVERED (r10 dropped it), linearly
     val big = (1L to 100L).map(id => (id, gray)).toDF("doc_id", "phash")
-    assert(pipeline.Multimodal.phashPairs(big).count() === 0L,
+    val bigGot = pipeline.Multimodal.phashPairs(big)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bigGot === (2L to 100L).map(b => (1L, b, 0)).toSet,
+      "an identical-hash group must emit exactly G-1 rep pairs")
+    // a 17-member group (the r10 verdict's 17x-reposted photo) likewise
+    val g17 = (1L to 17L).map(id => (id, 0x00AABBCCDDEEL)).toDF("doc_id", "phash")
+    assert(pipeline.Multimodal.phashPairs(g17).count() === 16L)
+    // hot-band DISTINCT signatures: 100 sigs sharing bands 0/2/3 (bval 0)
+    // with band 1 distinct — the shared buckets exceed the cap and are
+    // dropped, so the band join emits ZERO candidates, not C(100,2)
+    val hot = (1L to 100L).map(i => (i, i << 14)).toDF("doc_id", "phash")
+    assert(pipeline.Multimodal.phashPairs(hot).count() === 0L,
       "an over-cap degenerate bucket must be dropped, not joined")
-    // N <= cap: the duplicate group survives intact (full C(N,2) recovery,
-    // within the cap·bands·N linear bound)
-    val small = (1L to 8L).map(id => (id, gray)).toDF("doc_id", "phash")
-    val n = pipeline.Multimodal.phashPairs(small).count()
-    assert(n === 28L, s"expected C(8,2)=28 hamming-0 pairs, got $n")
-    assert(n <= cap.toLong * 4 * 8)
+    // under the cap the same construction links every Hamming<=3 pair:
+    // i, j in 1..8 -> hamming = popcount(i^j); only (7,8) is at 4
+    val small = (1L to 8L).map(i => (i, i << 14)).toDF("doc_id", "phash")
+    val got = pipeline.Multimodal.phashPairs(small)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      i <- 1L to 8L; j <- (i + 1) to 8L
+      if java.lang.Long.bitCount(i ^ j) <= 3
+    } yield (i, j, java.lang.Long.bitCount(i ^ j))).toSet
+    assert(got === want, s"expected ${want.size} hamming<=3 links")
+    assert(want.size === 27)
+  }
+
+  test("m05 occupancy cap scales with distinct-signature count (not the r10 absolute cap)") {
+    import spark.implicits._
+    // 40k distinct signatures spread uniformly over the band space:
+    // expected occupancy ~2.4/bucket, cap = max(16, ceil(8*40000/16384))
+    // = 20 > 16 — with the r10 ABSOLUTE cap this corpus sits at 2.4x
+    // below saturation, but the scaled cap must keep growing with S so
+    // normal buckets never die at 260k+ images. Pin the arithmetic at
+    // the crossover: planted Hamming-1 twins must survive banding in a
+    // corpus big enough that the scaled cap exceeds the old absolute one.
+    val n = 40000L
+    val sigs = spark.range(1, n + 1).select(col("id").as("doc_id"),
+      // splitmix-spread 56-bit signatures, plus a hamming-1 twin per 1000
+      (xxhash64(col("id")).bitwiseAND(lit((1L << 56) - 1))).as("phash"))
+    val twins = sigs.filter(col("doc_id") % 1000 === 0)
+      .select((col("doc_id") + n).as("doc_id"),
+        col("phash").bitwiseXOR(lit(1L << 20)).as("phash"))
+    val pairs = pipeline.Multimodal.phashPairs(sigs.unionByName(twins))
+      .as[(Long, Long, Int)].collect()
+    val wantTwins = (1L to n).filter(_ % 1000 == 0).map(i => (i, i + n)).toSet
+    val gotH1 = pairs.filter(_._3 == 1).map(t => (t._1, t._2)).toSet
+    assert(wantTwins.subsetOf(gotH1),
+      s"missing planted hamming-1 twins: ${(wantTwins -- gotH1).take(3)}")
   }
 
   test("m01b decodes real JPEG bytes back to the fixture dimensions") {

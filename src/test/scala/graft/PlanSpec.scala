@@ -270,6 +270,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"s08 centroid join must broadcast:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin"), s"s08 shuffled the corpus:\n${p.take(1500)}")
+    // r11: the centroid pass is 64 per-dim aggregates on a row-local scan —
+    // no Generate node (the posexplode shape fanned the map stage ×64)
+    assert(!p.contains("Generate"),
+      s"s08 centroid pass must not explode the corpus:\n${p.take(1500)}")
   }
 
   test("t15: the pair count aggregates map-side before its shuffle; no join") {
@@ -295,6 +299,22 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Window"),
         s"$q ranks through a Window again:\n${p.take(1500)}")
     }
+  }
+
+  test("r07/r14: symbol-cardinality top-k is a TakeOrderedAndProject, never a global-sort Window") {
+    // r10 verdict #7: the last symbol-cardinality rank sites — r07's four
+    // leaderboard branches and r14's amplitude rank — funneled |symbols|
+    // rows through ONE unpartitioned Window task. Both now cut with
+    // orderBy+limit (map-side bounded heaps); r14's residual rank Window
+    // runs over the 10 survivors only, r07 has none at all.
+    val p7 = plan("r07_topk_union")
+    assert(p7.contains("TakeOrderedAndProject"),
+      s"r07 lost the parallel top-k cut:\n${p7.take(1500)}")
+    assert(!p7.contains("Window"),
+      s"r07 ranks through a Window again:\n${p7.take(1500)}")
+    val p14 = plan("r14_rank_head")
+    assert(p14.contains("TakeOrderedAndProject"),
+      s"r14 lost the parallel top-k cut:\n${p14.take(1500)}")
   }
 
   test("t17: DSIR scoring is row-local — the fit collapses to a literal weight table") {

@@ -437,6 +437,34 @@ class RuleCorpusSpec extends AnyFunSuite {
       s"feed-only: ${(got -- want).take(3)}; g19-only: ${(want -- got).take(3)}")
   }
 
+  test("g20b retained feed == g20 on every key the retention window covers whole") {
+    // the retention cut (newest RetentionBars fired rows per cooldown
+    // key, BEFORE the scan) is a no-op wherever a key's full fired
+    // history fits inside the window — there the bounded steady-state
+    // feed must be row-identical to the full-history one; keys deeper
+    // than the window may legitimately differ (the reference's cold
+    // start when older rows age out of retention). Per-key output is
+    // also bounded by the window by construction.
+    val s = spark
+    import s.implicits._
+    val fired = RuleCorpus.queries("g18_rules_native_tf")(s, TestSession.sf)
+      .groupBy("symbol", "rule", "timeframe").count()
+      .filter(col("count") <= RuleCorpus.RetentionBars)
+      .select($"symbol", $"rule", $"timeframe")
+      .as[(String, String, String)].collect().toSet
+    assert(fired.nonEmpty)
+    def keyed(name: String) =
+      RuleCorpus.queries(name)(s, TestSession.sf).collect()
+        .map(r => ((r.getAs[String]("symbol"), r.getAs[String]("rule"),
+          r.getAs[String]("timeframe")), r.toSeq))
+        .filter(t => fired.contains(t._1)).toSet
+    val got = keyed("g20b_native_feed_retained")
+    val want = keyed("g20_native_feed")
+    assert(got.nonEmpty)
+    assert(got === want,
+      s"g20b-only: ${(got -- want).take(2)}; g20-only: ${(want -- got).take(2)}")
+  }
+
   test("f03 native tick == native cooldown feed restricted to the priority cut") {
     // the per-timeframe dispatch and its cooldown key are per-symbol, so
     // the priority cut commutes with the whole native loop; this also
