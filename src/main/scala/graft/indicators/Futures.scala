@@ -240,6 +240,14 @@ object Futures {
       }
       .toDF()
       .transform { base =>
+        // boundedness contract (r11 VERDICT #7 sweep): `base` is the
+        // one-row-per-symbol aggregate snapshot — |symbols| rows, the
+        // reference's mart size (~hundreds) — so the global market-share
+        // and contrib_rank windows sort a metadata-sized relation, never
+        // the fact. contrib_rank is a FULL ranking column (every symbol
+        // keeps its rank), so a TakeOrdered cut does not apply; if the
+        // symbol universe ever grows past ~10^5, range-partition the rank
+        // instead.
         val wAll = org.apache.spark.sql.expressions.Window
           .partitionBy(lit(1))
         val wRank = org.apache.spark.sql.expressions.Window

@@ -377,7 +377,12 @@ object Multimodal {
     * Factored out so the degenerate-corpus boundedness pin and the m05b
     * DuckDB oracle can drive it with a synthetic hash relation.
     */
-  def phashPairs(hashed: DataFrame): DataFrame = {
+  def phashPairs(hashed0: DataFrame): DataFrame = {
+    // the input feeds TWO consumers (the signature groupBy and the
+    // group-pair join) — barrier it, or each consumer recomputes the
+    // upstream hash derivation from scratch: for m05 that is the whole
+    // corpus's JPEG decode paid twice (measured 3.5 → 8.5 s at sf1)
+    val hashed = Tables.barrier(hashed0)
     // stage 1: exact-signature groups (barrier'd — feeds the rep pairs,
     // the band stage, and the S count)
     val sigs = Tables.barrier(hashed.groupBy(col("phash"))

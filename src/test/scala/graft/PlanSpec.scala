@@ -440,4 +440,16 @@ class PlanSpec extends AnyFunSuite {
         s"$name lost the band-key join:\n${p.take(1500)}")
     }
   }
+
+  test("m05b: both pair-stage joins are equi-joins (signature groups + band key), never cartesian") {
+    // the production pair stage has two joins — the group-pair join on
+    // phash and the distinct-signature band join on (band, bval); the
+    // scalar S-count broadcast is the only nested-loop allowed
+    val p = plan("m05b_phash_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"m05b planned a cartesian pair scan:\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(band") ||
+        p.contains("BroadcastHashJoin"),
+      s"m05b lost the band-key join:\n${p.take(1500)}")
+  }
 }
