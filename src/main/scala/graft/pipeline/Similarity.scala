@@ -678,14 +678,34 @@ object Similarity {
     val init: Array[Seq[Double]] = emb.orderBy("vec_id").limit(kk)
       .select("xi").collect()
       .map(_.getSeq[Long](0).map(_.toDouble / 1e6).toSeq)
-    def assign(cents: Array[Seq[Double]]): Column =
-      array_min(array(cents.zipWithIndex.map { case (c, k) =>
-        val cl = array(c.map(lit): _*)
-        // same left fold as the oracle's DOT(c, c)
-        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
-        struct((col("en") - lit(2.0) * dot(col("e"), cl) + lit(cc)).as("d"),
-          lit(k).as("k"))
-      }: _*))
+    // The centroid table rides as a 1-row BROADCAST array, not as plan
+    // literals (r11: with K = √N the literal spelling made the PLAN
+    // O(K·dim) — ~2M literal doubles at 10⁹ vectors; a 16 MB centroid
+    // table is exactly what IVF broadcasts, so ship it that way). The
+    // per-vector argmin is a constant-size fold over the broadcast array
+    // (the d09 probed-argmax pattern): same IEEE chain d = en − 2·(e·c)
+    // + cc with cc pre-folded left-to-right ON THE DRIVER, strict
+    // (d, k)-lexicographic update rule → order-independent, so
+    // collect_list's free ordering is sound and the q6-grid outputs are
+    // bit-identical to the oracle's ORDER BY d, k.
+    def centFrame(cents: Array[Seq[Double]]): DataFrame = {
+      import s.implicits._
+      cents.zipWithIndex.toSeq
+        .map { case (c, k) =>
+          (k, c, c.foldLeft(0.0)((acc, x) => acc + x * x)) }
+        .toDF("k", "c", "cc")
+        .agg(collect_list(struct(col("k"), col("c"), col("cc"))).as("cents"))
+    }
+    def assigned(cents: Array[Seq[Double]]): DataFrame =
+      emb.crossJoin(broadcast(centFrame(cents)))
+        .withColumn("a", aggregate(col("cents"),
+          struct(lit(Double.MaxValue).as("d"), lit(Int.MaxValue).as("k")),
+          (acc, t) => {
+            val d = col("en") - lit(2.0) * dot(col("e"), t("c")) + t("cc")
+            when(d < acc("d") || (d === acc("d") && t("k") < acc("k")),
+              struct(d.as("d"), t("k").as("k"))).otherwise(acc)
+          }))
+        .drop("cents")
     // member sums as `dim` per-component sum(element_at(xi, i)) aggregates
     // on ONE row-local corpus scan — K rows × (dim sums + count) out. The
     // r9 posexplode shape map-side-combined to the same K×dim shuffle but
@@ -697,7 +717,7 @@ object Similarity {
       val aggs = (0 until dim).map(i =>
         sum(element_at(col("xi"), i + 1)).as(s"s$i")) :+
         count(lit(1)).as("cnt")
-      val rows = emb.withColumn("a", assign(cents))
+      val rows = assigned(cents)
         .groupBy(col("a.k").as("k"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -709,7 +729,7 @@ object Similarity {
       }
       cents = next
     }
-    emb.withColumn("a", assign(cents))
+    assigned(cents)
       .select(col("vec_id"), col("a.k").as("cluster"),
         col("a.d").as("d"), col("e"), col("en"))
   }

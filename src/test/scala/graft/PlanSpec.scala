@@ -210,13 +210,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"p07 must not rank:\n${p.take(1500)}")
   }
 
-  test("s09: the final k-means assignment joins nothing (centroid literals)") {
-    // centroids ride the plan as broadcast LITERALS (what a Lloyd trainer
-    // holds) — a Join in the assignment pass means the K×64 table
-    // regressed to a shuffled/broadcast relation per row
+  test("s09: the k-means assignment is a 1-row broadcast centroid fold, never a shuffle") {
+    // r11: centroids ride as a 1-row BROADCAST array (at K = √N the
+    // previous literal spelling made the PLAN O(K·dim)); the only join
+    // allowed is that 1-row broadcast — a SortMergeJoin or a cartesian of
+    // real relations means the K×64 table regressed to a per-row shuffle
     val p = plan("s09_kmeans")
-    assert(!p.contains("Join"), s"s09 assignment must not join:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"s09 assignment shuffled the corpus:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Broadcast"),
+      s"s09 lost the broadcast centroid table:\n${p.take(1500)}")
   }
 
   test("t12: char entropy is row-local — zero exchanges, no join") {
