@@ -267,6 +267,51 @@ object Text {
 
   private val lmScore: Q = (s, dir) => lmScored(s, dir)
 
+  /** T20 — bigram-LM quality score with add-k smoothing (the stronger
+    * form of t09's CCNet-style perplexity pass: a unigram LM cannot see
+    * word-order junk — shuffled or template-stitched text scores exactly
+    * like prose — while a bigram LM penalizes improbable transitions):
+    * per-doc mean ln P(w2|w1) with P = (c(w1,w2) + k) / (c(w1·) + k·V),
+    * k = 0.5, V = unigram vocabulary size (Laplace-class smoothing keeps
+    * every bigram finite; P ≤ 1 by construction so scores are ≤ 0).
+    * Docs with fewer than two tokens have no bigram evidence and are
+    * excluded (the contract a perplexity FILTER wants — no score, no
+    * gate).
+    *
+    * Scale shape: the adjacent-pair stream is a row-local zip_with (no
+    * self-join); counts are one map-side-combined aggregate whose shuffle
+    * carries the BIGRAM VOCABULARY, not the corpus; scoring joins the
+    * pair stream back to the count tables — the context table (|vocab|
+    * rows) broadcasts like t09's freq, the bigram table joins on its own
+    * key (broadcast at fixture scale via AQE; a 100 TB run shuffle-joins
+    * on (w1, w2) with identical semantics — the KenLM-lookup shape); the
+    * vocab size is the 1-row Q22 scalar; the per-doc aggregate is the one
+    * corpus-sized shuffle, combined to |docs| rows.
+    */
+  private val bigramLm: Q = (s, dir) => {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val big = Tables.barrier(words.select(col("doc_id"),
+        explode(zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("v"))
+    big.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(log((col("c12").cast("double") + lit(0.5)) /
+          (col("c1").cast("double") + lit(0.5) * col("v")))), 6)
+          .as("bi_logprob"))
+  }
+
   /** T10 — CCNet quality buckets (Wenzek et al. 2020 §4.3): split the
     * corpus into head/middle/tail terciles of the LM score — the partition
     * CCNet publishes and trainers sample from. Thresholds are the exact
@@ -759,6 +804,7 @@ object Text {
     "t07_vocab_topk" -> vocabTopk,
     "t08_pii_scrub" -> piiScrub,
     "t09_lm_score" -> lmScore,
+    "t20_bigram_lm" -> bigramLm,
     "t10_quality_buckets" -> qualityBuckets,
     "t11_bpe_tokens" -> bpeTokens)
 
@@ -1166,6 +1212,29 @@ object Text {
     "t09_lm_score" ->
       s"""WITH $LmScoredCtes
          |SELECT doc_id, n_tokens, lm_logprob FROM scored""".stripMargin,
+    "t20_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |big AS MATERIALIZED (
+        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+        |         unnest(w[2:len(w)]) AS w2
+        |  FROM w),
+        |c12 AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM big GROUP BY 1, 2),
+        |c1 AS MATERIALIZED (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (
+        |  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents))
+        |SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((CAST(c12.c12 AS DOUBLE) + 0.5) /
+        |                (CAST(c1.c1 AS DOUBLE) + 0.5 * v.v))), 6)
+        |    AS bi_logprob
+        |FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+        |GROUP BY big.doc_id""".stripMargin,
     "t08_pii_scrub" ->
       """WITH injected AS (
         |  SELECT doc_id,

@@ -705,6 +705,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(slope < 0.0) // frequency falls with rank on any natural corpus
   }
 
+  test("t20 bigram LM: full >=2-token coverage, n-1 bigrams per doc, smoothed probs < 1") {
+    import spark.implicits._
+    val got = SparkEntry.queries("t20_bigram_lm")(spark, sf)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val want = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().filter(_._2 >= 2).toMap
+    assert(got.keySet === want.keySet,
+      "every doc with >=2 tokens gets exactly one score, shorter docs none")
+    got.foreach { case (id, (nb, score)) =>
+      assert(nb === want(id) - 1, s"doc $id: expected ${want(id) - 1} bigrams")
+      // add-k smoothing keeps every P strictly inside (0, 1) on a V>1
+      // vocabulary, so the mean log-prob is strictly negative and finite
+      assert(score < 0.0 && !score.isNaN && !score.isInfinite, s"doc $id: $score")
+    }
+  }
+
   test("m05 phash near-dup: every injected pixel-nudged twin found, zero false pairs") {
     import spark.implicits._
     val got = SparkEntry.queries("m05_phash_neardup")(spark, sf)
