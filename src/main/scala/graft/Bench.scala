@@ -89,9 +89,14 @@ object Bench {
     // BENCH numbers reproducible across suite orderings for the entries
     // the reference actually alerts on. Cost: ~30 s of extra wall-clock
     // over the five f-entries.
+    // The floor treatment names its five entries EXPLICITLY (r11 ADVICE
+    // #4): a future f-prefixed entry must opt in deliberately rather than
+    // inherit best-case floor recording by prefix accident.
+    val minFloorEntries = Set("f01_indicator_cycle", "f01b_priority_cycle",
+      "f01c_cycle_slice", "f02_production_tick", "f03_native_tick")
     val byName = wanted.toMap
     val results = twoPass.map { case (name, t) =>
-      if (name.startsWith("f0"))
+      if (minFloorEntries(name))
         name -> (t +: (1 to 2).map(_ => once(name, byName(name)))).min
       else name -> t
     }

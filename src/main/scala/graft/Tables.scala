@@ -50,8 +50,19 @@ object Tables {
     * ingest: co-locating the dominant key at write time is the prompt's
     * "bucketing for co-located joins" made real, not a comment.
     */
+  private final case class MatKey(appId: String, dir: String, name: String,
+    stamp: Long)
   private val matCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[MatKey, DataFrame]()
+
+  /** App roots swept at JVM exit; the hook itself registers once (r11
+    * ADVICE: the old `if (matCache.isEmpty)` guard re-registered a
+    * duplicate hook whenever eviction emptied the map mid-session).
+    */
+  private val matRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private val matHookInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Content stamp of a corpus dir's parquet entries (names, sizes,
     * mtimes). The SHARED staleness key: both the RuleCorpus checkpoint
@@ -90,21 +101,27 @@ object Tables {
       sortCols: Seq[String])(derive: => DataFrame): DataFrame = {
     val stamp = dirStamp(dir)
     val appId = spark.sparkContext.applicationId
-    val key = appId + "|" + dir + "@" + stamp + "|" + name
+    val key = MatKey(appId, dir, name, stamp)
     // evict superseded stamps for the same (dir, name) — without this a
     // rewritten corpus leaves the old entry in matCache forever (r11
-    // ADVICE: unbounded growth across rewrites)
+    // ADVICE: unbounded growth across rewrites). The match is a STRUCTURAL
+    // field comparison, not the old prefix/suffix string test, which could
+    // cross-evict a live sibling corpus whose path itself contained
+    // '@' + the dir prefix (r11 ADVICE #3).
     matCache.keySet.removeIf(k => k != key &&
-      k.startsWith(appId + "|" + dir + "@") && k.endsWith("|" + name))
+      k.appId == appId && k.dir == dir && k.name == name)
     matCache.computeIfAbsent(key, { _ =>
       val appRoot = new java.io.File(
         System.getProperty("java.io.tmpdir") + "/graft-mat/" + appId)
-      if (matCache.isEmpty) { // first materialization: clean up on exit
+      matRoots.add(appRoot)
+      if (matHookInstalled.compareAndSet(false, true)) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(); ()
         }
-        Runtime.getRuntime.addShutdownHook(new Thread(() => rm(appRoot)))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          matRoots.forEach(r => rm(r))
+        }))
       }
       // the STAMP is part of the table name and path (r11 ADVICE): a
       // corpus rewrite materializes to a FRESH location instead of

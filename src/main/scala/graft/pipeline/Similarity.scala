@@ -137,12 +137,15 @@ object Similarity {
   /** Corpus row count, memoized per directory: a parquet-metadata count is
     * cheap once, but at 100 TB with many files it is a per-query footer
     * scan — pay it a single time per corpus like `Tables.matCache` does for
-    * materializations.
+    * materializations. The key embeds [[Tables.dirStamp]] (r11 ADVICE #1):
+    * an in-session rewrite of the embeddings dir changes the key, so a
+    * stale N can never drive kmeansK/planesFor against the live files —
+    * the same staleness contract every other cache layer carries.
     */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def corpusCount(s: SparkSession, dir: String): Long =
-    countCache.computeIfAbsent(dir,
+    countCache.computeIfAbsent(dir + "@" + Tables.dirStamp(dir),
       _ => Tables.embeddings(s, dir).count()).longValue()
 
   /** Corpus bucketed at the scale-appropriate plane count, with the

@@ -1450,33 +1450,46 @@ object RuleCorpus {
   private val nativeFeed: Q = (s, dir) =>
     feedPriceJoin(s, dir, nativeCooledShared(s, dir))
 
-  /** Retention depth of the published-feed read: the reference's mart
-    * reader serves at most ~96–180 newest rows per key
-    * (db/reader.py:301-309 — retention-bounded mart windows), so the
-    * production dispatch never scans a key's full history.
+  /** Retention depth of the published-feed read, PER TIMEFRAME: the
+    * reference's mart reader keeps the newest N rows per (symbol,
+    * interval) with N from its RETENTION map — 1m/5m:120, 15m:96, 1h:144,
+    * 4h:120, 1d:180, 1w:104, anything else 60 (db/reader.py:300-317,
+    * `_cleanup_old_data`) — so the production dispatch never scans a
+    * key's full history. r11 ADVICE #2: the first cut used a flat 96 for
+    * every interval, which dropped fired rows the reference still serves
+    * on 1h/1d keys and over-kept on short ones; this mirrors the map
+    * verbatim, default included.
     */
-  private[graft] val RetentionBars = 96
+  private[graft] val RetentionByTf: Map[String, Int] = Map(
+    "1m" -> 120, "5m" -> 120, "15m" -> 96, "1h" -> 144,
+    "4h" -> 120, "1d" -> 180, "1w" -> 104)
+  private[graft] val RetentionDefault = 60
+  private[graft] def retentionFor(tf: String): Int =
+    RetentionByTf.getOrElse(tf, RetentionDefault)
 
   /** g20b — [[nativeFeed]] under the reference's RETENTION contract (r10
-    * VERDICT #9): keep only the newest [[RetentionBars]] fired rows per
-    * cooldown key (symbol, rule, timeframe) BEFORE the cooldown scan,
-    * exactly as the reference's dispatch only ever sees the
+    * VERDICT #9): keep only the newest [[RetentionByTf]](timeframe) fired
+    * rows per cooldown key (symbol, rule, timeframe) BEFORE the cooldown
+    * scan, exactly as the reference's dispatch only ever sees the
     * retention-bounded mart read. g20 proper (full-history feed, the
     * backfill/audit shape) grows with bar count — sf1 slope 7.9 — while
     * this is the bounded steady-state shape: per-key state is ≤
-    * RetentionBars rows whatever the corpus depth, so the cooled stream
-    * is O(keys · RetentionBars), not O(bars). Cooldown semantics inside
-    * the retained window are IDENTICAL (the scan seeds at the window's
-    * first row — the same cold-start the reference pays when a key's
-    * older rows age out of retention).
+    * max-retention (180) rows whatever the corpus depth, so the cooled
+    * stream is O(keys · retention), not O(bars). Cooldown semantics
+    * inside the retained window are IDENTICAL (the scan seeds at the
+    * window's first row — the same cold-start the reference pays when a
+    * key's older rows age out of retention).
     */
   private def retainedCooled(s: SparkSession, dir: String): DataFrame = {
     val fired = nativeFiredShared(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("symbol", "rule", "timeframe")
       .orderBy(col("bucket_ts").desc, col("mart"))
+    val retLim = coalesce(
+      element_at(typedLit(RetentionByTf), col("timeframe")),
+      lit(RetentionDefault))
     val retained = fired.withColumn("ret_rn", row_number().over(w))
-      .filter(col("ret_rn") <= RetentionBars).drop("ret_rn")
+      .filter(col("ret_rn") <= retLim).drop("ret_rn")
     cooldownScanRows(retained)
   }
 
@@ -1542,11 +1555,12 @@ object RuleCorpus {
     * derived table — local WITH scope) tagged and unioned, then the
     * recursive greedy cooldown with the full (symbol, rule, timeframe)
     * key and message/price threaded through the recursion. `retention`
-    * (g20b) inserts the newest-N-per-key cut between the fired union and
-    * the cooldown numbering — the same position the Spark side applies
-    * it.
+    * (g20b) inserts the newest-N-per-key cut — N per timeframe from the
+    * reference's RETENTION map ([[RetentionByTf]]) — between the fired
+    * union and the cooldown numbering, the same position the Spark side
+    * applies it.
     */
-  private def nativeFeedOracle(retention: Option[Int] = None): String = {
+  private def nativeFeedOracle(retention: Boolean = false): String = {
     val union = TfSeconds.map { case (tf, secs) =>
       val body = feedOracleAt(AllRules.filter(_.timeframes.contains(tf)), secs)
       s"SELECT b.*, '$tf' AS timeframe FROM (\n$body\n) b"
@@ -1554,13 +1568,17 @@ object RuleCorpus {
     val cds = CdByRule.toSeq.sortBy(_._1)
       .map { case (n, cd) => s"('$n', CAST($cd AS BIGINT))" }
       .mkString(",\n    ")
-    val firedSrc = retention.fold("fired") { n =>
-      s"""(SELECT * EXCLUDE (ret_rn) FROM (
+    val firedSrc = if (!retention) "fired" else {
+      val whens = RetentionByTf.toSeq.sortBy(_._1)
+        .map { case (tf, n) => s"WHEN '$tf' THEN $n" }
+        .mkString(" ")
+      s"""(SELECT * EXCLUDE (ret_rn, ret_lim) FROM (
          |    SELECT f0.*, row_number() OVER (
          |      PARTITION BY f0.symbol, f0.rule, f0.timeframe
-         |      ORDER BY f0.bucket_ts DESC, f0.mart) AS ret_rn
+         |      ORDER BY f0.bucket_ts DESC, f0.mart) AS ret_rn,
+         |      CASE f0.timeframe $whens ELSE $RetentionDefault END AS ret_lim
          |    FROM fired f0)
-         |  WHERE ret_rn <= $n)""".stripMargin
+         |  WHERE ret_rn <= ret_lim)""".stripMargin
     }
     s"""WITH RECURSIVE fired AS (
        |$union
@@ -1898,7 +1916,7 @@ object RuleCorpus {
     "g18_rules_native_tf" -> nativeTfOracle,
     "g19_rules_native_cooldown" -> nativeTfCooldownOracle,
     "g20_native_feed" -> nativeFeedOracle(),
-    "g20b_native_feed_retained" -> nativeFeedOracle(Some(RetentionBars)),
+    "g20b_native_feed_retained" -> nativeFeedOracle(retention = true),
     "f02_production_tick" -> tickOracle,
     "f03_native_tick" -> nativeTickOracle)
 }

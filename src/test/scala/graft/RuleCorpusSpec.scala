@@ -438,18 +438,22 @@ class RuleCorpusSpec extends AnyFunSuite {
   }
 
   test("g20b retained feed == g20 on every key the retention window covers whole") {
-    // the retention cut (newest RetentionBars fired rows per cooldown
-    // key, BEFORE the scan) is a no-op wherever a key's full fired
-    // history fits inside the window — there the bounded steady-state
+    // the retention cut (newest retentionFor(timeframe) fired rows per
+    // cooldown key, BEFORE the scan — the reference's per-interval
+    // RETENTION map) is a no-op wherever a key's full fired history fits
+    // inside its timeframe's window — there the bounded steady-state
     // feed must be row-identical to the full-history one; keys deeper
     // than the window may legitimately differ (the reference's cold
     // start when older rows age out of retention). Per-key output is
     // also bounded by the window by construction.
     val s = spark
     import s.implicits._
+    val retLim = coalesce(
+      element_at(typedLit(RuleCorpus.RetentionByTf), col("timeframe")),
+      lit(RuleCorpus.RetentionDefault))
     val fired = RuleCorpus.queries("g18_rules_native_tf")(s, TestSession.sf)
       .groupBy("symbol", "rule", "timeframe").count()
-      .filter(col("count") <= RuleCorpus.RetentionBars)
+      .filter(col("count") <= retLim)
       .select($"symbol", $"rule", $"timeframe")
       .as[(String, String, String)].collect().toSet
     assert(fired.nonEmpty)
