@@ -585,6 +585,45 @@ class PipelineSpec extends AnyFunSuite {
       f"candidate rate $rBig%.2f exceeds the band-bucket-cap ceiling")
   }
 
+  /** Plain-Scala replay of the s09 trainer contract: seeds = K smallest
+    * ids, 3 Lloyd rounds over the min(N, 40·K)-smallest-id training
+    * sample (integer sums, one-IEEE-op-chain q6 centroids, sequential
+    * distance folds), then the FULL corpus assigned once.
+    */
+  private def replayKmeans(
+      vecs: Array[(Long, Seq[Double])]): Set[(Long, Int, Double)] = {
+    val xi = vecs.map { case (id, e) =>
+      id -> e.map(v => math.floor(v * 1e6 + 0.5).toLong) }.toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    val kk = pipeline.Similarity.kmeansK(vecs.length.toLong)
+    val sampN = math.min(vecs.length.toLong,
+      pipeline.Similarity.TrainPointsPerCentroid * kk).toInt
+    val train = vecs.take(sampN) // vecs arrive sorted by vec_id
+    var cents = vecs.take(kk).map(v => xi(v._1).map(_.toDouble / 1e6))
+    def best(e: Seq[Double]): (Int, Double) = {
+      val en = dot(e, e)
+      cents.zipWithIndex.map { case (c, k) =>
+        (en - 2.0 * dot(e, c) + dot(c, c), k)
+      }.min match { case (d, k) => (k, d) }
+    }
+    for (_ <- 1 to 3) {
+      val byK = train.groupBy(v => best(v._2)._1)
+      cents = cents.zipWithIndex.map { case (old, k) =>
+        byK.get(k).fold(old) { ms =>
+          val n = ms.length
+          (0 until 64).map { d =>
+            math.floor(ms.map(m => xi(m._1)(d)).sum.toDouble / n + 0.5) / 1e6
+          }
+        }
+      }
+    }
+    vecs.map { case (id, e) =>
+      val (k, d) = best(e)
+      (id, k, math.floor(d * 1e6 + 0.5) / 1e6)
+    }.toSet
+  }
+
   test("s09 k-means: 3 Lloyd rounds replayed in plain Scala match exactly") {
     // the cross-engine design claims every round is bit-exact (integer
     // sums, one-IEEE-op-chain centroids, sequential distance folds);
@@ -596,36 +635,39 @@ class PipelineSpec extends AnyFunSuite {
     val vecs = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding".cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val xi = vecs.map { case (id, e) =>
-      id -> e.map(v => math.floor(v * 1e6 + 0.5).toLong) }.toMap
-    def dot(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
-    var cents = vecs.take(pipeline.Similarity.kmeansK(vecs.length.toLong))
-      .map(v => xi(v._1).map(_.toDouble / 1e6))
-    def best(e: Seq[Double]): (Int, Double) = {
-      val en = dot(e, e)
-      cents.zipWithIndex.map { case (c, k) =>
-        (en - 2.0 * dot(e, c) + dot(c, c), k)
-      }.min match { case (d, k) => (k, d) }
-    }
-    for (_ <- 1 to 3) {
-      val byK = vecs.groupBy(v => best(v._2)._1)
-      cents = cents.zipWithIndex.map { case (old, k) =>
-        byK.get(k).fold(old) { ms =>
-          val n = ms.length
-          (0 until 64).map { d =>
-            math.floor(ms.map(m => xi(m._1)(d)).sum.toDouble / n + 0.5) / 1e6
-          }
-        }
-      }
-    }
-    val want = vecs.map { case (id, e) =>
-      val (k, d) = best(e)
-      (id, k, math.floor(d * 1e6 + 0.5) / 1e6)
-    }.toSet
+    val want = replayKmeans(vecs)
     val got = SparkEntry.queries("s09_kmeans")(spark, sf)
       .as[(Long, Int, Double)].collect().toSet
     assert(got.nonEmpty && got.map(_._2).size > 1)
+    assert(got === want,
+      s"spark-only: ${(got -- want).take(3)}; scala-only: ${(want -- got).take(3)}")
+  }
+
+  test("s09 sample-trained: Lloyd rounds see only the 40K smallest ids at N > 1600") {
+    // r11 VERDICT #2: at N ≤ 40·K the sample degenerates to the full
+    // corpus (every driver SF), so this pin builds a corpus PAST the
+    // sample boundary (N > 1600 ⇒ 40·⌈√N⌉ < N) and proves the engine's
+    // trainer matches the sample-trained replay on the full assignment —
+    // i.e. the Lloyd rounds genuinely stopped scanning the whole corpus
+    // and the final pass is still exact, bit-for-bit
+    import spark.implicits._
+    val n = 1700
+    val kk = pipeline.Similarity.kmeansK(n.toLong)
+    val sampN = pipeline.Similarity.TrainPointsPerCentroid * kk
+    assert(sampN < n, s"fixture must cross the sample boundary: $sampN >= $n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-s09samp").toString
+    val rnd = new scala.util.Random(11)
+    (0 until n).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val want = replayKmeans(vecs)
+    val got = SparkEntry.queries("s09_kmeans")(spark, dir)
+      .as[(Long, Int, Double)].collect().toSet
     assert(got === want,
       s"spark-only: ${(got -- want).take(3)}; scala-only: ${(want -- got).take(3)}")
   }
