@@ -271,10 +271,12 @@ object Futures {
   // ---------------------------------------------------------------- oracle
 
   /** Per-symbol ordered metrics-series CTE (lists filtered of zero values,
-    * matching the reference's truthy-series comprehension).
+    * matching the reference's truthy-series comprehension). `src` is the
+    * metrics relation to read — `metrics` for the standalone i34 oracle,
+    * the cycle's trailing-cut CTE for f01d ([[graft.operators.Cycle]]).
     */
-  private val MSERIES =
-    """mseries AS (
+  private def mseriesCte(src: String): String =
+    s"""mseries AS (
       |  SELECT symbol, max(create_time) AS create_time,
       |         max_by(sum_open_interest, create_time) AS l_oi,
       |         max_by(sum_open_interest_value, create_time) AS l_oiv,
@@ -298,7 +300,7 @@ object Futures {
       |      lag(sum_open_interest_value) OVER w AS prev_oiv,
       |      lag(sum_toptrader_long_short_ratio) OVER w AS prev_tlsr,
       |      lag(sum_taker_long_short_vol_ratio) OVER w AS prev_tlsvr
-      |    FROM metrics
+      |    FROM $src
       |    WINDOW w AS (PARTITION BY symbol ORDER BY create_time))
       |  GROUP BY symbol HAVING count(*) >= 2)""".stripMargin
 
@@ -343,18 +345,33 @@ object Futures {
         |         max_by(close, bucket_ts) AS price
         |  FROM candles GROUP BY symbol)
         |WHERE vol > 0""".stripMargin),
-    "i09_futures_sentiment" -> Oracle.withMetrics(
-      """SELECT symbol, max(create_time) AS create_time,
-        |  round(max_by(sum_open_interest, create_time), 6) AS oi,
-        |  round(max_by(sum_open_interest_value, create_time), 6) AS oiv,
-        |  round(max_by(count_toptrader_long_short_ratio, create_time), 6) AS ctlsr,
-        |  round(max_by(sum_toptrader_long_short_ratio, create_time), 6) AS tlsr,
-        |  round(max_by(count_long_short_ratio, create_time), 6) AS lsr,
-        |  round(max_by(sum_taker_long_short_vol_ratio, create_time), 6) AS tlsvr
-        |FROM metrics GROUP BY symbol""".stripMargin),
+    "i09_futures_sentiment" -> Oracle.withMetrics(sentimentBodySql("metrics")),
     "i34_futures_aggregate" -> Oracle.withMetrics(
-      s""", $MSERIES,
-         |derived AS (
+      ", " + aggregateBodySql("metrics")))
+
+  /** i09's replay over a named metrics relation — shared between the
+    * standalone oracle (src = `metrics`) and the f01d cycle slice's
+    * trailing-cut CTE, so the composed replay cannot drift.
+    */
+  private[graft] def sentimentBodySql(src: String): String =
+    s"""SELECT symbol, max(create_time) AS create_time,
+       |  round(max_by(sum_open_interest, create_time), 6) AS oi,
+       |  round(max_by(sum_open_interest_value, create_time), 6) AS oiv,
+       |  round(max_by(count_toptrader_long_short_ratio, create_time), 6) AS ctlsr,
+       |  round(max_by(sum_toptrader_long_short_ratio, create_time), 6) AS tlsr,
+       |  round(max_by(count_long_short_ratio, create_time), 6) AS lsr,
+       |  round(max_by(sum_taker_long_short_vol_ratio, create_time), 6) AS tlsvr
+       |FROM $src GROUP BY symbol""".stripMargin
+
+  /** The full i34 replay over a named metrics relation — [[mseriesCte]],
+    * the derived/scored stages, and the final projection. Shared between
+    * the standalone oracle (src = `metrics`) and the f01d cycle slice
+    * (src = the trailing-240 cut), so the composed replay can never
+    * drift from the standalone one.
+    */
+  private[graft] def aggregateBodySql(src: String): String =
+    s"""${mseriesCte(src)},
+       |derived AS (
          |  SELECT *,
          |    ${seqMean("oiv_s")} AS oiv_m,
          |    ${seqMean("top_dev_s")} AS top_dev_m,
@@ -444,5 +461,5 @@ object Futures {
          |        sum(round(nullif(l_oiv, 0.0), 6)) OVER (), 6) AS market_share,
          |  CAST(row_number() OVER (ORDER BY round(nullif(l_oiv, 0.0), 6)
          |       DESC NULLS LAST, symbol) AS INT) AS contrib_rank
-         |FROM scored""".stripMargin))
+         |FROM scored""".stripMargin
 }

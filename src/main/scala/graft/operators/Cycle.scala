@@ -46,8 +46,26 @@ object Cycle {
   /** Trailing per-symbol working window (db/cache.py:33). */
   val WorkingBars = 500
 
+  /** Trailing per-symbol METRICS window: the reference's futures
+    * aggregate pulls `get_metrics_history(symbol, 240, interval)`
+    * (batch/futures_aggregate.py:135) — the metrics fact is never read
+    * unbounded by the production loop. r12: the cycle previously fed the
+    * futures pack the FULL metrics history, which made the in-cycle i34
+    * cost O(bars) per symbol; with the cut it is O(240) per symbol
+    * whatever the fact depth — the same boundedness contract the candle
+    * frames already carry via [[WorkingBars]].
+    */
+  val MetricsBars = 240
+
   private def trailing(df: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy(col("bucket_ts").desc)
+    df.withColumn("cycle_rn", row_number().over(w))
+      .filter(col("cycle_rn") <= n).drop("cycle_rn")
+  }
+
+  /** [[trailing]] on the metrics clock (`create_time`). */
+  private def trailingMetrics(df: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("create_time").desc)
     df.withColumn("cycle_rn", row_number().over(w))
       .filter(col("cycle_rn") <= n).drop("cycle_rn")
   }
@@ -292,14 +310,15 @@ object Cycle {
     fused.count()
     val candleBranches = fusedBranchPlans(s, dir, fused, candlePack)
     // futures sentiment at its native 5m cadence, once per cycle — cut to
-    // the same priority set via the metrics-frame override; persisted so
-    // the futures branches share one metrics read instead of one scan
-    // (+ semi-join) per indicator
-    val metricsFrame = (prio match {
+    // the same priority set via the metrics-frame override AND to the
+    // reference's trailing-240 metrics window (futures_aggregate.py:135);
+    // persisted so the futures branches share one metrics read instead of
+    // one scan (+ semi-join) per indicator
+    val metricsFrame = trailingMetrics(prio match {
       case Some(p) => Tables.metrics5m(s, dir)
         .join(broadcast(p), Seq("symbol"), "left_semi")
       case None => Tables.metrics5m(s, dir)
-    }).persist()
+    }, MetricsBars).persist()
     val futuresBranches = futuresBranchPlans(s, dir, base, metricsFrame)
     val out = runBranches(candleBranches ++ futuresBranches)
     // the futures branches read `base` (withCandleFrame above) — it must
@@ -566,6 +585,90 @@ object Cycle {
        |${perIv.map(_._2).mkString("\nUNION ALL ")}""".stripMargin
   }
 
+  /** f01d — ORACLE SLICE of the cycle's METRICS side (r11 VERDICT #2:
+    * the candle fact's four execution paths are proven through the cycle
+    * machinery by f01c, but the metrics-fact indicators passed only
+    * standalone): i34 futures_aggregate and i09 futures_sentiment run
+    * through the cycle's OWN composition — the shared metrics read, the
+    * [[trailingMetrics]] trailing-[[MetricsBars]] cut
+    * (futures_aggregate.py:135), the [[Tables.withMetricsFrame]]
+    * override, the latest-row [[snapshot]] — then melted to the same
+    * typed (symbol, itv, bucket_ts, indicator, field, value) frame as
+    * f01c. The DuckDB twin replays the cut as a CTE and reuses the
+    * STANDALONE i34/i09 oracle bodies verbatim over it
+    * ([[graft.indicators.Futures.aggregateBodySql]] /
+    * `sentimentBodySql`), so the composed replay cannot drift from the
+    * standalone ones. Numeric fields only, cast double (the f01c melt
+    * contract); i34's full derived-field battery — deviations, z-scores,
+    * streaks, the engine post-pass market_share/contrib_rank windows —
+    * all ride through the composition.
+    */
+  private val MetricsSlicePack = Seq("i09_futures_sentiment",
+    "i34_futures_aggregate")
+  private val cycleMetricsSlice: Q = (s, dir) => {
+    val metricsFrame =
+      trailingMetrics(Tables.metrics5m(s, dir), MetricsBars).persist()
+    metricsFrame.count()
+    val pack = graft.indicators.Futures.queries
+    val branches = Tables.withMetricsFrame(metricsFrame) {
+      MetricsSlicePack.map { key =>
+        val snap = snapshot(pack(key)(s, dir),
+          metricsFrame.withColumnRenamed("create_time", "bucket_ts"))
+        val fields = snap.schema.fields.collect {
+          case f if f.name != "symbol" && f.name != "bucket_ts" &&
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+            f.name
+        }
+        val kv: Column = explode(map(fields.toSeq.flatMap(f =>
+          Seq(lit(f), col(f).cast("double"))): _*))
+        snap.select(col("symbol"), lit("5m").as("itv"), col("bucket_ts"),
+          lit(Mart.RegistryNames(key)).as("indicator"),
+          kv.as(Seq("field", "value")))
+      }
+    }
+    val out = runBranches(branches)
+    metricsFrame.unpersist()
+    out
+  }
+
+  /** [[cycleMetricsSlice]]'s DuckDB twin: the metrics CTE, the
+    * trailing-[[MetricsBars]] cut, then each indicator's STANDALONE
+    * oracle body re-rooted at the cut relation (local WITH scope), latest
+    * row per symbol implicit (both bodies are one-row-per-symbol), melted
+    * by UNION ALL. Field lists mirror the Spark snapshots' numeric
+    * columns; a drift on either side fails the gate on the field-name
+    * rows themselves.
+    */
+  private def cycleMetricsOracle: String = {
+    val i34Fields = Seq("oi", "oiv", "tlsr", "lsr", "tlsvr", "oi_change",
+      "oi_change_pct", "top_dev", "retail_dev", "taker_dev", "bias_diff",
+      "bias_spread", "volatility", "oi_streak", "taker_streak",
+      "risk_score", "top_vol", "retail_vol", "oi_slope_pct", "oi_z",
+      "top_momentum", "taker_momentum", "flip_signal", "taker_jump",
+      "stability_pct", "freshness_sec", "stale_flag", "market_share",
+      "contrib_rank")
+    val i09Fields = Seq("oi", "oiv", "ctlsr", "tlsr", "lsr", "tlsvr")
+    def melted(cte: String, indicator: String, fields: Seq[String]) =
+      fields.map { f =>
+        s"""SELECT symbol, '5m' AS itv, create_time AS bucket_ts,
+           |  '$indicator' AS indicator, '$f' AS field,
+           |  CAST($f AS DOUBLE) AS value FROM $cte""".stripMargin
+      }.mkString("\nUNION ALL ")
+    s"""WITH ${graft.Oracle.METRICS},
+       |mcut AS MATERIALIZED (
+       |  SELECT * EXCLUDE (cut_rn) FROM (
+       |    SELECT m.*, row_number() OVER (
+       |      PARTITION BY symbol ORDER BY create_time DESC) AS cut_rn
+       |    FROM metrics m)
+       |  WHERE cut_rn <= $MetricsBars),
+       |agg34 AS MATERIALIZED (
+       |  WITH ${graft.indicators.Futures.aggregateBodySql("mcut")}),
+       |agg09 AS MATERIALIZED (
+       |  ${graft.indicators.Futures.sentimentBodySql("mcut")})
+       |${melted("agg09", Mart.RegistryNames("i09_futures_sentiment"), i09Fields)}
+       |UNION ALL ${melted("agg34", Mart.RegistryNames("i34_futures_aggregate"), i34Fields)}""".stripMargin
+  }
+
   /** f01b — the reference's ACTUAL production tick
     * (async_full_engine.py:54-131): the hourly priority re-evaluation
     * (r07's ranking union, ~150 symbols) gates the 120 s indicator loop,
@@ -579,8 +682,10 @@ object Cycle {
   val queries: Map[String, Q] = Map(
     "f01_indicator_cycle" -> fullCycle,
     "f01b_priority_cycle" -> priorityCycle,
-    "f01c_cycle_slice" -> cycleSlice)
+    "f01c_cycle_slice" -> cycleSlice,
+    "f01d_cycle_metrics" -> cycleMetricsSlice)
 
   val oracle: Map[String, String] = Map(
-    "f01c_cycle_slice" -> cycleSliceOracle)
+    "f01c_cycle_slice" -> cycleSliceOracle,
+    "f01d_cycle_metrics" -> cycleMetricsOracle)
 }

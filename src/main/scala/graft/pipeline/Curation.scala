@@ -299,14 +299,19 @@ object Curation {
     * training-data run actually emits, one row per corpus doc with the
     * reason flags — exact duplicate (not the first occurrence of its md5),
     * Gopher-gate failure (t06's rules), LM-quality tail (t10's bottom
-    * tercile), benchmark contamination (c03's n-gram flag) — and
-    * `keep` = none of the above. Each ingredient REUSES the registered
-    * operator (same code, same oracle CTEs), so the manifest cannot drift
-    * from the gates it composes.
+    * tercile), bigram-LM tail (t20's bottom tercile — the word-order-aware
+    * gate the unigram score cannot see: shuffled or template-stitched
+    * text passes t10 but lands in t20's tail; r11 VERDICT #6), benchmark
+    * contamination (c03's n-gram flag) — and `keep` = none of the above.
+    * Each ingredient REUSES the registered operator (same code, same
+    * oracle CTEs), so the manifest cannot drift from the gates it
+    * composes. Docs with fewer than two tokens carry no bigram evidence
+    * and get `bigram_tail` = false (no score, no gate — t20's own
+    * contract).
     *
     * Scale shape: the dup pass is one window on the md5 key; gopher is
-    * row-local; the LM tercile is a broadcast threshold; contamination is
-    * the broadcast bench set — the composition adds only doc_id-keyed
+    * row-local; both LM terciles are broadcast thresholds; contamination
+    * is the broadcast bench set — the composition adds only doc_id-keyed
     * joins, which co-partition after the first shuffle.
     */
   private val curationManifest: Q = (s, dir) => {
@@ -319,18 +324,26 @@ object Curation {
       .select(col("doc_id"), (col("gopher_pass") === 0).as("gopher_fail"))
     val lm = Text.queries("t10_quality_buckets")(s, dir)
       .select(col("doc_id"), (col("bucket") === "tail").as("lm_tail"))
+    val bi = Text.queries("t20_bigram_lm")(s, dir)
+    val biThr = bi.agg(
+      (floor(expr("percentile(bi_logprob, 0.3333333333333333)") * 1e6 + 0.5)
+        / 1e6).as("b_lo"))
+    val bt = bi.crossJoin(broadcast(biThr))
+      .select(col("doc_id"), (col("bi_logprob") < col("b_lo")).as("bigram_tail"))
     val con = ngramDecontam(s, dir)
       .select(col("doc_id"), col("flagged").as("contaminated"))
     corpus.select(col("doc_id"))
       .join(dup, Seq("doc_id"))
       .join(gop, Seq("doc_id"))
       .join(lm, Seq("doc_id"))
+      .join(bt, Seq("doc_id"), "left")
       .join(con, Seq("doc_id"), "left")
+      .withColumn("bigram_tail", coalesce(col("bigram_tail"), lit(false)))
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
       .select(col("doc_id"), col("exact_dup"), col("gopher_fail"),
-        col("lm_tail"), col("contaminated"),
+        col("lm_tail"), col("bigram_tail"), col("contaminated"),
         (!col("exact_dup") && !col("gopher_fail") && !col("lm_tail") &&
-          !col("contaminated")).as("keep"))
+          !col("bigram_tail") && !col("contaminated")).as("keep"))
   }
 
   /** p07 — deterministic train/val/test split, the partition every
@@ -482,6 +495,8 @@ object Curation {
          |  FROM feat),
          |${Text.LmScoredCtes},
          |${Text.LmThrCte},
+         |${Text.BiScoredCtes},
+         |${Text.BiThrCte},
          |toks4 AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh4 AS (
@@ -499,15 +514,19 @@ object Curation {
          |  GROUP BY 1)
          |SELECT c.doc_id, d.exact_dup, g.gopher_fail,
          |  (s.lm_logprob < thr.t_lo) AS lm_tail,
+         |  coalesce(b.bi_logprob < bithr.b_lo, FALSE) AS bigram_tail,
          |  coalesce(h.n_dirty > 0, FALSE) AS contaminated,
          |  (NOT d.exact_dup AND NOT g.gopher_fail
          |    AND NOT (s.lm_logprob < thr.t_lo)
+         |    AND NOT coalesce(b.bi_logprob < bithr.b_lo, FALSE)
          |    AND NOT coalesce(h.n_dirty > 0, FALSE)) AS keep
          |FROM corp c
          |JOIN dup d ON c.doc_id = d.doc_id
          |JOIN gop g ON c.doc_id = g.doc_id
          |JOIN scored s ON c.doc_id = s.doc_id
          |CROSS JOIN thr
+         |LEFT JOIN biscored b ON c.doc_id = b.doc_id
+         |CROSS JOIN bithr
          |LEFT JOIN hits4 h ON c.doc_id = h.doc_id""".stripMargin,
     "c03_ngram_decontam" ->
       s"""WITH toks AS (

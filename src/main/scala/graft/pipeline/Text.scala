@@ -861,6 +861,49 @@ object Text {
       |  FROM tok JOIN freq USING (token), tot
       |  GROUP BY doc_id)""".stripMargin
 
+  /** t20's CTE chain ending in `biscored` (doc_id, n_bigrams,
+    * bi_logprob) — the bigram-LM replay, shared between the standalone
+    * t20 oracle and p05's bigram-tail reason flag (r11 VERDICT #6: the
+    * manifest reuses these CTEs verbatim so the composed gate cannot
+    * drift from the standalone score). CTE names are prefixed (`bw`,
+    * `bv`) where a bare name could collide with the unigram chain p05
+    * also inlines.
+    */
+  private[pipeline] val BiScoredCtes: String =
+    """bw AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |big AS MATERIALIZED (
+      |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+      |         unnest(w[2:len(w)]) AS w2
+      |  FROM bw),
+      |c12 AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM big GROUP BY 1, 2),
+      |c1 AS MATERIALIZED (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      |bv AS (
+      |  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+      |        FROM documents)),
+      |biscored AS MATERIALIZED (
+      |  SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    round(avg(ln((CAST(c12.c12 AS DOUBLE) + 0.5) /
+      |                  (CAST(c1.c1 AS DOUBLE) + 0.5 * bv.v))), 6)
+      |      AS bi_logprob
+      |  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1), bv
+      |  GROUP BY big.doc_id)""".stripMargin
+
+  /** The t20 lower-tercile threshold CTE over `biscored`, shared with
+    * p05 (the bigram analogue of [[LmThrCte]]'s `t_lo`).
+    */
+  private[pipeline] val BiThrCte: String =
+    """bithr AS (
+      |  SELECT
+      |    floor(quantile_cont(bi_logprob, 0.3333333333333333) * 1e6 + 0.5)
+      |      / 1e6 AS b_lo
+      |  FROM biscored)""".stripMargin
+
   /** The t10 tercile-threshold CTE over `scored`, shared with p05. */
   private[pipeline] val LmThrCte: String =
     """thr AS (
@@ -1213,28 +1256,8 @@ object Text {
       s"""WITH $LmScoredCtes
          |SELECT doc_id, n_tokens, lm_logprob FROM scored""".stripMargin,
     "t20_bigram_lm" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |big AS MATERIALIZED (
-        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
-        |         unnest(w[2:len(w)]) AS w2
-        |  FROM w),
-        |c12 AS MATERIALIZED (
-        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-        |  FROM big GROUP BY 1, 2),
-        |c1 AS MATERIALIZED (
-        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
-        |v AS (
-        |  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
-        |        FROM documents))
-        |SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(avg(ln((CAST(c12.c12 AS DOUBLE) + 0.5) /
-        |                (CAST(c1.c1 AS DOUBLE) + 0.5 * v.v))), 6)
-        |    AS bi_logprob
-        |FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
-        |GROUP BY big.doc_id""".stripMargin,
+      s"""WITH $BiScoredCtes
+         |SELECT doc_id, n_bigrams, bi_logprob FROM biscored""".stripMargin,
     "t08_pii_scrub" ->
       """WITH injected AS (
         |  SELECT doc_id,

@@ -155,6 +155,34 @@ class CycleSpec extends AnyFunSuite {
     pframes.foreach(_._2.unpersist())
   }
 
+  test("f01d metrics slice: snapshot rides the trailing cut to each symbol's latest bar") {
+    // the composition contract the oracle also proves: both metrics-fact
+    // indicators flow through the shared read → trailing-240 cut →
+    // snapshot → melt, so every (symbol, indicator) lands exactly one
+    // bucket_ts — the symbol's NEWEST create_time (the cut keeps the
+    // newest rows, so the latest bar survives it), at the native 5m itv
+    val out = operators.Cycle.queries("f01d_cycle_metrics")(spark, sf)
+      .persist()
+    try {
+      val inds = out.select("indicator").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(inds === Set("期货情绪元数据", "期货情绪聚合表"))
+      assert(out.select("itv").distinct().collect()
+        .map(_.getString(0)).toSet === Set("5m"))
+      val latest = Tables.metrics5m(spark, sf)
+        .groupBy("symbol").agg(max(col("create_time")).as("want_ts"))
+      val off = out.select("symbol", "indicator", "bucket_ts").distinct()
+        .join(latest, Seq("symbol"))
+        .filter(col("bucket_ts") =!= col("want_ts"))
+      assert(off.count() === 0,
+        s"snapshot not at the latest bar: ${off.take(3).mkString(";")}")
+      // one snapshot row per (symbol, indicator, field)
+      val dup = out.groupBy("symbol", "indicator", "field").count()
+        .filter(col("count") > 1)
+      assert(dup.count() === 0, s"duplicate melt rows: ${dup.take(3).mkString(";")}")
+    } finally { out.unpersist(); () }
+  }
+
   test("futures branches read the cached facts, never the store") {
     // the r6/r7 carried unpersist-ordering bug: `base` was unpersisted
     // BEFORE the futures branches (which read it via withCandleFrame)

@@ -1,23 +1,41 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's t2 correctness gate.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+           [--json PATH] [--driver-schema PATH] [--jobs N] [query ...]
 
 Reads each <verifyOutDir>/<name>.parquet (written by graft.Verify), runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with the
 sfDir tables registered as views, and compares as (column-name-sorted,
 row-sorted, 1e-9-rounded) multisets. Exit 1 on any mismatch.
+
+--jobs N runs N oracle queries concurrently, each in its own DuckDB
+connection (r11 VERDICT #4: the three recursive feed oracles g19/g20/g20b
+cost ~20 min EACH and are recursion-bound, not core-bound — running them
+side by side collapses the sf0.1 gate from ~85 min toward the slowest
+single query). Results are collected and printed in name order, so the
+log is byte-diffable against a sequential run.
+
+--driver-schema PATH additionally writes the tally in the driver's OWN
+CORRECTNESS_r08.json artifact schema (r11 VERDICT #3): a map keyed by
+"<name>.parquet" with rows_match/schema_match/hash_match/spark_rows/
+oracle_rows/err — so when the driver-side artifact arrives empty (r9-r11),
+the committed self-gate is directly diffable against any round where it
+does not.
 """
 import json
 import math
 import sys
+from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
-
-import duckdb
-import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# per-process state (ProcessPoolExecutor initializer)
+_CON = None
+_ORACLE = None
+_OUT_DIR = None
 
 
 def norm_cell(v):
@@ -41,77 +59,118 @@ def norm_rows(names, rows):
     return [names[i] for i in order], out
 
 
-def main():
-    # optional: --json <path> writes the machine-readable per-query tally
-    # (the r9 postmortem: the driver's CORRECTNESS_r09.json arrived empty,
-    # so each round now commits its own gate evidence at HEAD)
-    argv = sys.argv[1:]
-    json_out = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        if i + 1 >= len(argv):
-            sys.exit("usage: selfcheck.py <sfDir> <outDir> [--json PATH] [query ...]")
-        json_out = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
-    sf_dir, out_dir = argv[0], argv[1]
-    only = set(argv[2:])
-    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
+def _init(sf_dir, out_dir, oracle):
+    import duckdb
+    global _CON, _ORACLE, _OUT_DIR
+    _CON = duckdb.connect()
+    _CON.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    failed, passed, skipped = [], [], []
+            _CON.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    _ORACLE = oracle
+    _OUT_DIR = out_dir
+
+
+def check_one(name):
+    """Returns (name, status, lines, record) — record in the driver's r8
+    artifact schema."""
+    import pyarrow.parquet as pq
+    d = Path(_OUT_DIR, name + ".parquet")
+    if not d.exists():
+        d = Path(_OUT_DIR, name)
+    tbl = pq.read_table(str(d))
+    got_names = tbl.column_names
+    got_rows = [tuple(r[c] for c in got_names) for r in tbl.to_pylist()]
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": len(got_rows), "oracle_rows": None, "err": None}
+    if name not in _ORACLE:
+        rec["err"] = "no_oracle"
+        return (name, "skip",
+                [f"SKIP  {name:34s} rows={len(got_rows)} (no oracle)"], rec)
+    try:
+        res = _CON.execute(_ORACLE[name])
+        exp_names = [c[0] for c in res.description]
+        exp_rows = res.fetchall()
+    except Exception as e:
+        rec["err"] = f"oracle SQL error: {str(e).splitlines()[0][:160]}"
+        return (name, "fail", [f"FAIL  {name:34s} {rec['err']}"], rec)
+    gn, gr = norm_rows(got_names, got_rows)
+    en, er = norm_rows(exp_names, exp_rows)
+    rec["oracle_rows"] = len(er)
+    rec["rows_match"] = len(gr) == len(er)
+    rec["schema_match"] = gn == en
+    if gn != en:
+        rec["hash_match"] = False
+        return (name, "fail",
+                [f"FAIL  {name:34s} columns differ: spark={gn} duckdb={en}"],
+                rec)
+    rec["hash_match"] = gr == er
+    if gr != er:
+        lines = [f"FAIL  {name:34s} rows differ: spark={len(gr)} duckdb={len(er)}"]
+        sg, se = set(gr), set(er)
+        for r in list(sg - se)[:3]:
+            lines.append(f"      spark-only : {r}")
+        for r in list(se - sg)[:3]:
+            lines.append(f"      duckdb-only: {r}")
+        return (name, "fail", lines, rec)
+    return (name, "pass", [f"PASS  {name:34s} rows={len(gr)}"], rec)
+
+
+def take_opt(argv, flag, cast=str):
+    if flag not in argv:
+        return argv, None
+    i = argv.index(flag)
+    if i + 1 >= len(argv):
+        sys.exit(f"usage: selfcheck.py <sfDir> <outDir> [--json PATH] "
+                 f"[--driver-schema PATH] [--jobs N] [query ...]")
+    val = cast(argv[i + 1])
+    return argv[:i] + argv[i + 2:], val
+
+
+def main():
+    argv = sys.argv[1:]
+    # --json writes the machine-readable per-query tally (the r9
+    # postmortem: the driver's CORRECTNESS_r09.json arrived empty, so each
+    # round commits its own gate evidence at HEAD)
+    argv, json_out = take_opt(argv, "--json")
+    argv, driver_out = take_opt(argv, "--driver-schema")
+    argv, jobs = take_opt(argv, "--jobs", int)
+    jobs = max(1, jobs or 1)
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     names = sorted(d.name.removesuffix(".parquet")
                    for d in Path(out_dir).iterdir() if d.is_dir())
-    for name in names:
-        if only and name not in only:
-            continue
-        d = Path(out_dir, name + ".parquet")
-        if not d.exists():
-            d = Path(out_dir, name)
-        tbl = pq.read_table(str(d))
-        got_names = tbl.column_names
-        got_rows = [tuple(r[c] for c in got_names) for r in tbl.to_pylist()]
-        if name not in oracle:
-            skipped.append(name)
-            print(f"SKIP  {name:34s} rows={len(got_rows)} (no oracle)")
-            continue
-        try:
-            res = con.execute(oracle[name])
-            exp_names = [d[0] for d in res.description]
-            exp_rows = res.fetchall()
-        except Exception as e:
-            failed.append(name)
-            print(f"FAIL  {name:34s} oracle SQL error: {str(e).splitlines()[0][:160]}")
-            continue
-        gn, gr = norm_rows(got_names, got_rows)
-        en, er = norm_rows(exp_names, exp_rows)
-        if gn != en:
-            failed.append(name)
-            print(f"FAIL  {name:34s} columns differ: spark={gn} duckdb={en}")
-            continue
-        if gr != er:
-            failed.append(name)
-            print(f"FAIL  {name:34s} rows differ: spark={len(gr)} duckdb={len(er)}")
-            sg, se = set(gr), set(er)
-            for r in list(sg - se)[:3]:
-                print(f"      spark-only : {r}")
-            for r in list(se - sg)[:3]:
-                print(f"      duckdb-only: {r}")
-            continue
-        passed.append(name)
-        print(f"PASS  {name:34s} rows={len(gr)}")
+    names = [n for n in names if not only or n in only]
+    if jobs == 1:
+        _init(sf_dir, out_dir, oracle)
+        results = [check_one(n) for n in names]
+    else:
+        with ProcessPoolExecutor(max_workers=jobs, initializer=_init,
+                                 initargs=(sf_dir, out_dir, oracle)) as ex:
+            results = list(ex.map(check_one, names))
+    results.sort(key=lambda r: r[0])
+    failed = [n for n, st, _, _ in results if st == "fail"]
+    passed = [n for n, st, _, _ in results if st == "pass"]
+    skipped = [n for n, st, _, _ in results if st == "skip"]
+    for _, _, lines, _ in results:
+        for line in lines:
+            print(line)
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
     if json_out:
         tally = {"sf_dir": sf_dir,
                  "passed": len(passed), "failed": len(failed),
                  "rows_only": len(skipped),
-                 "queries": {**{n: "pass" for n in passed},
-                             **{n: "fail" for n in failed},
-                             **{n: "rows_only" for n in skipped}}}
+                 "queries": {n: ("pass" if st == "pass" else
+                                 "fail" if st == "fail" else "rows_only")
+                             for n, st, _, _ in results}}
         Path(json_out).write_text(json.dumps(tally, indent=1, sort_keys=True))
+    if driver_out:
+        Path(driver_out).write_text(json.dumps(
+            {f"{n}.parquet": rec for n, _, _, rec in results},
+            indent=2, sort_keys=True))
     if failed:
         print("failed:", " ".join(failed))
         sys.exit(1)
