@@ -723,6 +723,12 @@ object Similarity {
     val train =
       if (sampN >= nVec) emb
       else {
+        // 40·√N exceeds Int range only past ~3e15 vectors; fail loudly
+        // there instead of silently truncating the limit (a corpus that
+        // size swaps this TakeOrdered for an approximate id-quantile)
+        require(sampN <= Int.MaxValue,
+          s"k-means training sample $sampN overflows limit(); " +
+            "use an approximate threshold at this corpus size")
         val thr = emb.select(col("vec_id")).orderBy("vec_id")
           .limit(sampN.toInt).agg(max(col("vec_id"))).head.getLong(0)
         emb.filter(col("vec_id") <= thr)

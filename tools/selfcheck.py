@@ -67,8 +67,11 @@ def _init(sf_dir, out_dir, oracle):
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
         if p.exists():
+            # driver fixtures are single files; ScaleGen corpora are
+            # Spark-written DIRECTORIES of part files — glob those
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
             _CON.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     _ORACLE = oracle
     _OUT_DIR = out_dir
 
