@@ -590,25 +590,29 @@ class PipelineSpec extends AnyFunSuite {
     * sample (integer sums, one-IEEE-op-chain q6 centroids, sequential
     * distance folds), then the FULL corpus assigned once.
     */
-  private def replayKmeans(
-      vecs: Array[(Long, Seq[Double])]): Set[(Long, Int, Double)] = {
+  private def rdot(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+
+  /** The trained centroids alone (the trainer contract of
+    * [[replayKmeans]]); shared with the s09b probe replay.
+    */
+  private def replayKmeansCents(
+      vecs: Array[(Long, Seq[Double])]): Array[Seq[Double]] = {
     val xi = vecs.map { case (id, e) =>
       id -> e.map(v => math.floor(v * 1e6 + 0.5).toLong) }.toMap
-    def dot(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
     val kk = pipeline.Similarity.kmeansK(vecs.length.toLong)
     val sampN = math.min(vecs.length.toLong,
       pipeline.Similarity.TrainPointsPerCentroid * kk).toInt
     val train = vecs.take(sampN) // vecs arrive sorted by vec_id
     var cents = vecs.take(kk).map(v => xi(v._1).map(_.toDouble / 1e6))
-    def best(e: Seq[Double]): (Int, Double) = {
-      val en = dot(e, e)
+    def best(e: Seq[Double]): Int = {
+      val en = rdot(e, e)
       cents.zipWithIndex.map { case (c, k) =>
-        (en - 2.0 * dot(e, c) + dot(c, c), k)
-      }.min match { case (d, k) => (k, d) }
+        (en - 2.0 * rdot(e, c) + rdot(c, c), k)
+      }.min._2
     }
     for (_ <- 1 to 3) {
-      val byK = train.groupBy(v => best(v._2)._1)
+      val byK = train.groupBy(v => best(v._2))
       cents = cents.zipWithIndex.map { case (old, k) =>
         byK.get(k).fold(old) { ms =>
           val n = ms.length
@@ -618,8 +622,44 @@ class PipelineSpec extends AnyFunSuite {
         }
       }
     }
+    cents
+  }
+
+  private def replayKmeans(
+      vecs: Array[(Long, Seq[Double])]): Set[(Long, Int, Double)] = {
+    val cents = replayKmeansCents(vecs)
     vecs.map { case (id, e) =>
-      val (k, d) = best(e)
+      val en = rdot(e, e)
+      val (d, k) = cents.zipWithIndex.map { case (c, kk) =>
+        (en - 2.0 * rdot(e, c) + rdot(c, c), kk)
+      }.min
+      (id, k, math.floor(d * 1e6 + 0.5) / 1e6)
+    }.toSet
+  }
+
+  /** Plain-Scala replay of s09b's two-level probe assignment over the
+    * trained centroids: super stride ⌈√K⌉, centroid→nearest-super
+    * grouping, per-vector top-2 supers, argmin over their members — all
+    * (d, id)-lexicographic like the engine and the oracle.
+    */
+  private def replayProbe(vecs: Array[(Long, Seq[Double])],
+      cents: Array[Seq[Double]]): Set[(Long, Int, Double)] = {
+    def sq(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+    val st = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val sups = cents.zipWithIndex.collect {
+      case (c, k) if k % st == 0 => (k, c, sq(c)) }
+    val members = cents.zipWithIndex.map { case (c, k) =>
+      val cc = sq(c)
+      val sid = sups.map { case (s, sc, scc) =>
+        (cc - 2.0 * rdot(c, sc) + scc, s) }.min._2
+      (sid, (k, c, cc))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    vecs.map { case (id, e) =>
+      val en = rdot(e, e)
+      val top = sups.map { case (s, sc, scc) =>
+        (en - 2.0 * rdot(e, sc) + scc, s) }.sorted.take(2).map(_._2)
+      val (d, k) = top.flatMap(members.getOrElse(_, Array.empty[(Int, Seq[Double], Double)]))
+        .map { case (k0, c, cc) => (en - 2.0 * rdot(e, c) + cc, k0) }.min
       (id, k, math.floor(d * 1e6 + 0.5) / 1e6)
     }.toSet
   }
@@ -670,6 +710,21 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Int, Double)].collect().toSet
     assert(got === want,
       s"spark-only: ${(got -- want).take(3)}; scala-only: ${(want -- got).take(3)}")
+    // s09b on the same past-the-boundary corpus: the probe assignment
+    // must match the plain-Scala two-level replay bit-for-bit, and its
+    // distances can only ever be >= the exact argmin's (a probe never
+    // finds a closer centroid than the flat scan)
+    val wantP = replayProbe(vecs, replayKmeansCents(vecs))
+    val gotP = SparkEntry.queries("s09b_kmeans_probe")(spark, dir)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(gotP === wantP,
+      s"spark-only: ${(gotP -- wantP).take(3)}; scala-only: ${(wantP -- gotP).take(3)}")
+    val exactD = got.map(t => t._1 -> t._3).toMap
+    assert(gotP.forall { case (id, _, d) => d >= exactD(id) - 1e-9 },
+      "probe assignment found a closer centroid than the exact argmin")
+    assert(gotP.count { case (id, k, _) =>
+      got.contains((id, k, exactD(id))) } > 0,
+      "probe never agrees with the exact assignment anywhere")
   }
 
   test("p08 diversity prune: exact per-cell quota, prototypes pruned") {
