@@ -59,11 +59,15 @@ def norm_rows(names, rows):
     return [names[i] for i in order], out
 
 
-def _init(sf_dir, out_dir, oracle):
+def _init(sf_dir, out_dir, oracle, threads=None):
     import duckdb
     global _CON, _ORACLE, _OUT_DIR
     _CON = duckdb.connect()
     _CON.execute("SET TimeZone='UTC'")
+    if threads:
+        # N workers each defaulting to ALL cores oversubscribes the box
+        # N-fold and the parallel win evaporates — split the cores
+        _CON.execute(f"SET threads={threads}")
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
         if p.exists():
@@ -151,8 +155,11 @@ def main():
         _init(sf_dir, out_dir, oracle)
         results = [check_one(n) for n in names]
     else:
+        import os
+        threads = max(2, (os.cpu_count() or 8) // jobs)
         with ProcessPoolExecutor(max_workers=jobs, initializer=_init,
-                                 initargs=(sf_dir, out_dir, oracle)) as ex:
+                                 initargs=(sf_dir, out_dir, oracle,
+                                           threads)) as ex:
             results = list(ex.map(check_one, names))
     results.sort(key=lambda r: r[0])
     failed = [n for n, st, _, _ in results if st == "fail"]
