@@ -93,7 +93,8 @@ object Bench {
     // #4): a future f-prefixed entry must opt in deliberately rather than
     // inherit best-case floor recording by prefix accident.
     val minFloorEntries = Set("f01_indicator_cycle", "f01b_priority_cycle",
-      "f01c_cycle_slice", "f02_production_tick", "f03_native_tick")
+      "f01c_cycle_slice", "f01d_cycle_metrics", "f02_production_tick",
+      "f03_native_tick")
     val byName = wanted.toMap
     val results = twoPass.map { case (name, t) =>
       if (minFloorEntries(name))

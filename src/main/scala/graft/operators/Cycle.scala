@@ -612,8 +612,9 @@ object Cycle {
     val pack = graft.indicators.Futures.queries
     val branches = Tables.withMetricsFrame(metricsFrame) {
       MetricsSlicePack.map { key =>
-        val snap = snapshot(pack(key)(s, dir),
-          metricsFrame.withColumnRenamed("create_time", "bucket_ts"))
+        // fallback unreachable here: both pack members emit create_time,
+        // so snapshot always takes the rename branch
+        val snap = snapshot(pack(key)(s, dir), metricsFrame)
         val fields = snap.schema.fields.collect {
           case f if f.name != "symbol" && f.name != "bucket_ts" &&
               f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>

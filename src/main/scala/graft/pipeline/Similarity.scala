@@ -142,11 +142,18 @@ object Similarity {
     * stale N can never drive kmeansK/planesFor against the live files —
     * the same staleness contract every other cache layer carries.
     */
+  private final case class CountKey(dir: String, stamp: Long)
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def corpusCount(s: SparkSession, dir: String): Long =
-    countCache.computeIfAbsent(dir + "@" + Tables.dirStamp(dir),
+    new java.util.concurrent.ConcurrentHashMap[CountKey, java.lang.Long]()
+  private def corpusCount(s: SparkSession, dir: String): Long = {
+    val key = CountKey(dir, Tables.dirStamp(dir))
+    // structural key + superseded-stamp eviction, the matCache pattern —
+    // a string key with separators would re-import the '@'-in-dir
+    // cross-match shape r11 ADVICE #3 retired
+    countCache.keySet.removeIf(k => k.dir == dir && k != key)
+    countCache.computeIfAbsent(key,
       _ => Tables.embeddings(s, dir).count()).longValue()
+  }
 
   /** Corpus bucketed at the scale-appropriate plane count, with the
     * multi-probe list attached. One parquet scan, row-local kernels.

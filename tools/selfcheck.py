@@ -82,7 +82,20 @@ def _init(sf_dir, out_dir, oracle, threads=None):
 
 def check_one(name):
     """Returns (name, status, lines, record) — record in the driver's r8
-    artifact schema."""
+    artifact schema. NEVER raises: any per-query failure (unreadable
+    Verify output, oracle error, compare crash) becomes a FAIL row, so
+    one bad entry cannot discard an hour of completed results or the
+    --json/--driver-schema artifacts."""
+    try:
+        return _check_one(name)
+    except Exception as e:
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None,
+               "err": f"check error: {str(e).splitlines()[0][:160]}"}
+        return (name, "fail", [f"FAIL  {name:34s} {rec['err']}"], rec)
+
+
+def _check_one(name):
     import pyarrow.parquet as pq
     d = Path(_OUT_DIR, name + ".parquet")
     if not d.exists():
@@ -152,8 +165,15 @@ def main():
                    for d in Path(out_dir).iterdir() if d.is_dir())
     names = [n for n in names if not only or n in only]
     if jobs == 1:
+        # stream per-query lines as they complete (the pre-r12 behavior —
+        # an ~85-min sequential run should show progress, not buffer)
         _init(sf_dir, out_dir, oracle)
-        results = [check_one(n) for n in names]
+        results = []
+        for n in names:
+            r = check_one(n)
+            for line in r[2]:
+                print(line, flush=True)
+            results.append(r)
     else:
         import os
         threads = max(2, (os.cpu_count() or 8) // jobs)
@@ -161,13 +181,14 @@ def main():
                                  initargs=(sf_dir, out_dir, oracle,
                                            threads)) as ex:
             results = list(ex.map(check_one, names))
+    if jobs > 1:  # sequential mode already streamed its lines
+        for _, _, lines, _ in sorted(results, key=lambda r: r[0]):
+            for line in lines:
+                print(line)
     results.sort(key=lambda r: r[0])
     failed = [n for n, st, _, _ in results if st == "fail"]
     passed = [n for n, st, _, _ in results if st == "pass"]
     skipped = [n for n, st, _, _ in results if st == "skip"]
-    for _, _, lines, _ in results:
-        for line in lines:
-            print(line)
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
     if json_out:
         tally = {"sf_dir": sf_dir,
