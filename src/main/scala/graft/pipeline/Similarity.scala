@@ -827,6 +827,7 @@ object Similarity {
   /** Super-cells probed per vector in s09b's hierarchical assignment. */
   private[graft] val KmeansProbes = 2
 
+
   /** S9b — PROBE-ASSIGNED k-means: s09's sample-trained centroids, but
     * the full-corpus assignment routes through a d09-style two-level
     * hierarchy instead of the exact K-wide argmin — the r11 verdict's
@@ -865,22 +866,30 @@ object Similarity {
     val sups = cents.zipWithIndex.collect {
       case (c, k) if k % sStep == 0 => (k, c, sq(c)) }
     // driver-side level 1: trained centroid k → nearest super (d, s_id
-    // lexicographic min — the oracle's ORDER BY d, s_id)
-    val c2s: Seq[(Int, Int, Seq[Double], Double)] =
+    // lexicographic min — the oracle's ORDER BY d, s_id), grouped to the
+    // super→members map ON THE DRIVER too: it is trainer-state-sized
+    // data, and a groupBy would put a (tiny but real) hash exchange into
+    // a plan whose whole point is zero shuffle (PlanSpec pins it out)
+    val bySuper: Seq[(Int, Seq[(Int, Seq[Double], Double)])] =
       cents.zipWithIndex.toSeq.map { case (c, k) =>
         val cc = sq(c)
         val sid = sups.map { case (sid0, sc, scc) =>
           (cc - 2.0 * dotD(c, sc) + scc, sid0) }.min._2
-        (sid, k, c, cc)
-      }
+        (sid, (k, c, cc))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
     import s.implicits._
     val supFrame = sups.toSeq
       .toDF("s_id", "sc", "scc")
       .agg(collect_list(struct(col("s_id"), col("sc"), col("scc")))
         .as("sups"))
-    val cmapFrame = c2s.toDF("s_id", "k", "c", "cc")
-      .groupBy(col("s_id"))
-      .agg(collect_list(struct(col("k"), col("c"), col("cc"))).as("cs"))
+    // positional struct cast renames the tuple's _1/_2/_3 to the field
+    // names the probe fold reads (a nested case class would name them
+    // directly, but its encoder trips Spark's codegen into a noisy
+    // interpreter fallback)
+    val cmapFrame = bySuper
+      .toDF("s_id", "cs")
+      .select(col("s_id"), col("cs")
+        .cast("array<struct<k:int,c:array<double>,cc:double>>").as("cs"))
       .agg(map_from_entries(collect_list(struct(col("s_id"), col("cs"))))
         .as("cmap"))
     emb.crossJoin(broadcast(supFrame)).crossJoin(broadcast(cmapFrame))

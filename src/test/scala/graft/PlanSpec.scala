@@ -223,6 +223,22 @@ class PlanSpec extends AnyFunSuite {
       s"s09 lost the broadcast centroid table:\n${p.take(1500)}")
   }
 
+  test("s09b: the probe assignment is broadcast + row-local folds, never a shuffle") {
+    // the whole point of the hierarchical path is O(N·N^0.25) with ZERO
+    // shuffle: the super list and the super→members map ride as 1-row
+    // broadcasts and every probe/argmin is a row-local fold — a
+    // SortMergeJoin, cartesian, or any Exchange besides the broadcasts
+    // means the two-level assignment regressed to a real join
+    val p = plan("s09b_kmeans_probe")
+    assert(!p.contains("SortMergeJoin"),
+      s"s09b probe shuffled the corpus:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"s09b grew a hash shuffle:\n${p.take(1500)}")
+    assert(p.contains("Broadcast"),
+      s"s09b lost the broadcast codebook:\n${p.take(1500)}")
+  }
+
   test("t12: char entropy is row-local — zero exchanges, no join") {
     // the fixed-alphabet histogram is 27 length(replace(...)) expressions
     // plus two folds, all per-row; an Exchange means the histogram
