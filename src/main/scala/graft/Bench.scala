@@ -92,9 +92,14 @@ object Bench {
     // The floor treatment names its five entries EXPLICITLY (r11 ADVICE
     // #4): a future f-prefixed entry must opt in deliberately rather than
     // inherit best-case floor recording by prefix accident.
+    // r12 VERDICT #7: the g-family heavyweights swung ~1.2x on in-suite
+    // ordering (g17 4.55 -> 5.41 s with no plan change); they get the same
+    // min-of-4 floor as the composed cycles. Explicit names, same contract.
     val minFloorEntries = Set("f01_indicator_cycle", "f01b_priority_cycle",
       "f01c_cycle_slice", "f01d_cycle_metrics", "f02_production_tick",
-      "f03_native_tick")
+      "f03_native_tick",
+      "g17_rules_corpus_1h", "g13_rules_cooldown", "g18_rules_native_tf",
+      "g06_rules_momentum")
     val byName = wanted.toMap
     val results = twoPass.map { case (name, t) =>
       if (minFloorEntries(name))

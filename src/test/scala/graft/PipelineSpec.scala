@@ -585,25 +585,38 @@ class PipelineSpec extends AnyFunSuite {
       f"candidate rate $rBig%.2f exceeds the band-bucket-cap ceiling")
   }
 
-  /** Plain-Scala replay of the s09 trainer contract: seeds = K smallest
-    * ids, 3 Lloyd rounds over the min(N, 40·K)-smallest-id training
-    * sample (integer sums, one-IEEE-op-chain q6 centroids, sequential
-    * distance folds), then the FULL corpus assigned once.
+  /** Plain-Scala replay of the s09 trainer contract: seeds = first K
+    * vectors by md5-60(id) hash rank (r12 VERDICT #3 — uniform over the
+    * corpus, not the oldest shard), 3 Lloyd rounds over the first
+    * min(N, 40·K) vectors of the same order, (integer sums,
+    * one-IEEE-op-chain q6 centroids, sequential distance folds), then
+    * the FULL corpus assigned once.
     */
   private def rdot(a: Seq[Double], b: Seq[Double]): Double =
     a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+
+  /** md5-60 of the id's decimal string — the Dedup.md5Hash60 contract
+    * recomputed from first principles (JDK MessageDigest, not Spark).
+    */
+  private def md5Rank(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
 
   /** The trained centroids alone (the trainer contract of
     * [[replayKmeans]]); shared with the s09b probe replay.
     */
   private def replayKmeansCents(
-      vecs: Array[(Long, Seq[Double])]): Array[Seq[Double]] = {
+      vecs0: Array[(Long, Seq[Double])]): Array[Seq[Double]] = {
+    val vecs = vecs0.sortBy(v => (md5Rank(v._1), v._1))
     val xi = vecs.map { case (id, e) =>
       id -> e.map(v => math.floor(v * 1e6 + 0.5).toLong) }.toMap
     val kk = pipeline.Similarity.kmeansK(vecs.length.toLong)
     val sampN = math.min(vecs.length.toLong,
       pipeline.Similarity.TrainPointsPerCentroid * kk).toInt
-    val train = vecs.take(sampN) // vecs arrive sorted by vec_id
+    val train = vecs.take(sampN) // hash-rank order
     var cents = vecs.take(kk).map(v => xi(v._1).map(_.toDouble / 1e6))
     def best(e: Seq[Double]): Int = {
       val en = rdot(e, e)
@@ -650,8 +663,12 @@ class PipelineSpec extends AnyFunSuite {
       case (c, k) if k % st == 0 => (k, c, sq(c)) }
     val members = cents.zipWithIndex.map { case (c, k) =>
       val cc = sq(c)
-      val sid = sups.map { case (s, sc, scc) =>
-        (cc - 2.0 * rdot(c, sc) + scc, s) }.min._2
+      // self-first: a super is its own member by decree (the r12
+      // ADVICE #1 empty-super guard, mirrored from the engine)
+      val sid =
+        if (k % st == 0) k
+        else sups.map { case (s, sc, scc) =>
+          (cc - 2.0 * rdot(c, sc) + scc, s) }.min._2
       (sid, (k, c, cc))
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     vecs.map { case (id, e) =>
@@ -683,7 +700,7 @@ class PipelineSpec extends AnyFunSuite {
       s"spark-only: ${(got -- want).take(3)}; scala-only: ${(want -- got).take(3)}")
   }
 
-  test("s09 sample-trained: Lloyd rounds see only the 40K smallest ids at N > 1600") {
+  test("s09 sample-trained: Lloyd rounds see only the 40K hash-ranked sample at N > 1600") {
     // r11 VERDICT #2: at N ≤ 40·K the sample degenerates to the full
     // corpus (every driver SF), so this pin builds a corpus PAST the
     // sample boundary (N > 1600 ⇒ 40·⌈√N⌉ < N) and proves the engine's
@@ -727,30 +744,34 @@ class PipelineSpec extends AnyFunSuite {
       "probe never agrees with the exact assignment anywhere")
   }
 
-  test("p08 diversity prune: exact per-cell quota, prototypes pruned") {
-    // the D4 diversification pin: within every s09 cell the kept count is
+  test("p08/p08b diversity prune: exact per-cell quota, prototypes pruned") {
+    // the D4 diversification pin: within every cell the kept count is
     // exactly ceil(3·|cell|/4), the pruned quarter is the CLOSEST to the
     // centroid (max kept-distance ≥ every pruned distance under the
-    // desc/vec_id order), and the flag covers each doc exactly once
+    // desc/vec_id order), and the flag covers each doc exactly once —
+    // for BOTH the exact-assigned (p08) and probe-assigned (p08b) cells
     import spark.implicits._
-    val out = SparkEntry.queries("p08_diversity_prune")(spark, sf)
-      .select($"vec_id", $"cluster", $"dist", $"div_rank", $"cell_size",
-        $"kept")
-      .as[(Long, Int, Double, Int, Long, Boolean)].collect()
     val nVecs = Tables.embeddings(spark, sf).count()
-    assert(out.length.toLong === nVecs) // one decision per vector
-    out.groupBy(_._2).foreach { case (k, ms) =>
-      val csz = ms.length.toLong
-      assert(ms.forall(_._5 === csz), s"cell $k: cell_size mismatch")
-      assert(ms.map(_._4).sorted.toSeq === (1 to ms.length), s"cell $k ranks")
-      val kept = ms.filter(_._6)
-      assert(kept.length.toLong === (csz * 3 + 3) / 4,
-        s"cell $k: kept ${kept.length} of $csz")
-      // every pruned member sits at or inside the kept set's inner edge
-      val prunedMaxD = ms.filterNot(_._6).map(_._3).maxOption.getOrElse(-1.0)
-      val keptMinD = kept.map(_._3).min
-      assert(prunedMaxD <= keptMinD,
-        s"cell $k: pruned a farther point (pruned max $prunedMaxD > kept min $keptMinD)")
+    for (entry <- Seq("p08_diversity_prune", "p08b_diversity_probe")) {
+      val out = SparkEntry.queries(entry)(spark, sf)
+        .select($"vec_id", $"cluster", $"dist", $"div_rank", $"cell_size",
+          $"kept")
+        .as[(Long, Int, Double, Int, Long, Boolean)].collect()
+      assert(out.length.toLong === nVecs, entry) // one decision per vector
+      out.groupBy(_._2).foreach { case (k, ms) =>
+        val csz = ms.length.toLong
+        assert(ms.forall(_._5 === csz), s"$entry cell $k: cell_size mismatch")
+        assert(ms.map(_._4).sorted.toSeq === (1 to ms.length),
+          s"$entry cell $k ranks")
+        val kept = ms.filter(_._6)
+        assert(kept.length.toLong === (csz * 3 + 3) / 4,
+          s"$entry cell $k: kept ${kept.length} of $csz")
+        // every pruned member sits at or inside the kept set's inner edge
+        val prunedMaxD = ms.filterNot(_._6).map(_._3).maxOption.getOrElse(-1.0)
+        val keptMinD = kept.map(_._3).min
+        assert(prunedMaxD <= keptMinD,
+          s"$entry cell $k: pruned a farther point ($prunedMaxD > $keptMinD)")
+      }
     }
   }
 

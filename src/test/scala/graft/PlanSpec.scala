@@ -371,6 +371,12 @@ class PlanSpec extends AnyFunSuite {
     val pb = plan("d09b_semdedup_kmeans")
     assert(!pb.contains("CartesianProduct") && !pb.contains("BroadcastNestedLoopJoin"),
       s"d09b planned a cartesian dup scan:\n${pb.take(1500)}")
+    // d09c: same within-cell contract over the PROBE-assigned cells, and
+    // its assignment stage must not have re-grown the exact argmin's
+    // sort-merge shape (the probe is broadcast + row-local folds)
+    val pc = plan("d09c_semdedup_probe")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+      s"d09c planned a cartesian dup scan:\n${pc.take(1500)}")
   }
 
   test("p04: the shard manifest pays ONE shuffle (global shuffle with no global sort)") {

@@ -145,7 +145,14 @@ def take_opt(argv, flag, cast=str):
     if i + 1 >= len(argv):
         sys.exit(f"usage: selfcheck.py <sfDir> <outDir> [--json PATH] "
                  f"[--driver-schema PATH] [--jobs N] [query ...]")
-    val = cast(argv[i + 1])
+    try:
+        val = cast(argv[i + 1])
+    except ValueError:
+        # a malformed value (e.g. --jobs fast) should print the usage
+        # string like every other flag error, not a raw traceback
+        sys.exit(f"selfcheck.py: invalid value {argv[i + 1]!r} for {flag}; "
+                 f"usage: selfcheck.py <sfDir> <outDir> [--json PATH] "
+                 f"[--driver-schema PATH] [--jobs N] [query ...]")
     return argv[:i] + argv[i + 2:], val
 
 
