@@ -110,21 +110,32 @@ object Curation {
     * IEEE-754 requires sqrt be correctly rounded, so the weight (and
     * every downstream quota) is bit-identical across engines, unlike a
     * general powᵅ whose libm rounding differs. Budget = total/2 docs;
-    * quota_s = min(avail_s, budget·w_s/W) in pure integer arithmetic;
-    * docs kept by the p02/p03 deterministic multiplicative-hash rank.
+    * quota_s = min(avail_s, ⌈budget·w_s/W⌉) in pure integer arithmetic —
+    * CEIL division (r13): the floor spelling hands quota 0 to every
+    * source whenever budget·w < W, which silently empties small strata
+    * (and, composed over a heavily-gated keep set as in p09, the whole
+    * selection); ceil guarantees each weighted source a seat at the cost
+    * of overshooting the budget by at most |sources| docs — immaterial
+    * at corpus scale, decisive at the tail. Docs kept by the p02/p03
+    * deterministic multiplicative-hash rank.
     * Scale shape: |sources| rows of stats broadcast back, one window
     * pass per source stratum on the corpus's existing source layout.
     */
-  private val temperatureMix: Q = (s, dir) => {
+  /** p06's temperature-quota selection over an ARBITRARY (doc_id,
+    * source) frame — the one body the standalone entry and p09's
+    * composed run share, so the composition cannot drift from the gate
+    * that proves it (the f01d ingredient-reuse discipline).
+    */
+  private def temperatureSelect(d: DataFrame): DataFrame = {
     val all = Window.partitionBy(lit(1))
-    val d = Tables.documents(s, dir)
     val stats = d.groupBy(col("source"))
       .agg(count(lit(1)).as("avail"))
       .withColumn("w", floor(sqrt(col("avail").cast("double"))).cast("bigint"))
       .withColumn("sum_w", sum(col("w")).over(all))
       .withColumn("total", sum(col("avail")).over(all))
       .withColumn("quota",
-        least(col("avail"), expr("total DIV 2 * w DIV sum_w")))
+        least(col("avail"),
+          expr("(total DIV 2 * w + sum_w - 1) DIV sum_w")))
       .select(col("source").as("src"), col("avail"), col("w"), col("quota"))
     val byHash = Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
@@ -135,6 +146,10 @@ object Curation {
       .select(col("doc_id"), col("source"), col("avail"),
         col("w").as("target_w"), col("quota"), col("sample_rank"))
   }
+
+  private val temperatureMix: Q = (s, dir) =>
+    temperatureSelect(Tables.documents(s, dir).select(
+      col("doc_id"), col("source")))
 
   /** c01 — benchmark decontamination: flag corpus docs sharing ≥2 distinct
     * 3-token shingles with the held-out benchmark slice (doc_id ≡ 0 mod
@@ -281,38 +296,56 @@ object Curation {
     * keyed by shard — S-way parallel, linear at any corpus size. All
     * integer arithmetic → bit-exact cross-engine parity.
     */
-  private val shardManifest: Q = (s, dir) => {
+  /** p04's shard layout over an ARBITRARY (doc_id, text [, source])
+    * frame — shared verbatim by the standalone entry and p09's composed
+    * run. `keepSource` threads the source column through for consumers
+    * that report it.
+    */
+  private def shardize(d: DataFrame, keepSource: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     val before = w.rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
-      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+    val src = if (keepSource) Seq(col("source")) else Nil
+    d.withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
       .withColumn("shard", pmod(col("h"), lit(NumShards)))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
       .withColumn("position", row_number().over(w).cast("bigint"))
       .withColumn("tok_offset",
         coalesce(sum(col("n_tokens")).over(before), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("h"), col("position"),
-        col("n_tokens"), col("tok_offset"))
+      .select(col("doc_id") +: src ++: Seq(col("shard"), col("h"),
+        col("position"), col("n_tokens"), col("tok_offset")): _*)
   }
+
+  private val shardManifest: Q = (s, dir) => shardize(Tables.documents(s, dir))
 
   /** p05 — the curation manifest: the composed keep/drop decision a
     * training-data run actually emits, one row per corpus doc with the
     * reason flags — exact duplicate (not the first occurrence of its md5),
-    * Gopher-gate failure (t06's rules), LM-quality tail (t10's bottom
-    * tercile), bigram-LM tail (t20's bottom tercile — the word-order-aware
-    * gate the unigram score cannot see: shuffled or template-stitched
-    * text passes t10 but lands in t20's tail; r11 VERDICT #6), benchmark
-    * contamination (c03's n-gram flag) — and `keep` = none of the above.
+    * near-duplicate non-survivor (d06's cluster-survivor rule: the doc
+    * lost its near-dup cluster to a longer member — the fuzzy-dup drop
+    * every published recipe performs beside the exact one, GPT-3 App. A /
+    * RefinedWeb §3.3; r12 VERDICT #4), Gopher-gate failure (t06's rules),
+    * LM-quality tail (t10's bottom tercile), bigram-LM tail (t20's bottom
+    * tercile — the word-order-aware gate the unigram score cannot see:
+    * shuffled or template-stitched text passes t10 but lands in t20's
+    * tail; r11 VERDICT #6), benchmark contamination (c03's n-gram flag) —
+    * and `keep` = none of the above.
     * Each ingredient REUSES the registered operator (same code, same
     * oracle CTEs), so the manifest cannot drift from the gates it
     * composes. Docs with fewer than two tokens carry no bigram evidence
     * and get `bigram_tail` = false (no score, no gate — t20's own
-    * contract).
+    * contract). The near-dup ingredient evaluates over d06's fixture
+    * corpus (the clone union), so a corpus doc whose synthetic clone
+    * out-lengths it is flagged — on this fixture that is the dominant
+    * near_dup source (~1/3 of docs carry a longer clone), which is
+    * exactly what exercises the flag at driver scale; keep-rate impact
+    * is recorded in PLANS_r13.
     *
-    * Scale shape: the dup pass is one window on the md5 key; gopher is
-    * row-local; both LM terciles are broadcast thresholds; contamination
-    * is the broadcast bench set — the composition adds only doc_id-keyed
-    * joins, which co-partition after the first shuffle.
+    * Scale shape: the dup pass is one window on the md5 key; the
+    * near-dup pass is d06's (banded candidates → CC → one cluster
+    * window); gopher is row-local; both LM terciles are broadcast
+    * thresholds; contamination is the broadcast bench set — the
+    * composition adds only doc_id-keyed joins, which co-partition after
+    * the first shuffle.
     */
   private val curationManifest: Q = (s, dir) => {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0)
@@ -320,6 +353,9 @@ object Curation {
     val dup = corpus.select(col("doc_id"), md5(col("text")).as("m"))
       .withColumn("exact_dup", row_number().over(dupW) > 1)
       .select(col("doc_id"), col("exact_dup"))
+    val nd = Dedup.queries("d06_dedup_survivors")(s, dir)
+      .filter(col("survivor") === 0)
+      .select(col("doc_id"), lit(true).as("near_dup"))
     val gop = Text.queries("t06_gopher_rules")(s, dir)
       .select(col("doc_id"), (col("gopher_pass") === 0).as("gopher_fail"))
     val lm = Text.queries("t10_quality_buckets")(s, dir)
@@ -334,16 +370,20 @@ object Curation {
       .select(col("doc_id"), col("flagged").as("contaminated"))
     corpus.select(col("doc_id"))
       .join(dup, Seq("doc_id"))
+      .join(nd, Seq("doc_id"), "left")
       .join(gop, Seq("doc_id"))
       .join(lm, Seq("doc_id"))
       .join(bt, Seq("doc_id"), "left")
       .join(con, Seq("doc_id"), "left")
+      .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))
       .withColumn("bigram_tail", coalesce(col("bigram_tail"), lit(false)))
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
-      .select(col("doc_id"), col("exact_dup"), col("gopher_fail"),
-        col("lm_tail"), col("bigram_tail"), col("contaminated"),
-        (!col("exact_dup") && !col("gopher_fail") && !col("lm_tail") &&
-          !col("bigram_tail") && !col("contaminated")).as("keep"))
+      .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+        col("gopher_fail"), col("lm_tail"), col("bigram_tail"),
+        col("contaminated"),
+        (!col("exact_dup") && !col("near_dup") && !col("gopher_fail") &&
+          !col("lm_tail") && !col("bigram_tail") && !col("contaminated"))
+          .as("keep"))
   }
 
   /** p07 — deterministic train/val/test split, the partition every
@@ -370,6 +410,38 @@ object Curation {
           .as("split"))
   }
 
+  /** p09 — the composed curation RUN (the pipeline family's f02
+    * analogue; r12 VERDICT #3): the end-to-end DAG an actual
+    * training-data run executes between raw corpus and tokenizer —
+    * p05's keep set → p06's temperature quotas over the KEPT docs →
+    * p04's shard manifest over the selected docs — as ONE relation.
+    * Every stage is the registered operator's own body
+    * ([[curationManifest]] / [[temperatureSelect]] / [[shardize]] —
+    * the same functions the standalone entries call), and the oracle
+    * re-roots the standalone CTE chains at the kept set, so the
+    * composition cannot drift from its proven ingredients (the
+    * f01d/f02 discipline).
+    *
+    * Scale shape: the manifest (the expensive half — near-dup CC, LM
+    * terciles, decontamination) materializes ONCE behind a barrier
+    * (PlanSpec pins that none of its machinery reappears in this
+    * plan); the quota pass is |sources| broadcast rows + one window on
+    * the source layout; the shard pass is one window on the shard key.
+    * Nothing downstream of the keep set is more than doc_id-keyed
+    * joins and two stratified windows — at 100 TB the run costs the
+    * manifest plus two linear passes.
+    */
+  private val curationRun: Q = (s, dir) => {
+    val kept = Tables.barrier(curationManifest(s, dir)
+      .filter(col("keep")).select(col("doc_id")))
+    val docs = Tables.documents(s, dir)
+      .join(kept, Seq("doc_id"), "left_semi")
+    val selected = temperatureSelect(docs.select(col("doc_id"), col("source")))
+      .select(col("doc_id"))
+    shardize(docs.select(col("doc_id"), col("source"), col("text"))
+      .join(selected, Seq("doc_id"), "left_semi"), keepSource = true)
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_pack_chunks" -> packChunks,
     "p02_stratified_sample" -> stratifiedSample,
@@ -380,7 +452,8 @@ object Curation {
     "c01_contamination" -> contamination,
     "c02_bloom_decontam" -> bloomDecontam,
     "c03_ngram_decontam" -> ngramDecontam,
-    "p05_curation_manifest" -> curationManifest)
+    "p05_curation_manifest" -> curationManifest,
+    "p09_curation_run" -> curationRun)
 
   val oracle: Map[String, String] = Map(
     "p07_hash_split" ->
@@ -448,86 +521,37 @@ object Curation {
         |FROM ranked JOIN quotas ON ranked.source = quotas.source
         |WHERE sample_rank <= quota""".stripMargin,
     "p04_shard_manifest" ->
-      s"""WITH hashed AS (
-         |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents)
-         |SELECT doc_id, h % $NumShards AS shard, h,
-         |  CAST(row_number() OVER (PARTITION BY h % $NumShards
-         |    ORDER BY h, doc_id) AS BIGINT) AS position,
-         |  n_tokens,
-         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % $NumShards
-         |    ORDER BY h, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |    AS tok_offset
-         |FROM hashed""".stripMargin,
+      s"""WITH ${shardSqlCtes("documents", "", withSource = false)}
+         |SELECT doc_id, shard, h, position, n_tokens, tok_offset
+         |FROM shardt""".stripMargin,
     "p06_temperature_mix" ->
-      """WITH stats AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS avail
-        |  FROM documents GROUP BY 1),
-        |wts AS (
-        |  SELECT source, avail, CAST(floor(sqrt(avail)) AS BIGINT) AS w
-        |  FROM stats),
-        |quotas AS (
-        |  SELECT source, avail, w,
-        |    least(avail, CAST(sum(avail) OVER () AS BIGINT) // 2 * w //
-        |      CAST(sum(w) OVER () AS BIGINT)) AS quota
-        |  FROM wts),
-        |ranked AS (
-        |  SELECT doc_id, source,
-        |    CAST(row_number() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT)
-        |      AS sample_rank
-        |  FROM documents)
-        |SELECT doc_id, ranked.source, avail, w AS target_w, quota, sample_rank
-        |FROM ranked JOIN quotas ON ranked.source = quotas.source
-        |WHERE sample_rank <= quota""".stripMargin,
+      s"""WITH ${tempMixSqlCtes("documents", "")}
+         |SELECT doc_id, source, avail, target_w, quota, sample_rank
+         |FROM sel""".stripMargin,
     "p05_curation_manifest" ->
-      s"""WITH corp AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
-         |dup AS (
-         |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
-         |    ORDER BY doc_id) > 1 AS exact_dup
-         |  FROM corp),
-         |${Text.GopherFeatCte},
-         |gop AS (
-         |  SELECT doc_id, NOT (${Text.GopherPassSql}) AS gopher_fail
-         |  FROM feat),
-         |${Text.LmScoredCtes},
-         |${Text.LmThrCte},
-         |${Text.BiScoredCtes},
-         |${Text.BiThrCte},
-         |toks4 AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh4 AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(t) - ${DirtyN - 2}),
-         |      i -> array_to_string(t[i:i+${DirtyN - 1}], ' '))) AS ss
-         |  FROM toks4 WHERE len(t) >= $DirtyN),
-         |bench4 AS (
-         |  SELECT DISTINCT unnest(ss) AS s FROM sh4 WHERE doc_id % 97 = 0),
-         |hits4 AS (
-         |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dirty
-         |  FROM (SELECT doc_id, unnest(ss) AS s FROM sh4
-         |        WHERE doc_id % 97 <> 0) c
-         |  JOIN bench4 USING (s)
-         |  GROUP BY 1)
-         |SELECT c.doc_id, d.exact_dup, g.gopher_fail,
-         |  (s.lm_logprob < thr.t_lo) AS lm_tail,
-         |  coalesce(b.bi_logprob < bithr.b_lo, FALSE) AS bigram_tail,
-         |  coalesce(h.n_dirty > 0, FALSE) AS contaminated,
-         |  (NOT d.exact_dup AND NOT g.gopher_fail
-         |    AND NOT (s.lm_logprob < thr.t_lo)
-         |    AND NOT coalesce(b.bi_logprob < bithr.b_lo, FALSE)
-         |    AND NOT coalesce(h.n_dirty > 0, FALSE)) AS keep
-         |FROM corp c
-         |JOIN dup d ON c.doc_id = d.doc_id
-         |JOIN gop g ON c.doc_id = g.doc_id
-         |JOIN scored s ON c.doc_id = s.doc_id
-         |CROSS JOIN thr
-         |LEFT JOIN biscored b ON c.doc_id = b.doc_id
-         |CROSS JOIN bithr
-         |LEFT JOIN hits4 h ON c.doc_id = h.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $ManifestCtes
+         |SELECT doc_id, exact_dup, near_dup, gopher_fail, lm_tail,
+         |  bigram_tail, contaminated, keep
+         |FROM manifest""".stripMargin,
+    "p09_curation_run" ->
+      // the composed run: the p05 manifest chain VERBATIM, re-rooted —
+      // kept docs feed p06's quota chain (tempMixSqlCtes over `kept`),
+      // whose selection feeds p04's shard chain (shardSqlCtes over the
+      // chosen docs) — the same re-use-the-ingredient-CTEs discipline as
+      // f01d, so the three stages cannot drift from their standalone
+      // oracles
+      s"""WITH RECURSIVE $ManifestCtes,
+         |kept AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM manifest m JOIN documents d ON m.doc_id = d.doc_id
+         |  WHERE m.keep),
+         |${tempMixSqlCtes("kept", "k")},
+         |chosen AS (
+         |  SELECT s.doc_id, s.source, k.text
+         |  FROM ksel s JOIN kept k ON s.doc_id = k.doc_id),
+         |${shardSqlCtes("chosen", "k", withSource = true)}
+         |SELECT doc_id, source, shard, h, position, n_tokens, tok_offset
+         |FROM kshardt""".stripMargin,
     "c03_ngram_decontam" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -556,6 +580,118 @@ object Curation {
     // c02 is the same relation computed through a Bloom prefilter; false
     // positives are removed by the exact verify join, so one oracle fits both
     "c02_bloom_decontam" -> DECONTAM_SQL)
+
+  /** p06's oracle chain over an arbitrary (doc_id, source) relation
+    * `src`, CTE names prefixed with `p` so it composes (ends in
+    * `<p>sel` = the selected docs with their quota columns). ONE
+    * spelling for the standalone entry and p09.
+    */
+  private def tempMixSqlCtes(src: String, p: String): String =
+    s"""${p}stats AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS avail
+       |  FROM $src GROUP BY 1),
+       |${p}wts AS (
+       |  SELECT source, avail, CAST(floor(sqrt(avail)) AS BIGINT) AS w
+       |  FROM ${p}stats),
+       |${p}quotas AS (
+       |  SELECT source, avail, w,
+       |    least(avail, (tot // 2 * w + sw - 1) // sw) AS quota
+       |  FROM (SELECT *, CAST(sum(avail) OVER () AS BIGINT) AS tot,
+       |               CAST(sum(w) OVER () AS BIGINT) AS sw
+       |        FROM ${p}wts)),
+       |${p}ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT)
+       |      AS sample_rank
+       |  FROM $src),
+       |${p}sel AS (
+       |  SELECT doc_id, ${p}ranked.source, avail, w AS target_w, quota,
+       |    sample_rank
+       |  FROM ${p}ranked JOIN ${p}quotas
+       |    ON ${p}ranked.source = ${p}quotas.source
+       |  WHERE sample_rank <= quota)""".stripMargin
+
+  /** p04's oracle chain over an arbitrary (doc_id, text [, source])
+    * relation `src`, prefixed like [[tempMixSqlCtes]] (ends in
+    * `<p>shardt` = the shard manifest).
+    */
+  private def shardSqlCtes(src: String, p: String,
+      withSource: Boolean): String = {
+    val sc = if (withSource) " source," else ""
+    s"""${p}hashedt AS (
+       |  SELECT doc_id,$sc (doc_id * 2654435761) % 4294967296 AS h,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM $src),
+       |${p}shardt AS (
+       |  SELECT doc_id,$sc h % $NumShards AS shard, h,
+       |    CAST(row_number() OVER (PARTITION BY h % $NumShards
+       |      ORDER BY h, doc_id) AS BIGINT) AS position,
+       |    n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % $NumShards
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_offset
+       |  FROM ${p}hashedt)""".stripMargin
+  }
+
+  /** The p05 manifest as a reusable CTE chain ending in `manifest`
+    * (doc_id + every reason flag + keep). Opens with d06's RECURSIVE
+    * component chain, so the enclosing query must say WITH RECURSIVE.
+    * Shared verbatim by the p05 entry and p09's composed run.
+    */
+  private lazy val ManifestCtes: String =
+    s"""${Dedup.D06Ctes},
+       |corp AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       |dup AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+       |    ORDER BY doc_id) > 1 AS exact_dup
+       |  FROM corp),
+       |ndup AS (SELECT doc_id FROM d06s WHERE survivor = 0),
+       |${Text.GopherFeatCte},
+       |gop AS (
+       |  SELECT doc_id, NOT (${Text.GopherPassSql}) AS gopher_fail
+       |  FROM feat),
+       |${Text.LmScoredCtes},
+       |${Text.LmThrCte},
+       |${Text.BiScoredCtes},
+       |${Text.BiThrCte},
+       |toks4 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh4 AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(t) - ${DirtyN - 2}),
+       |      i -> array_to_string(t[i:i+${DirtyN - 1}], ' '))) AS ss
+       |  FROM toks4 WHERE len(t) >= $DirtyN),
+       |bench4 AS (
+       |  SELECT DISTINCT unnest(ss) AS s FROM sh4 WHERE doc_id % 97 = 0),
+       |hits4 AS (
+       |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dirty
+       |  FROM (SELECT doc_id, unnest(ss) AS s FROM sh4
+       |        WHERE doc_id % 97 <> 0) c
+       |  JOIN bench4 USING (s)
+       |  GROUP BY 1),
+       |manifest AS (
+       |  SELECT c.doc_id, d.exact_dup,
+       |    (nd.doc_id IS NOT NULL) AS near_dup,
+       |    g.gopher_fail,
+       |    (s.lm_logprob < thr.t_lo) AS lm_tail,
+       |    coalesce(b.bi_logprob < bithr.b_lo, FALSE) AS bigram_tail,
+       |    coalesce(h.n_dirty > 0, FALSE) AS contaminated,
+       |    (NOT d.exact_dup AND nd.doc_id IS NULL AND NOT g.gopher_fail
+       |      AND NOT (s.lm_logprob < thr.t_lo)
+       |      AND NOT coalesce(b.bi_logprob < bithr.b_lo, FALSE)
+       |      AND NOT coalesce(h.n_dirty > 0, FALSE)) AS keep
+       |  FROM corp c
+       |  JOIN dup d ON c.doc_id = d.doc_id
+       |  LEFT JOIN ndup nd ON c.doc_id = nd.doc_id
+       |  JOIN gop g ON c.doc_id = g.doc_id
+       |  JOIN scored s ON c.doc_id = s.doc_id
+       |  CROSS JOIN thr
+       |  LEFT JOIN biscored b ON c.doc_id = b.doc_id
+       |  CROSS JOIN bithr
+       |  LEFT JOIN hits4 h ON c.doc_id = h.doc_id)""".stripMargin
 
   private lazy val DECONTAM_SQL: String =
     """WITH toks AS (

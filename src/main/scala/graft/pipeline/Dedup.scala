@@ -945,25 +945,36 @@ object Dedup {
          |FROM kept WHERE rn = 1
          |GROUP BY doc_id, n_lines""".stripMargin,
     "d06_dedup_survivors" ->
-      s"""WITH RECURSIVE $CLONES_SQL,
-         |$D02_CTES,
-         |d2 AS ($D02_SELECT),
-         |edges AS (SELECT a, b FROM d2 UNION ALL SELECT b AS a, a AS b FROM d2),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-         |lab AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
-         |cs AS (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
-         |       FROM lab GROUP BY canonical),
-         |sized AS (
-         |  SELECT lab.id, lab.canonical, CAST(len(uni.text) AS INT) AS n_len
-         |  FROM lab JOIN uni ON lab.id = uni.doc_id)
-         |SELECT id AS doc_id, canonical, cluster_size, n_len,
-         |  CAST(row_number() OVER (PARTITION BY canonical
-         |    ORDER BY n_len DESC, id) = 1 AS INT) AS survivor
-         |FROM sized JOIN cs USING (canonical)""".stripMargin)
+      s"""WITH RECURSIVE $D06Ctes
+         |SELECT doc_id, canonical, cluster_size, n_len, survivor
+         |FROM d06s""".stripMargin)
+
+  /** d06's full oracle chain — clones → d02 pairs → recursive components
+    * → survivor rank — exposed for composition (p05's `near_dup` flag
+    * reuses it VERBATIM, r12 VERDICT #4), ending in `d06s` = the d06
+    * relation. The enclosing query must open with `WITH RECURSIVE`.
+    */
+  private[pipeline] lazy val D06Ctes: String =
+    s"""$CLONES_SQL,
+       |$D02_CTES,
+       |d2 AS ($D02_SELECT),
+       |edges AS (SELECT a, b FROM d2 UNION ALL SELECT b AS a, a AS b FROM d2),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |lab AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+       |cs AS (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM lab GROUP BY canonical),
+       |sized AS (
+       |  SELECT lab.id, lab.canonical, CAST(len(uni.text) AS INT) AS n_len
+       |  FROM lab JOIN uni ON lab.id = uni.doc_id),
+       |d06s AS (
+       |  SELECT id AS doc_id, canonical, cluster_size, n_len,
+       |    CAST(row_number() OVER (PARTITION BY canonical
+       |      ORDER BY n_len DESC, id) = 1 AS INT) AS survivor
+       |  FROM sized JOIN cs USING (canonical))""".stripMargin
 
   /** The 24-bit simhash vote-sum as DuckDB SQL (d04b oracle), generated
     * bit-by-bit like s02's plane literals.

@@ -391,6 +391,22 @@ class PlanSpec extends AnyFunSuite {
       s"p04 planned a global sort:\n${p.take(1500)}")
   }
 
+  test("p09: the keep-set fact materializes once; no manifest machinery re-derives") {
+    // the composed run's scale contract: the p05 manifest (near-dup CC,
+    // LM terciles, decontamination — the expensive half) sits behind a
+    // checkpoint barrier and enters this plan ONLY as the materialized
+    // keep-set fact. If any of its machinery (the md5 dup/survivor
+    // hashes, the tercile percentile) appears in p09's own plan, the
+    // barrier broke and the manifest would recompute per consumer.
+    val p = plan("p09_curation_run")
+    assert(p.contains("ExistingRDD"),
+      s"p09 lost the keep-set checkpoint barrier:\n${p.take(1500)}")
+    assert(!p.contains("md5"),
+      s"p09 re-derives the manifest's dup machinery:\n${p.take(1500)}")
+    assert(!p.contains("percentile"),
+      s"p09 re-derives the manifest's tercile machinery:\n${p.take(1500)}")
+  }
+
   test("s05: the probe fan-out is a broadcast equi-join on the cell key") {
     // the centroid ranking lives inside the barrier; the visible plan must
     // join the bounded query-probe side to the corpus by BROADCAST on cell

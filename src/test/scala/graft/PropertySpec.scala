@@ -195,19 +195,22 @@ object PropertySpec extends Properties("graft") {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val out = pipeline.Curation.queries("p06_temperature_mix")(spark, dir)
         .collect()
-      // independent re-derivation of the quota formula
+      // independent re-derivation of the quota formula (CEIL division,
+      // r13: floor handed quota 0 to every source whenever budget*w <
+      // sum_w; ceil guarantees each weighted source a seat, overshooting
+      // the budget by at most one doc per source)
       val total = sizes.map(_.toLong).sum
       val w = sizes.map(n => math.sqrt(n.toDouble).toLong)
       val sumW = w.sum
       val wantQuota = sizes.zip(w).map { case (n, ws) =>
-        math.min(n.toLong, total / 2 * ws / sumW)
+        math.min(n.toLong, (total / 2 * ws + sumW - 1) / sumW)
       }
       val bySrc = out.groupBy(_.getString(1))
       sizes.indices.forall { i =>
         val got = bySrc.getOrElse(s"src$i", Array.empty)
         got.length.toLong == wantQuota(i) &&
           got.forall(_.getAs[Long]("quota") == wantQuota(i))
-      } && out.length.toLong <= total / 2
+      } && out.length.toLong <= total / 2 + sizes.length
     }
 
   property("mix rebalance: quotas respected, shares within one doc of target") =
