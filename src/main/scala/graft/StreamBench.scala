@@ -56,7 +56,14 @@ object StreamBench {
       .orderBy(col("bucket_ts").desc).limit(nFiles)
       .collect().map(_.getLong(0)).sorted
     val stageRoot = java.nio.file.Files.createTempDirectory("graft-stage")
-    val cols = Tables.CandleSchema.fieldNames.map(col)
+    // the stored fact carries no is_closed (batch bars are closed by
+    // construction); the ws schema does — complete missing stream-schema
+    // columns with their closed-bar defaults
+    val factCols = fact.columns.toSet
+    val cols = Tables.CandleSchema.fields.map { f =>
+      if (factCols.contains(f.name)) col(f.name)
+      else lit(true).cast(f.dataType).as(f.name)
+    }.toSeq
     val staged: Seq[Staged] = minutes.zipWithIndex.map { case (m, i) =>
       val d = s"$stageRoot/m$i"
       val slice = fact.filter(col("bucket_ts") === m).select(cols: _*)
