@@ -312,7 +312,7 @@ object Signals {
          |fired AS (
          |$BRANCHES
          |),
-         |numbered AS (
+         |numbered AS MATERIALIZED (
          |  SELECT *, row_number() OVER (PARTITION BY symbol, rule ORDER BY bucket_ts) AS rn
          |  FROM fired),
          |rec AS (
@@ -340,7 +340,7 @@ object Signals {
          |$BRANCHES
          |),
          |gated AS (SELECT f.* FROM fired f JOIN fresh USING (symbol)),
-         |numbered AS (
+         |numbered AS MATERIALIZED (
          |  SELECT *, row_number() OVER (PARTITION BY symbol, rule ORDER BY bucket_ts) AS rn
          |  FROM gated),
          |rec AS (

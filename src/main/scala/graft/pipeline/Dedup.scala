@@ -879,8 +879,8 @@ object Dedup {
     "d05_dedup_components" ->
       s"""WITH RECURSIVE $CLONES_SQL,
          |$D02_CTES,
-         |d2 AS ($D02_SELECT),
-         |edges AS (SELECT a, b FROM d2 UNION ALL SELECT b AS a, a AS b FROM d2),
+         |d2 AS MATERIALIZED ($D02_SELECT),
+         |edges AS MATERIALIZED (SELECT a, b FROM d2 UNION ALL SELECT b AS a, a AS b FROM d2),
          |nodes AS (SELECT DISTINCT a AS id FROM edges),
          |reach AS (
          |  SELECT id, id AS r FROM nodes
@@ -957,8 +957,8 @@ object Dedup {
   private[pipeline] lazy val D06Ctes: String =
     s"""$CLONES_SQL,
        |$D02_CTES,
-       |d2 AS ($D02_SELECT),
-       |edges AS (SELECT a, b FROM d2 UNION ALL SELECT b AS a, a AS b FROM d2),
+       |d2 AS MATERIALIZED ($D02_SELECT),
+       |edges AS MATERIALIZED (SELECT a, b FROM d2 UNION ALL SELECT b AS a, a AS b FROM d2),
        |nodes AS (SELECT DISTINCT a AS id FROM edges),
        |reach AS (
        |  SELECT id, id AS r FROM nodes

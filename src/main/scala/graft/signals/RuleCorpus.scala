@@ -1089,12 +1089,17 @@ object RuleCorpus {
     val cds = CdByRule.toSeq.sortBy(_._1)
       .map { case (n, cd) => s"('$n', CAST($cd AS BIGINT))" }
       .mkString(",\n    ")
-    s"""WITH RECURSIVE fired AS (
+    // fired + numbered MUST be MATERIALIZED (r13): both are referenced
+    // from inside the recursive `rec` member, and DuckDB re-inlines a
+    // plain CTE at every recursion step — the whole 3-cadence × 35-mart
+    // corpus was re-evaluated once per cooldown-chain step (~15× the
+    // query: 82 s materialized vs ~20 min, identical relation)
+    s"""WITH RECURSIVE fired AS MATERIALIZED (
        |${nativeTfOracle}
        |),
        |cds(rule, cd) AS (
        |  VALUES $cds),
-       |numbered AS (
+       |numbered AS MATERIALIZED (
        |  SELECT f.*, c.cd,
        |    row_number() OVER (PARTITION BY f.symbol, f.rule, f.timeframe
        |      ORDER BY f.bucket_ts, f.mart) AS rn
@@ -1580,12 +1585,14 @@ object RuleCorpus {
          |    FROM fired f0)
          |  WHERE ret_rn <= ret_lim)""".stripMargin
     }
-    s"""WITH RECURSIVE fired AS (
+    // MATERIALIZED for the same reason as [[nativeTfCooldownOracle]]
+    // (r13): the recursive member re-inlines plain CTEs per step
+    s"""WITH RECURSIVE fired AS MATERIALIZED (
        |$union
        |),
        |cds(rule, cd) AS (
        |  VALUES $cds),
-       |numbered AS (
+       |numbered AS MATERIALIZED (
        |  SELECT f.*, c.cd,
        |    row_number() OVER (PARTITION BY f.symbol, f.rule, f.timeframe
        |      ORDER BY f.bucket_ts, f.mart) AS rn
@@ -1675,7 +1682,10 @@ object RuleCorpus {
       }
     }.mkString("\nUNION ALL\n")
     val recur = if (defs.exists(_.needsRecursive)) "RECURSIVE " else ""
-    s"WITH $recur${Oracle.CANDLES},\n$ctes,\nfired AS (\n$branches\n)"
+    // MATERIALIZED: cooldownSql's recursive member re-references the
+    // fired relation per step (see nativeTfCooldownOracle, r13);
+    // single-reference consumers materialize once — no cost either way
+    s"WITH $recur${Oracle.CANDLES},\n$ctes,\nfired AS MATERIALIZED (\n$branches\n)"
   }
 
   /** The recursive greedy-scan cooldown twin over the whole-corpus fired
@@ -1686,7 +1696,7 @@ object RuleCorpus {
     val msg = if (withMsg) ", message" else ""
     val nMsg = if (withMsg) ", n.message" else ""
     s"""${corpusFiredSql(withCd = true, withMsg = withMsg)},
-       |numbered AS (
+       |numbered AS MATERIALIZED (
        |  SELECT *, row_number() OVER (PARTITION BY symbol, rule
        |    ORDER BY bucket_ts, mart) AS rn
        |  FROM fired),
