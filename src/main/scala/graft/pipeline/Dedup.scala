@@ -465,7 +465,23 @@ object Dedup {
     * graph, only a scalar convergence count per round). Oracle: DuckDB
     * recursive CTE computing min reachable id.
     */
-  private val components: Q = (s, dir) => {
+  /** [[componentsBuild]] memoized per (session, corpus@stamp) — the
+    * corpusFiredShared discipline: the CC label table is consumed by
+    * FOUR registry paths in one session (d05 itself, d06's survivor
+    * rank, and p05/p09's near-dup manifest flag since r13), and the
+    * iterative propagation is the dedup family's most expensive stage.
+    * Evaluate it once, checkpoint the label table (component-scale, not
+    * corpus-scale), fan it out; the stamp in the key means a rewritten
+    * corpus re-derives instead of serving stale labels.
+    */
+  private val sharedComponents =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val components: Q = (s, dir) =>
+    sharedComponents.computeIfAbsent(
+      (s, s"$dir@${Tables.dirStamp(dir)}"),
+      _ => componentsBuild(s, dir).localCheckpoint())
+
+  private def componentsBuild(s: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(s, dir).select(col("a"), col("b"))
     // localCheckpoint (not persist): an iterative join must TRUNCATE the
     // lineage each round — caching alone leaves the logical plan growing
