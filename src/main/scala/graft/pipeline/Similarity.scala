@@ -495,6 +495,112 @@ object Similarity {
         col("rank"))
   }
 
+  /** SQ8 geometry: every dimension quantized to an 8-bit level against the
+    * corpus per-dim [min, max] range — 64 bytes/vector against fp32's 256,
+    * the 4× "compressed-but-still-accurate" tier between raw vectors and
+    * PQ's 32×.
+    */
+  private[pipeline] val SqLevels = 255
+
+  /** ADC candidates exact-re-ranked per query — same budget as
+    * [[PqRerank]], but SQ8's quantization error is half a level per dim,
+    * so the ADC ordering tracks the exact ordering far more closely than
+    * PQ's on the same unclustered fixture (recall floor pinned in
+    * PipelineSpec well above s06's 0.7).
+    */
+  private[pipeline] val SqRerank = 128
+
+  /** S10 — scalar-quantization ANN (the FAISS `ScalarQuantizer` QT_8bit
+    * layout — the per-DIMENSION sibling of s06's per-subspace PQ codes):
+    * each dimension is affinely mapped onto the corpus per-dim [min, max]
+    * range and stored as an 8-bit level, then scanned ASYMMETRICALLY
+    * (full-precision query against decoded corpus codes) and the top-
+    * [[SqRerank]] ADC candidates exact-re-ranked by true cosine — s06's
+    * two-stage shape.
+    *
+    * Trainer state is TWO 64-double arrays (per-dim min and the decode
+    * step (max−min)/255) from ONE map-side-combined row-local scan — a
+    * 1-row broadcast, the s08/s09 idiom. Encode is a row-local zip (zero
+    * shuffle); the only shuffles in the query are the two per-query top-k
+    * windows. min/max are order-free aggregates and the affine map is one
+    * IEEE sub/div/floor chain, so the CODES are bit-exact cross-engine —
+    * unlike PQ there is no trained-codebook step the oracle must mirror
+    * approximately; the DuckDB twin replays encode, the decoded-distance
+    * fold (same dim order) and both rank stages verbatim.
+    *
+    * At 100 TB: the code column is written once beside the vectors (4×
+    * smaller, int8 SIMD-scannable), the scan ships only codes plus the
+    * 2-array bounds broadcast, and the layout composes with the IVF cell
+    * structures (s04/s05/s09b) exactly as PQ does — SQ8 is what a
+    * production index picks when PQ's recall loss on weakly-clustered
+    * spaces is unacceptable but fp32 residency is not affordable.
+    */
+  /** Per-dim [min, decode-step] trainer state — one order-free row-local
+    * scan to a 1-row broadcast.
+    */
+  private def sqBounds(emb: DataFrame): DataFrame = emb
+    .agg(
+      array((0 until 64).map(i =>
+        min(element_at(col("e"), i + 1))): _*).as("mn"),
+      array((0 until 64).map(i =>
+        max(element_at(col("e"), i + 1))): _*).as("mx"))
+    .select(col("mn"), zip_with(col("mx"), col("mn"),
+      (a, b) => (a - b) / lit(SqLevels.toDouble)).as("sc"))
+
+  /** The encoded corpus (vec_id, codes, e, n) — exposed for the spec's
+    * code-range pin. Encode: level_i = floor((x_i − mn_i)/sc_i + 0.5) ∈
+    * [0, 255] — x sits inside the corpus [mn, mx] by construction, so no
+    * clamp is needed; a zero-span dim (constant over the corpus) encodes
+    * as 0.
+    */
+  private[graft] def sqCodes(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val dIdx = array((0 until 64).map(i => lit(i)): _*)
+    emb.crossJoin(broadcast(sqBounds(emb)))
+      .withColumn("codes", zip_with(col("e"), dIdx, (x, i) => {
+        val mn = element_at(col("mn"), i + 1)
+        val sc = element_at(col("sc"), i + 1)
+        when(sc > 0.0, floor((x - mn) / sc + lit(0.5)))
+          .otherwise(lit(0L)).cast("int")
+      }))
+      .select(col("vec_id"), col("codes"), col("e"), col("n"))
+  }
+
+  private val sqAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val dIdx = array((0 until 64).map(i => lit(i)): _*)
+    val bounds = sqBounds(emb)
+    val coded = sqCodes(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("n").as("qn"))
+    val pairs = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("adist", aggregate(
+        zip_with(col("codes"), dIdx, (c, i) => struct(c.as("c"), i.as("i"))),
+        lit(0.0),
+        (acc, p) => {
+          val rec = element_at(col("mn"), p("i") + 1) +
+            p("c").cast("double") * element_at(col("sc"), p("i") + 1)
+          val d = element_at(col("qe"), p("i") + 1) - rec
+          acc + d * d
+        }))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+    val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= SqRerank)
+      .withColumn("cos", dot(col("e"), col("qe")) /
+        nullif(col("n") * col("qn"), lit(0.0)))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("adist"), 6).as("adist"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+  }
+
   /** Cosine threshold above which two embeddings in the same cell count as
     * semantic duplicates (d09). The synthetic fixture's near-dup band sits
     * at ~0.3 (same as s03); a production run tunes this per-embedding-model.
@@ -1084,6 +1190,7 @@ object Similarity {
     "s04_ivf_ann" -> ivfAnn,
     "s05_ivf_multiprobe" -> ivfMultiprobe,
     "s06_pq_ann" -> pqAnn,
+    "s10_sq_ann" -> sqAnn,
     "s07_knn_graph" -> knnGraph,
     "s08_class_stats" -> classStats,
     "s09_kmeans" -> kmeans,
@@ -1347,6 +1454,9 @@ object Similarity {
 
   private val MLIST = "[0, 1, 2, 3, 4, 5, 6, 7]"
 
+  /** 64-dim index literal for the SQ8 per-dimension zips. */
+  private val DLIST = (0 until 64).mkString("[", ", ", "]")
+
   val oracle: Map[String, String] = Map(
     "s09_kmeans" -> kmeansOracle,
     "s09b_kmeans_probe" -> kmeansProbeOracle,
@@ -1398,6 +1508,53 @@ object Similarity {
          |  SELECT q_id, vec_id, adist,
          |         ${DOT.format("e", "qe")} / nullif(n * qn, 0.0) AS cos
          |  FROM cands WHERE arn <= $PqRerank)
+         |SELECT q_id, vec_id AS neighbor_id, round(adist, 6) AS adist,
+         |       round(cos, 6) AS cos, rank FROM (
+         |  SELECT q_id, vec_id, adist, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC,
+         |           vec_id) AS rank
+         |  FROM rerank)
+         |WHERE rank <= 5""".stripMargin,
+    "s10_sq_ann" ->
+      // replays the SQ8 pipeline verbatim: same order-free per-dim
+      // min/max trainer state, same affine encode (one IEEE sub/div/floor
+      // chain, bit-exact cross-engine), same dim-ordered decoded-distance
+      // fold, same two rank stages as s06
+      s"""WITH $EMB,
+         |dims AS (SELECT unnest($DLIST) AS i),
+         |bnd AS MATERIALIZED (
+         |  SELECT i, min(e[i + 1]) AS mn, max(e[i + 1]) AS mx
+         |  FROM emb CROSS JOIN dims GROUP BY i),
+         |bounds AS MATERIALIZED (
+         |  SELECT list(mn ORDER BY i) AS mn,
+         |         list((mx - mn) / 255.0 ORDER BY i) AS sc
+         |  FROM bnd),
+         |codes AS MATERIALIZED (
+         |  SELECT emb.vec_id,
+         |         list_transform(list_zip(e, $DLIST), p ->
+         |           CASE WHEN b.sc[p[2] + 1] > 0.0
+         |                THEN CAST(floor((p[1] - b.mn[p[2] + 1]) / b.sc[p[2] + 1] + 0.5) AS INT)
+         |                ELSE 0 END) AS codes
+         |  FROM emb CROSS JOIN bounds b),
+         |q AS (SELECT vec_id AS q_id, e AS qe, n AS qn FROM emb WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.q_id, c.vec_id, v.e, v.n, q.qe, q.qn,
+         |         list_reduce(list_prepend(0.0, list_transform(list_zip(c.codes, $DLIST), p ->
+         |           (q.qe[p[2] + 1] - (b.mn[p[2] + 1] + p[1] * b.sc[p[2] + 1])) *
+         |           (q.qe[p[2] + 1] - (b.mn[p[2] + 1] + p[1] * b.sc[p[2] + 1])))),
+         |           (acc, x) -> acc + x) AS adist
+         |  FROM codes c JOIN emb v USING (vec_id)
+         |  CROSS JOIN q CROSS JOIN bounds b
+         |  WHERE c.vec_id != q.q_id),
+         |cands AS (
+         |  SELECT q_id, vec_id, adist, e, n, qe, qn,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adist ASC,
+         |           vec_id ASC) AS arn
+         |  FROM pairs),
+         |rerank AS (
+         |  SELECT q_id, vec_id, adist,
+         |         ${DOT.format("e", "qe")} / nullif(n * qn, 0.0) AS cos
+         |  FROM cands WHERE arn <= $SqRerank)
          |SELECT q_id, vec_id AS neighbor_id, round(adist, 6) AS adist,
          |       round(cos, 6) AS cos, rank FROM (
          |  SELECT q_id, vec_id, adist, cos,

@@ -105,6 +105,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.7, f"PQ recall@5 collapsed: $recall%.2f")
   }
 
+  test("s10 SQ8 ADC + re-rank: recall floor vs exact top-k, codes span the 8-bit range") {
+    val sq = pipeline.Similarity.queries("s10_sq_ann")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pipeline.Similarity.queries("s01_cosine_topk")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq.size == exact.size && exact.size == 50)
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    info(f"SQ8 recall@5 vs exact: $recall%.2f")
+    // half-a-level-per-dim quantization error: the ADC ordering tracks the
+    // exact ordering far tighter than PQ's subspace codes on the same
+    // fixture (1.00 at sf0.01/budget 128 vs PQ's 0.80; 0.9 is the floor)
+    assert(recall >= 0.9, f"SQ8 recall@5 collapsed: $recall%.2f")
+    // the affine map is onto [0, 255]: each dim's corpus-min encodes 0 and
+    // corpus-max encodes 255, so the flattened code stream spans the range
+    import org.apache.spark.sql.functions._
+    val codeRange = pipeline.Similarity.sqCodes(spark, sf)
+      .select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head
+    assert(codeRange.getInt(0) == 0 && codeRange.getInt(1) == 255,
+      s"codes do not span [0,255]: $codeRange")
+  }
+
   test("sign-LSH buckets keep perturbed embedding clones together (recall floor)") {
     // deterministic small perturbation: e_i + 0.002·((i mod 7) − 3), ~2% of
     // a unit vector's typical ±1-projection margin. A clone changes bucket
