@@ -163,6 +163,60 @@ object Events {
         (abs(col("approx") - col("exact_users")).cast("double") <=
           lit(0.05) * col("exact_users")).as("within_5pct"))
 
+  /** CMS accuracy contract: estimate ≤ true + [[CmsEps]]·N with probability
+    * ≥ [[CmsConf]] per probe (Cormode & Muthukrishnan 2005), and NEVER
+    * below true.
+    */
+  val CmsEps = 0.001
+  val CmsConf = 0.99
+  val CmsSeed = 7
+
+  /** e08 — count-min-sketch heavy hitters: the top-5 users per event type
+    * by exact count, carried beside the CMS frequency estimate's accuracy
+    * contract. Completes the engine's sketch QUARTET (Bloom c02, approx
+    * quantiles h24b, HLL e06, CMS e08): at 100 TB the per-(type, user)
+    * exact relation is the vocabulary-sized control, while the sketch is
+    * the fixed-size map-side-combinable state a streaming monitor holds —
+    * one pass over the log, no shuffle of the key universe, point-queryable
+    * for ANY key after the fact (what neither the top-k relation nor HLL's
+    * cardinality state can answer).
+    *
+    * The sketched key is `xxhash64(event_type, user_id)` — a Long, so the
+    * agg-side `addLong` and the driver-side `estimateCount` hash the same
+    * primitive. Spark exposes the CMS BUILDER as an agg function but no
+    * row-local probe function, so the probe is a scalar closure over the
+    * driver-held sketch (the state a monitoring loop holds — t16's driver
+    * argmax stance) applied only to the O(5·|types|) winner rows, never
+    * the corpus. Like e06, the output carries the CONTRACT — est ≥ exact
+    * ∧ est ≤ exact + ⌈ε·N⌉ — not the engine-specific estimate, so the
+    * DuckDB oracle pins the exact top-k and the contract flag; a sketch
+    * drifting past its ε·N bound fails the row hash while CMS
+    * implementation details stay free to differ.
+    */
+  private val cmsHeavyHitters: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        xxhash64(col("event_type"), col("user_id")).as("k"))
+    val exact = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), first(col("k")).as("k"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("user_id"))
+    val top = exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val skRow = ev.agg(
+      count_min_sketch(col("k"), lit(CmsEps), lit(CmsConf), lit(CmsSeed))
+        .as("sk"),
+      count(lit(1)).as("n")).head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+    val slack = math.ceil(CmsEps * skRow.getLong(1)).toLong
+    val est = udf((k: Long) => sketch.estimateCount(java.lang.Long.valueOf(k)))
+    top.withColumn("est", est(col("k")))
+      .select(col("event_type"), col("user_id"), col("cnt"), col("rank"),
+        (col("est") >= col("cnt") &&
+          col("est") <= col("cnt") + lit(slack)).as("within_contract"))
+  }
+
   /** e07 trailing-history length (observed minutes) and minimum history
     * before a z-score is emitted.
     */
@@ -216,7 +270,8 @@ object Events {
     "e03_retention" -> retention,
     "e04_transitions" -> transitions,
     "e05_rolling_actives" -> rollingActives,
-    "e06_sketch_distinct" -> sketchDistinct)
+    "e06_sketch_distinct" -> sketchDistinct,
+    "e08_cms_heavy_hitters" -> cmsHeavyHitters)
 
   val oracle: Map[String, String] = Map(
     "e07_rate_anomaly" ->
@@ -289,6 +344,21 @@ object Events {
         |  count(DISTINCT user_id) AS exact_users,
         |  true AS within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    "e08_cms_heavy_hitters" ->
+      // exact top-k control + the CMS contract literal — an estimate
+      // drifting past eps*N (or under the true count, which CMS cannot
+      // do) flips within_contract to false on the Spark side and fails
+      // the row hash
+      """WITH ex AS MATERIALIZED (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |top AS (
+        |  SELECT event_type, user_id, cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY cnt DESC, user_id) AS rank
+        |  FROM ex)
+        |SELECT event_type, user_id, cnt, rank, true AS within_contract
+        |FROM top WHERE rank <= 5""".stripMargin,
     "e05_rolling_actives" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

@@ -94,4 +94,25 @@ class EventsSpec extends AnyFunSuite {
         f"HLL rel err $rel%.4f for ${r.getString(0)} ($approx vs $exact)")
     }
   }
+
+  test("e08 CMS heavy hitters: planted heavy key ranks first and the contract holds") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e08").toString
+    // user 999 fires 500 "view" events; 200 light users fire 1-3 each —
+    // the planted key must surface at rank 1 and every winner's CMS
+    // estimate must sit inside [exact, exact + ceil(eps*N)]
+    val heavy = for (i <- 0 until 500)
+      yield (i.toLong, 999L, i.toLong * 1000000000L, 1.0, "view")
+    val light = for (u <- 0 until 200; i <- 0 to (u % 3))
+      yield (10000L + u * 10 + i, u.toLong, i.toLong * 1000000000L, 1.0, "view")
+    (heavy ++ light).toDF("event_id", "user_id", "ts", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.Events.queries("e08_cms_heavy_hitters")(spark, tmp)
+      .orderBy("rank").collect()
+    assert(out.length == 5, s"expected 5 winners, got ${out.length}")
+    assert(out.head.getLong(1) == 999L && out.head.getLong(2) == 500L,
+      s"planted heavy key not at rank 1: ${out.head}")
+    out.foreach(r => assert(r.getBoolean(4), s"CMS contract violated: $r"))
+  }
 }
