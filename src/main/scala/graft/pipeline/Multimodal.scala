@@ -118,6 +118,79 @@ object Multimodal {
     }(encResized).toDF()
   }
 
+  final case class FrameEnergy(doc_id: Long, frame_idx: Int, fsum: Long,
+    flen: Int)
+  private implicit val encFrameEnergy: Encoder[FrameEnergy] =
+    Encoders.product[FrameEnergy]
+
+  /** Per-frame RAW energy (sum of byte values, unmodded — deltas need the
+    * full magnitude, the mod-997 checksum convention would wrap them) plus
+    * the frame length, over the same fixed 256-byte framing as
+    * [[frameSampleStub]], every frame kept.
+    */
+  def frameEnergyStub(batch: Seq[Payload], stride: Int = 256): Seq[FrameEnergy] =
+    batch.flatMap { p =>
+      val n = (p.bin.length + stride - 1) / stride
+      (0 until n).map { f =>
+        val off = f * stride
+        val len = math.min(stride, p.bin.length - off)
+        var sum = 0L
+        var i = off
+        while (i < off + len) { sum += (p.bin(i) & 0xFF); i += 1 }
+        FrameEnergy(p.doc_id, f, sum, len)
+      }
+    }
+
+  /** Scene-change threshold in PER-BYTE mean-energy units — length-
+    * normalized so the short last frame of a payload is judged on its
+    * density, not its truncated raw sum. Fixture-calibrated to split
+    * meaningfully (adjacent-frame mean deltas: median ~0.95, p90 ~3.4 —
+    * tau 1 keeps roughly half the non-first frames); a real pipeline
+    * tunes this per codec/content.
+    */
+  val KeyframeTau = 1L
+
+  /** M6 — keyframe selection (scene-change detection): the SELECTION half
+    * of a video sampling pipeline whose fan-out half is M2 — a real run
+    * keeps only frames that differ enough from their predecessor (plus
+    * every first frame), cutting the downstream vision-encoder load by the
+    * scene-change rate rather than a blind every-Nth stride.
+    *
+    * The shape is the load-bearing part: per-frame energy comes out of the
+    * same batched `mapPartitions` decode stage as M1–M4 (a real frame
+    * differencer replaces the byte sum), and the TEMPORAL logic — lag,
+    * delta, threshold — is declarative Catalyst on one doc_id-keyed
+    * window, so the decode parallelizes per partition while the sequence
+    * logic shuffles each document's frame rows exactly once.
+    *
+    * The keyframe test compares per-byte MEAN energies |s_i/l_i −
+    * s_{i−1}/l_{i−1}| > τ, evaluated CROSS-MULTIPLIED in exact integers
+    * (|s_i·l_{i−1} − s_{i−1}·l_i| > τ·l_i·l_{i−1}) so the flag can never
+    * ride an IEEE division boundary; the reported `mean_diff` is the
+    * floor-rounded 6dp division (the dyadic-halves idiom). First frames
+    * report −1 and always key.
+    */
+  private val keyframes: Q = (s, dir) => {
+    val payloads = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[Payload](encPayload)
+    val fe = payloads.mapPartitions { it =>
+      it.grouped(64).flatMap(g => frameEnergyStub(g.toSeq))
+    }(encFrameEnergy).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    fe.withColumn("pf", lag(col("fsum"), 1).over(w))
+      .withColumn("pl", lag(col("flen"), 1).over(w))
+      .select(col("doc_id"), col("frame_idx"), col("fsum"), col("flen"),
+        when(col("pf").isNull, lit(-1.0)).otherwise(
+          floor(abs(col("fsum").cast("double") / col("flen") -
+            col("pf").cast("double") / col("pl")) * 1e6 + 0.5) / 1e6)
+          .as("mean_diff"),
+        (col("pf").isNull ||
+          abs(col("fsum") * col("pl") - col("pf") * col("flen")) >
+            lit(KeyframeTau) * col("flen") * col("pl")).as("is_key"))
+  }
+
   final case class AudioQc(doc_id: Long, n_samples: Long, n_frames: Long,
     peak_dev: Int, energy_mod: Long, silence_frames: Long)
   private implicit val encAudioQc: Encoder[AudioQc] = Encoders.product[AudioQc]
@@ -497,6 +570,7 @@ object Multimodal {
     "m02_frame_sample" -> frameSample,
     "m03_resize_sample" -> resize,
     "m04_audio_qc" -> audioQc,
+    "m06_keyframes" -> keyframes,
     "m05_phash_neardup" -> phashNearDup,
     "m05b_phash_pairs" -> phashPairsSynth)
 
@@ -579,6 +653,32 @@ object Multimodal {
         |  CASE WHEN len(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS head_byte,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
         |FROM documents""".stripMargin,
+    "m06_keyframes" ->
+      s"""WITH fr AS MATERIALIZED (
+        |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |    CAST(list_reduce(list_prepend(0, list_transform(
+        |           generate_series(f * 256 + 1, f * 256 + least(256, blen - f * 256)),
+        |           i -> ascii(substr(text, i, 1)))),
+        |         (a, x) -> a + x) AS BIGINT) AS fsum,
+        |    CAST(least(256, blen - f * 256) AS INT) AS flen
+        |  FROM (
+        |    SELECT doc_id, text, octet_length(encode(text)) AS blen,
+        |           unnest(generate_series(0,
+        |             (octet_length(encode(text)) + 255) // 256 - 1)) AS f
+        |    FROM documents WHERE len(text) > 0)),
+        |d AS (
+        |  SELECT doc_id, frame_idx, fsum, flen,
+        |         lag(fsum) OVER w_kf AS pf, lag(flen) OVER w_kf AS pl
+        |  FROM fr
+        |  WINDOW w_kf AS (PARTITION BY doc_id ORDER BY frame_idx))
+        |SELECT doc_id, frame_idx, fsum, flen,
+        |  CASE WHEN pf IS NULL THEN -1.0
+        |       ELSE floor(abs(CAST(fsum AS DOUBLE) / flen -
+        |                      CAST(pf AS DOUBLE) / pl) * 1e6 + 0.5) / 1e6
+        |  END AS mean_diff,
+        |  (pf IS NULL OR abs(fsum * pl - pf * flen) >
+        |     $KeyframeTau * flen * pl) AS is_key
+        |FROM d""".stripMargin,
     "m02_frame_sample" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_idx,
         |  CAST(f * 256 AS BIGINT) AS offset,

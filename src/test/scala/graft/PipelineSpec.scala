@@ -972,4 +972,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getLong(2) == bytes.map(_ & 0xFF).map(_.toLong).sum % 997)
     assert(row.getInt(3) == (bytes(0) & 0xFF))
   }
+
+  test("m06 keyframes: scene change flags, steady frames dropped, short tail length-normalized") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-m06").toString
+    // doc 0: steady 'a'*256 | 'a'*256 | 'z'*256 — frame 1 is NOT a key
+    // (mean delta 0), frame 2 IS (mean delta 25)
+    // doc 1: 'a'*256 | 'a'*100 — the short tail has the SAME per-byte mean,
+    // so length normalization must NOT flag it (a raw-sum delta would)
+    Seq(
+      (0L, "a" * 256 + "a" * 256 + "z" * 256, "en", "web", 768L),
+      (1L, "a" * 256 + "a" * 100, "en", "web", 356L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Multimodal.queries("m06_keyframes")(spark, tmp)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(out.length == 5)
+    val flags = out.map(r => ((r.getLong(0), r.getInt(1)), r.getBoolean(5))).toMap
+    assert(flags((0L, 0)) && flags((1L, 0)), "first frames always key")
+    assert(!flags((0L, 1)), "steady frame must not key")
+    assert(flags((0L, 2)), "scene change must key")
+    assert(!flags((1L, 1)), "same-density short tail must not key (length-normalized)")
+    val d02 = out.find(r => r.getLong(0) == 0L && r.getInt(1) == 2).get
+    assert(math.abs(d02.getDouble(4) - 25.0) < 1e-9, s"mean_diff wrong: $d02")
+  }
 }
