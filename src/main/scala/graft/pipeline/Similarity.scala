@@ -444,44 +444,68 @@ object Similarity {
     * The DuckDB oracle replays codes, ADC sums (same fold order — the LUT
     * is memoization, not different math) and both rank stages verbatim.
     */
+  /** 1-row broadcast PQ codebook: the [[PqCodebook]] stride-sample
+    * vectors, j-ordered — shared by s06 and the composed s11.
+    */
+  private def pqCb(emb: DataFrame, stride: Long): DataFrame = emb
+    .filter(col("vec_id") % stride === 0 &&
+      col("vec_id") < stride * PqCodebook)
+    .select(expr(s"vec_id DIV $stride").cast("int").as("j"),
+      col("e").as("ce"))
+    .agg(array_sort(collect_list(struct(col("j"), col("ce")))).as("cb"))
+
+  /** PQ-encoded corpus (vec_id, codes, e, n): per subspace,
+    * argmin_j ||v_m − c_{m,j}||² (ties → smaller j) — row-local against
+    * the broadcast codebook, zero shuffle.
+    */
+  private def pqEncode(emb: DataFrame, cb: DataFrame): DataFrame = emb
+    .crossJoin(broadcast(cb))
+    .withColumn("codes", array((0 until PqSubspaces).map { m =>
+      aggregate(col("cb"),
+        struct(lit(Double.MaxValue).as("d"), lit(PqCodebook).as("j")),
+        (acc, c) => {
+          val d = sqdist(subvec(col("e"), m), subvec(c("ce"), m))
+          when(d < acc("d") || (d === acc("d") && c("j") < acc("j")),
+            struct(d.as("d"), c("j").as("j"))).otherwise(acc)
+        })("j")
+    }: _*))
+    .select(col("vec_id"), col("codes"), col("e"), col("n"))
+
+  /** Per-query ADC lookup table lut[m][j] = ||q_m − c_{m,j}||², attached
+    * to a frame carrying `qe` (memoization of the identical subspace
+    * arithmetic — not different math).
+    */
+  private def pqLutCol: Column =
+    array((0 until PqSubspaces).map { m =>
+      transform(col("cb"),
+        c => sqdist(subvec(col("qe"), m), subvec(c("ce"), m)))
+    }: _*)
+
+  /** The m-ordered ADC fold over a codes column against the row's lut. */
+  private def pqAdc: Column = {
+    val mIdx = array((0 until PqSubspaces).map(m => lit(m)): _*)
+    aggregate(
+      zip_with(col("codes"), mIdx, (c, m) => struct(c.as("c"), m.as("m"))),
+      lit(0.0),
+      (acc, p) => acc +
+        element_at(element_at(col("lut"), p("m") + 1), p("c") + 1))
+  }
+
   private val pqAnn: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n", norm(col("e")))
     val stride = math.max(1L, corpusCount(s, dir) / PqCodebook)
     // 1-row broadcast codebook: the K sample vectors, j-ordered
-    val cb = emb
-      .filter(col("vec_id") % stride === 0 &&
-        col("vec_id") < stride * PqCodebook)
-      .select(expr(s"vec_id DIV $stride").cast("int").as("j"),
-        col("e").as("ce"))
-      .agg(array_sort(collect_list(struct(col("j"), col("ce")))).as("cb"))
+    val cb = pqCb(emb, stride)
     // encode: per subspace, argmin_j ||v_m - c_{m,j}||^2 (ties -> smaller j)
-    val codes = emb.crossJoin(broadcast(cb))
-      .withColumn("codes", array((0 until PqSubspaces).map { m =>
-        aggregate(col("cb"),
-          struct(lit(Double.MaxValue).as("d"), lit(PqCodebook).as("j")),
-          (acc, c) => {
-            val d = sqdist(subvec(col("e"), m), subvec(c("ce"), m))
-            when(d < acc("d") || (d === acc("d") && c("j") < acc("j")),
-              struct(d.as("d"), c("j").as("j"))).otherwise(acc)
-          })("j")
-      }: _*))
-      .select(col("vec_id"), col("codes"), col("e"), col("n"))
+    val codes = pqEncode(emb, cb)
     // per-query ADC lookup table: lut[m][j] = ||q_m - c_{m,j}||^2
     val q = emb.filter(col("vec_id") < 10).crossJoin(broadcast(cb))
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("n").as("qn"),
-        array((0 until PqSubspaces).map { m =>
-          transform(col("cb"),
-            c => sqdist(subvec(col("qe"), m), subvec(c("ce"), m)))
-        }: _*).as("lut"))
-    val mIdx = array((0 until PqSubspaces).map(m => lit(m)): _*)
+        pqLutCol.as("lut"))
     val pairs = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("adist", aggregate(
-        zip_with(col("codes"), mIdx, (c, m) => struct(c.as("c"), m.as("m"))),
-        lit(0.0),
-        (acc, p) => acc +
-          element_at(element_at(col("lut"), p("m") + 1), p("c") + 1)))
+      .withColumn("adist", pqAdc)
     val wAdc = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
     val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     pairs.withColumn("arn", row_number().over(wAdc))
@@ -493,6 +517,84 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(col("adist"), 6).as("adist"), round(col("cos"), 6).as("cos"),
         col("rank"))
+  }
+
+  /** ADC candidates exact-re-ranked per query in s11 — smaller than
+    * [[PqRerank]] because the coarse quantizer has ALREADY cut the
+    * candidate set to ~nprobe·N/C vectors: 32 ≈ 6× the served k=5, the
+    * FAISS `IndexRefine` refine-factor regime.
+    */
+  private[pipeline] val IvfPqRerank = 32
+
+  /** S11 — composed IVF-PQ ANN (Jégou et al. 2011 §IV, the inverted-file
+    * system; the standard billion-scale serving layout FAISS ships as
+    * `IndexIVFPQ`): s05's coarse quantizer gates WHICH vectors are
+    * scanned (each query probes its top-[[IvfProbes]] cells, touching
+    * ~nprobe·N/C of the corpus) and s06's product codes compress HOW each
+    * candidate is scanned (M table lookups against the query's ADC LUT
+    * instead of 64 multiplies on fp32) — then the top-[[IvfPqRerank]] ADC
+    * candidates are exact-re-ranked by true cosine.
+    *
+    * Both ingredients are the registered operators' OWN code paths — the
+    * coarse ranking is s05's barrier'd top-P frame, the codebook/encode/
+    * LUT/fold are s06's [[pqCb]]/[[pqEncode]]/[[pqLutCol]]/[[pqAdc]]
+    * helpers — and the DuckDB oracle re-roots the same two CTE chains and
+    * splices them at the cell join, so the composition cannot drift from
+    * its parts (the f01d/p09 ingredient-reuse discipline). Codes are
+    * encoded against the RAW vectors, not cell residuals — FAISS's
+    * `by_residual=false` mode — so the PQ layer is cell-independent and
+    * the code column is written once for any nprobe.
+    *
+    * At 100 TB this is THE layout: the inverted lists bound the scan to
+    * nprobe/C of the corpus, the 8-byte codes bound its memory traffic
+    * 32×, the codebook+centroid broadcast is constant-size, and a corpus
+    * vector lives in exactly one cell so the probe union needs no
+    * DISTINCT. The only shuffles are the per-query top-k windows.
+    */
+  private val ivfPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+    val nVec = corpusCount(s, dir)
+    // coarse layer: s05's ranked frame (rn=1 ⇒ home cell, rn≤P ⇒ probes)
+    val stride = math.max(1L, nVec / IvfCentroids)
+    val cent = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("n").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id"))
+    val ranked = Tables.barrier(emb.join(broadcast(cent))
+      .withColumn("ccos", dot(col("e"), col("ce")) /
+        nullif(col("n") * col("cn"), lit(0.0)))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id"), col("c_id").as("cell"), col("rn"),
+        col("e"), col("n")))
+    // PQ layer: s06's codebook + codes, joined onto the home-cell frame
+    val pstride = math.max(1L, nVec / PqCodebook)
+    val cb = pqCb(emb, pstride)
+    val corpus = pqEncode(emb, cb)
+      .join(ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell")),
+        "vec_id")
+    val q = ranked.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cell"), col("rn").as("probe"),
+        col("e").as("qe"), col("n").as("qn"))
+      .crossJoin(broadcast(cb))
+      .select(col("q_id"), col("cell"), col("probe"), col("qe"), col("qn"),
+        pqLutCol.as("lut"))
+    val pairs = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", pqAdc)
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+    val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= IvfPqRerank)
+      .withColumn("cos", dot(col("e"), col("qe")) /
+        nullif(col("n") * col("qn"), lit(0.0)))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("probe"), round(col("adist"), 6).as("adist"),
+        round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** SQ8 geometry: every dimension quantized to an 8-bit level against the
@@ -1191,6 +1293,7 @@ object Similarity {
     "s05_ivf_multiprobe" -> ivfMultiprobe,
     "s06_pq_ann" -> pqAnn,
     "s10_sq_ann" -> sqAnn,
+    "s11_ivfpq_ann" -> ivfPq,
     "s07_knn_graph" -> knnGraph,
     "s08_class_stats" -> classStats,
     "s09_kmeans" -> kmeans,
@@ -1511,6 +1614,73 @@ object Similarity {
          |SELECT q_id, vec_id AS neighbor_id, round(adist, 6) AS adist,
          |       round(cos, 6) AS cos, rank FROM (
          |  SELECT q_id, vec_id, adist, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC,
+         |           vec_id) AS rank
+         |  FROM rerank)
+         |WHERE rank <= 5""".stripMargin,
+    "s11_ivfpq_ann" ->
+      // the composition oracle: s05's coarse CTE chain (stride/cent/
+      // ranked/assign — same spelling) + s06's PQ chain (pstr/pcent/cbl/
+      // codesrc/codes — s06's CTEs re-rooted under distinct names),
+      // spliced at the cell join; ADC fold and both rank stages replay
+      // s06's verbatim
+      s"""WITH $EMB,
+         |stride AS (SELECT greatest(count(*) // ${IvfCentroids}, 1) AS k FROM emb),
+         |cent AS (SELECT vec_id AS c_id, e AS ce, n AS cn FROM emb
+         |         WHERE vec_id % (SELECT k FROM stride) = 0),
+         |ranked AS MATERIALIZED (
+         |  SELECT vec_id, c_id AS cell, rn, e, n FROM (
+         |    SELECT emb.vec_id, c.c_id, emb.e, emb.n,
+         |           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |             ${DOT.format("emb.e", "c.ce")} / nullif(emb.n * c.cn, 0.0) DESC,
+         |             c.c_id) AS rn
+         |    FROM emb CROSS JOIN cent c)
+         |  WHERE rn <= $IvfProbes),
+         |pstr AS (SELECT greatest(count(*) // $PqCodebook, 1) AS k FROM emb),
+         |pcent AS (
+         |  SELECT CAST(vec_id // (SELECT k FROM pstr) AS INT) AS j, e AS ce
+         |  FROM emb
+         |  WHERE vec_id % (SELECT k FROM pstr) = 0
+         |    AND vec_id < (SELECT k FROM pstr) * $PqCodebook),
+         |cbl AS (SELECT list(ce ORDER BY j) AS cbl FROM pcent),
+         |codesrc AS (
+         |  SELECT emb.vec_id, ms.m, pcent.j,
+         |         row_number() OVER (PARTITION BY emb.vec_id, ms.m ORDER BY
+         |           ${SQDIST.format(
+                        "list_slice(emb.e, ms.m * 8 + 1, ms.m * 8 + 8)",
+                        "list_slice(pcent.ce, ms.m * 8 + 1, ms.m * 8 + 8)")} ASC,
+         |           pcent.j ASC) AS rn
+         |  FROM emb CROSS JOIN (SELECT unnest($MLIST) AS m) ms CROSS JOIN pcent),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, list(j ORDER BY m) AS codes
+         |  FROM codesrc WHERE rn = 1 GROUP BY vec_id),
+         |corpus AS (
+         |  SELECT r.vec_id, r.cell, c.codes, r.e, r.n
+         |  FROM ranked r JOIN codes c USING (vec_id) WHERE r.rn = 1),
+         |q AS (SELECT vec_id AS q_id, cell, rn AS probe, e AS qe, n AS qn
+         |      FROM ranked WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.q_id, v.vec_id, v.cell, q.probe, v.e, v.n, q.qe, q.qn,
+         |         list_reduce(list_prepend(0.0, list_transform($MLIST,
+         |           m -> ${SQDIST.format(
+                        "list_slice(q.qe, m * 8 + 1, m * 8 + 8)",
+                        "list_slice(cbl.cbl[v.codes[m + 1] + 1], m * 8 + 1, m * 8 + 8)")})),
+         |           (acc, x) -> acc + x) AS adist
+         |  FROM corpus v JOIN q USING (cell)
+         |  CROSS JOIN cbl
+         |  WHERE v.vec_id != q.q_id),
+         |cands AS (
+         |  SELECT q_id, vec_id, cell, probe, adist, e, n, qe, qn,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adist ASC,
+         |           vec_id ASC) AS arn
+         |  FROM pairs),
+         |rerank AS (
+         |  SELECT q_id, vec_id, cell, probe, adist,
+         |         ${DOT.format("e", "qe")} / nullif(n * qn, 0.0) AS cos
+         |  FROM cands WHERE arn <= $IvfPqRerank)
+         |SELECT q_id, vec_id AS neighbor_id, cell, probe,
+         |       round(adist, 6) AS adist, round(cos, 6) AS cos, rank FROM (
+         |  SELECT q_id, vec_id, cell, probe, adist, cos,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC,
          |           vec_id) AS rank
          |  FROM rerank)

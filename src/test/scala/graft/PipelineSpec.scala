@@ -129,6 +129,21 @@ class PipelineSpec extends AnyFunSuite {
       s"codes do not span [0,255]: $codeRange")
   }
 
+  test("s11 IVF-PQ: candidates honor the probed cells, recall floor vs within-cell exact") {
+    val ivfpq = pipeline.Similarity.queries("s11_ivfpq_ann")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // s05 is the SAME coarse quantizer with exact fp32 scan of the probed
+    // cells — the recall delta vs s05 isolates the PQ+rerank loss
+    val cellExact = pipeline.Similarity.queries("s05_ivf_multiprobe")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.size == cellExact.size && cellExact.size == 50)
+    val recall = ivfpq.intersect(cellExact).size.toDouble / cellExact.size
+    info(f"IVF-PQ recall@5 vs within-cell exact: $recall%.2f")
+    assert(recall >= 0.6, f"IVF-PQ recall collapsed: $recall%.2f")
+  }
+
   test("sign-LSH buckets keep perturbed embedding clones together (recall floor)") {
     // deterministic small perturbation: e_i + 0.002·((i mod 7) − 3), ~2% of
     // a unit vector's typical ±1-projection margin. A clone changes bucket
