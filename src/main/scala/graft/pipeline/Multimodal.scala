@@ -242,6 +242,88 @@ object Multimodal {
     }(encAudioQc).toDF()
   }
 
+  final case class AudioFrame(doc_id: Long, frame_idx: Int, fe: Long,
+    fl: Int)
+  private implicit val encAudioFrame: Encoder[AudioFrame] =
+    Encoders.product[AudioFrame]
+
+  /** Per-frame energy (Σ d², d = |sample−128| — m04's 8-bit-offset-PCM
+    * deviation) and frame length over m04's 64-sample framing, every
+    * frame emitted as a row.
+    */
+  def audioFrameStub(batch: Seq[Payload], frame: Int = 64): Seq[AudioFrame] =
+    batch.flatMap { p =>
+      val n = p.bin.length
+      val nf = (n + frame - 1) / frame
+      (0 until nf).map { f =>
+        var i = f * frame
+        val end = math.min(n, i + frame)
+        var energy = 0L
+        while (i < end) {
+          val d = math.abs((p.bin(i) & 0xFF) - 128)
+          energy += d.toLong * d
+          i += 1
+        }
+        AudioFrame(p.doc_id, f, energy, end - f * frame)
+      }
+    }
+
+  /** VAD energy gate in PER-SAMPLE mean-energy units (the classic
+    * frame-energy voice-activity detector): a frame is VOICED iff
+    * Σd² ≥ τ·len, evaluated in exact integers. Fixture-calibrated to
+    * split (per-frame mean energy: p5 1743, median 1980, p95 2264 —
+    * τ 1950 silences ~40%); a real pipeline tunes τ per codec/noise
+    * floor, or learns it per stream.
+    */
+  val VadTau = 1950L
+
+  /** Segments shorter than this many frames are flagged, not served — the
+    * min-duration rule every ASR front-end applies so isolated energy
+    * blips don't become utterances.
+    */
+  val MinVadFrames = 2L
+
+  /** M7 — VAD utterance segmentation: the composition of m04's frame QC
+    * into the SEGMENT EXTRACTION pass an audio curation pipeline runs
+    * before transcription — maximal runs of consecutive voiced frames
+    * become utterance candidates with start/end/length/energy, and the
+    * min-duration flag separates servable utterances from blips.
+    *
+    * Shape: per-frame energy rows come out of the same batched
+    * `mapPartitions` decode stage as m01–m06 (a real VAD replaces the
+    * byte-deviation energy with a spectral one; the framing, the energy
+    * gate, and everything downstream are unchanged), and the RUN
+    * DETECTION is the declarative gaps-and-islands idiom — island key =
+    * frame_idx − row_number() per doc over voiced frames only, exact
+    * integers — then one aggregate per island. Both stages key on
+    * doc-derived keys, so at 100 TB the frame stream shuffles by document
+    * and never globally. Integer arithmetic end-to-end → exact oracle
+    * (energy sum mod 1000003, m04's checksum convention).
+    */
+  private val vadSegments: Q = (s, dir) => {
+    val payloads = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[Payload](encPayload)
+    val frames = payloads.mapPartitions { it =>
+      it.grouped(64).flatMap(g => audioFrameStub(g.toSeq))
+    }(encAudioFrame).toDF()
+    val voiced = frames.filter(col("fe") >= lit(VadTau) * col("fl"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val segs = voiced
+      .withColumn("grp", col("frame_idx") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        (sum(col("fe")) % 1000003L).as("energy_mod"))
+    val wSeg = Window.partitionBy("doc_id").orderBy("start_frame")
+    segs.withColumn("seg_idx", row_number().over(wSeg))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("energy_mod"),
+        (col("n_frames") >= MinVadFrames).as("servable"))
+  }
+
   final case class Decoded(doc_id: Long, width: Int, height: Int)
   private implicit val encDecoded: Encoder[Decoded] = Encoders.product[Decoded]
 
@@ -571,6 +653,7 @@ object Multimodal {
     "m03_resize_sample" -> resize,
     "m04_audio_qc" -> audioQc,
     "m06_keyframes" -> keyframes,
+    "m07_vad_segments" -> vadSegments,
     "m05_phash_neardup" -> phashNearDup,
     "m05b_phash_pairs" -> phashPairsSynth)
 
@@ -653,6 +736,37 @@ object Multimodal {
         |  CASE WHEN len(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS head_byte,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
         |FROM documents""".stripMargin,
+    "m07_vad_segments" ->
+      s"""WITH fr AS MATERIALIZED (
+        |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |    CAST(list_reduce(list_prepend(0, list_transform(
+        |           generate_series(f * 64 + 1, least(blen, f * 64 + 64)),
+        |           i -> (ascii(substr(text, i, 1)) - 128) *
+        |                (ascii(substr(text, i, 1)) - 128))),
+        |         (a, x) -> a + x) AS BIGINT) AS fe,
+        |    CAST(least(64, blen - f * 64) AS INT) AS fl
+        |  FROM (
+        |    SELECT doc_id, text, octet_length(encode(text)) AS blen,
+        |           unnest(generate_series(0,
+        |             (octet_length(encode(text)) + 63) // 64 - 1)) AS f
+        |    FROM documents WHERE len(text) > 0)),
+        |voiced AS (
+        |  SELECT doc_id, frame_idx, fe,
+        |         frame_idx - row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY frame_idx) AS grp
+        |  FROM fr WHERE fe >= $VadTau * fl),
+        |segs AS (
+        |  SELECT doc_id, grp, min(frame_idx) AS start_frame,
+        |         max(frame_idx) AS end_frame,
+        |         CAST(count(*) AS BIGINT) AS n_frames,
+        |         CAST(CAST(sum(fe) AS BIGINT) % 1000003 AS BIGINT)
+        |           AS energy_mod
+        |  FROM voiced GROUP BY 1, 2)
+        |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY start_frame) AS INT) AS seg_idx,
+        |       start_frame, end_frame, n_frames, energy_mod,
+        |       n_frames >= $MinVadFrames AS servable
+        |FROM segs""".stripMargin,
     "m06_keyframes" ->
       s"""WITH fr AS MATERIALIZED (
         |  SELECT doc_id, CAST(f AS INT) AS frame_idx,

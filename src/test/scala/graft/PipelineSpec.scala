@@ -1012,4 +1012,26 @@ class PipelineSpec extends AnyFunSuite {
     val d02 = out.find(r => r.getLong(0) == 0L && r.getInt(1) == 2).get
     assert(math.abs(d02.getDouble(4) - 25.0) < 1e-9, s"mean_diff wrong: $d02")
   }
+
+  test("m07 VAD segments: islands split at silent frames, min-duration flag") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-m07").toString
+    // spaces (d=96, mean energy 9216) are voiced; '~' (d=2, mean 4) is
+    // silent. Frames: [voiced, voiced, silent, voiced] — two islands,
+    // the 2-frame one servable, the trailing blip not
+    Seq((0L, " " * 128 + "~" * 64 + " " * 64, "en", "web", 256L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Multimodal.queries("m07_vad_segments")(spark, tmp)
+      .orderBy("seg_idx").collect()
+    assert(out.length == 2, s"expected 2 segments: ${out.mkString(";")}")
+    val s1 = out(0); val s2 = out(1)
+    assert(s1.getInt(2) == 0 && s1.getInt(3) == 1 && s1.getLong(4) == 2L
+      && s1.getBoolean(6), s"first island wrong: $s1")
+    assert(s2.getInt(2) == 3 && s2.getInt(3) == 3 && s2.getLong(4) == 1L
+      && !s2.getBoolean(6), s"blip island wrong: $s2")
+    // energy checksum: 2 frames of 64 spaces = 128 * 96^2 mod 1000003
+    assert(s1.getLong(5) == (128L * 96 * 96) % 1000003L, s"energy wrong: $s1")
+  }
 }
