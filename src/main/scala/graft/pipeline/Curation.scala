@@ -151,6 +151,63 @@ object Curation {
     temperatureSelect(Tables.documents(s, dir).select(
       col("doc_id"), col("source")))
 
+  /** Epoch cap for p10 — the Muennighoff et al. 2023 knee: up to ~4
+    * epochs, repeated tokens are nearly as good as new ones; beyond it
+    * returns decay rapidly, so a data-constrained mix never schedules a
+    * 5th pass.
+    */
+  val MaxEpochs = 4L
+
+  /** p10 — data-constrained repeat upweighting (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): when the training token
+    * budget EXCEEDS the unique corpus, sources are repeated for multiple
+    * epochs instead of the mix silently starving — the operator emits the
+    * per-doc epoch manifest a data loader consumes.
+    *
+    * Budget B = 2× the unique corpus (the paper's data-constrained
+    * regime), allocated across sources by p06's α = 0.5 temperature
+    * weights — all in TOKEN units (tok = ⌈n_chars/4⌉, the chars-per-token
+    * rule of thumb; doc counts are uniform across fixture sources, token
+    * sums are not). Each source then serves target/avail FULL epochs plus
+    * one partial epoch: the docs whose cumulative token offset (in the
+    * p02/p03 multiplicative-hash order — deterministic, uniform) starts
+    * inside the remainder get one extra pass. Epochs are capped at
+    * [[MaxEpochs]], and the whole chain — ⌈·⌉ divisions, cumulative
+    * offsets, the boundary test — is exact integer arithmetic (sqrt is
+    * IEEE-correctly-rounded, p06's weight trick), so both engines select
+    * identical epoch counts doc-for-doc.
+    *
+    * Scale shape: |sources| rows of stats broadcast back, one per-source
+    * window pass for the cumulative offset on the corpus's existing
+    * source layout — the same single-shuffle shape as p06.
+    */
+  private val repeatUpweight: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      expr("(n_chars + 3) DIV 4").as("tok"))
+    val all = Window.partitionBy(lit(1))
+    val stats = d.groupBy(col("source"))
+      .agg(sum(col("tok")).as("avail_tok"))
+      .withColumn("w",
+        floor(sqrt(col("avail_tok").cast("double"))).cast("bigint"))
+      .withColumn("sum_w", sum(col("w")).over(all))
+      .withColumn("total", sum(col("avail_tok")).over(all))
+      .withColumn("target_tok",
+        least(col("avail_tok") * MaxEpochs,
+          expr("(total * 2 * w + sum_w - 1) DIV sum_w")))
+      .select(col("source").as("src"), col("avail_tok"), col("target_tok"))
+    val byHash = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    d.withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("off", coalesce(sum(col("tok"))
+        .over(byHash.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(stats), col("source") === col("src"))
+      .select(col("doc_id"), col("source"), col("tok"),
+        col("avail_tok"), col("target_tok"),
+        (expr("target_tok DIV avail_tok") +
+          when(col("off") < col("target_tok") % col("avail_tok"), lit(1L))
+            .otherwise(lit(0L))).as("epochs"))
+  }
+
   /** c01 — benchmark decontamination: flag corpus docs sharing ≥2 distinct
     * 3-token shingles with the held-out benchmark slice (doc_id ≡ 0 mod
     * 97 stands in for the eval suite). The benchmark side explodes to its
@@ -448,6 +505,7 @@ object Curation {
     "p03_mix_rebalance" -> mixRebalance,
     "p04_shard_manifest" -> shardManifest,
     "p06_temperature_mix" -> temperatureMix,
+    "p10_repeat_upweight" -> repeatUpweight,
     "p07_hash_split" -> hashSplit,
     "c01_contamination" -> contamination,
     "c02_bloom_decontam" -> bloomDecontam,
@@ -528,6 +586,33 @@ object Curation {
       s"""WITH ${tempMixSqlCtes("documents", "")}
          |SELECT doc_id, source, avail, target_w, quota, sample_rank
          |FROM sel""".stripMargin,
+    "p10_repeat_upweight" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, source, (n_chars + 3) // 4 AS tok,
+         |         (doc_id * 2654435761) % 4294967296 AS h
+         |  FROM documents),
+         |stats AS MATERIALIZED (
+         |  SELECT source, avail_tok,
+         |    least(avail_tok * $MaxEpochs,
+         |      (tot * 2 * w + sw - 1) // sw) AS target_tok
+         |  FROM (SELECT *, CAST(sum(avail_tok) OVER () AS BIGINT) AS tot,
+         |               CAST(sum(w) OVER () AS BIGINT) AS sw
+         |        FROM (
+         |    SELECT source, CAST(sum(tok) AS BIGINT) AS avail_tok,
+         |           CAST(floor(sqrt(CAST(sum(tok) AS BIGINT))) AS BIGINT) AS w
+         |    FROM d GROUP BY 1))),
+         |offs AS (
+         |  SELECT doc_id, source, tok,
+         |    CAST(coalesce(sum(tok) OVER (PARTITION BY source
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM d)
+         |SELECT o.doc_id, o.source, o.tok, s.avail_tok, s.target_tok,
+         |  s.target_tok // s.avail_tok +
+         |    CASE WHEN o.off < s.target_tok % s.avail_tok THEN 1 ELSE 0 END
+         |    AS epochs
+         |FROM offs o JOIN stats s USING (source)""".stripMargin,
     "p05_curation_manifest" ->
       s"""WITH RECURSIVE $ManifestCtes
          |SELECT doc_id, exact_dup, near_dup, gopher_fail, lm_tail,

@@ -1013,6 +1013,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(d02.getDouble(4) - 25.0) < 1e-9, s"mean_diff wrong: $d02")
   }
 
+  test("p10 repeat upweighting: served tokens cover each source's target, epochs capped") {
+    val out = pipeline.Curation.queries("p10_repeat_upweight")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // the partial epoch is a hash-ranked token prefix: served tokens land
+    // in [target, target + boundary doc) per source, and the 4-epoch cap
+    // binds (full = 4 forces remainder 0)
+    out.groupBy(_.getString(1)).foreach { case (srcName, rows) =>
+      val target = rows.head.getLong(4)
+      val served = rows.map(r => r.getLong(2) * r.getLong(5)).sum
+      val maxTok = rows.map(_.getLong(2)).max
+      assert(served >= target && served < target + maxTok,
+        s"$srcName served $served vs target $target (maxTok $maxTok)")
+      assert(rows.forall(r => r.getLong(5) >= 0 &&
+        r.getLong(5) <= pipeline.Curation.MaxEpochs),
+        s"$srcName epochs out of range")
+    }
+    assert(out.exists(_.getLong(5) >= 2),
+      "data-constrained budget must schedule repeats somewhere")
+  }
+
   test("m07 VAD segments: islands split at silent frames, min-duration flag") {
     val session = spark
     import session.implicits._
