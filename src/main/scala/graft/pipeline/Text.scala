@@ -192,6 +192,55 @@ object Text {
         col("stop_hits"), col("gopher_pass"))
   }
 
+  /** t21 readable-prose floor on the ROUNDED Flesch reading-ease score
+    * (~"plain English" at 60 on the published scale) — thresholding the
+    * rounded value so both engines flip together (the e07 discipline).
+    */
+  val FleschFloor = 60.0
+
+  /** T21 — readability scoring (Flesch 1948 reading ease + Kincaid et al.
+    * 1975 grade level): the classic quality signals a curation pipeline
+    * runs beside the Gopher gate (t06) and LM perplexity (t09/t20) —
+    * formulaic readability catches keyword-stuffed and run-on text that
+    * passes length/stopword gates.
+    *
+    * Deterministic sub-counts, all row-local (zero shuffle at any corpus
+    * size):
+    *  - words: non-empty space-split tokens (the t18/t16 spelling);
+    *  - sentences: runs of `[.!?]+`, floored at 1;
+    *  - syllables: the standard vowel-RUN approximation — runs of
+    *    `[aeiouy]+` over the lowercased text (no per-word floor; a real
+    *    pipeline swaps in a hyphenation dictionary, the plan shape is
+    *    identical).
+    * The two scores are one fixed IEEE chain over the three counts —
+    * identical association order in both engines — emitted at 6dp via the
+    * floor idiom; the `readable` flag thresholds the ROUNDED score.
+    */
+  private val readability: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).filter(length(col("text")) > 0)
+    val words = size(filter(split(col("text"), " "), t => t =!= lit("")))
+      .cast("long")
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syls = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    val out = d.select(col("doc_id"), words.as("n_words"),
+      sents.as("n_sentences"), syls.as("n_syllables"))
+      .withColumn("wps", col("n_words").cast("double") /
+        nullif(col("n_sentences").cast("double"), lit(0.0)))
+      .withColumn("spw", col("n_syllables").cast("double") /
+        nullif(col("n_words").cast("double"), lit(0.0)))
+      .withColumn("flesch6", floor(
+        (lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+          * 1e6 + 0.5) / 1e6)
+      .withColumn("grade6", floor(
+        (lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+          * 1e6 + 0.5) / 1e6)
+    out.select(col("doc_id"), col("n_words"), col("n_sentences"),
+      col("n_syllables"), col("flesch6").as("flesch"),
+      col("grade6").as("fk_grade"),
+      (col("flesch6") >= FleschFloor).as("readable"))
+  }
+
   /** T7 — corpus vocabulary: global token frequencies, top 100 by count
     * (ties by token), with corpus share and rank — the vocabulary /
     * tokenizer-prep step of a training pipeline. One explode + one hash
@@ -799,6 +848,7 @@ object Text {
     "t02_quality_score" -> quality,
     "t03_token_stats" -> tokenStats,
     "t04_fingerprint" -> fingerprint,
+    "t21_readability" -> readability,
     "t05_repetition" -> repetition,
     "t06_gopher_rules" -> gopher,
     "t07_vocab_topk" -> vocabTopk,
@@ -1258,6 +1308,34 @@ object Text {
     "t20_bigram_lm" ->
       s"""WITH $BiScoredCtes
          |SELECT doc_id, n_bigrams, bi_logprob FROM biscored""".stripMargin,
+    "t21_readability" ->
+      // same three row-local counts, same IEEE chain (e-notation literals
+      // so DuckDB parses doubles, not DECIMALs), same floor-rounding and
+      // rounded-threshold flag
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+        |      AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents WHERE len(text) > 0),
+        |sc AS (
+        |  SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    CAST(n_words AS DOUBLE) /
+        |      nullif(CAST(n_sentences AS DOUBLE), 0.0) AS wps,
+        |    CAST(n_syllables AS DOUBLE) /
+        |      nullif(CAST(n_words AS DOUBLE), 0.0) AS spw
+        |  FROM base)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  floor((206835e-3 - 1015e-3 * wps - 846e-1 * spw) * 1e6 + 0.5)
+        |    / 1e6 AS flesch,
+        |  floor((39e-2 * wps + 118e-1 * spw - 1559e-2) * 1e6 + 0.5)
+        |    / 1e6 AS fk_grade,
+        |  floor((206835e-3 - 1015e-3 * wps - 846e-1 * spw) * 1e6 + 0.5)
+        |    / 1e6 >= 60e0 AS readable
+        |FROM sc""".stripMargin,
     "t08_pii_scrub" ->
       """WITH injected AS (
         |  SELECT doc_id,

@@ -1013,6 +1013,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(d02.getDouble(4) - 25.0) < 1e-9, s"mean_diff wrong: $d02")
   }
 
+  test("t21 readability: hand-computed Flesch on a constructed sentence") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t21").toString
+    // 6 words, 2 sentence runs, 6 vowel runs (one per word):
+    // wps = 3, spw = 1 -> flesch = 206.835 - 3.045 - 84.6 = 119.19
+    //                     grade  = 1.17 + 11.8 - 15.59   = -2.62
+    Seq((0L, "The cat sat. It ran fast!", "en", "web", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = pipeline.Text.queries("t21_readability")(spark, tmp).head
+    assert(r.getLong(1) == 6 && r.getLong(2) == 2 && r.getLong(3) == 6,
+      s"counts wrong: $r")
+    assert(math.abs(r.getDouble(4) - 119.19) < 1e-9, s"flesch wrong: $r")
+    assert(math.abs(r.getDouble(5) - (-2.62)) < 1e-9, s"grade wrong: $r")
+    assert(r.getBoolean(6), "plain prose must flag readable")
+  }
+
   test("p10 repeat upweighting: served tokens cover each source's target, epochs capped") {
     val out = pipeline.Curation.queries("p10_repeat_upweight")(spark, sf)
       .collect()
