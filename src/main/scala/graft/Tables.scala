@@ -397,6 +397,63 @@ object Tables {
     dropped.map(_.getName)
   }
 
+  /** u04 — small-file compaction (the OPTIMIZE/bin-packing maintenance
+    * pass): streaming ingest writes one file per micro-batch per
+    * partition, so a 3 s-trigger store accumulates ~28 800 files per
+    * partition-day — and at 100 TB scan throughput dies on file-open
+    * overhead long before data volume. This pass lists each `dt=`
+    * partition, flags those holding MORE part-files than
+    * ⌈bytes/targetBytes⌉ would need, and rewrites ONLY the flagged
+    * partitions down to that file count (dynamic partition overwrite —
+    * the [[graft.operators.Maintenance.mergeCandlesPartitioned]]
+    * machinery with a coalesce instead of a merge). Healthy partitions
+    * are untouched byte-for-byte.
+    *
+    * The rewrite reads the STORED representation (Decimal(38,12) —
+    * [[readCandlesStored]]) so compaction is a pure re-layout: no
+    * decimal→double→decimal round-trip, row content bit-identical. Rows
+    * are pinned via localCheckpoint before the overwrite because the
+    * rewrite replaces the very files being read. Partitions compact one
+    * at a time — each rewrite is an independent job a production
+    * scheduler fans out; the flagging scan is pure metadata.
+    *
+    * Returns (dt, files_before, files_after) per compacted partition.
+    */
+  def compactCandlePartitions(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      timeCol: String = "bucket_ts"): Seq[(String, Int, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val flagged = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .flatMap { p =>
+        val files = fs.listStatus(p.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        val want = math.max(1L,
+          (files.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+        if (files.size > want)
+          Some((p.getPath.getName.stripPrefix("dt="), files.size, want))
+        else None
+      }
+    flagged.foreach { case (dt, _, want) =>
+      val rows = readCandlesStored(spark, path)
+        .filter(col("dt").cast("string") === dt).localCheckpoint()
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try rows.coalesce(want)
+        .sortWithinPartitions(col("symbol"), col(timeCol))
+        .write.mode("overwrite").partitionBy("dt").parquet(path)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    flagged
+  }
+
   /** Candle schema for external ingest (the `candles_1m` contract,
     * reference 001_timescaledb.sql:9-28, with epoch-second Long time).
     */

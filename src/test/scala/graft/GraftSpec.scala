@@ -204,6 +204,52 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(left.count() < candles.count())
   }
 
+  test("u04 compaction rewrites only fragmented partitions, preserves rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    val candles = Tables.candles(spark, TestSession.sf)
+    Tables.writeCandles(candles, dir)
+
+    def partFiles(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("dt="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    }
+    // fragment ONE partition into many small files (the streaming-ingest
+    // shape): rewrite its rows with repartition(7)
+    val victim = partFiles().keySet.min.stripPrefix("dt=")
+    val frag = Tables.readCandlesStored(spark, dir)
+      .filter(col("dt").cast("string") === victim).localCheckpoint()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    frag.repartition(7).write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val before = partFiles()
+    assert(before(s"dt=$victim").size == 7, s"fragmentation failed: $before")
+    val rowsBefore = Tables.readCandles(spark, dir)
+      .agg(count(lit(1)), sum("volume"), sum(expr("hash(symbol, bucket_ts)")))
+      .head
+
+    val report = Tables.compactCandlePartitions(spark, dir)
+    assert(report.map(_._1) == Seq(victim),
+      s"only the fragmented partition compacts: $report")
+    assert(report.head._2 == 7 && report.head._3 == 1, s"report wrong: $report")
+
+    val after = partFiles()
+    assert(after(s"dt=$victim").size == 1, "victim partition not compacted")
+    before.keySet.filterNot(_ == s"dt=$victim").foreach { p =>
+      assert(before(p) == after(p), s"healthy partition $p was rewritten")
+    }
+    // pure re-layout: identical row multiset (count + content hashes),
+    // Decimal(38,12) storage types preserved
+    val rowsAfter = Tables.readCandles(spark, dir)
+      .agg(count(lit(1)), sum("volume"), sum(expr("hash(symbol, bucket_ts)")))
+      .head
+    assert(rowsBefore == rowsAfter, s"$rowsBefore vs $rowsAfter")
+    val storedTypes = Tables.readCandlesStored(spark, dir).schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    Tables.DecimalCols.foreach { c =>
+      assert(storedTypes(c) == Tables.StorageDecimal) }
+  }
+
   test("partition-scoped merge rewrites only the touched date partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge").toFile.getAbsolutePath
     val candles = Tables.candles(spark, TestSession.sf)
