@@ -454,11 +454,14 @@ object Similarity {
       col("e").as("ce"))
     .agg(array_sort(collect_list(struct(col("j"), col("ce")))).as("cb"))
 
-  /** PQ-encoded corpus (vec_id, codes, e, n): per subspace,
+  /** PQ-encoded corpus (vec_id [, extra...], codes, e, n): per subspace,
     * argmin_j ||v_m − c_{m,j}||² (ties → smaller j) — row-local against
-    * the broadcast codebook, zero shuffle.
+    * the broadcast codebook, zero shuffle. `extra` columns (e.g. s11's
+    * home cell) pass through so encode composes without a corpus-scale
+    * re-join.
     */
-  private def pqEncode(emb: DataFrame, cb: DataFrame): DataFrame = emb
+  private def pqEncode(emb: DataFrame, cb: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = emb
     .crossJoin(broadcast(cb))
     .withColumn("codes", array((0 until PqSubspaces).map { m =>
       aggregate(col("cb"),
@@ -469,7 +472,7 @@ object Similarity {
             struct(d.as("d"), c("j").as("j"))).otherwise(acc)
         })("j")
     }: _*))
-    .select(col("vec_id"), col("codes"), col("e"), col("n"))
+    .select((Seq("vec_id") ++ extra ++ Seq("codes", "e", "n")).map(col): _*)
 
   /** Per-query ADC lookup table lut[m][j] = ||q_m − c_{m,j}||², attached
     * to a frame carrying `qe` (memoization of the identical subspace
@@ -569,12 +572,17 @@ object Similarity {
       .filter(col("rn") <= IvfProbes)
       .select(col("vec_id"), col("c_id").as("cell"), col("rn"),
         col("e"), col("n")))
-    // PQ layer: s06's codebook + codes, joined onto the home-cell frame
+    // PQ layer: s06's codebook, codes encoded DIRECTLY on the home-cell
+    // frame — encode is a row-local adornment, so composing it after the
+    // coarse assignment costs zero extra shuffles (a codes ⋈ cells join
+    // of two corpus-scale frames would be one); in the production layout
+    // cell and code are two columns written beside the vector in one pass
     val pstride = math.max(1L, nVec / PqCodebook)
     val cb = pqCb(emb, pstride)
-    val corpus = pqEncode(emb, cb)
-      .join(ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell")),
-        "vec_id")
+    val corpus = pqEncode(
+      ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), col("e"), col("n")),
+      cb, extra = Seq("cell"))
     val q = ranked.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("cell"), col("rn").as("probe"),
         col("e").as("qe"), col("n").as("qn"))

@@ -200,6 +200,32 @@ class PlanSpec extends AnyFunSuite {
       s"s06 grew non-window shuffles:\n${exchanges.mkString("\n")}")
   }
 
+  test("s10: SQ8 encode + ADC scan shuffle only on the q_id windows, no cartesian") {
+    // bounds and queries ride 1-row/10-row broadcasts; encode and the
+    // decoded-distance fold are row-local — the s06 contract with a
+    // different code layout
+    val p = plan("s10_sq_ann")
+    assert(!p.contains("CartesianProduct"), s"s10 went cartesian:\n${p.take(1500)}")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 2 && exchanges.forall(_.contains("q_id")),
+      s"s10 grew non-window shuffles:\n${exchanges.mkString("\n")}")
+  }
+
+  test("s11: IVF-PQ shuffles only the coarse-assignment window and the q_id top-ks") {
+    // centroids and the PQ codebook broadcast; codes are encoded DIRECTLY
+    // on the home-cell frame (a codes ⋈ cells corpus join would be one
+    // more exchange); the probe join broadcasts the query side. Allowed
+    // hash exchanges: the per-vector coarse ranking window (vec_id) and
+    // the two per-query top-k windows (q_id) — nothing else
+    val p = plan("s11_ivfpq_ann")
+    assert(!p.contains("CartesianProduct"), s"s11 went cartesian:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"s11 grew a shuffle join:\n${p.take(1500)}")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => l.contains("q_id") || l.contains("vec_id")),
+      s"s11 grew a foreign shuffle:\n${exchanges.mkString("\n")}")
+    assert(p.contains("Broadcast"), s"s11 lost its broadcasts:\n${p.take(1500)}")
+  }
+
   test("p07: the split is row-local — zero exchanges, no join, no window") {
     // the 100 TB argument for the hash-threshold split IS the plan shape:
     // assignment must never sort, shuffle, or rank (an Exchange or Window
