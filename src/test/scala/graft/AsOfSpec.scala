@@ -31,6 +31,23 @@ class AsOfSpec extends AnyFunSuite {
       ("B", 10L, None, None)))            // key with no right rows at all
   }
 
+  test("joinAsOfInterp: exact-on-grid, midpoint interpolation, flat hold, pre-first null") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("A", 5L), ("A", 10L), ("A", 15L), ("A", 30L))
+      .toDF("k", "t")
+    val right = Seq(("A", 10L, 100.0), ("A", 20L, 300.0))
+      .toDF("k", "rt", "v")
+    val got = operators.AsOf
+      .joinAsOfInterp(left, right, Seq("k"), "t", "rt", "v")
+      .collect().map(r => (r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(5L).isEmpty, "before first right row must be NULL")
+    assert(got(10L).contains(100.0), "metric on the bar time is exact (weight 0)")
+    assert(got(15L).contains(200.0), "midpoint interpolates linearly")
+    assert(got(30L).contains(300.0), "past last right row holds flat")
+  }
+
   test("pointsInRange: half-open (lo, hi] boundaries are exact across buckets") {
     val s = spark
     import s.implicits._
