@@ -605,6 +605,62 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** s12 prefix length: the first 16 of 64 dims — a 4× cheaper candidate
+    * scan, the Matryoshka truncation an MRL-trained embedding model makes
+    * nearly lossless (Kusupati et al. 2022).
+    */
+  private[pipeline] val MrlPrefixDims = 16
+
+  /** Prefix candidates exact-re-ranked per query. The fixture embeddings
+    * are RANDOM (not MRL-trained — information is spread uniformly over
+    * the dims, truncation's worst case), so the budget is sized for an
+    * honest floor there; an MRL model concentrates variance in the prefix
+    * and the same budget reaches the high 90s.
+    */
+  private[pipeline] val MrlRerank = 128
+
+  /** S12 — truncated-dimension ANN (Matryoshka Representation Learning,
+    * Kusupati et al. 2022 — the "adaptive retrieval" recipe §4.3: scan on
+    * a short PREFIX of the embedding, exact-re-rank the survivors on the
+    * full vector). The fourth member of the compressed-scan family and
+    * the only one whose compression is a PROJECTION, not a quantization:
+    * beside SQ8 (s10, 4× via 8-bit levels) and PQ (s06, 32× via subspace
+    * codes), the prefix scan reads 4× fewer FLOATS — no codebook, no
+    * decode, plain dense arithmetic on a shorter array, which is exactly
+    * why MRL-trained stacks prefer it operationally.
+    *
+    * Candidate stage: cosine over dims 1..[[MrlPrefixDims]] (slice +
+    * the same sequential fold), top-[[MrlRerank]] per query; re-rank by
+    * full-vector cosine, top-5. Query side broadcasts; the corpus scan
+    * is row-local; the only shuffles are the two q_id top-k windows —
+    * the s06/s10 plan contract. The DuckDB oracle replays slice, both
+    * folds, and both rank stages verbatim.
+    */
+  private val mrlAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e")))
+      .withColumn("ep", slice(col("e"), 1, MrlPrefixDims))
+      .withColumn("np", norm(slice(col("e"), 1, MrlPrefixDims)))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("n").as("qn"),
+        col("ep").as("qep"), col("np").as("qnp"))
+    val pairs = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("pcos", dot(col("ep"), col("qep")) /
+        nullif(col("np") * col("qnp"), lit(0.0)))
+    val wPre = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("vec_id"))
+    val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("prn", row_number().over(wPre))
+      .filter(col("prn") <= MrlRerank)
+      .withColumn("cos", dot(col("e"), col("qe")) /
+        nullif(col("n") * col("qn"), lit(0.0)))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("pcos"), 6).as("prefix_cos"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+  }
+
   /** SQ8 geometry: every dimension quantized to an 8-bit level against the
     * corpus per-dim [min, max] range — 64 bytes/vector against fp32's 256,
     * the 4× "compressed-but-still-accurate" tier between raw vectors and
@@ -1302,6 +1358,7 @@ object Similarity {
     "s06_pq_ann" -> pqAnn,
     "s10_sq_ann" -> sqAnn,
     "s11_ivfpq_ann" -> ivfPq,
+    "s12_mrl_ann" -> mrlAnn,
     "s07_knn_graph" -> knnGraph,
     "s08_class_stats" -> classStats,
     "s09_kmeans" -> kmeans,
@@ -1689,6 +1746,39 @@ object Similarity {
          |SELECT q_id, vec_id AS neighbor_id, cell, probe,
          |       round(adist, 6) AS adist, round(cos, 6) AS cos, rank FROM (
          |  SELECT q_id, vec_id, cell, probe, adist, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC,
+         |           vec_id) AS rank
+         |  FROM rerank)
+         |WHERE rank <= 5""".stripMargin,
+    "s12_mrl_ann" ->
+      // replays slice, both folds and both rank stages verbatim
+      s"""WITH $EMB,
+         |pre AS (
+         |  SELECT vec_id, e, n, list_slice(e, 1, $MrlPrefixDims) AS ep,
+         |         sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(list_slice(e, 1, $MrlPrefixDims),
+         |             x -> x * x)), (acc, x) -> acc + x)) AS np
+         |  FROM emb),
+         |q AS (SELECT vec_id AS q_id, e AS qe, n AS qn, ep AS qep, np AS qnp
+         |      FROM pre WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.q_id, v.vec_id, v.e, v.n, q.qe, q.qn,
+         |         ${DOT.format("v.ep", "q.qep")} / nullif(v.np * q.qnp, 0.0)
+         |           AS pcos
+         |  FROM pre v CROSS JOIN q
+         |  WHERE v.vec_id != q.q_id),
+         |cands AS (
+         |  SELECT q_id, vec_id, pcos, e, n, qe, qn,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC,
+         |           vec_id ASC) AS prn
+         |  FROM pairs),
+         |rerank AS (
+         |  SELECT q_id, vec_id, pcos,
+         |         ${DOT.format("e", "qe")} / nullif(n * qn, 0.0) AS cos
+         |  FROM cands WHERE prn <= $MrlRerank)
+         |SELECT q_id, vec_id AS neighbor_id, round(pcos, 6) AS prefix_cos,
+         |       round(cos, 6) AS cos, rank FROM (
+         |  SELECT q_id, vec_id, pcos, cos,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC,
          |           vec_id) AS rank
          |  FROM rerank)

@@ -129,6 +129,22 @@ class PipelineSpec extends AnyFunSuite {
       s"codes do not span [0,255]: $codeRange")
   }
 
+  test("s12 MRL prefix scan: recall floor vs exact top-k on untrained embeddings") {
+    val mrl = pipeline.Similarity.queries("s12_mrl_ann")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pipeline.Similarity.queries("s01_cosine_topk")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mrl.size == exact.size && exact.size == 50)
+    val recall = mrl.intersect(exact).size.toDouble / exact.size
+    info(f"MRL recall@5 vs exact: $recall%.2f")
+    // random (non-MRL-trained) embeddings are the truncation worst case —
+    // the 16/64 prefix carries 1/4 of the variance; measured 0.80 at
+    // sf0.01/budget 128, floor 0.6 (an MRL model pushes this to ~1)
+    assert(recall >= 0.6, f"MRL recall@5 collapsed: $recall%.2f")
+  }
+
   test("s11 IVF-PQ: candidates honor the probed cells, recall floor vs within-cell exact") {
     val ivfpq = pipeline.Similarity.queries("s11_ivfpq_ann")(spark, sf)
       .select("q_id", "neighbor_id").collect()

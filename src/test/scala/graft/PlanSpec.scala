@@ -226,6 +226,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), s"s11 lost its broadcasts:\n${p.take(1500)}")
   }
 
+  test("s12: the MRL prefix scan shuffles only on the q_id windows, no cartesian") {
+    // the query side broadcasts; prefix slice/norm/fold are row-local —
+    // the s06/s10 contract with a projection instead of a code layout
+    val p = plan("s12_mrl_ann")
+    assert(!p.contains("CartesianProduct"), s"s12 went cartesian:\n${p.take(1500)}")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 2 && exchanges.forall(_.contains("q_id")),
+      s"s12 grew non-window shuffles:\n${exchanges.mkString("\n")}")
+  }
+
   test("p07: the split is row-local — zero exchanges, no join, no window") {
     // the 100 TB argument for the hash-threshold split IS the plan shape:
     // assignment must never sort, shuffle, or rank (an Exchange or Window
