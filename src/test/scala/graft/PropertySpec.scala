@@ -213,6 +213,49 @@ object PropertySpec extends Properties("graft") {
       } && out.length.toLong <= total / 2 + sizes.length
     }
 
+  property("repeat upweighting: epoch math matches a plain re-derivation on any layout") =
+    forAll(srcSizesGen) { sizes =>
+      val s = spark
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_p10").toString
+      var id = 0L
+      val docs = sizes.zipWithIndex.flatMap { case (n, i) =>
+        (0 until n).map { _ =>
+          id += 1
+          (id, "x", s"src$i", 1L + (id * 37) % 400)
+        }
+      }
+      docs.toDF("doc_id", "text", "source", "n_chars")
+        .withColumn("lang", lit("en"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = pipeline.Curation.queries("p10_repeat_upweight")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+      // plain-Scala model of the whole chain: token units, temperature
+      // targets (ceil division, 4-epoch cap), hash-ordered cumulative
+      // offsets, remainder boundary test
+      val tok = docs.map { case (d, _, src, nc) => (d, src, (nc + 3) / 4) }
+      val avail = tok.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+      val w = avail.map { case (k, a) => k -> math.sqrt(a.toDouble).toLong }
+      val sumW = w.values.sum
+      val total = avail.values.sum
+      val target = avail.map { case (k, a) =>
+        k -> math.min(a * pipeline.Curation.MaxEpochs,
+          (total * 2 * w(k) + sumW - 1) / sumW)
+      }
+      val want = tok.groupBy(_._2).flatMap { case (src, rows) =>
+        val full = target(src) / avail(src)
+        val rem = target(src) % avail(src)
+        val ordered = rows.sortBy { case (d, _, _) =>
+          ((d * 2654435761L) % 4294967296L, d) }
+        var off = 0L
+        ordered.map { case (d, _, t) =>
+          val e = full + (if (off < rem) 1L else 0L); off += t; d -> e
+        }
+      }
+      out == want
+    }
+
   property("mix rebalance: quotas respected, shares within one doc of target") =
     forAll(Gen.const(())) { _ =>
       val out = pipeline.Curation.queries("p03_mix_rebalance")(
