@@ -181,8 +181,12 @@ object Curation {
     * window pass for the cumulative offset on the corpus's existing
     * source layout — the same single-shuffle shape as p06.
     */
-  private val repeatUpweight: Q = (s, dir) => {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+  /** p10's epoch selection over an ARBITRARY (doc_id, source, n_chars)
+    * frame — the one body the standalone entry and p11's composed run
+    * share (the temperatureSelect discipline).
+    */
+  private def repeatSelect(src: DataFrame): DataFrame = {
+    val d = src.select(col("doc_id"), col("source"),
       expr("(n_chars + 3) DIV 4").as("tok"))
     val all = Window.partitionBy(lit(1))
     val stats = d.groupBy(col("source"))
@@ -206,6 +210,30 @@ object Curation {
         (expr("target_tok DIV avail_tok") +
           when(col("off") < col("target_tok") % col("avail_tok"), lit(1L))
             .otherwise(lit(0L))).as("epochs"))
+  }
+
+  private val repeatUpweight: Q = (s, dir) =>
+    repeatSelect(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars")))
+
+  /** p11 — the DATA-CONSTRAINED curation run: p09's DAG with p10's epoch
+    * manifest as the selection stage — p05's keep set feeds the repeat-
+    * upweighting allocator, so the output is the per-doc epoch schedule a
+    * loader runs when the CLEANED corpus is smaller than the token budget
+    * (the regime Muennighoff et al. 2023 studies: aggressive filtering +
+    * repeats beats keeping junk). Both stages are the registered
+    * operators' own bodies ([[curationManifest]] / [[repeatSelect]]) and
+    * the oracle re-roots the standalone CTE chains at the kept set — the
+    * p09/f01d discipline. Scale shape: the manifest materializes once
+    * behind a barrier; the epoch pass is |sources| broadcast rows + one
+    * source-keyed cumsum window.
+    */
+  private val repeatRun: Q = (s, dir) => {
+    val kept = Tables.barrier(curationManifest(s, dir)
+      .filter(col("keep")).select(col("doc_id")))
+    repeatSelect(Tables.documents(s, dir)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("n_chars")))
   }
 
   /** c01 — benchmark decontamination: flag corpus docs sharing ≥2 distinct
@@ -511,7 +539,8 @@ object Curation {
     "c02_bloom_decontam" -> bloomDecontam,
     "c03_ngram_decontam" -> ngramDecontam,
     "p05_curation_manifest" -> curationManifest,
-    "p09_curation_run" -> curationRun)
+    "p09_curation_run" -> curationRun,
+    "p11_repeat_run" -> repeatRun)
 
   val oracle: Map[String, String] = Map(
     "p07_hash_split" ->
@@ -587,32 +616,21 @@ object Curation {
          |SELECT doc_id, source, avail, target_w, quota, sample_rank
          |FROM sel""".stripMargin,
     "p10_repeat_upweight" ->
-      s"""WITH d AS MATERIALIZED (
-         |  SELECT doc_id, source, (n_chars + 3) // 4 AS tok,
-         |         (doc_id * 2654435761) % 4294967296 AS h
-         |  FROM documents),
-         |stats AS MATERIALIZED (
-         |  SELECT source, avail_tok,
-         |    least(avail_tok * $MaxEpochs,
-         |      (tot * 2 * w + sw - 1) // sw) AS target_tok
-         |  FROM (SELECT *, CAST(sum(avail_tok) OVER () AS BIGINT) AS tot,
-         |               CAST(sum(w) OVER () AS BIGINT) AS sw
-         |        FROM (
-         |    SELECT source, CAST(sum(tok) AS BIGINT) AS avail_tok,
-         |           CAST(floor(sqrt(CAST(sum(tok) AS BIGINT))) AS BIGINT) AS w
-         |    FROM d GROUP BY 1))),
-         |offs AS (
-         |  SELECT doc_id, source, tok,
-         |    CAST(coalesce(sum(tok) OVER (PARTITION BY source
-         |      ORDER BY h, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS BIGINT) AS off
-         |  FROM d)
-         |SELECT o.doc_id, o.source, o.tok, s.avail_tok, s.target_tok,
-         |  s.target_tok // s.avail_tok +
-         |    CASE WHEN o.off < s.target_tok % s.avail_tok THEN 1 ELSE 0 END
-         |    AS epochs
-         |FROM offs o JOIN stats s USING (source)""".stripMargin,
+      s"""WITH ${repeatSqlCtes("documents", "")}
+         |SELECT doc_id, source, tok, avail_tok, target_tok, epochs
+         |FROM rep""".stripMargin,
+    "p11_repeat_run" ->
+      // the data-constrained run: the p05 manifest chain VERBATIM,
+      // re-rooted — kept docs feed p10's epoch chain (repeatSqlCtes over
+      // `kept`), the p09/f01d ingredient-reuse discipline
+      s"""WITH RECURSIVE $ManifestCtes,
+         |kept AS (
+         |  SELECT d.doc_id, d.source, d.n_chars
+         |  FROM manifest m JOIN documents d ON m.doc_id = d.doc_id
+         |  WHERE m.keep),
+         |${repeatSqlCtes("kept", "k")}
+         |SELECT doc_id, source, tok, avail_tok, target_tok, epochs
+         |FROM krep""".stripMargin,
     "p05_curation_manifest" ->
       s"""WITH RECURSIVE $ManifestCtes
          |SELECT doc_id, exact_dup, near_dup, gopher_fail, lm_tail,
@@ -696,6 +714,40 @@ object Curation {
        |  FROM ${p}ranked JOIN ${p}quotas
        |    ON ${p}ranked.source = ${p}quotas.source
        |  WHERE sample_rank <= quota)""".stripMargin
+
+  /** p10's oracle chain over an arbitrary (doc_id, source, n_chars)
+    * relation `src`, prefixed like [[tempMixSqlCtes]] (ends in `<p>rep` =
+    * the per-doc epoch manifest). ONE spelling for the standalone entry
+    * and p11.
+    */
+  private def repeatSqlCtes(src: String, p: String): String =
+    s"""${p}rd AS MATERIALIZED (
+       |  SELECT doc_id, source, (n_chars + 3) // 4 AS tok,
+       |         (doc_id * 2654435761) % 4294967296 AS h
+       |  FROM $src),
+       |${p}rstats AS MATERIALIZED (
+       |  SELECT source, avail_tok,
+       |    least(avail_tok * $MaxEpochs,
+       |      (tot * 2 * w + sw - 1) // sw) AS target_tok
+       |  FROM (SELECT *, CAST(sum(avail_tok) OVER () AS BIGINT) AS tot,
+       |               CAST(sum(w) OVER () AS BIGINT) AS sw
+       |        FROM (
+       |    SELECT source, CAST(sum(tok) AS BIGINT) AS avail_tok,
+       |           CAST(floor(sqrt(CAST(sum(tok) AS BIGINT))) AS BIGINT) AS w
+       |    FROM ${p}rd GROUP BY 1))),
+       |${p}roffs AS (
+       |  SELECT doc_id, source, tok,
+       |    CAST(coalesce(sum(tok) OVER (PARTITION BY source
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS off
+       |  FROM ${p}rd),
+       |${p}rep AS (
+       |  SELECT o.doc_id, o.source, o.tok, s.avail_tok, s.target_tok,
+       |    s.target_tok // s.avail_tok +
+       |      CASE WHEN o.off < s.target_tok % s.avail_tok THEN 1 ELSE 0 END
+       |      AS epochs
+       |  FROM ${p}roffs o JOIN ${p}rstats s USING (source))""".stripMargin
 
   /** p04's oracle chain over an arbitrary (doc_id, text [, source])
     * relation `src`, prefixed like [[tempMixSqlCtes]] (ends in
