@@ -481,8 +481,27 @@ object Dedup {
       (s, s"$dir@${Tables.dirStamp(dir)}"),
       _ => componentsBuild(s, dir).localCheckpoint())
 
-  private def componentsBuild(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("a"), col("b"))
+  private def componentsBuild(s: SparkSession, dir: String): DataFrame =
+    minLabelPropagation(ngramJaccard(s, dir).select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("label").as("canonical"),
+        col("cluster_size"))
+
+  /** The generic iterative min-label propagation over an (a, b) pair
+    * list — (id, label, cluster_size) out. Shared by d05 (near-dup text
+    * clusters) and s13 (mutual-kNN embedding clusters); the scale story
+    * in the d05 scaladoc above is the same for any edge source.
+    *
+    * Each round does neighbor propagation PLUS pointer jumping (label ←
+    * label's label — the path-compression half of the Kiveris et al.
+    * 2014 / hash-to-min family): reach doubles per round, so convergence
+    * is O(log diameter) rounds, not O(diameter). The text near-dup graph
+    * is shallow either way, but s13's mutual-kNN graph carries a
+    * ~450-node giant component whose diameter blows any constant
+    * neighbor-only round cap — the jump makes 30 rounds enough for any
+    * component a real corpus can produce (2³⁰ diameter). The fixpoint is
+    * identical (component min), so d05's oracle is untouched.
+    */
+  private[pipeline] def minLabelPropagation(pairs: DataFrame): DataFrame = {
     // localCheckpoint (not persist): an iterative join must TRUNCATE the
     // lineage each round — caching alone leaves the logical plan growing
     // by one join+aggregate per round until analysis/codegen blows the
@@ -505,12 +524,18 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < 30) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("label"))
-      val next = labels.unionAll(viaNeighbors)
+      val prop = labels.unionAll(viaNeighbors)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // pointer jump: adopt the label OF the label (left join — a label
+      // is itself a node id, but guard the frame-empty edge anyway)
+      val next = prop
+        .join(prop.select(col("id").as("label"), col("label").as("l2")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("l2"), col("label")).as("label"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       labels = next
@@ -520,8 +545,7 @@ object Dedup {
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("canonical"),
-        col("cluster_size"))
+      .select(col("id"), col("label"), col("cluster_size"))
   }
 
   /** D6 — survivor selection: within each near-dup cluster (d05's labels)

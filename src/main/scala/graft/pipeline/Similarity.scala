@@ -226,7 +226,10 @@ object Similarity {
     * reversed key — edge-list-sized, never corpus-sized. The edge list is
     * barrier'd so the bucket join runs once, not once per side.
     */
-  private val knnGraph: Q = (s, dir) => {
+  /** s07's full kNN-graph frame — shared by the standalone entry and
+    * s13's cluster discovery (the temperatureSelect discipline).
+    */
+  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
     val (bk, p) = bucketed(s, dir)
     val a = bk.select(col("vec_id").as("a_id"), col("e").as("ae"),
         col("n").as("an"), col("bucket"))
@@ -247,6 +250,34 @@ object Similarity {
       .select(col("a_id"), col("b_id").as("nn_id"), col("rank"),
         round(col("cos"), 6).as("cos"),
         coalesce(col("m"), lit(false)).as("mutual"))
+  }
+
+  private val knnGraph: Q = (s, dir) => knnGraphFrame(s, dir)
+
+  /** S13 — embedding-cluster discovery: connected components over the
+    * MUTUAL edges of s07's kNN graph — the density-robust clustering a
+    * curation pipeline uses to ORGANIZE an embedding corpus (topic
+    * islands, template families) without choosing K: mutual-kNN edges
+    * only connect points that pick each other, so chains through hub
+    * vectors don't glue unrelated regions, and the component labels fall
+    * out of the same iterative min-label propagation d05 runs on the
+    * text near-dup graph ([[Dedup.minLabelPropagation]] — one equi-join
+    * + min-aggregate per round, O(diameter) rounds, lineage-truncated).
+    *
+    * Both ingredients are the registered operators' own bodies (s07's
+    * graph frame, d05's propagation), and the oracle re-roots s07's CTE
+    * chain into d05's recursive min-reach spelling — the ingredient-reuse
+    * discipline. Scale: edges ≤ V·K by construction, so the propagation
+    * input is graph-scale, not corpus²; isolated vectors (no mutual
+    * edge) are absent from the output by the same contract as d05's
+    * pair-less docs.
+    */
+  private val knnComponents: Q = (s, dir) => {
+    val mutual = knnGraphFrame(s, dir).filter(col("mutual"))
+      .select(col("a_id").as("a"), col("nn_id").as("b"))
+    Dedup.minLabelPropagation(mutual)
+      .select(col("id").as("vec_id"), col("label").as("cluster"),
+        col("cluster_size"))
   }
 
   /** S8 — labeled-embedding class diagnostics: per-label centroid norm,
@@ -1359,6 +1390,7 @@ object Similarity {
     "s10_sq_ann" -> sqAnn,
     "s11_ivfpq_ann" -> ivfPq,
     "s12_mrl_ann" -> mrlAnn,
+    "s13_knn_components" -> knnComponents,
     "s07_knn_graph" -> knnGraph,
     "s08_class_stats" -> classStats,
     "s09_kmeans" -> kmeans,
@@ -1395,6 +1427,33 @@ object Similarity {
   private val PROBES =
     (Seq("bucket") ++ (0 until OraclePlanes).map(k => s"xor(bucket, ${1 << k})"))
       .mkString("[", ", ", "]")
+
+  /** s07's oracle chain (bucketed → probed → pairs → top-K edges), ONE
+    * spelling for the standalone graph entry and s13's clustering.
+    * `edges` MATERIALIZED: both consumers reference it twice (the mutual
+    * self-join), and s13 puts it under WITH RECURSIVE where DuckDB's
+    * per-reference inlining would re-run the whole kNN build per
+    * recursion step.
+    */
+  private lazy val KNN_CTES =
+    s"""$EMB,
+       |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),
+       |probed AS (
+       |  SELECT vec_id AS a_id, e AS ae, n AS an, bucket,
+       |         unnest($PROBES) AS probe
+       |  FROM bucketed),
+       |pairs AS (
+       |  SELECT a.a_id, b.vec_id AS b_id,
+       |         ${DOT.format("a.ae", "b.e")} / nullif(a.an * b.n, 0.0) AS cos
+       |  FROM probed a JOIN bucketed b
+       |    ON a.probe = b.bucket AND a.a_id != b.vec_id),
+       |edges AS MATERIALIZED (
+       |  SELECT a_id, b_id, rank, cos FROM (
+       |    SELECT a_id, b_id, cos,
+       |           row_number() OVER (PARTITION BY a_id
+       |             ORDER BY cos DESC, b_id) AS rank
+       |    FROM pairs)
+       |  WHERE rank <= $KnnK)""".stripMargin
 
   /** [[kmeans]]'s DuckDB twin: the Lloyd rounds unrolled as MATERIALIZED
     * CTE chains — the `samp` training-sample cut (the first
@@ -1876,29 +1935,33 @@ object Similarity {
          |  round(s.inter, 6) AS inter_cos
          |FROM intra i JOIN sep s USING (label) JOIN cent USING (label)""".stripMargin,
     "s07_knn_graph" ->
-      s"""WITH $EMB,
-         |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),
-         |probed AS (
-         |  SELECT vec_id AS a_id, e AS ae, n AS an, bucket,
-         |         unnest($PROBES) AS probe
-         |  FROM bucketed),
-         |pairs AS (
-         |  SELECT a.a_id, b.vec_id AS b_id,
-         |         ${DOT.format("a.ae", "b.e")} / nullif(a.an * b.n, 0.0) AS cos
-         |  FROM probed a JOIN bucketed b
-         |    ON a.probe = b.bucket AND a.a_id != b.vec_id),
-         |edges AS (
-         |  SELECT a_id, b_id, rank, cos FROM (
-         |    SELECT a_id, b_id, cos,
-         |           row_number() OVER (PARTITION BY a_id
-         |             ORDER BY cos DESC, b_id) AS rank
-         |    FROM pairs)
-         |  WHERE rank <= $KnnK)
+      s"""WITH $KNN_CTES
          |SELECT e.a_id, e.b_id AS nn_id, e.rank, round(e.cos, 6) AS cos,
          |  coalesce(r.m, FALSE) AS mutual
          |FROM edges e LEFT JOIN
          |  (SELECT b_id AS a_id, a_id AS b_id, TRUE AS m FROM edges) r
          |  USING (a_id, b_id)""".stripMargin,
+    "s13_knn_components" ->
+      // s07's chain verbatim (KNN_CTES), the mutual cut, then d05's
+      // recursive min-reach spelling over the mutual edge set (already
+      // symmetric: (a,b) mutual ⇒ (b,a) present) — ingredient reuse on
+      // both halves. `edges`/`mutual` MATERIALIZED: referenced from the
+      // recursive member, DuckDB would otherwise re-inline per step.
+      s"""WITH RECURSIVE $KNN_CTES,
+         |mutual AS MATERIALIZED (
+         |  SELECT e.a_id AS a, e.b_id AS b
+         |  FROM edges e JOIN edges r
+         |    ON r.a_id = e.b_id AND r.b_id = e.a_id),
+         |nodes AS (SELECT DISTINCT a AS id FROM mutual),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN mutual e ON e.a = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT l.id AS vec_id, l.cluster, s.cluster_size
+         |FROM lab l
+         |JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |      FROM lab GROUP BY cluster) s USING (cluster)""".stripMargin,
     "s02_lsh_ann" ->
       s"""WITH $EMB,
          |bucketed AS (SELECT vec_id, e, n, $BUCKET AS bucket FROM emb),

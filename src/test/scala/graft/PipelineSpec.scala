@@ -145,6 +145,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, f"MRL recall@5 collapsed: $recall%.2f")
   }
 
+  test("s13 kNN components match a plain union-find over the mutual edge set") {
+    val edges = pipeline.Similarity.queries("s07_knn_graph")(spark, sf)
+      .filter(col("mutual")).select("a_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = pipeline.Similarity.queries("s13_knn_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent model: union-find with union-by-min (the final root of
+    // any node is its component's minimum id — exactly s13's label)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    val sizes = want.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out.length == nodes.length,
+      s"${out.length} labeled vs ${nodes.length} mutual-edge nodes")
+    out.foreach { case (v, c, sz) =>
+      assert(want(v) == c && sizes(c) == sz, s"vec $v: got ($c,$sz), want (${want(v)},${sizes(want(v))})")
+    }
+  }
+
   test("s11 IVF-PQ: candidates honor the probed cells, recall floor vs within-cell exact") {
     val ivfpq = pipeline.Similarity.queries("s11_ivfpq_ann")(spark, sf)
       .select("q_id", "neighbor_id").collect()
