@@ -380,6 +380,56 @@ object Multimodal {
     }(encDecoded).toDF()
   }
 
+  final case class DocText(doc_id: Long, text: String)
+  private implicit val encDocText: Encoder[DocText] = Encoders.product[DocText]
+  final case class PairQc(doc_id: Long, width: Int, height: Int,
+    n_words: Long)
+  private implicit val encPairQc: Encoder[PairQc] = Encoders.product[PairQc]
+
+  /** m08's filter dials (the LAION-400M §2.2 recipe shape — image-size
+    * floor, aspect-ratio band, caption-length floor — recut to the
+    * fixture's 8–31-px dim formula so every rule actually fires).
+    */
+  val MinPairDim = 12
+  val MinCaptionWords = 5L
+
+  /** M8 — image-text pair filtering (the LAION-400M curation recipe,
+    * Schuhmann et al. 2021: a crawled (image, caption) pair survives only
+    * if the image is big enough, not absurdly elongated, and the caption
+    * is a real sentence): each doc's image payload is REALLY decoded
+    * (javax.imageio round-trip inside the same batched `mapPartitions`
+    * stage as m01b — the oracle predicts dims from the fixture formula,
+    * so the Spark path can only match by parsing actual JPEG bytes) and
+    * the caption stats ride the same pass; the three reason flags and the
+    * keep decision are exact integer rules (the aspect band is the
+    * cross-multiplied w ≤ 2h ∧ h ≤ 2w — no division to disagree on).
+    *
+    * At 100 TB this is the multimodal family's p05: the decode stage is
+    * the expensive scan (batched, partition-parallel, one pass), the
+    * decision is row-local, and the manifest out is what the dataloader
+    * consumes — keep flags with reasons, not a destructive drop.
+    */
+  private val pairFilter: Q = (s, dir) => {
+    val dt = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[DocText](encDocText)
+    val qc = dt.mapPartitions { it =>
+      it.grouped(64).flatMap(_.map { d =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodeJpeg(d.doc_id)))
+        PairQc(d.doc_id, img.getWidth, img.getHeight,
+          d.text.split(" ", -1).length.toLong)
+      })
+    }(encPairQc).toDF()
+    qc.withColumn("small_image",
+        col("width") < MinPairDim || col("height") < MinPairDim)
+      .withColumn("extreme_aspect",
+        !(col("width") <= lit(2) * col("height") &&
+          col("height") <= lit(2) * col("width")))
+      .withColumn("short_caption", col("n_words") < MinCaptionWords)
+      .withColumn("keep",
+        !col("small_image") && !col("extreme_aspect") && !col("short_caption"))
+  }
+
   /** Patterned JPEG fixture for the perceptual-hash family: a 64×64
     * grayscale image of 8×8 macro-blocks ALIGNED to the JPEG DCT grid,
     * whose block values walk ±16 from 128 along each row — the SIGN of
@@ -654,6 +704,7 @@ object Multimodal {
     "m04_audio_qc" -> audioQc,
     "m06_keyframes" -> keyframes,
     "m07_vad_segments" -> vadSegments,
+    "m08_pair_filter" -> pairFilter,
     "m05_phash_neardup" -> phashNearDup,
     "m05b_phash_pairs" -> phashPairsSynth)
 
@@ -736,6 +787,24 @@ object Multimodal {
         |  CASE WHEN len(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS head_byte,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
         |FROM documents""".stripMargin,
+    "m08_pair_filter" ->
+      // dims from the fixture formula (the m01b honesty stance: the Spark
+      // side can only match by decoding real JPEG bytes); every rule in
+      // exact integers, the aspect band cross-multiplied
+      s"""WITH qc AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 24 AS INT) AS width,
+        |    CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents)
+        |SELECT doc_id, width, height, n_words,
+        |  (width < $MinPairDim OR height < $MinPairDim) AS small_image,
+        |  NOT (width <= 2 * height AND height <= 2 * width) AS extreme_aspect,
+        |  n_words < $MinCaptionWords AS short_caption,
+        |  NOT (width < $MinPairDim OR height < $MinPairDim)
+        |    AND (width <= 2 * height AND height <= 2 * width)
+        |    AND n_words >= $MinCaptionWords AS keep
+        |FROM qc""".stripMargin,
     "m07_vad_segments" ->
       s"""WITH fr AS MATERIALIZED (
         |  SELECT doc_id, CAST(f AS INT) AS frame_idx,

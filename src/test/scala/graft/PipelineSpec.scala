@@ -1074,6 +1074,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getBoolean(6), "plain prose must flag readable")
   }
 
+  test("m08 pair filter: dims come from a real decode, every reason flag fires") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-m08").toString
+    // fixture dims: w = 8 + id%24, h = 8 + (id*7)%24
+    // id 25: (9, 15)  -> small image only
+    // id 3:  (11, 29) -> small AND extreme aspect (29 > 2*11)
+    // id 12: (20, 20), 3-word caption -> short caption only
+    // id 36: (20, 20), 6-word caption -> keep
+    Seq((25L, "one two three four five six"),
+      (3L, "one two three four five six"),
+      (12L, "just three words"),
+      (36L, "one two three four five six"))
+      .map { case (i, t) => (i, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = pipeline.Multimodal.queries("m08_pair_filter")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(out(25L) == ((9, 15, true, false, false, false)), s"${out(25L)}")
+    assert(out(3L) == ((11, 29, true, true, false, false)), s"${out(3L)}")
+    assert(out(12L) == ((20, 20, false, false, true, false)), s"${out(12L)}")
+    assert(out(36L) == ((20, 20, false, false, false, true)), s"${out(36L)}")
+  }
+
   test("p10 repeat upweighting: served tokens cover each source's target, epochs capped") {
     val out = pipeline.Curation.queries("p10_repeat_upweight")(spark, sf)
       .collect()
