@@ -241,6 +241,57 @@ object Text {
       (col("flesch6") >= FleschFloor).as("readable"))
   }
 
+  /** t22's line-classification dials: a recovered 12-token line is
+    * CONTENT iff it has at least [[BoilerMinWords]] words and at least
+    * one stopword hit (jusText's core signal — boilerplate text is short
+    * and function-word-free).
+    */
+  val BoilerMinWords = 4L
+
+  /** T22 — boilerplate line removal (jusText-lite, Pomikálek 2011: the
+    * block-level content/boilerplate classifier every web-corpus pipeline
+    * runs before dedup — navigation, button, and footer fragments are
+    * short and carry no function words, prose does and is kept): each doc
+    * is cut into d07's deterministic 12-token lines, each line classifies
+    * on exact integer features (word count, distinct-stopword hits — the
+    * t06 spelling), and the document reassembles from its content lines
+    * with the removed fraction reported.
+    *
+    * Scale shape: the explode and classification are row-local; the only
+    * shuffle is the per-doc regroup, which co-partitions with the
+    * corpus's own doc layout (no cross-doc key at all — unlike d07 there
+    * is no corpus-wide line window, so this pass is embarrassingly
+    * doc-parallel at any scale). A real jusText adds block-context
+    * smoothing; the per-line core is the load-bearing classifier.
+    */
+  private val boilerplate: Q = (s, dir) => {
+    val lines = graft.functions.TextHashCols.tokenLines(col("text"), 12)
+    val chunked = Tables.barrier(Tables.documents(s, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), lines.as("lines"))
+      .withColumn("n_lines", size(col("lines")).cast("long")))
+    val ln = chunked.select(col("doc_id"), col("n_lines"),
+      posexplode(col("lines")).as(Seq("line_no", "line")))
+    val tk = filter(split(col("line"), " "), t => t =!= lit(""))
+    val classified = ln
+      .withColumn("n_words", size(tk).cast("long"))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(split(col("line"), " ")),
+          array(stop("en").map(lit): _*))).cast("long"))
+      .withColumn("content",
+        col("n_words") >= BoilerMinWords && col("stop_hits") >= 1)
+    classified.groupBy(col("doc_id"), col("n_lines"))
+      .agg(sum(when(col("content"), lit(1L)).otherwise(lit(0L)))
+          .as("n_content"),
+        array_join(transform(array_sort(collect_list(
+            when(col("content"), struct(col("line_no"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_content"),
+        col("clean_text"),
+        (floor((col("n_lines") - col("n_content")).cast("double") /
+          col("n_lines") * 1e6 + 0.5) / 1e6).as("removed_frac"))
+  }
+
   /** T7 — corpus vocabulary: global token frequencies, top 100 by count
     * (ties by token), with corpus share and rank — the vocabulary /
     * tokenizer-prep step of a training pipeline. One explode + one hash
@@ -849,6 +900,7 @@ object Text {
     "t03_token_stats" -> tokenStats,
     "t04_fingerprint" -> fingerprint,
     "t21_readability" -> readability,
+    "t22_boilerplate" -> boilerplate,
     "t05_repetition" -> repetition,
     "t06_gopher_rules" -> gopher,
     "t07_vocab_topk" -> vocabTopk,
@@ -1308,6 +1360,38 @@ object Text {
     "t20_bigram_lm" ->
       s"""WITH $BiScoredCtes
          |SELECT doc_id, n_bigrams, bi_logprob FROM biscored""".stripMargin,
+    "t22_boilerplate" ->
+      // d07's line-recovery spelling, t06's stopword-hit spelling, exact
+      // integer classification, FILTER'd reassembly (coalesce: a doc with
+      // zero content lines must yield '' in both engines)
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE len(text) >= 8),
+         |chunked AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, (len(t) + 11) // 12),
+         |      i -> array_to_string(t[i*12+1 : i*12+12], ' ')) AS lines
+         |  FROM docs),
+         |ln AS (
+         |  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         |    unnest(lines) AS line,
+         |    generate_subscripts(lines, 1) AS line_no
+         |  FROM chunked),
+         |cls AS (
+         |  SELECT doc_id, n_lines, line, line_no,
+         |    (len(list_filter(string_split(line, ' '), t -> t != ''))
+         |       >= $BoilerMinWords
+         |     AND len(list_intersect(list_distinct(string_split(line, ' ')),
+         |       [${inList(stop("en"))}])) >= 1) AS content
+         |  FROM ln)
+         |SELECT doc_id, n_lines,
+         |  CAST(sum(CASE WHEN content THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_content,
+         |  coalesce(string_agg(line, chr(10) ORDER BY line_no)
+         |    FILTER (WHERE content), '') AS clean_text,
+         |  floor(CAST(n_lines - sum(CASE WHEN content THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / n_lines * 1e6 + 0.5) / 1e6 AS removed_frac
+         |FROM cls GROUP BY doc_id, n_lines""".stripMargin,
     "t21_readability" ->
       // same three row-local counts, same IEEE chain (e-notation literals
       // so DuckDB parses doubles, not DECIMALs), same floor-rounding and

@@ -1074,6 +1074,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getBoolean(6), "plain prose must flag readable")
   }
 
+  test("t22 boilerplate: stopword-free and short lines drop, prose survives verbatim") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t22").toString
+    // line 1 (tokens 1-12): prose with "the" -> content
+    // line 2 (tokens 13-24): 12 stopword-free tokens -> boilerplate
+    // line 3 (tokens 25-27): short tail -> boilerplate
+    val prose = "the cat sat on a mat and saw one red fox run"
+    val junk = "home menu login search cart help news shop blog faq terms contact"
+    val tail = "copyright footer legal"
+    Seq((0L, s"$prose $junk $tail", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = pipeline.Text.queries("t22_boilerplate")(spark, tmp).head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 1, s"counts wrong: $r")
+    assert(r.getString(3) == prose, s"clean text wrong: $r")
+    assert(math.abs(r.getDouble(4) - 0.666667) < 1e-9, s"removed_frac: $r")
+  }
+
   test("m08 pair filter: dims come from a real decode, every reason flag fires") {
     val session = spark
     import session.implicits._
