@@ -1359,6 +1359,41 @@ object Similarity {
         not(coalesce(col("dup"), lit(false))).as("kept"))
   }
 
+  /** d09d — INCREMENTAL semantic dedup (d10's daily-crawl-delta shape at
+    * embedding scale): the arriving delta (vec_id ≡ 0 mod 10, d10's
+    * convention) dedups against the MAINTAINED corpus without rescanning
+    * it — each delta vector probe-assigns to its cell (broadcast
+    * codebook, zero shuffle), then compares only against that cell's
+    * existing members plus EARLIER delta members (first-occurrence-wins
+    * among new, keep-existing against old — d10's rule, cos ≥ [[SemTau]]).
+    * Work is O(delta × cell occupancy), never O(corpus²) — and at 100 TB
+    * the existing side's (cell, e, n) columns are stored state written by
+    * the last full pass, so only the delta is scanned fresh (here both
+    * sides recompute from the fixture, the d10 maintained-index stance).
+    * Emits the smallest matching duplicate id (`dup_of`) so the incoming
+    * batch carries its dedup provenance, not just a flag.
+    */
+  private val semanticDedupIncremental: Q = (s, dir) => {
+    val assign = Tables.barrier(kmeansProbeAssign(s, dir)
+      .withColumn("n", sqrt(col("en")))
+      .select(col("vec_id"), col("cluster").as("cell"), col("d"),
+        col("e"), col("n")))
+    val delta = assign.filter(col("vec_id") % 10 === 0)
+    val cands = assign.select(col("cell"), col("vec_id").as("b_id"),
+      col("e").as("be"), col("n").as("bn"),
+      (col("vec_id") % 10 =!= 0).as("is_old"))
+    val matched = delta.join(cands, Seq("cell"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .filter(col("is_old") || col("b_id") < col("vec_id"))
+      .filter(dot(col("e"), col("be")) /
+        nullif(col("n") * col("bn"), lit(0.0)) >= SemTau)
+      .groupBy(col("vec_id")).agg(min(col("b_id")).as("dup_of"))
+    delta.join(matched, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (floor(col("d") * lit(1e6) + lit(0.5)) / lit(1e6)).as("dist"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
+  }
+
   /** p08b — diversity pruning over the PROBE-assigned cells: p08's
     * per-cell descending-distance rank and integer keep quota with the
     * cell structure from [[kmeansProbeAssign]] (see [[semanticDedupProbe]]
@@ -1398,6 +1433,7 @@ object Similarity {
     "d09_semantic_dedup" -> semanticDedup,
     "d09b_semdedup_kmeans" -> semanticDedupKmeans,
     "d09c_semdedup_probe" -> semanticDedupProbe,
+    "d09d_semdedup_incr" -> semanticDedupIncremental,
     "p08_diversity_prune" -> diversitySample,
     "p08b_diversity_probe" -> diversityProbe)
 
@@ -1617,6 +1653,30 @@ object Similarity {
        |       du.vec_id IS NULL AS kept
        |FROM pfin2 f LEFT JOIN dups du ON f.vec_id = du.vec_id""".stripMargin
 
+  /** [[semanticDedupIncremental]]'s twin: the shared probe chain, the
+    * mod-10 delta split, and the delta-vs-(existing ∪ earlier-delta)
+    * within-cell pass with the min matching id threaded out.
+    */
+  private def semdedupIncrOracle: String =
+    s"""WITH $probeAssignCtes,
+       |pfin2 AS (SELECT vec_id, k, d, e, sqrt(en) AS n FROM pfin),
+       |deltav AS MATERIALIZED (SELECT * FROM pfin2 WHERE vec_id % 10 = 0),
+       |candv AS MATERIALIZED (
+       |  SELECT k, vec_id AS b_id, e AS be, n AS bn,
+       |         (vec_id % 10 != 0) AS is_old
+       |  FROM pfin2),
+       |m AS (
+       |  SELECT a.vec_id, min(c.b_id) AS dup_of
+       |  FROM deltav a JOIN candv c ON a.k = c.k AND c.b_id != a.vec_id
+       |  WHERE (c.is_old OR c.b_id < a.vec_id)
+       |    AND ${DOT.format("a.e", "c.be")} / nullif(a.n * c.bn, 0.0)
+       |      >= $SemTau
+       |  GROUP BY a.vec_id)
+       |SELECT d.vec_id, CAST(d.k AS INT) AS cell,
+       |       floor(d.d * 1e6 + 0.5) / 1e6 AS dist,
+       |       m.dup_of, m.dup_of IS NULL AS kept
+       |FROM deltav d LEFT JOIN m USING (vec_id)""".stripMargin
+
   /** [[diversityProbe]]'s twin: the shared probe chain, then p08's
     * per-cell descending-distance rank and integer keep quota over the
     * probed cells.
@@ -1689,6 +1749,7 @@ object Similarity {
     "s09b_kmeans_probe" -> kmeansProbeOracle,
     "d09b_semdedup_kmeans" -> semdedupKmeansOracle,
     "d09c_semdedup_probe" -> semdedupProbeOracle,
+    "d09d_semdedup_incr" -> semdedupIncrOracle,
     "p08_diversity_prune" -> diversityPruneOracle,
     "p08b_diversity_probe" -> diversityProbeOracle,
     "s06_pq_ann" ->

@@ -172,6 +172,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d09d incremental dedup: dup_of co-cells with its vector and honors the delta rule") {
+    val cells = pipeline.Similarity.queries("s09b_kmeans_probe")(spark, sf)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = pipeline.Similarity.queries("d09d_semdedup_incr")(spark, sf)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getLong(0) % 10 == 0),
+      "output is the delta only")
+    val dups = out.filterNot(_.isNullAt(3))
+    assert(dups.nonEmpty, "fixture near-dup band must produce duplicates")
+    dups.foreach { r =>
+      val (v, dupOf) = (r.getLong(0), r.getLong(3))
+      assert(cells(dupOf) == r.getInt(1),
+        s"dup_of $dupOf not in $v's probed cell")
+      assert(dupOf % 10 != 0 || dupOf < v,
+        s"delta member $dupOf must be earlier than $v")
+      assert(!r.getBoolean(4), s"dup row flagged kept: $r")
+    }
+  }
+
   test("s11 IVF-PQ: candidates honor the probed cells, recall floor vs within-cell exact") {
     val ivfpq = pipeline.Similarity.queries("s11_ivfpq_ann")(spark, sf)
       .select("q_id", "neighbor_id").collect()
