@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,51 @@ object Events {
     counted(s1, FunnelStages.head)
       .union(counted(s2, FunnelStages(1)))
       .union(counted(s3, FunnelStages(2)))
+  }
+
+  /** e09 — funnel time-to-convert distribution: e02 counts WHO converts;
+    * this measures HOW FAST — per transition (view→click,
+    * click→purchase, view→purchase), the converting users' delay
+    * distribution as exact interpolated percentiles (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`, the h24 idiom) plus the max, in seconds
+    * at the 6dp floor idiom. The stage chain is e02's own semantics
+    * (first qualifying event within the window after the previous
+    * stage), with the earlier stage times CARRIED through the per-user
+    * aggregates so each transition's delay is one subtraction.
+    *
+    * Scale shape: e02's — per-user min aggregates co-partitioned after
+    * one user_id shuffle; the percentile runs over the converting-user
+    * relation (≤ |users| rows), and the output is three rows.
+    */
+  private val funnelLatency: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts").as("tns"))
+    val s1 = e.filter(col("event_type") === FunnelStages.head)
+      .groupBy(col("user_id")).agg(min(col("tns")).as("t1"))
+    val s2 = e.filter(col("event_type") === FunnelStages(1))
+      .join(s1, "user_id")
+      .filter(col("tns") > col("t1") &&
+        col("tns") <= col("t1") + lit(FunnelWindowNs))
+      .groupBy(col("user_id"))
+      .agg(min(col("tns")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = e.filter(col("event_type") === FunnelStages(2))
+      .join(s2, "user_id")
+      .filter(col("tns") > col("t2") &&
+        col("tns") <= col("t2") + lit(FunnelWindowNs))
+      .groupBy(col("user_id")).agg(min(col("tns")).as("t3"),
+        min(col("t2")).as("t2"), min(col("t1")).as("t1"))
+    def f6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+    def row(name: String, src: DataFrame, d: Column) =
+      src.agg(count(lit(1)).as("n_users"),
+        f6(percentile(d, lit(0.5))).as("p50_s"),
+        f6(percentile(d, lit(0.9))).as("p90_s"),
+        f6(max(d)).as("max_s"))
+        .select(lit(name).as("transition"), col("n_users"),
+          col("p50_s"), col("p90_s"), col("max_s"))
+    def secs(a: Column, b: Column) = (a - b).cast("double") / 1e9
+    row("view_to_click", s2, secs(col("t2"), col("t1")))
+      .union(row("click_to_purchase", s3, secs(col("t3"), col("t2"))))
+      .union(row("view_to_purchase", s3, secs(col("t3"), col("t1"))))
   }
 
   /** e03 — cohort retention: cohort = a user's first active day; each
@@ -271,9 +316,41 @@ object Events {
     "e04_transitions" -> transitions,
     "e05_rolling_actives" -> rollingActives,
     "e06_sketch_distinct" -> sketchDistinct,
-    "e08_cms_heavy_hitters" -> cmsHeavyHitters)
+    "e08_cms_heavy_hitters" -> cmsHeavyHitters,
+    "e09_funnel_latency" -> funnelLatency)
 
   val oracle: Map[String, String] = Map(
+    "e09_funnel_latency" ->
+      // e02's stage chain with earlier stage times carried; percentile ≡
+      // quantile_cont (the h24 idiom), 6dp floor
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |s1 AS (SELECT user_id, min(tns) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tns) AS t2, min(t1) AS t1
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tns > t1
+        |         AND tns <= t1 + $FunnelWindowNs GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tns) AS t3, min(t2) AS t2, min(t1) AS t1
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tns > t2
+        |         AND tns <= t2 + $FunnelWindowNs GROUP BY 1)
+        |SELECT 'view_to_click' AS transition, count(*) AS n_users,
+        |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE) / 1e9, 0.5) * 1e6 + 0.5) / 1e6 AS p50_s,
+        |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE) / 1e9, 0.9) * 1e6 + 0.5) / 1e6 AS p90_s,
+        |  floor(max(CAST(t2 - t1 AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS max_s
+        |FROM s2
+        |UNION ALL
+        |SELECT 'click_to_purchase', count(*),
+        |  floor(quantile_cont(CAST(t3 - t2 AS DOUBLE) / 1e9, 0.5) * 1e6 + 0.5) / 1e6,
+        |  floor(quantile_cont(CAST(t3 - t2 AS DOUBLE) / 1e9, 0.9) * 1e6 + 0.5) / 1e6,
+        |  floor(max(CAST(t3 - t2 AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6
+        |FROM s3
+        |UNION ALL
+        |SELECT 'view_to_purchase', count(*),
+        |  floor(quantile_cont(CAST(t3 - t1 AS DOUBLE) / 1e9, 0.5) * 1e6 + 0.5) / 1e6,
+        |  floor(quantile_cont(CAST(t3 - t1 AS DOUBLE) / 1e9, 0.9) * 1e6 + 0.5) / 1e6,
+        |  floor(max(CAST(t3 - t1 AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6
+        |FROM s3""".stripMargin,
     "e07_rate_anomaly" ->
       s"""WITH cnts AS (
          |  SELECT event_type,

@@ -95,6 +95,31 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e09 funnel latency: hand-computed delays on a constructed funnel") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e09").toString
+    // user 1: view@0, click@100s, purchase@200s; user 2: view@0, click@300s
+    // (no purchase) -> view_to_click delays {100, 300}: p50 = 200 by
+    // linear interpolation; click_to_purchase = view_to_purchase base t3
+    val ns = 1000000000L
+    Seq((1L, 1L, 0L, "view"), (2L, 1L, 100L * ns, "click"),
+      (3L, 1L, 200L * ns, "purchase"),
+      (4L, 2L, 0L, "view"), (5L, 2L, 300L * ns, "click"))
+      .map { case (id, u, t, ty) => (id, u, t, 1.0, ty) }
+      .toDF("event_id", "user_id", "ts", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.Events.queries("e09_funnel_latency")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    assert(out("view_to_click") == ((2L, 200.0, 300.0)),
+      s"${out("view_to_click")}")
+    assert(out("click_to_purchase") == ((1L, 100.0, 100.0)),
+      s"${out("click_to_purchase")}")
+    assert(out("view_to_purchase") == ((1L, 200.0, 200.0)),
+      s"${out("view_to_purchase")}")
+  }
+
   test("e08 CMS heavy hitters: planted heavy key ranks first and the contract holds") {
     val session = spark
     import session.implicits._
