@@ -411,8 +411,29 @@ object Relational {
       .agg(round(sum(col("volume")), 4))
       .toDF("symbol" +: (0 to 6).map(d => s"dow$d"): _*)
 
+  /** R20 — CUBE grouping sets (the OLAP subtotal lattice beside TPC-H's
+    * ROLLUP): per (symbol, trading-day) volume cells PLUS symbol
+    * subtotals, day subtotals, and the grand total in ONE pass —
+    * Catalyst expands the cube into grouping sets over a single shuffle
+    * (no 4× re-scan), and `grouping_id` disambiguates the NULL-keyed
+    * subtotal rows exactly as DuckDB's GROUPING() bitmask does. The
+    * symbol cut keeps the cell count display-sized; the shape is the
+    * scale story (one scan, |cells| output at any corpus size).
+    */
+  private val r20: Q = (s, dir) =>
+    candles(s, dir)
+      .filter(col("symbol").isin("S0003", "S0007", "S0011"))
+      .withColumn("day", expr("bucket_ts DIV 86400"))
+      .cube(col("symbol"), col("day"))
+      .agg(count(lit(1)).as("n_bars"),
+        round(sum(col("volume")), 6).as("volume"),
+        grouping_id().as("gid"))
+      .select(col("symbol"), col("day"), col("n_bars"), col("volume"),
+        col("gid"))
+
   val queries: Map[String, Q] =
     Intervals.map { case (n, secs) => s"r04_rollup_$n" -> r04(secs) } ++ Map(
+    "r20_cube_volume" -> r20,
     "r01_scan_filter" -> r01,
     "r02_latest_n_per_key" -> r02,
     "r03_latest_per_key" -> r03,
@@ -447,6 +468,14 @@ object Relational {
 
   val oracle: Map[String, String] =
     Intervals.map { case (n, secs) => s"r04_rollup_$n" -> rollupOracle(secs) } ++ Map(
+    "r20_cube_volume" -> Oracle.withCandles(
+      """SELECT symbol, bucket_ts // 86400 AS day,
+        |  CAST(count(*) AS BIGINT) AS n_bars,
+        |  round(sum(volume), 6) AS volume,
+        |  CAST(GROUPING(symbol, bucket_ts // 86400) AS BIGINT) AS gid
+        |FROM candles
+        |WHERE symbol IN ('S0003','S0007','S0011')
+        |GROUP BY CUBE (symbol, bucket_ts // 86400)""".stripMargin),
     "r01_scan_filter" -> Oracle.withCandles(
       """SELECT symbol, bucket_ts, round(close, 6) AS close, round(volume, 6) AS volume
         |FROM candles
