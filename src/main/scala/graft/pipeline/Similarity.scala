@@ -1394,6 +1394,46 @@ object Similarity {
         col("dup_of"), col("dup_of").isNull.as("kept"))
   }
 
+  /** Power-iteration rounds for s14 — fixed and unrolled in the oracle;
+    * importance ordering stabilizes in a few rounds on kNN graphs.
+    */
+  private[graft] val GraphRankIters = 3
+
+  /** S14 — graph-importance ranking over the mutual-kNN graph (PageRank,
+    * Brin & Page 1998, damping 0.85 — the graph-centrality signal a
+    * curation pipeline derives once the s07 graph exists: high-rank
+    * vectors sit in dense, well-connected regions; low-rank ones are
+    * peripheral/noise, a complementary axis to p08's within-cell
+    * redundancy). Three power-iteration rounds over the SYMMETRIC mutual
+    * edge set (every node has outdeg ≥ 1 by construction — no dangling
+    * mass term).
+    *
+    * The arithmetic is EXACT INTEGER in micro-rank units (the s09
+    * 1e6-scaling trick): contrib = rank DIV outdeg, damped update =
+    * 150000 + (17·Σcontrib) DIV 20 — order-free BIGINT sums, so both
+    * engines agree bit-for-bit where a float power iteration would
+    * diverge on summation order. Per round: one edge⋈rank join + one
+    * map-side-combined sum keyed on the node — the d05/s13 iterative
+    * shape, edges ≤ V·K so every round is graph-scale.
+    */
+  private val graphRank: Q = (s, dir) => {
+    val mutual = Tables.barrier(knnGraphFrame(s, dir).filter(col("mutual"))
+      .select(col("a_id").as("a"), col("nn_id").as("b")))
+    val deg = mutual.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+      .select(col("a").as("id"), col("outdeg"))
+    var rank = deg.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to GraphRankIters) {
+      val contrib = mutual.join(rank.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), expr("rank DIV outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      rank = deg.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
+          (lit(150000L) +
+            expr("(17 * coalesce(contrib, 0L)) DIV 20")).as("rank"))
+    }
+    rank.select(col("id").as("vec_id"), col("outdeg"), col("rank"))
+  }
+
   /** p08b — diversity pruning over the PROBE-assigned cells: p08's
     * per-cell descending-distance rank and integer keep quota with the
     * cell structure from [[kmeansProbeAssign]] (see [[semanticDedupProbe]]
@@ -1426,6 +1466,7 @@ object Similarity {
     "s11_ivfpq_ann" -> ivfPq,
     "s12_mrl_ann" -> mrlAnn,
     "s13_knn_components" -> knnComponents,
+    "s14_graph_rank" -> graphRank,
     "s07_knn_graph" -> knnGraph,
     "s08_class_stats" -> classStats,
     "s09_kmeans" -> kmeans,
@@ -1903,6 +1944,49 @@ object Similarity {
          |           vec_id) AS rank
          |  FROM rerank)
          |WHERE rank <= 5""".stripMargin,
+    "s14_graph_rank" ->
+      // s07's chain + the mutual cut, then the THREE power-iteration
+      // rounds unrolled as MATERIALIZED CTEs in the identical integer
+      // micro-rank arithmetic (contrib = rank // outdeg, damped =
+      // 150000 + (17·Σ) // 20)
+      s"""WITH $KNN_CTES,
+         |mutual AS MATERIALIZED (
+         |  SELECT e.a_id AS a, e.b_id AS b
+         |  FROM edges e JOIN edges r
+         |    ON r.a_id = e.b_id AND r.b_id = e.a_id),
+         |deg AS MATERIALIZED (
+         |  SELECT a AS id, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM mutual GROUP BY 1),
+         |gr0 AS MATERIALIZED (
+         |  SELECT id, outdeg, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         |gr1 AS MATERIALIZED (
+         |  SELECT d.id, d.outdeg,
+         |    150000 + (17 * CAST(coalesce(c.contrib, 0) AS BIGINT)) // 20
+         |      AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT m.b AS id, CAST(sum(r.rank // r.outdeg) AS BIGINT)
+         |      AS contrib
+         |    FROM mutual m JOIN gr0 r ON m.a = r.id GROUP BY 1) c
+         |    USING (id)),
+         |gr2 AS MATERIALIZED (
+         |  SELECT d.id, d.outdeg,
+         |    150000 + (17 * CAST(coalesce(c.contrib, 0) AS BIGINT)) // 20
+         |      AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT m.b AS id, CAST(sum(r.rank // r.outdeg) AS BIGINT)
+         |      AS contrib
+         |    FROM mutual m JOIN gr1 r ON m.a = r.id GROUP BY 1) c
+         |    USING (id)),
+         |gr3 AS MATERIALIZED (
+         |  SELECT d.id, d.outdeg,
+         |    150000 + (17 * CAST(coalesce(c.contrib, 0) AS BIGINT)) // 20
+         |      AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT m.b AS id, CAST(sum(r.rank // r.outdeg) AS BIGINT)
+         |      AS contrib
+         |    FROM mutual m JOIN gr2 r ON m.a = r.id GROUP BY 1) c
+         |    USING (id))
+         |SELECT id AS vec_id, outdeg, rank FROM gr3""".stripMargin,
     "s10_sq_ann" ->
       // replays the SQ8 pipeline verbatim: same order-free per-dim
       // min/max trainer state, same affine encode (one IEEE sub/div/floor

@@ -172,6 +172,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s14 graph rank matches a plain-Scala integer power iteration") {
+    val edges = pipeline.Similarity.queries("s07_knn_graph")(spark, sf)
+      .filter(col("mutual")).select("a_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = pipeline.Similarity.queries("s14_graph_rank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var rank: Map[Long, Long] = outdeg.map { case (k, _) => k -> 1000000L }
+    for (_ <- 1 to pipeline.Similarity.GraphRankIters) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (a, b) => contrib(b) += rank(a) / outdeg(a) }
+      rank = outdeg.map { case (k, _) => k -> (150000L + 17 * contrib(k) / 20) }
+    }
+    assert(out.size == rank.size)
+    rank.foreach { case (k, r) =>
+      assert(out(k) == ((outdeg(k), r)), s"node $k: ${out(k)} vs ($r)")
+    }
+  }
+
   test("d09d incremental dedup: dup_of co-cells with its vector and honors the delta rule") {
     val cells = pipeline.Similarity.queries("s09b_kmeans_probe")(spark, sf)
       .select("vec_id", "cluster").collect()
