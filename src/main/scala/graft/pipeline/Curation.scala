@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,36 @@ object Curation {
         expr(s"tok_offset DIV $PackBudget").as("chunk_first"),
         expr(s"(tok_offset + n_tokens - 1) DIV $PackBudget").as("chunk_last"))
       .withColumn("chunks_spanned", col("chunk_last") - col("chunk_first") + 1)
+  }
+
+  /** p12 — packing-efficiency report (the loader-side QA table for p01's
+    * concat-and-chunk index): per source, the chunk count, the fraction
+    * of documents CUT by a chunk boundary (each cut doc costs the model
+    * a truncated context — the metric packing papers trade against
+    * padding waste), the tail chunk's fill rate (concat-and-chunk's ONLY
+    * waste), and mean docs per chunk. Derived entirely from [[packChunks]]'
+    * own relation (ingredient reuse), aggregated per source as exact
+    * integer sums with the divisions at the end — |sources| output rows
+    * from one pass over the index.
+    */
+  private val packEfficiency: Q = (s, dir) => {
+    def f6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+    packChunks(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("chunk_last")) + 1L).as("n_chunks"),
+        sum(when(col("chunk_last") > col("chunk_first"), lit(1L))
+          .otherwise(lit(0L))).as("docs_cut"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_chunks"), col("docs_cut"),
+        f6(col("docs_cut").cast("double") /
+          nullif(col("n_docs").cast("double"), lit(0.0))).as("cut_frac"),
+        f6((col("total_tokens") - (col("n_chunks") - 1L) * PackBudget)
+          .cast("double") / lit(PackBudget.toDouble)).as("tail_fill"),
+        f6(col("n_docs").cast("double") /
+          nullif(col("n_chunks").cast("double"), lit(0.0)))
+          .as("docs_per_chunk"))
   }
 
   /** p02 — deterministic stratified sample: per language stratum, rank
@@ -529,6 +559,7 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
     "p01_pack_chunks" -> packChunks,
+    "p12_pack_efficiency" -> packEfficiency,
     "p02_stratified_sample" -> stratifiedSample,
     "p03_mix_rebalance" -> mixRebalance,
     "p04_shard_manifest" -> shardManifest,
@@ -571,6 +602,39 @@ object Curation {
          |  (tok_offset + n_tokens - 1) // $PackBudget - tok_offset // $PackBudget + 1
          |    AS chunks_spanned
          |FROM offs""".stripMargin,
+    "p12_pack_efficiency" ->
+      // p01's chain re-rooted, integer sums, divisions at the end
+      s"""WITH sized AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |offs AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM sized),
+         |idx AS (
+         |  SELECT source, n_tokens,
+         |    tok_offset // $PackBudget AS chunk_first,
+         |    (tok_offset + n_tokens - 1) // $PackBudget AS chunk_last
+         |  FROM offs),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(max(chunk_last) + 1 AS BIGINT) AS n_chunks,
+         |    CAST(sum(CASE WHEN chunk_last > chunk_first THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS docs_cut
+         |  FROM idx GROUP BY 1)
+         |SELECT source, n_docs, total_tokens, n_chunks, docs_cut,
+         |  floor(CAST(docs_cut AS DOUBLE) /
+         |    nullif(CAST(n_docs AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
+         |    AS cut_frac,
+         |  floor(CAST(total_tokens - (n_chunks - 1) * $PackBudget AS DOUBLE)
+         |    / ${PackBudget}e0 * 1e6 + 0.5) / 1e6 AS tail_fill,
+         |  floor(CAST(n_docs AS DOUBLE) /
+         |    nullif(CAST(n_chunks AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
+         |    AS docs_per_chunk
+         |FROM agg""".stripMargin,
     "p02_stratified_sample" ->
       """WITH hashed AS (
         |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h,

@@ -470,6 +470,36 @@ object Text {
         nullif(nWs.cast("double"), lit(0.0)), 6).as("fertility"))
   }
 
+  /** T23 — per-language tokenizer fertility report (THE multilingual
+    * tokenizer-evaluation table — fertility per language is the headline
+    * metric of multilingual tokenizer comparisons, and a language whose
+    * fertility balloons is under-served by the vocabulary and will train
+    * badly): t11's row-local pretokenizer counts aggregated per `lang`
+    * as RATIOS OF SUMS (corpus fertility, not mean-of-per-doc ratios —
+    * exact integer sums, one division at the end, the t13 staging
+    * lesson). One scan, one |langs|-sized map-side-combined aggregate.
+    */
+  private val langFertility: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("bpe",
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .withColumn("bpe", filter(col("bpe"), t => !t.rlike("^\\s+$")))
+    def f6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("bigint")).as("n_words"),
+        sum(size(col("bpe")).cast("bigint")).as("n_bpe_tokens"),
+        sum(length(col("text")).cast("bigint")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        f6(col("n_chars").cast("double") /
+          nullif(col("n_bpe_tokens").cast("double"), lit(0.0)))
+          .as("chars_per_token"),
+        f6(col("n_bpe_tokens").cast("double") /
+          nullif(col("n_words").cast("double"), lit(0.0)))
+          .as("fertility"))
+  }
+
   /** The fixed histogram alphabet for t12: a–z, space, and an implicit
     * "other" bucket (anything else, counted as length − Σ known). A fixed
     * alphabet keeps the histogram ROW-LOCAL — 27 codegen'd
@@ -901,6 +931,7 @@ object Text {
     "t04_fingerprint" -> fingerprint,
     "t21_readability" -> readability,
     "t22_boilerplate" -> boilerplate,
+    "t23_lang_fertility" -> langFertility,
     "t05_repetition" -> repetition,
     "t06_gopher_rules" -> gopher,
     "t07_vocab_topk" -> vocabTopk,
@@ -1360,6 +1391,24 @@ object Text {
     "t20_bigram_lm" ->
       s"""WITH $BiScoredCtes
          |SELECT doc_id, n_bigrams, bi_logprob FROM biscored""".stripMargin,
+    "t23_lang_fertility" ->
+      // t11's extraction, ratios of EXACT integer sums per language
+      s"""WITH ext AS (
+         |  SELECT lang, text,
+         |    list_filter(
+         |      regexp_extract_all(text, '${BpePattern.replace("'", "''")}'),
+         |      t -> NOT regexp_matches(t, '^\\s+$$')) AS bpe
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         |  CAST(sum(len(bpe)) AS BIGINT) AS n_bpe_tokens,
+         |  floor(CAST(sum(len(text)) AS DOUBLE) /
+         |    nullif(CAST(sum(len(bpe)) AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
+         |    AS chars_per_token,
+         |  floor(CAST(sum(len(bpe)) AS DOUBLE) /
+         |    nullif(CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 0.0)
+         |    * 1e6 + 0.5) / 1e6 AS fertility
+         |FROM ext GROUP BY lang""".stripMargin,
     "t22_boilerplate" ->
       // d07's line-recovery spelling, t06's stopword-hit spelling, exact
       // integer classification, FILTER'd reassembly (coalesce: a doc with
