@@ -1467,6 +1467,7 @@ object Similarity {
     "s12_mrl_ann" -> mrlAnn,
     "s13_knn_components" -> knnComponents,
     "s14_graph_rank" -> graphRank,
+    "s15_ann_recall" -> annRecall,
     "s07_knn_graph" -> knnGraph,
     "s08_class_stats" -> classStats,
     "s09_kmeans" -> kmeans,
@@ -1784,6 +1785,30 @@ object Similarity {
 
   /** 64-dim index literal for the SQ8 per-dimension zips. */
   private val DLIST = (0 until 64).mkString("[", ", ", "]")
+
+  /** S15 — ANN index-quality monitor (the recall regression check a
+    * production ANN deployment runs on a query sample after every index
+    * rebuild: served approximate neighbors validated against an exact
+    * scan — silently decaying recall is THE operational failure mode of
+    * approximate indexes): for the q<10 sample, s02's served nearest
+    * neighbor is checked for membership in s01's exact top-5, with the
+    * exact rank threaded out. Both sides are the registered operators'
+    * OWN bodies, and the oracle nests both registered oracle chains as
+    * CTEs (the ingredient-reuse discipline at the ORACLE level too), so
+    * the monitor cannot drift from the operators it audits.
+    */
+  // def, not val: registered in `queries` ABOVE its source position — a
+  // val would still be null when the map literal captures it
+  private def annRecall: Q = (s, dir) => {
+    val ann = lshAnn(s, dir).filter(col("a_id") < 10)
+      .select(col("a_id").as("q_id"), col("nn_id").as("ann_nn"))
+    val hit = cosineTopK(s, dir)
+      .select(col("q_id"), col("neighbor_id").as("ann_nn"),
+        col("rank").as("exact_rank"))
+    ann.join(hit, Seq("q_id", "ann_nn"), "left")
+      .select(col("q_id"), col("ann_nn"), col("exact_rank"),
+        col("exact_rank").isNotNull.as("hit"))
+  }
 
   val oracle: Map[String, String] = Map(
     "s09_kmeans" -> kmeansOracle,
@@ -2240,4 +2265,21 @@ object Similarity {
          |FROM probed a JOIN bucketed b
          |  ON a.probe = b.bucket AND a.a_id < b.vec_id
          |WHERE ${DOT.format("a.ae", "b.e")} / nullif(a.an * b.n, 0.0) >= 0.3""".stripMargin)
+    // s15's oracle nests the two REGISTERED chains it audits as CTE
+    // bodies — composed from the map AFTER the literal so the spellings
+    // cannot fork (a CTE body is a full query expression, so the nested
+    // WITHs are legal in DuckDB)
+    match {
+      case m => m + ("s15_ann_recall" ->
+        s"""WITH ann AS MATERIALIZED (
+           |${m("s02_lsh_ann")}
+           |), exact AS MATERIALIZED (
+           |${m("s01_cosine_topk")}
+           |)
+           |SELECT a.a_id AS q_id, a.nn_id AS ann_nn,
+           |       e.rank AS exact_rank, e.rank IS NOT NULL AS hit
+           |FROM ann a LEFT JOIN exact e
+           |  ON e.q_id = a.a_id AND e.neighbor_id = a.nn_id
+           |WHERE a.a_id < 10""".stripMargin)
+    }
 }
