@@ -132,6 +132,44 @@ object Events {
       .union(row("view_to_purchase", s3, secs(col("t3"), col("t1"))))
   }
 
+  /** e10 bot-screen dials: flag users with at least [[BotMinEvents]]
+    * events whose behavioral entropy (bits over the event-type
+    * distribution) sits below [[BotEntropyMax]] — high-volume,
+    * low-diversity actors (scripted scrapers fire one event type; humans
+    * mix). Fixture-calibrated to a meaningful split.
+    */
+  val BotMinEvents = 30L
+  val BotEntropyMax = 1.5
+
+  /** e10 — per-user behavioral entropy (the bot/automation screen a
+    * clickstream pipeline runs before using engagement as a training
+    * signal): Shannon entropy of each user's event-type distribution
+    * (t12's fold discipline — counts folded in event_type order, so the
+    * float sum is order-identical cross-engine), beside volume and type
+    * breadth; the flag thresholds the ROUNDED entropy (the e07
+    * discipline). Scale shape: one (user, type) map-side-combined count
+    * — |users|×|types| rows max — then a per-user collect of ≤|types|
+    * counts; the raw log is scanned once.
+    */
+  private val userEntropy: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("user_id"))
+      .agg(sum(col("cnt")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        transform(
+          array_sort(collect_list(struct(col("event_type"), col("cnt")))),
+          p => p.getField("cnt")).as("tc"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(aggregate(col("tc"), lit(0.0), (acc, c0) => {
+          val p = c0.cast("double") / col("n_events").cast("double")
+          acc + -p * log2(p)
+        }), 6).as("entropy"))
+      .withColumn("bot_suspect",
+        col("n_events") >= BotMinEvents && col("entropy") < BotEntropyMax)
+  }
+
   /** e03 — cohort retention: cohort = a user's first active day; each
     * (cohort_day, day_offset) cell counts users active `offset` days after
     * their first day. Distinct user-days shuffle once on user_id; the final
@@ -317,9 +355,32 @@ object Events {
     "e05_rolling_actives" -> rollingActives,
     "e06_sketch_distinct" -> sketchDistinct,
     "e08_cms_heavy_hitters" -> cmsHeavyHitters,
-    "e09_funnel_latency" -> funnelLatency)
+    "e09_funnel_latency" -> funnelLatency,
+    "e10_user_entropy" -> userEntropy)
 
   val oracle: Map[String, String] = Map(
+    "e10_user_entropy" ->
+      // counts folded in event_type order (unique per user, so both
+      // engines walk the identical sequence); flag on the rounded value
+      s"""WITH c AS MATERIALIZED (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         list(cnt ORDER BY event_type) AS tc
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  round(list_reduce(list_prepend(0.0, list_transform(tc,
+        |    x -> -(CAST(x AS DOUBLE) / n_events) *
+        |         log2(CAST(x AS DOUBLE) / n_events))),
+        |    (a, y) -> a + y), 6) AS entropy,
+        |  n_events >= $BotMinEvents AND
+        |    round(list_reduce(list_prepend(0.0, list_transform(tc,
+        |      x -> -(CAST(x AS DOUBLE) / n_events) *
+        |           log2(CAST(x AS DOUBLE) / n_events))),
+        |      (a, y) -> a + y), 6) < $BotEntropyMax AS bot_suspect
+        |FROM u""".stripMargin,
     "e09_funnel_latency" ->
       // e02's stage chain with earlier stage times carried; percentile ≡
       // quantile_cont (the h24 idiom), 6dp floor

@@ -120,6 +120,28 @@ class EventsSpec extends AnyFunSuite {
       s"${out("view_to_purchase")}")
   }
 
+  test("e10 user entropy: planted single-type bot flags, mixed human does not") {
+    val session = spark
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e10").toString
+    // user 1: 50 events, ONE type -> entropy 0, flags. user 2: 32 events
+    // over 4 types evenly -> entropy 2.0, above the 1.5 bar. user 3: only
+    // 5 events of one type -> entropy 0 but below the volume bar
+    val bot = (0 until 50).map(i => (i.toLong, 1L, i.toLong * 1000000000L, 1.0, "view"))
+    val human = (0 until 32).map(i => (100L + i, 2L, i.toLong * 1000000000L, 1.0,
+      Seq("view", "click", "purchase", "search")(i % 4)))
+    val light = (0 until 5).map(i => (200L + i, 3L, i.toLong * 1000000000L, 1.0, "view"))
+    (bot ++ human ++ light)
+      .toDF("event_id", "user_id", "ts", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.Events.queries("e10_user_entropy")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((50L, 0.0, true)), s"bot not flagged: ${out(1L)}")
+    assert(out(2L) == ((32L, 2.0, false)), s"human misflagged: ${out(2L)}")
+    assert(out(3L) == ((5L, 0.0, false)), s"light user misflagged: ${out(3L)}")
+  }
+
   test("e08 CMS heavy hitters: planted heavy key ranks first and the contract holds") {
     val session = spark
     import session.implicits._
