@@ -510,6 +510,38 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
+    // Scale-adaptive algorithm dial (optimization r13, guide §1.2 step 1:
+    // fix the distributed algorithm before the constants). The iterative
+    // propagation pays ~20 tiny shuffle stages to convergence on the
+    // mutual-kNN giant component — measured 6.5 s of s13's 7.1 s at sf0.1
+    // for a 2 000-node / ~30 k-edge graph, pure per-stage scheduling
+    // latency, and fusing two steps per materialization did NOT help (the
+    // cost is stage-count-bound, not job-count-bound). The edge list is
+    // edge-list-scale BY CONSTRUCTION for every caller (d05: banded
+    // candidate pairs; s13: ≤ V·KnnK mutual edges), so below the dial the
+    // components come from ONE executor-side union-find task over the
+    // checkpointed edge blocks — same fixpoint (union-by-min root ≡
+    // component min), zero shuffles, node-scale output. Above the dial
+    // (`spark.graft.cc.localEdgeMax`, default 4M edges ≈ tens of MB of
+    // task input) the O(log d)-round propagation below runs unchanged —
+    // that is the 100 TB path; the dial trades a bounded single task
+    // against ~20 distributed rounds exactly while the whole graph fits
+    // one task comfortably. The count() probing the dial is an action on
+    // the already-checkpointed edge RDD, not a second scan.
+    val idsAreLong =
+      pairs.schema.fields.take(2).forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)
+    val localEdgeMax = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeMax").flatMap(_.toLongOption)
+      .getOrElse(4000000L)
+    if (idsAreLong && edges.count() <= localEdgeMax) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return edges.select(col("a"), col("b")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions(unionFindMinLabel)
+        .toDF("id", "label", "cluster_size")
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -524,25 +556,76 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 30) {
+    // One propagate-then-jump step as a LAZY plan transform, so two steps
+    // can be fused into a single materialization below (optimization r13,
+    // guide §1.2/§2.4): each materialized round previously paid one eager
+    // localCheckpoint job + one convergence-sum job for ONE hop+jump;
+    // fusing two steps per checkpoint halves both fixed costs while the
+    // fixpoint (component min) and the sum-monotone convergence probe are
+    // untouched. The duplicated `prop` subtree inside the jump self-join
+    // is a shared Exchange (ReusedExchange; exchangeReuseEnabled default),
+    // so the fused plan computes each step's aggregate once.
+    def step(l: DataFrame): DataFrame = {
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "a"), "a")
+        .join(l.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("label"))
-      val prop = labels.unionAll(viaNeighbors)
+      val prop = l.unionAll(viaNeighbors)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
       // pointer jump: adopt the label OF the label (left join — a label
       // is itself a node id, but guard the frame-empty edge anyway)
-      val next = prop
+      prop
         .join(prop.select(col("id").as("label"), col("label").as("l2")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("l2"), col("label")).as("label"))
-        .localCheckpoint(true)
+    }
+    // 15 fused rounds = the previous 30 single steps' reach guarantee
+    while (!converged && rounds < 15) {
+      val next = step(step(labels)).localCheckpoint(true)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       rounds += 1
     }
+    System.err.println(s"[graft.cc] min-label propagation converged after " +
+      s"$rounds fused rounds (${pairs.sparkSession.sparkContext.appName})")
+    finishLabels(labels)
+  }
+
+  /** Path-compressed union-find with union-by-min-root over one task's
+    * edge iterator: the root of every set is always its minimum id, so the
+    * final `find` of each node IS the component min — bit-identical to the
+    * iterative propagation's fixpoint. Emits (id, component-min, size).
+    */
+  private def unionFindMinLabel(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent.update(c, r); c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+      }
+    }
+    val nodes = parent.keysIterator.toArray
+    val sizes = scala.collection.mutable.LongMap.empty[Long]
+    val labeled = nodes.map { k =>
+      val r = find(k)
+      sizes.update(r, sizes.getOrElse(r, 0L) + 1L)
+      (k, r)
+    }
+    labeled.iterator.map { case (k, r) => (k, r, sizes(r)) }
+  }
+
+  private def finishLabels(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id"), col("label"), col("cluster_size"))

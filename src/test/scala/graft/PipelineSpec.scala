@@ -172,6 +172,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cc dial: iterative propagation ≡ one-task union-find (r13 opt)") {
+    // the optimization round routed small edge lists through an
+    // executor-side union-find; the distributed propagation (the 100 TB
+    // path, taken when edges > spark.graft.cc.localEdgeMax) must stay
+    // bit-identical — force it via the dial and compare full outputs
+    def run(): Set[(Long, Long, Long)] =
+      pipeline.Similarity.queries("s13_knn_components")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaUnionFind = run()
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    try {
+      val viaPropagation = run()
+      assert(viaPropagation == viaUnionFind,
+        s"paths diverge: ${viaPropagation.diff(viaUnionFind).take(3)} / " +
+          s"${viaUnionFind.diff(viaPropagation).take(3)}")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+  }
+
   test("s14 graph rank matches a plain-Scala integer power iteration") {
     val edges = pipeline.Similarity.queries("s07_knn_graph")(spark, sf)
       .filter(col("mutual")).select("a_id", "nn_id").collect()
