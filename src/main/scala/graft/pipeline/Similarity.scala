@@ -1028,7 +1028,28 @@ object Similarity {
     * can route the final assignment through the hierarchical probe
     * instead of the exact K-wide argmin.
     */
+  /** Trained k-means state memoized per (session, corpus@stamp) — the
+    * sharedRolled/sharedComponents discipline (optimization r13, guide
+    * §1.2 step 1: don't compute things twice). SEVEN registry entries
+    * (s09, s09b, d09b, d09c, d09d, p08, p08b) consume the same trainer
+    * output; each previously re-ran the seed TakeOrdered, the threshold
+    * probe and the [[KmeansIters]] Lloyd jobs per query. The emb frame is
+    * barrier'd (lazy localCheckpoint), so consumers also share ONE
+    * normalized corpus materialization. The stamp key means an in-session
+    * corpus rewrite can never serve stale centroids; superseded stamps
+    * for the same dir are evicted (the countCache pattern).
+    */
+  private final case class TrainKey(s: SparkSession, dir: String, stamp: Long)
+  private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
+    TrainKey, (DataFrame, Array[Seq[Double]])]()
   private def kmeansTrain(s: SparkSession,
+      dir: String): (DataFrame, Array[Seq[Double]]) = {
+    val key = TrainKey(s, dir, Tables.dirStamp(dir))
+    trainedCache.keySet.removeIf(k => k.s == s && k.dir == dir && k != key)
+    trainedCache.computeIfAbsent(key, _ => kmeansTrainBuild(s, dir))
+  }
+
+  private def kmeansTrainBuild(s: SparkSession,
       dir: String): (DataFrame, Array[Seq[Double]]) = {
     val emb = Tables.barrier(
       Tables.embeddings(s, dir)
