@@ -462,7 +462,24 @@ object Curation {
     * composition adds only doc_id-keyed joins, which co-partition after
     * the first shuffle.
     */
-  private val curationManifest: Q = (s, dir) => {
+  /** The manifest frame memoized per (session, corpus@stamp) behind a
+    * lazy barrier — the sharedRolled/k-means/BPE-trainer discipline
+    * (optimization r13): THREE registry entries consume the identical
+    * manifest (p05 itself, p09's kept set, p11's kept set), and each
+    * previously re-derived the full six-flag composition (near-dup CC,
+    * two LM terciles, decontamination) per query. A real run emits the
+    * manifest once and every downstream stage reads it — exactly the
+    * relation this memo holds. Stamp-keyed, so an in-session corpus
+    * rewrite rebuilds it.
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private val curationManifest: Q = (s, dir) =>
+    manifestCache.computeIfAbsent(
+      (s, s"$dir@${Tables.dirStamp(dir)}"),
+      _ => Tables.barrier(manifestBuild(s, dir)))
+
+  private def manifestBuild(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0)
     val dupW = Window.partitionBy(col("m")).orderBy(col("doc_id"))
     val dup = corpus.select(col("doc_id"), md5(col("text")).as("m"))

@@ -740,7 +740,23 @@ object Text {
     * stream (doc_id, s) — the space-padded text after all rounds, merged
     * tokens joined with the U+0001 marker.
     */
+  /** Trained BPE state memoized per (session, corpus@stamp) — the
+    * sharedRolled / k-means-trainer discipline (optimization r13): t16
+    * and t18 each re-ran the full [[MergeRounds]]-round train loop (one
+    * count+argmax job pair and a barrier materialization per round) per
+    * query, although "real pipelines train once, then tokenize" is
+    * literally this operator's contract. The memo key embeds
+    * [[graft.Tables.dirStamp]], so an in-session corpus rewrite retrains.
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]()
   private def trainBpe(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeCache.computeIfAbsent(
+      (s, s"$dir@${graft.Tables.dirStamp(dir)}"),
+      _ => trainBpeBuild(s, dir))
+
+  private def trainBpeBuild(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var cur = Tables.barrier(Tables.documents(s, dir)
       .select(col("doc_id"), concat(lit(" "),

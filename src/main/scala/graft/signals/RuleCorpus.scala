@@ -205,10 +205,30 @@ object RuleCorpus {
       fired(evalFrame(md.build(s, dir), md.fields.map(_._1)), md.table, rs)
     })
 
-  /** Category evaluation: per mart table one window pass, union across
-    * the category's tables.
+  /** Category evaluation — served as a projection of the ONE shared
+    * whole-corpus materialization (optimization r13, guide §1.2 step 1:
+    * the engine evaluates the corpus once per tick and fans the result,
+    * sqlite_engine.py:218-276 — g13/g14/g16 already project from it;
+    * the eight per-category entries each re-ran their mart subset's
+    * window passes instead). `fired` rows carry the category literal of
+    * the rule that produced them and nothing else produces rows, so
+    * filter(category) over [[corpusFiredShared]] is ROW-IDENTICAL to
+    * evaluating the category's rule subset (RuleCorpusSpec pins it;
+    * every category oracle replays the standalone evaluation and stays
+    * green). The per-subset evaluation remains available as
+    * [[rulesQuery]] ∘ [[rulesFor]] — the fired columns are the same 9
+    * [[Fired9]] fields in the same order.
     */
-  def categoryQuery(cat: String): Q = rulesQuery(rulesFor(cat))
+  def categoryQuery(cat: String): Q = (s, dir) =>
+    corpusFiredShared(s, dir).filter(col("category") === cat)
+      .drop("message")
+
+  /** The pre-r13 direct evaluation of one category's rule subset — kept
+    * as the semantic reference [[categoryQuery]] is pinned row-identical
+    * to (RuleCorpusSpec).
+    */
+  private[graft] def categoryEvaluated(cat: String): Q =
+    rulesQuery(rulesFor(cat))
 
   /** [[rulesQuery]] at a ROLLED-UP cadence — the engine's per-timeframe
     * polls (rules carry timeframes 1h/4h/1d; sqlite_engine.py:224-231

@@ -230,6 +230,20 @@ class RuleCorpusSpec extends AnyFunSuite {
       s"unexpected join in the category plan:\n${p.take(1500)}")
   }
 
+  test("category projection ≡ direct subset evaluation (r13 opt)") {
+    // categoryQuery now projects the shared whole-corpus materialization;
+    // it must stay row-identical to evaluating the category's rule subset
+    // directly (the pre-r13 path, kept as categoryEvaluated)
+    for (cat <- Seq("momentum", "core", "futures")) {
+      val got = RuleCorpus.categoryQuery(cat)(spark, TestSession.sf)
+        .collect().map(_.toSeq).toSet
+      val want = RuleCorpus.categoryEvaluated(cat)(spark, TestSession.sf)
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"$cat: ${got.diff(want).take(2)} / " +
+        s"${want.diff(got).take(2)}")
+    }
+  }
+
   test("native-timeframe dispatch: the 1h slice IS the 1h corpus") {
     // g18 evaluates each rule at each timeframe it declares
     // (sqlite_engine.py:224-231). Every rule declares 1h (base.py:38
