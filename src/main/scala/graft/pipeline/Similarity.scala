@@ -229,7 +229,20 @@ object Similarity {
   /** s07's full kNN-graph frame — shared by the standalone entry and
     * s13's cluster discovery (the temperatureSelect discipline).
     */
-  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
+  /** The kNN-graph frame memoized per (session, corpus@stamp) behind a
+    * lazy barrier (optimization r13, the trained-state discipline): THREE
+    * registry entries build the identical graph (s07 itself, s13's
+    * components, s14's rank) — a pipeline builds this artifact once and
+    * reuses it, which is the operator's own scaladoc contract.
+    */
+  private val knnGraphCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame =
+    knnGraphCache.computeIfAbsent(
+      (s, s"$dir@${Tables.dirStamp(dir)}"),
+      _ => Tables.barrier(knnGraphBuild(s, dir)))
+
+  private def knnGraphBuild(s: SparkSession, dir: String): DataFrame = {
     val (bk, p) = bucketed(s, dir)
     val a = bk.select(col("vec_id").as("a_id"), col("e").as("ae"),
         col("n").as("an"), col("bucket"))

@@ -388,7 +388,19 @@ object Text {
     * vocab size is the 1-row Q22 scalar; the per-doc aggregate is the one
     * corpus-sized shuffle, combined to |docs| rows.
     */
-  private val bigramLm: Q = (s, dir) => {
+  /** t20's scored frame memoized per (session, corpus@stamp) — consumed
+    * by the t20 entry AND the curation manifest's bigram-tail flag
+    * (optimization r13, the trained-state discipline: a run scores the
+    * corpus once and every gate reads the scores).
+    */
+  private val bigramCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private val bigramLm: Q = (s, dir) =>
+    bigramCache.computeIfAbsent(
+      (s, s"$dir@${graft.Tables.dirStamp(dir)}"),
+      _ => graft.Tables.barrier(bigramLmBuild(s, dir)))
+
+  private def bigramLmBuild(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)

@@ -327,8 +327,25 @@ object RuleCorpus {
       })
     }
 
-  def categoryQueryAt(cat: String, seconds: Long): Q =
-    rulesQueryAt(rulesFor(cat), seconds)
+  /** The WHOLE-corpus rolled-cadence evaluation materialized once per
+    * (session, dir, cadence) — the [[corpusFiredShared]] discipline at a
+    * rolled cadence (optimization r13): g17 re-ran the 35-mart 1h
+    * evaluation per query and g15 re-ran its volume subset beside it;
+    * the engine evaluates a cadence once per poll and fans the fired set
+    * (sqlite_engine.py:218-276). Fired rows carry the producing rule's
+    * category, so the per-category rolled entries are row-identical
+    * projections (the [[categoryQuery]] argument; RuleCorpusSpec pins the
+    * native-cadence twin).
+    */
+  private val sharedRolledFired = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+  private[graft] def rolledFiredShared(s: SparkSession, dir: String,
+      seconds: Long): DataFrame =
+    sharedRolledFired.computeIfAbsent((s, dirKey(dir), seconds), _ =>
+      compacted(rulesQueryAt(AllRules, seconds)(s, dir)).localCheckpoint())
+
+  def categoryQueryAt(cat: String, seconds: Long): Q = (s, dir) =>
+    rolledFiredShared(s, dir, seconds).filter(col("category") === cat)
 
   /** The engine's NATIVE timeframe dispatch (sqlite_engine.py:224-231):
     * per table it unions the active rules' declared timeframes, polls the
@@ -987,9 +1004,22 @@ object RuleCorpus {
     */
   private val sharedFired =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Compact a branch-union to the session's parallelism before its
+    * shared checkpoint (optimization r13, guide §2.2 "fewer, larger
+    * partitions"): the fired union is 35 branches × shuffle-partition
+    * blocks ≈ 1100 tiny partitions, and EVERY consumer of the memo was
+    * re-paying ~1100 scan tasks per query (profiled: most of g13/g14's
+    * ~1.9 s each). coalesce is narrow — no shuffle, it just groups the
+    * checkpointed branch blocks — and the count tracks defaultParallelism
+    * rather than a local constant.
+    */
+  private def compacted(df: DataFrame): DataFrame =
+    df.coalesce(math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism))
+
   def corpusFiredShared(s: SparkSession, dir: String): DataFrame =
     sharedFired.computeIfAbsent((s, dirKey(dir)), _ =>
-      corpusFiredMsg(s, dir).localCheckpoint())
+      compacted(corpusFiredMsg(s, dir)).localCheckpoint())
 
   final case class Fired9(symbol: String, bucket_ts: Long, rule: String,
     mart: String, category: String, subcategory: String, direction: String,
@@ -1388,7 +1418,7 @@ object RuleCorpus {
   def nativeFiredShared(s: SparkSession, dir: String): DataFrame =
     if (graft.Tables.factOverrideActive) nativeFiredMsg(s, dir)
     else sharedNativeFired.computeIfAbsent((s, dirKey(dir)), _ =>
-      nativeFiredMsg(s, dir).localCheckpoint())
+      compacted(nativeFiredMsg(s, dir)).localCheckpoint())
 
   /** The native dispatch's COOLED stream — [[cooldownScanRows]] over
     * [[nativeFiredShared]] (full (symbol, rule, timeframe) state key,
@@ -1431,10 +1461,11 @@ object RuleCorpus {
     import scala.jdk.CollectionConverters._
     drop(sharedRolled.values.asScala)
     drop(sharedFired.values.asScala)
+    drop(sharedRolledFired.values.asScala)
     drop(sharedNativeFired.values.asScala)
     drop(sharedNativeCooled.values.asScala)
     drop(sharedRetainedCooled.values.asScala)
-    sharedRolled.clear(); sharedFired.clear()
+    sharedRolled.clear(); sharedFired.clear(); sharedRolledFired.clear()
     sharedNativeFired.clear(); sharedNativeCooled.clear()
     sharedRetainedCooled.clear()
   }
@@ -1920,7 +1951,7 @@ object RuleCorpus {
     "g16_rules_messages" -> corpusMessages,
     "g13_rules_cooldown" -> corpusCooldown,
     "g14_rules_summary" -> corpusSummary,
-    "g17_rules_corpus_1h" -> rulesQueryAt(AllRules, 3600L),
+    "g17_rules_corpus_1h" -> ((s, dir) => rolledFiredShared(s, dir, 3600L)),
     "g18_rules_native_tf" -> ((s, dir) =>
       nativeFiredShared(s, dir).drop("message")),
     "g19_rules_native_cooldown" -> nativeTfCooldown,
