@@ -37,12 +37,34 @@ object Profile {
       spark.catalog.clearCache()
       ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
     }
+    // per-job visibility for the second (warm) run: job id, duration,
+    // stage task counts — tells tiny-stage latency from real work
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, j.time)
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val dt = j.time - starts.getOrDefault(j.jobId, j.time)
+        jobs.add(f"job${j.jobId}%4d ${dt / 1000.0}%6.2f s")
+      }
+    }
     for ((name, fn) <- wanted) {
       val a = phases(name, fn)
+      spark.sparkContext.addSparkListener(listener)
       val b = phases(name, fn)
+      spark.sparkContext.removeSparkListener(listener)
       println(f"$name%-28s build=${math.min(a._1, b._1)}%6.2f " +
         f"plan=${math.min(a._2, b._2)}%6.2f exec=${math.min(a._3, b._3)}%6.2f " +
         f"(run1 ${a._1 + a._2 + a._3}%6.2f, run2 ${b._1 + b._2 + b._3}%6.2f)")
+      if (sys.env.contains("GRAFT_PROFILE_JOBS")) {
+        Thread.sleep(200)
+        val it = jobs.iterator()
+        while (it.hasNext) println(s"    ${it.next()}")
+        jobs.clear()
+      }
     }
     spark.stop()
   }

@@ -36,6 +36,13 @@ object SparkEntry {
     // the references array — so they hit this cache when it is big enough).
     // Static conf: applies to sessions built through this configure().
     .config("spark.sql.codegen.cache.maxEntries", "4096")
+    // Let the planner pick shuffled-hash over sort-merge when its size
+    // conditions hold (optimization r13, guide §3.1/§9): the TPC-H family
+    // measured 18.5 → 17.2 s at sf0.1 with identical results — SHJ skips
+    // both sorts whenever one side's per-partition build fits, which AQE
+    // verifies at runtime. Deployments preferring SMJ's graceful spill on
+    // skewed builds can flip it back per session.
+    .config("spark.sql.join.preferSortMergeJoin", "false")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full 5m OHLCV roll-up (the reference's load-bearing operator).

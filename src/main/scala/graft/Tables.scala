@@ -240,8 +240,12 @@ object Tables {
     * pipeline stage the scaladocs already argue for the signature tables.
     */
   private def corpusBuckets(spark: SparkSession): Int =
+    // cores/4, floor 8 — measured at local[32]: 8 buckets beat 16 on a
+    // mixed heavy+cheap entry set (9.2 vs 10.9 s; per-scan file overhead
+    // taxes every sub-second doc entry while 8× parallelism already
+    // captures most of the heavy projections' win)
     spark.conf.getOption("spark.graft.mat.corpusBuckets").map(_.toInt)
-      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 2))
+      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4))
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     materialized(spark, dir, "documents", Seq("doc_id"),
