@@ -195,6 +195,60 @@ object ArrayFolds {
       plo + (pb + 0.5) * (phi - plo) / 12))
   }
 
+  /** PQ subspace codes (optimization r13, guide §4): for each of the 8
+    * 8-dim subspaces, argmin_j over the j-ordered codebook of the
+    * SEQUENTIAL squared-distance fold — bit-identical to the
+    * `aggregate(cb, struct(MaxValue, 16), ...)` HOF spelling in
+    * [[graft.pipeline.Similarity]] (strict (d, j)-lexicographic update,
+    * init j = 16 on an empty codebook), which ran interpreted per
+    * element. `cb` rows are struct(j int, ce array<double>) with ce the
+    * full 64-dim sample vector; subspace m reads elements [m·8, m·8+8).
+    */
+  def pqCodes(e: ArrayData, cb: ArrayData): ArrayData = {
+    val nCb = cb.numElements()
+    val out = new Array[Int](8)
+    var m = 0
+    while (m < 8) {
+      var bd = Double.MaxValue
+      var bj = 16
+      var i = 0
+      while (i < nCb) {
+        val row = cb.getStruct(i, 2)
+        val j = row.getInt(0)
+        val ce = row.getArray(1)
+        var s = 0.0
+        var k = 0
+        val lim = math.min(math.min(e.numElements(), ce.numElements()) -
+          m * 8, 8)
+        while (k < lim) {
+          val d = e.getDouble(m * 8 + k) - ce.getDouble(m * 8 + k)
+          s += d * d
+          k += 1
+        }
+        if (s < bd || (s == bd && j < bj)) { bd = s; bj = j }
+        i += 1
+      }
+      out(m) = bj
+      m += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** ADC sum: Σ_m lut[m][codes[m]], m ascending — bit-identical to the
+    * zip_with/aggregate + element_at spelling (1-based there, 0-based
+    * direct indexing here).
+    */
+  def pqAdcSum(codes: ArrayData, lut: ArrayData): Double = {
+    val n = codes.numElements()
+    var s = 0.0
+    var m = 0
+    while (m < n) {
+      s += lut.getArray(m).getDouble(codes.getInt(m))
+      m += 1
+    }
+    s
+  }
+
   /** Signed tail-streak over the consecutive-delta signs of `a`, walking
     * the MOST RECENT delta backwards (the reference's 尾部连续根数 and
     * exactly the dl → reverse → first-opposing-break spelling): null if
@@ -354,6 +408,37 @@ case class TailStreakSigned(child: Expression) extends UnaryExpression
 }
 
 /** Column-side entry points. */
+case class PqCodes(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType),
+    ArrayType(StructType(Seq(StructField("j", IntegerType),
+      StructField("ce", ArrayType(DoubleType))))))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+  override protected def nullSafeEval(e: Any, cb: Any): Any =
+    ArrayFolds.pqCodes(e.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, cb) => s"graft.functions.ArrayFolds.pqCodes($e, $cb)")
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): PqCodes =
+    copy(left = newLeft, right = newRight)
+}
+
+case class PqAdcSum(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType),
+    ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_sum"
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    ArrayFolds.pqAdcSum(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.ArrayFolds.pqAdcSum($c, $l)")
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): PqAdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayFoldCols {
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -373,4 +458,8 @@ object ArrayFoldCols {
     GraftBridge.column(VpvrPoc(GraftBridge.expression(cf), GraftBridge.expression(close)))
   def meanNonNull(a: Column): Column =
     GraftBridge.column(MeanNonNull(GraftBridge.expression(a)))
+  def pqCodes(e: Column, cb: Column): Column =
+    GraftBridge.column(PqCodes(GraftBridge.expression(e), GraftBridge.expression(cb)))
+  def pqAdcSum(codes: Column, lut: Column): Column =
+    GraftBridge.column(PqAdcSum(GraftBridge.expression(codes), GraftBridge.expression(lut)))
 }

@@ -507,15 +507,13 @@ object Similarity {
   private def pqEncode(emb: DataFrame, cb: DataFrame,
       extra: Seq[String] = Nil): DataFrame = emb
     .crossJoin(broadcast(cb))
-    .withColumn("codes", array((0 until PqSubspaces).map { m =>
-      aggregate(col("cb"),
-        struct(lit(Double.MaxValue).as("d"), lit(PqCodebook).as("j")),
-        (acc, c) => {
-          val d = sqdist(subvec(col("e"), m), subvec(c("ce"), m))
-          when(d < acc("d") || (d === acc("d") && c("j") < acc("j")),
-            struct(d.as("d"), c("j").as("j"))).otherwise(acc)
-        })("j")
-    }: _*))
+    // codegen'd kernel (optimization r13, guide §4): the per-subspace
+    // argmin fold previously ran as 8 interpreted `aggregate` HOFs per
+    // vector; [[graft.functions.ArrayFolds.pqCodes]] performs the
+    // identical sequential sqdist folds and (d, j) update rule in one
+    // tight loop — bit-identical codes (KernelSpec pins the HOF twin)
+    .withColumn("codes",
+      graft.functions.ArrayFoldCols.pqCodes(col("e"), col("cb")))
     .select((Seq("vec_id") ++ extra ++ Seq("codes", "e", "n")).map(col): _*)
 
   /** Per-query ADC lookup table lut[m][j] = ||q_m − c_{m,j}||², attached
@@ -528,15 +526,12 @@ object Similarity {
         c => sqdist(subvec(col("qe"), m), subvec(c("ce"), m)))
     }: _*)
 
-  /** The m-ordered ADC fold over a codes column against the row's lut. */
-  private def pqAdc: Column = {
-    val mIdx = array((0 until PqSubspaces).map(m => lit(m)): _*)
-    aggregate(
-      zip_with(col("codes"), mIdx, (c, m) => struct(c.as("c"), m.as("m"))),
-      lit(0.0),
-      (acc, p) => acc +
-        element_at(element_at(col("lut"), p("m") + 1), p("c") + 1))
-  }
+  /** The m-ordered ADC fold over a codes column against the row's lut —
+    * the codegen'd kernel twin of the zip_with/aggregate spelling
+    * (KernelSpec pins equality).
+    */
+  private def pqAdc: Column =
+    graft.functions.ArrayFoldCols.pqAdcSum(col("codes"), col("lut"))
 
   private val pqAnn: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)

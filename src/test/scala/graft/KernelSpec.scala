@@ -316,4 +316,58 @@ class KernelSpec extends AnyFunSuite {
     assert(diverged.count() == 0L,
       s"mean_non_null diverges: ${diverged.take(3).mkString("; ")}")
   }
+
+  test("pq_codes / pq_adc_sum kernels == the aggregate-HOF spellings bit-for-bit") {
+    // the r13 optimization moved s06/s11's encode + ADC folds from
+    // interpreted `aggregate` HOFs to codegen'd kernels; this pins the
+    // kernels to the original spellings on seeded random vectors,
+    // including exact-tie codebooks (duplicated sample vectors)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    def vec(): Seq[Double] = Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    val cbVecs = {
+      val base = Seq.fill(14)(vec())
+      base ++ Seq(base.head, base(3)) // exact duplicates → (d, j) ties
+    }
+    val emb = (0 until 80).map(i => (i.toLong, vec())).toDF("vec_id", "e")
+    val cb = cbVecs.zipWithIndex
+      .map { case (v, j) => (j, v) }.toDF("j", "ce")
+      .agg(array_sort(collect_list(struct(col("j"), col("ce")))).as("cb"))
+    def subvec(e: Column, m: Int): Column = slice(e, m * 8 + 1, 8)
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val hofCodes = array((0 until 8).map { m =>
+      aggregate(col("cb"),
+        struct(lit(Double.MaxValue).as("d"), lit(16).as("j")),
+        (acc, c) => {
+          val d = sqd(subvec(col("e"), m), subvec(c("ce"), m))
+          when(d < acc("d") || (d === acc("d") && c("j") < acc("j")),
+            struct(d.as("d"), c("j").as("j"))).otherwise(acc)
+        })("j")
+    }: _*)
+    val coded = emb.crossJoin(cb)
+      .select(col("vec_id"), col("e"), col("cb"),
+        graft.functions.ArrayFoldCols.pqCodes(col("e"), col("cb")).as("k"),
+        hofCodes.as("h"))
+    assert(coded.filter(not(col("k") <=> col("h"))).count() == 0L,
+      coded.filter(not(col("k") <=> col("h"))).take(2).mkString("; "))
+    // ADC: random LUTs, fold order ascending m
+    val withLut = coded.withColumn("lut",
+      transform(sequence(lit(1), lit(8)), _ =>
+        transform(sequence(lit(1), lit(16)),
+          j => sin(j.cast("double") * col("vec_id")))))
+    val mIdx = array((0 until 8).map(m => lit(m)): _*)
+    val hofAdc = aggregate(
+      zip_with(col("k"), mIdx, (c, m) => struct(c.as("c"), m.as("m"))),
+      lit(0.0),
+      (acc, p) => acc +
+        element_at(element_at(col("lut"), p("m") + 1), p("c") + 1))
+    val adcDiv = withLut.select(
+        graft.functions.ArrayFoldCols.pqAdcSum(col("k"), col("lut")).as("k2"),
+        hofAdc.as("h2"))
+      .filter(not(col("k2") <=> col("h2")))
+    assert(adcDiv.count() == 0L, adcDiv.take(2).mkString("; "))
+  }
 }
