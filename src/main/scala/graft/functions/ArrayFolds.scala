@@ -249,6 +249,24 @@ object ArrayFolds {
     s
   }
 
+  /** SQ8 asymmetric-distance fold (s10's ADC): Σ_i (qe_i − (mn_i +
+    * code_i·sc_i))², i ascending — bit-identical to the
+    * zip_with/aggregate spelling over (codes, dim-index) structs.
+    */
+  def sqAdcSum(codes: ArrayData, qe: ArrayData, mn: ArrayData,
+      sc: ArrayData): Double = {
+    val n = codes.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val rec = mn.getDouble(i) + codes.getInt(i).toDouble * sc.getDouble(i)
+      val d = qe.getDouble(i) - rec
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Signed tail-streak over the consecutive-delta signs of `a`, walking
     * the MOST RECENT delta backwards (the reference's 尾部连续根数 and
     * exactly the dl → reverse → first-opposing-break spelling): null if
@@ -424,6 +442,27 @@ case class PqCodes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class SqAdcSum(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+  with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType),
+    ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_adc_sum"
+  override protected def nullSafeEval(codes: Any, qe: Any, mn: Any,
+      sc: Any): Any =
+    ArrayFolds.sqAdcSum(codes.asInstanceOf[ArrayData],
+      qe.asInstanceOf[ArrayData], mn.asInstanceOf[ArrayData],
+      sc.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, q, m, s) =>
+      s"graft.functions.ArrayFolds.sqAdcSum($c, $q, $m, $s)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): SqAdcSum =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 case class PqAdcSum(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType),
@@ -462,4 +501,8 @@ object ArrayFoldCols {
     GraftBridge.column(PqCodes(GraftBridge.expression(e), GraftBridge.expression(cb)))
   def pqAdcSum(codes: Column, lut: Column): Column =
     GraftBridge.column(PqAdcSum(GraftBridge.expression(codes), GraftBridge.expression(lut)))
+  def sqAdcSum(codes: Column, qe: Column, mn: Column, sc: Column): Column =
+    GraftBridge.column(SqAdcSum(GraftBridge.expression(codes),
+      GraftBridge.expression(qe), GraftBridge.expression(mn),
+      GraftBridge.expression(sc)))
 }

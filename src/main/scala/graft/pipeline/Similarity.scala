@@ -784,15 +784,12 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("n").as("qn"))
     val pairs = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .crossJoin(broadcast(bounds))
-      .withColumn("adist", aggregate(
-        zip_with(col("codes"), dIdx, (c, i) => struct(c.as("c"), i.as("i"))),
-        lit(0.0),
-        (acc, p) => {
-          val rec = element_at(col("mn"), p("i") + 1) +
-            p("c").cast("double") * element_at(col("sc"), p("i") + 1)
-          val d = element_at(col("qe"), p("i") + 1) - rec
-          acc + d * d
-        }))
+      // codegen'd kernel (optimization r13, guide §4): the identical
+      // ascending-i reconstruction+sqdist fold, one tight loop per pair
+      // instead of an interpreted 64-step aggregate (KernelSpec pins the
+      // HOF twin bit-for-bit)
+      .withColumn("adist", graft.functions.ArrayFoldCols.sqAdcSum(
+        col("codes"), col("qe"), col("mn"), col("sc")))
     val wAdc = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
     val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     pairs.withColumn("arn", row_number().over(wAdc))

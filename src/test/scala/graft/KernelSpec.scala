@@ -370,4 +370,32 @@ class KernelSpec extends AnyFunSuite {
       .filter(not(col("k2") <=> col("h2")))
     assert(adcDiv.count() == 0L, adcDiv.take(2).mkString("; "))
   }
+
+  test("sq_adc_sum kernel == the zip_with/aggregate spelling bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(777)
+    val rows = (0 until 60).map { i =>
+      (i.toLong,
+        Seq.fill(64)(rnd.nextInt(256)),
+        Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(64)(rnd.nextDouble() - 1),
+        Seq.fill(64)(rnd.nextDouble() / 100))
+    }.toDF("id", "codes", "qe", "mn", "sc")
+    val dIdx = array((0 until 64).map(i => lit(i)): _*)
+    val hof = aggregate(
+      zip_with(col("codes"), dIdx, (c, i) => struct(c.as("c"), i.as("i"))),
+      lit(0.0),
+      (acc, p) => {
+        val rec = element_at(col("mn"), p("i") + 1) +
+          p("c").cast("double") * element_at(col("sc"), p("i") + 1)
+        val d = element_at(col("qe"), p("i") + 1) - rec
+        acc + d * d
+      })
+    val div = rows.select(
+        graft.functions.ArrayFoldCols.sqAdcSum(col("codes"), col("qe"),
+          col("mn"), col("sc")).as("k"), hof.as("h"))
+      .filter(not(col("k") <=> col("h")))
+    assert(div.count() == 0L, div.take(2).mkString("; "))
+  }
 }
