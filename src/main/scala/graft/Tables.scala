@@ -315,7 +315,9 @@ object Tables {
 
   def candles(spark: SparkSession, dir: String): DataFrame =
     Option(candleOverride.get).getOrElse(
-      materialized(spark, dir, "candles", Seq("symbol", "bucket_ts"))(
+      materialized(spark, dir, "candles", Seq("symbol", "bucket_ts"),
+        spark.conf.getOption("spark.graft.mat.candleBuckets").map(_.toInt)
+          .getOrElse(8))(
         candlesDerived(spark, dir)))
 
   /** The raw events→candles derivation (see [[candles]] for the stored
