@@ -12,11 +12,50 @@ import java.nio.file.{Files, Paths}
   * Timing uses a noop-format write, not `.count()` — under count() Catalyst
   * prunes every unused projection, so expression cost (the thing being
   * benchmarked) never executes.
+  *
+  * Accounting contract (r13 verdict #1 — honest per-query numbers): the
+  * per-query timing loops run with `spark.graft.sharedMemo=off`, so every
+  * entry pays its own shared-build cost (k-means trainer, BPE merges,
+  * curation manifest, 1h fired corpus, kNN graph, bigram LM, CC labels)
+  * instead of reading a cross-query memo populated by an earlier entry —
+  * min-of-N in one session had turned ~27 entries' numbers into cache
+  * reads whose build cost appeared in NO reported number. The memo-ON
+  * architecture (evaluate-once-fan-out, the reference engine's shape) is
+  * still measured: a final single pass with memos enabled is reported
+  * separately as `serving_total_sec`, never mixed into per-query numbers.
+  * The one-time warmup cost (JIT + parquet footers + the bucketed staging
+  * writes for the candle/metrics/doc/embedding facts) is reported as
+  * `staging_sec` (r13 verdict #6) so the layout's price is auditable.
+  *
+  * Scaling mode (r13 verdict #2): with env `SPARK_GRAFT_SCALING=1` the
+  * bench restricts itself to [[ScalingEntries]] — the execution-bound
+  * subset whose work dominates per-query fixed cost at sf≥1 — with memos
+  * off and no serving pass, same one-line JSON contract. Run it against a
+  * ScaleGen'd sf1 dir at two core counts to measure parallel scaling
+  * (at sf0.1 every entry is scheduling-floor-bound and low/high-core
+  * ratios sit at ≈1 regardless of parallelism).
   */
 object Bench {
+  /** Execution-bound entries for the scaling mode: scan/shuffle/compute
+    * dominated at sf1 (r13's 10× re-bench + this round's memo-off
+    * numbers), spanning the dedup, similarity, text, multimodal,
+    * curation, signals, TPC-H and event families.
+    */
+  val ScalingEntries: Set[String] = Set(
+    "c02_bloom_decontam", "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
+    "d03b_minhash_md5", "d04b_simhash_md5", "d05_dedup_components",
+    "d09_semantic_dedup", "d11_substring_rewrite", "e01_sessionize",
+    "g17_rules_corpus_1h", "h01_pricing_summary", "h12_returned_revenue",
+    "h21_waiting_supplier", "m01b_image_decode", "m05_phash_neardup",
+    "p05_curation_manifest", "s05_ivf_multiprobe", "s06_pq_ann",
+    "s09_kmeans", "s10_sq_ann", "s11_ivfpq_ann", "t13_winnow_fp",
+    "t16_bpe_merges", "t17_dsir_weights", "t18_bpe_encode")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val scaling = sys.env.get("SPARK_GRAFT_SCALING")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val spark = SparkEntry.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,11 +65,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT + codegen + parquet footer reads + fact-table
-    // materialization land outside the timings
+    // materialization land outside the timings; its wall cost (dominated
+    // by the four bucketed staging writes) is REPORTED as staging_sec —
+    // at 100 TB this is layout-at-ingest, charged once, visible here.
+    val tStage0 = System.nanoTime()
     Tables.candles(spark, sfDir).count()
     Tables.metrics5m(spark, sfDir).count()
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
+    val stagingSec = (System.nanoTime() - tStage0) / 1e9
+    // per-query numbers charge shared builds to the entry that runs them:
+    // no cross-query memo may serve a cache read as an operator's cost
+    spark.conf.set("spark.graft.sharedMemo", "off")
     // optional args = query-name prefixes to run (iteration aid).
     // f01 (the 287-branch indicator cycle) runs FIRST, not alphabetically:
     // the reference runs this loop as its own scheduled process
@@ -44,6 +90,7 @@ object Bench {
     }
     val wanted = ordered
       .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
+      .filter { case (n, _) => !scaling || ScalingEntries(n) }
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -68,11 +115,12 @@ object Bench {
     // Bench-stability gate (round-3/4 postmortems: single-shot numbers
     // swung 5–8× on codegen-heavy queries from JIT/GC state of THIS jvm).
     // EVERY query gets a second run and reports the min: the min is the
-    // query's steady-state cost — the number a long-lived serving session
-    // (the reference's deployment shape) actually pays — and the delta is
-    // one-time Janino/JIT warmup plus GC noise. Wall-clock cost of the
-    // second pass ≈ the suite's steady-state total, well inside the
-    // driver's budget now that f01 runs cold (≈25 s, not 167 s).
+    // query's steady-state cost — with memos off both runs pay the full
+    // operator (shared builds included), so the min is the operator's
+    // real cost, and the delta is one-time Janino/JIT warmup plus GC
+    // noise. Wall-clock cost of the second pass ≈ the suite's
+    // steady-state total, well inside the driver's budget now that f01
+    // runs cold (≈25 s, not 167 s).
     val firstByName = firstPass.toMap
     val twoPass = wanted.map { case (name, fn) =>
       name -> math.min(firstByName(name), once(name, fn))
@@ -107,11 +155,25 @@ object Bench {
       else name -> t
     }
     val total = results.map(_._2).sum
+    // serving pass (memo-ON, one run per entry, registry order): the cost
+    // of running the whole registry once in a long-lived session with the
+    // evaluate-once-fan-out memos enabled — shared builds are paid by
+    // whichever entry hits them first and reused by the rest, exactly the
+    // reference engine's per-tick shape. Reported ONLY as a separate
+    // total; per-query numbers above never see a memo.
+    val servingTotal = if (scaling) 0.0 else {
+      spark.conf.set("spark.graft.sharedMemo", "on")
+      wanted.map { case (name, fn) => once(name, fn) }.sum
+    }
     def fmt(rs: Seq[(String, Double)], prec: String) = rs
       .map { case (k, v) => "\"" + k + "\":" + prec.format(v) }
       .mkString("{", ",", "}")
+    val extras = s""""staging_sec":${"%.3f".format(stagingSec)},""" +
+      s""""serving_total_sec":${"%.3f".format(servingTotal)},""" +
+      s""""memo":"off","cpus":$cpus""" +
+      (if (scaling) s""","scaling":true""" else "")
     Files.writeString(Paths.get("bench_queries_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, "%.6f")},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, "%.6f")},$extras,"sf":"$sfDir"}""")
     spark.stop()
     // Output contract, round-2 postmortem: the driver json-parses the LAST
     // line of a ~2 KB stdout tail. The full per-query map (~2.5 KB at 100+
@@ -122,8 +184,8 @@ object Bench {
     // a strict json.loads of the line.
     val fd1 = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
-    fd1.println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt(results, "%.3f")},"sf":"$sfDir"}""")
+    fd1.println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt(results, "%.3f")},$extras,"sf":"$sfDir"}""")
     val slowest = results.sortBy(-_._2).take(15).sortBy(_._1)
-    fd1.println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${results.size},"queries":${fmt(slowest, "%.3f")},"sf":"$sfDir","full":"bench_queries_full.json"}""")
+    fd1.println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${results.size},"queries":${fmt(slowest, "%.3f")},$extras,"sf":"$sfDir","full":"bench_queries_full.json"}""")
   }
 }

@@ -195,22 +195,33 @@ object ArrayFolds {
       plo + (pb + 0.5) * (phi - plo) / 12))
   }
 
-  /** PQ subspace codes (optimization r13, guide §4): for each of the 8
-    * 8-dim subspaces, argmin_j over the j-ordered codebook of the
-    * SEQUENTIAL squared-distance fold — bit-identical to the
-    * `aggregate(cb, struct(MaxValue, 16), ...)` HOF spelling in
-    * [[graft.pipeline.Similarity]] (strict (d, j)-lexicographic update,
-    * init j = 16 on an empty codebook), which ran interpreted per
-    * element. `cb` rows are struct(j int, ce array<double>) with ce the
-    * full 64-dim sample vector; subspace m reads elements [m·8, m·8+8).
+  /** PQ geometry — the ONE definition shared by the encode kernel below
+    * and the LUT/ADC side in [[graft.pipeline.Similarity]] (which aliases
+    * these; r13 ADVICE: the kernel previously duplicated them as literals,
+    * so changing the pipeline's constants would have silently
+    * desynchronized encode from ADC).
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodebook = 16
+
+  /** PQ subspace codes (optimization r13, guide §4): for each of the
+    * [[PqSubspaces]] [[PqSubDim]]-dim subspaces, argmin_j over the
+    * j-ordered codebook of the SEQUENTIAL squared-distance fold —
+    * bit-identical to the `aggregate(cb, struct(MaxValue, PqCodebook),
+    * ...)` HOF spelling in [[graft.pipeline.Similarity]] (strict (d,
+    * j)-lexicographic update, init j = [[PqCodebook]] on an empty
+    * codebook), which ran interpreted per element. `cb` rows are
+    * struct(j int, ce array<double>) with ce the full 64-dim sample
+    * vector; subspace m reads elements [m·PqSubDim, (m+1)·PqSubDim).
     */
   def pqCodes(e: ArrayData, cb: ArrayData): ArrayData = {
     val nCb = cb.numElements()
-    val out = new Array[Int](8)
+    val out = new Array[Int](PqSubspaces)
     var m = 0
-    while (m < 8) {
+    while (m < PqSubspaces) {
       var bd = Double.MaxValue
-      var bj = 16
+      var bj = PqCodebook
       var i = 0
       while (i < nCb) {
         val row = cb.getStruct(i, 2)
@@ -219,9 +230,9 @@ object ArrayFolds {
         var s = 0.0
         var k = 0
         val lim = math.min(math.min(e.numElements(), ce.numElements()) -
-          m * 8, 8)
+          m * PqSubDim, PqSubDim)
         while (k < lim) {
-          val d = e.getDouble(m * 8 + k) - ce.getDouble(m * 8 + k)
+          val d = e.getDouble(m * PqSubDim + k) - ce.getDouble(m * PqSubDim + k)
           s += d * d
           k += 1
         }
@@ -236,14 +247,20 @@ object ArrayFolds {
 
   /** ADC sum: Σ_m lut[m][codes[m]], m ascending — bit-identical to the
     * zip_with/aggregate + element_at spelling (1-based there, 0-based
-    * direct indexing here).
+    * direct indexing here). An out-of-range code yields null, matching
+    * element_at's out-of-bounds null instead of throwing (r13 ADVICE —
+    * unreachable from [[pqCodes]] output, but degenerate input must not
+    * crash the stage where the HOF spelling returned null).
     */
-  def pqAdcSum(codes: ArrayData, lut: ArrayData): Double = {
+  def pqAdcSum(codes: ArrayData, lut: ArrayData): java.lang.Double = {
     val n = codes.numElements()
     var s = 0.0
     var m = 0
     while (m < n) {
-      s += lut.getArray(m).getDouble(codes.getInt(m))
+      val c = codes.getInt(m)
+      val row = lut.getArray(m)
+      if (c < 0 || c >= row.numElements()) return null
+      s += row.getDouble(c)
       m += 1
     }
     s
@@ -468,11 +485,21 @@ case class PqAdcSum(left: Expression, right: Expression)
   override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType),
     ArrayType(ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
+  // null on out-of-range codes (the element_at semantics), beyond the
+  // usual null-in-null-out
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_adc_sum"
   override protected def nullSafeEval(codes: Any, lut: Any): Any =
     ArrayFolds.pqAdcSum(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.ArrayFolds.pqAdcSum($c, $l)")
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val tmp = ctx.freshName("adc")
+      s"""
+      java.lang.Double $tmp = graft.functions.ArrayFolds.pqAdcSum($c, $l);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
   override protected def withNewChildrenInternal(
     newLeft: Expression, newRight: Expression): PqAdcSum =
     copy(left = newLeft, right = newRight)

@@ -473,11 +473,10 @@ object Curation {
     * rewrite rebuilds it.
     */
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    Tables.StampKey, DataFrame]()
   private val curationManifest: Q = (s, dir) =>
-    manifestCache.computeIfAbsent(
-      (s, s"$dir@${Tables.dirStamp(dir)}"),
-      _ => Tables.barrier(manifestBuild(s, dir)))
+    Tables.stampKeyed(manifestCache, s, dir)(
+      Tables.barrier(manifestBuild(s, dir)))
 
   private def manifestBuild(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0)

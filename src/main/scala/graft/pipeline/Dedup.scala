@@ -475,11 +475,10 @@ object Dedup {
     * corpus re-derives instead of serving stale labels.
     */
   private val sharedComponents =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[Tables.StampKey, DataFrame]()
   private val components: Q = (s, dir) =>
-    sharedComponents.computeIfAbsent(
-      (s, s"$dir@${Tables.dirStamp(dir)}"),
-      _ => componentsBuild(s, dir).localCheckpoint())
+    Tables.stampKeyed(sharedComponents, s, dir)(
+      componentsBuild(s, dir).localCheckpoint())
 
   private def componentsBuild(s: SparkSession, dir: String): DataFrame =
     minLabelPropagation(ngramJaccard(s, dir).select(col("a"), col("b")))
@@ -587,8 +586,6 @@ object Dedup {
       prevSum = nextSum
       rounds += 1
     }
-    System.err.println(s"[graft.cc] min-label propagation converged after " +
-      s"$rounds fused rounds (${pairs.sparkSession.sparkContext.appName})")
     finishLabels(labels)
   }
 

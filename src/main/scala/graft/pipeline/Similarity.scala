@@ -236,11 +236,10 @@ object Similarity {
     * reuses it, which is the operator's own scaladoc contract.
     */
   private val knnGraphCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    Tables.StampKey, DataFrame]()
   private def knnGraphFrame(s: SparkSession, dir: String): DataFrame =
-    knnGraphCache.computeIfAbsent(
-      (s, s"$dir@${Tables.dirStamp(dir)}"),
-      _ => Tables.barrier(knnGraphBuild(s, dir)))
+    Tables.stampKeyed(knnGraphCache, s, dir)(
+      Tables.barrier(knnGraphBuild(s, dir)))
 
   private def knnGraphBuild(s: SparkSession, dir: String): DataFrame = {
     val (bk, p) = bucketed(s, dir)
@@ -442,8 +441,11 @@ object Similarity {
     * then M bytes — 8 bytes against the raw vector's 256 (fp32): the 32×
     * compression that lets a 100 TB embedding corpus fit executor memory.
     */
-  private[pipeline] val PqSubspaces = 8
-  private[pipeline] val PqCodebook = 16
+  // aliases of the kernel-side definitions (r13 ADVICE: one source of
+  // truth — graft.functions.ArrayFolds owns the geometry the codegen'd
+  // encode/ADC kernels assume)
+  private[pipeline] val PqSubspaces = graft.functions.ArrayFolds.PqSubspaces
+  private[pipeline] val PqCodebook = graft.functions.ArrayFolds.PqCodebook
 
   /** ADC candidates exact-re-ranked per query (the standard PQ recall
     * repair: approximate distances pick a small candidate set, true
@@ -1044,15 +1046,11 @@ object Similarity {
     * corpus rewrite can never serve stale centroids; superseded stamps
     * for the same dir are evicted (the countCache pattern).
     */
-  private final case class TrainKey(s: SparkSession, dir: String, stamp: Long)
   private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
-    TrainKey, (DataFrame, Array[Seq[Double]])]()
+    Tables.StampKey, (DataFrame, Array[Seq[Double]])]()
   private def kmeansTrain(s: SparkSession,
-      dir: String): (DataFrame, Array[Seq[Double]]) = {
-    val key = TrainKey(s, dir, Tables.dirStamp(dir))
-    trainedCache.keySet.removeIf(k => k.s == s && k.dir == dir && k != key)
-    trainedCache.computeIfAbsent(key, _ => kmeansTrainBuild(s, dir))
-  }
+      dir: String): (DataFrame, Array[Seq[Double]]) =
+    Tables.stampKeyed(trainedCache, s, dir)(kmeansTrainBuild(s, dir))
 
   private def kmeansTrainBuild(s: SparkSession,
       dir: String): (DataFrame, Array[Seq[Double]]) = {

@@ -394,11 +394,10 @@ object Text {
     * corpus once and every gate reads the scores).
     */
   private val bigramCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    graft.Tables.StampKey, DataFrame]()
   private val bigramLm: Q = (s, dir) =>
-    bigramCache.computeIfAbsent(
-      (s, s"$dir@${graft.Tables.dirStamp(dir)}"),
-      _ => graft.Tables.barrier(bigramLmBuild(s, dir)))
+    graft.Tables.stampKeyed(bigramCache, s, dir)(
+      graft.Tables.barrier(bigramLmBuild(s, dir)))
 
   private def bigramLmBuild(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
@@ -761,12 +760,10 @@ object Text {
     * [[graft.Tables.dirStamp]], so an in-session corpus rewrite retrains.
     */
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]()
+    graft.Tables.StampKey, (Seq[(Int, String, String, Long)], DataFrame)]()
   private def trainBpe(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) =
-    bpeCache.computeIfAbsent(
-      (s, s"$dir@${graft.Tables.dirStamp(dir)}"),
-      _ => trainBpeBuild(s, dir))
+    graft.Tables.stampKeyed(bpeCache, s, dir)(trainBpeBuild(s, dir))
 
   private def trainBpeBuild(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {

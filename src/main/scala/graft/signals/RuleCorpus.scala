@@ -338,10 +338,15 @@ object RuleCorpus {
     * native-cadence twin).
     */
   private val sharedRolledFired = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), DataFrame]()
+    graft.Tables.StampKey, DataFrame]()
   private[graft] def rolledFiredShared(s: SparkSession, dir: String,
       seconds: Long): DataFrame =
-    sharedRolledFired.computeIfAbsent((s, dirKey(dir), seconds), _ =>
+    // like rolledShared/nativeFiredShared, a fact-frame override must
+    // neither read nor populate the (session, dir) key (r13 ADVICE #1:
+    // the invariant every other fact-transiting shared memo enforces)
+    if (graft.Tables.factOverrideActive)
+      compacted(rulesQueryAt(AllRules, seconds)(s, dir)).localCheckpoint()
+    else graft.Tables.stampKeyed(sharedRolledFired, s, dir, seconds)(
       compacted(rulesQueryAt(AllRules, seconds)(s, dir)).localCheckpoint())
 
   def categoryQueryAt(cat: String, seconds: Long): Q = (s, dir) =>
