@@ -22,6 +22,10 @@ object Profile {
     Tables.metrics5m(spark, sfDir).count()
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
+    // GRAFT_MEMO=off profiles the honest per-operator cost (the r14 bench
+    // accounting); default leaves the serving memos on.
+    sys.env.get("GRAFT_MEMO")
+      .foreach(v => spark.conf.set("spark.graft.sharedMemo", v))
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
     def phases(name: String,

@@ -339,6 +339,35 @@ object Tables {
     */
   def barrier(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
+  /** Eagerly checkpoint `df` with AQE disabled for the materialization
+    * (hoisted from RuleCorpus for the r14 cycle work — ONE definition, ONE
+    * bracket lock): under AQE the final stage becomes a coalesced shuffle
+    * read whose partitioning the checkpoint's LogicalRDD cannot carry
+    * (probed on this Spark: the checkpointed frame reports unknown
+    * partitioning and every consumer re-shuffles — the window plan grows
+    * an Exchange + Sort). With AQE off for just this one eager
+    * materialization the LogicalRDD keeps BOTH the hash partitioning and
+    * the per-partition sort, so downstream symbol-window passes plan
+    * exchange-free and sort-free. The conf flip is session-scoped but
+    * brackets a single eager job built and awaited on the calling thread;
+    * branch pools ([[graft.operators.Cycle.runBranches]]) and parallel
+    * test suites can plan on OTHER threads, so the bracket is JVM-globally
+    * synchronized: two interleaved brackets would otherwise restore each
+    * other's mid-bracket value and leave AQE off for the whole session
+    * (read-prev / set / restore is not atomic). A concurrent non-bracket
+    * thread that plans during the window merely loses AQE for that one
+    * plan — a perf nit, never a wrong answer or a lost layout.
+    */
+  private val aqeBracketLock = new Object
+  private[graft] def checkpointKeepLayout(s: SparkSession,
+      df: DataFrame): DataFrame =
+    aqeBracketLock.synchronized {
+      val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.localCheckpoint()
+      finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+
   private val candleOverride = new ThreadLocal[DataFrame]()
   def withCandleFrame[T](frame: DataFrame)(build: => T): T = {
     candleOverride.set(frame)

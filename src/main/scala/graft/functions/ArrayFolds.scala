@@ -284,6 +284,65 @@ object ArrayFolds {
     s
   }
 
+  /** Exact K-wide argmin over the broadcast centroid fold (the s09 Lloyd
+    * assignment; optimization r14, guide §4): for each struct (k, c, cc)
+    * element of `cents` in array order, d = en − 2·[[dot]](e, c) + cc,
+    * strict (d, k)-lexicographic update from init (MaxValue, MaxValue) —
+    * bit-identical to the `aggregate(cents, struct(...), ...)` HOF
+    * spelling in [[graft.pipeline.Similarity]], which ran INTERPRETED per
+    * (row × centroid) and dominated both the trainer rounds and the
+    * full-corpus assignment. Double comparisons use Spark's SQL ordering
+    * (NaN largest, -0.0 < 0.0 — `SQLOrderingUtil.compareDoubles`), the
+    * semantics the HOF's LessThan/EqualTo applied, so degenerate inputs
+    * cannot diverge. Result: struct(d double, k int) — the HOF acc shape.
+    */
+  def kmArgmin(e: ArrayData, en: Double, cents: ArrayData): Any = {
+    val n = cents.numElements()
+    var bd = Double.MaxValue
+    var bk = Int.MaxValue
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 3)
+      val d = en - 2.0 * dot(e, row.getArray(1)) + row.getDouble(2)
+      val k = row.getInt(0)
+      val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(d, bd)
+      if (cmp < 0 || (cmp == 0 && k < bk)) { bd = d; bk = k }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bd, bk))
+  }
+
+  /** Probed cosine ARGMAX over a broadcast candidate-centroid array (the
+    * d09 SemDeDup assignment; optimization r14, guide §4): for each
+    * struct (c_id, ce, cn) element in array order, cc = [[dot]](e, ce) /
+    * nullif(n·cn, 0.0); strict (cc desc, c_id asc) update from init
+    * (-2.0, -1). Bit-identical to the interpreted `aggregate` HOF
+    * spelling: a zero product is skipped exactly where `nullif` made the
+    * lambda's comparison null (SQL double ordering — compareDoubles — for
+    * both the zero test and the comparisons, the semantics the HOF's
+    * interpreted EqualTo/GreaterThan applied).
+    */
+  def cosArgmax(e: ArrayData, n: Double, cands: ArrayData): Any = {
+    import org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles
+    val m = cands.numElements()
+    var bc = -2.0
+    var bid = -1L
+    var i = 0
+    while (i < m) {
+      val row = cands.getStruct(i, 3)
+      val prod = n * row.getDouble(2)
+      if (compareDoubles(prod, 0.0) != 0) {
+        val cc = dot(e, row.getArray(1)) / prod
+        val cmp = compareDoubles(cc, bc)
+        val cid = row.getLong(0)
+        if (cmp > 0 || (cmp == 0 && cid < bid)) { bc = cc; bid = cid }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bc, bid))
+  }
+
   /** Signed tail-streak over the consecutive-delta signs of `a`, walking
     * the MOST RECENT delta backwards (the reference's 尾部连续根数 and
     * exactly the dl → reverse → first-opposing-break spelling): null if
@@ -480,6 +539,52 @@ case class SqAdcSum(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+case class KmArgmin(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType),
+    DoubleType,
+    ArrayType(StructType(Seq(StructField("k", IntegerType),
+      StructField("c", ArrayType(DoubleType)),
+      StructField("cc", DoubleType)))))
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("k", IntegerType, nullable = false)))
+  override def prettyName: String = "km_argmin"
+  override protected def nullSafeEval(e: Any, en: Any, cents: Any): Any =
+    ArrayFolds.kmArgmin(e.asInstanceOf[ArrayData], en.asInstanceOf[Double],
+      cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, en, c) =>
+      s"(InternalRow) graft.functions.ArrayFolds.kmArgmin($e, $en, $c)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): KmArgmin =
+    copy(first = f, second = s, third = t)
+}
+
+case class CosArgmax(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType),
+    DoubleType,
+    ArrayType(StructType(Seq(StructField("c_id", LongType),
+      StructField("ce", ArrayType(DoubleType)),
+      StructField("cn", DoubleType)))))
+  override def dataType: DataType = StructType(Seq(
+    StructField("ccos", DoubleType, nullable = false),
+    StructField("cell", LongType, nullable = false)))
+  override def prettyName: String = "cos_argmax"
+  override protected def nullSafeEval(e: Any, n: Any, cands: Any): Any =
+    ArrayFolds.cosArgmax(e.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      cands.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, n, c) =>
+      s"(InternalRow) graft.functions.ArrayFolds.cosArgmax($e, $n, $c)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): CosArgmax =
+    copy(first = f, second = s, third = t)
+}
+
 case class PqAdcSum(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType),
@@ -532,4 +637,10 @@ object ArrayFoldCols {
     GraftBridge.column(SqAdcSum(GraftBridge.expression(codes),
       GraftBridge.expression(qe), GraftBridge.expression(mn),
       GraftBridge.expression(sc)))
+  def kmArgmin(e: Column, en: Column, cents: Column): Column =
+    GraftBridge.column(KmArgmin(GraftBridge.expression(e),
+      GraftBridge.expression(en), GraftBridge.expression(cents)))
+  def cosArgmax(e: Column, n: Column, cands: Column): Column =
+    GraftBridge.column(CosArgmax(GraftBridge.expression(e),
+      GraftBridge.expression(n), GraftBridge.expression(cands)))
 }

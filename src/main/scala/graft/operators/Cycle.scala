@@ -163,8 +163,13 @@ object Cycle {
       // repartitions the UNION on the tagged symbol); a per-interval
       // repartition would add 7 redundant shuffles of the working set
       // per tick (r10 review finding).
+      // r14: persisted frames are layout-preserving checkpoints (the
+      // fusedFrame rationale — LEAF plans for every branch analysis, and
+      // the baked (symbol, bucket_ts) sort removes the per-branch Sort).
       iv -> (if (persist)
-        cut.repartition(parts, col("symbol")).persist()
+        Tables.checkpointKeepLayout(s,
+          cut.repartition(parts, col("symbol"))
+            .sortWithinPartitions(col("symbol"), col("bucket_ts")))
       else cut)
     }
   }
@@ -199,14 +204,29 @@ object Cycle {
     * every candle-pack indicator is per-symbol pure (windows/groups all
     * key on symbol; the composite key just narrows the series), pinned
     * row-identical to the per-interval [[branchPlans]] by CycleSpec.
+    *
+    * Optimization r14 (r13 verdict #3 — cut plans, not jobs; guide §3.3
+    * "materialising an intermediate truncates the plan" / §7.3): the
+    * fused frame is now an EAGER layout-preserving checkpoint instead of
+    * a persist. Under persist, every one of the ~41 branch plans still
+    * carried the full 7-roll-up union LOGICAL tree through analysis (the
+    * cache substitutes only at planning), so the driver re-analyzed the
+    * same ~100-node subtree 41× per tick; a checkpoint is a LEAF
+    * (LogicalRDD), so each branch analyzes a tree of its own indicator
+    * only. The pre-checkpoint sortWithinPartitions additionally bakes
+    * the (symbol, bucket_ts) ordering every indicator window requires
+    * into the layout the LogicalRDD carries
+    * ([[graft.Tables.checkpointKeepLayout]]), so the 41 per-branch Sorts
+    * of the working set disappear from execution as well.
     */
   def fusedFrame(s: SparkSession,
       frames: Seq[(String, DataFrame)]): DataFrame =
-    frames.map { case (iv, f) =>
-      f.withColumn("symbol", concat(col("symbol"), lit(Mart.IvTagSep + iv)))
-    }.reduce(_.unionByName(_))
-      .repartition(workingPartitions(s), col("symbol"))
-      .persist()
+    Tables.checkpointKeepLayout(s,
+      frames.map { case (iv, f) =>
+        f.withColumn("symbol", concat(col("symbol"), lit(Mart.IvTagSep + iv)))
+      }.reduce(_.unionByName(_))
+        .repartition(workingPartitions(s), col("symbol"))
+        .sortWithinPartitions(col("symbol"), col("bucket_ts")))
 
   /** One melted mart branch per INDICATOR over the [[fusedFrame]]; the
     * interval tag splits back into the mart key in
@@ -321,22 +341,21 @@ object Cycle {
     }).persist()
     val frames = Tables.withCandleFrame(base)(
       workingFrames(s, dir, Intervals, persist = false))
-    // ONE fused composite-keyed cache holds every interval's working
-    // bars; materialized up front so the parallel branches read it
-    // instead of racing to compute it
+    // ONE fused composite-keyed checkpoint holds every interval's working
+    // bars; eagerly materialized (fusedFrame checkpoints) so the parallel
+    // branches read it instead of racing to compute it
     val fused = fusedFrame(s, frames)
-    fused.count()
     val candleBranches = fusedBranchPlans(s, dir, fused, candlePack)
     // futures sentiment at its native 5m cadence, once per cycle — cut to
     // the same priority set via the metrics-frame override AND to the
     // reference's trailing-240 metrics window (futures_aggregate.py:135);
     // persisted so the futures branches share one metrics read instead of
     // one scan (+ semi-join) per indicator
-    val metricsFrame = trailingMetrics(prio match {
+    val metricsFrame = Tables.checkpointKeepLayout(s, trailingMetrics(prio match {
       case Some(p) => Tables.metrics5m(s, dir)
         .join(broadcast(p), Seq("symbol"), "left_semi")
       case None => Tables.metrics5m(s, dir)
-    }, MetricsBars).persist()
+    }, MetricsBars).sortWithinPartitions(col("symbol"), col("create_time")))
     val futuresBranches = futuresBranchPlans(s, dir, base, metricsFrame)
     val out = runBranches(candleBranches ++ futuresBranches)
     // the futures branches read `base` (withCandleFrame above) — it must
@@ -344,8 +363,9 @@ object Cycle {
     // re-scans the 1m fact + re-runs the priority semi-join (the r6/r7
     // carried unpersist-ordering bug; CycleSpec pins the cached read)
     base.unpersist()
-    metricsFrame.unpersist()
-    fused.unpersist()
+    // fused and metricsFrame are checkpoints, not cache entries: their
+    // blocks are freed by the ContextCleaner when the frames become
+    // unreachable (the barrier discipline) — nothing to unpersist
     prio.foreach(_.unpersist())
     out
   }
@@ -391,8 +411,7 @@ object Cycle {
   private val cycleSlice: Q = (s, dir) => {
     val base = Tables.candles(s, dir).persist()
     val frames = Tables.withCandleFrame(base)(
-      workingFrames(s, dir, SliceIntervals))
-    frames.foreach(_._2.count())
+      workingFrames(s, dir, SliceIntervals)) // eager checkpoints (r14)
     val pack = candlePack
     val branches = frames.flatMap { case (iv, working) =>
       Tables.withCandleFrame(working) {
@@ -412,7 +431,7 @@ object Cycle {
       }
     }
     val out = runBranches(branches)
-    base.unpersist(); frames.foreach(_._2.unpersist())
+    base.unpersist() // frames are checkpoints — ContextCleaner frees them
     out
   }
 
@@ -624,9 +643,9 @@ object Cycle {
   private val MetricsSlicePack = Seq("i09_futures_sentiment",
     "i34_futures_aggregate")
   private val cycleMetricsSlice: Q = (s, dir) => {
-    val metricsFrame =
-      trailingMetrics(Tables.metrics5m(s, dir), MetricsBars).persist()
-    metricsFrame.count()
+    val metricsFrame = Tables.checkpointKeepLayout(s,
+      trailingMetrics(Tables.metrics5m(s, dir), MetricsBars)
+        .sortWithinPartitions(col("symbol"), col("create_time")))
     val pack = graft.indicators.Futures.queries
     val branches = Tables.withMetricsFrame(metricsFrame) {
       MetricsSlicePack.map { key =>

@@ -86,13 +86,22 @@ object Dedup {
     // measured 300x the work (17.8 s vs 60 ms at sf0.1). Hashed 8-byte
     // join keys keep the index narrow; df counts and the candidate set
     // are identical modulo 64-bit collisions (~1e-7 at corpus scale).
-    val docsIdx = graft.Tables.barrier(uni.select(col("doc_id"), col("text"),
-      size(hashedShingles(col("text"), 3)).as("n3")))
+    // r14 (guide §1.2): BOTH shingle kernels run in ONE document pass and
+    // land in the checkpoint — before, the barrier ran the 3-gram kernel
+    // only for n3, the index ran the 8-gram kernel over the checkpointed
+    // text, and the verify stage's `tri` was an unbarriered select joined
+    // on both pair sides (two more full doc scans × the 3-gram kernel).
+    // The checkpoint now IS the materialized shingle index of a staged
+    // dedup pipeline — hashed arrays instead of raw text.
+    val docsIdx = graft.Tables.barrier(uni
+      .select(col("doc_id"), hashedShingles(col("text"), 3).as("g3"),
+        hashedShingles(col("text"), 8).as("g8"))
+      .withColumn("n3", size(col("g3"))))
     // the inverted index feeds the df counts and both sides of the
     // candidate self-join (the materialized index table of a staged dedup
     // pipeline — at scale THIS is what you keep, not the raw text)
     val sh8 = docsIdx.select(col("doc_id"), col("n3"),
-      explode(hashedShingles(col("text"), 8)).as("sh"))
+      explode(col("g8")).as("sh"))
     val rare = sh8.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 4)
     // identical-plan self-join sides share one shuffle via ReusedExchange
@@ -108,10 +117,10 @@ object Dedup {
         least(col("na"), col("nb")).cast("double") /
           greatest(col("na"), col("nb")) >= 0.6)
       .select("a", "b", "na", "nb").distinct()
-    val tri = uni.select(col("doc_id"),
-      hashedShingles(col("text"), 3).as("g3"))
+    val tri = docsIdx.select(col("doc_id"), col("g3"))
     // exact verify: intersect hashed 3-gram arrays row-locally per pair —
-    // no pair×gram explode, no 3-gram shuffle (same shape as D3's verify)
+    // no pair×gram explode, no 3-gram shuffle (same shape as D3's verify);
+    // g3 reads the checkpoint (the kernel ran once, in the docsIdx pass)
     cands
       .join(tri.select(col("doc_id").as("a"), col("g3").as("ga")), "a")
       .join(tri.select(col("doc_id").as("b"), col("g3").as("gb")), "b")
@@ -137,7 +146,7 @@ object Dedup {
     * table and the capped candidate pairs.
     */
   def lshStage(uni: DataFrame): (DataFrame, DataFrame) = {
-    import graft.functions.TextHashCols.minhashSig
+    import graft.functions.TextHashCols.{hashedShingles, minhashSig}
     // minhash signature: the codegen'd [[graft.functions.MinHashSig]]
     // kernel hashes each shingle once and derives the 32 "permutations" by
     // re-hashing that single long with the perm index (the MinHashLSH
@@ -149,8 +158,18 @@ object Dedup {
     // out of whole-stage codegen.) Values are bit-equal to the SQL form.
     // One signature row per doc, referenced 4x downstream — persist
     // (the materialized signature table of a staged dedup pipeline).
+    //
+    // Optimization r14 (guide §1.2 "don't compute things twice" / §2.3):
+    // the hashed 8-gram set `g8` is computed HERE, in the same single
+    // document pass as the signature, and checkpointed alongside it.
+    // Before, the exact-verify stage's `tri` frame was an unbarriered
+    // select joined on BOTH pair sides — two additional full document
+    // scans each re-running the shingle kernel. Its size `n8` rides
+    // through the (still narrow: doc_id, band, key, n8) band rows to
+    // drive the size-ratio prefilter below the band self-join.
     val sig = graft.Tables.barrier(uni
-      .select(col("doc_id"), minhashSig(col("text")).as("sig")))
+      .select(col("doc_id"), minhashSig(col("text")).as("sig"),
+        hashedShingles(col("text"), 8).as("g8")))
       // no isNotNull filter: the len>=8 guard already guarantees a
       // shingle, and a filter on the computed column would be pushed into
       // the parquet scan as isnotnull(minhash_sig(text)) — re-running the
@@ -162,13 +181,14 @@ object Dedup {
     // slower — the join materializes ~1M pre-filter output rows, and
     // copying two signature arrays into each costs more than re-attaching
     // signatures to the 430k deduped pairs afterwards.
-    val bands = sig.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"), size(col("g8")).as("n8"),
         explode(array((0 until 16).map { b =>
           struct(lit(b).as("band"),
             xxhash64(element_at(col("sig"), b * 2 + 1),
               element_at(col("sig"), b * 2 + 2)).as("key"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("n8"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     // Band-bucket cap (the LSH twin of d02's df≤4 shingle cap): a band key
     // shared by k docs contributes k²/2 candidate pairs, and on a
     // same-language corpus the handful of popular band keys carry most of
@@ -184,15 +204,25 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(
         Window.partitionBy(col("band"), col("key"))))
       .filter(col("df") <= BandBucketCap)
-      .select(col("doc_id"), col("band"), col("key"))
+      .select(col("doc_id"), col("n8"), col("band"), col("key"))
+    // Size-ratio prefilter BELOW the band self-join (optimization r14,
+    // r13 verdict #4; the d02 length-ratio idiom): J = I/(n8a+n8b−I) with
+    // I ≤ min gives J ≤ min/max, so J ≥ 0.3 — the verify threshold —
+    // requires min(n8a,n8b)/max ≥ 0.3. Pairs failing on set sizes alone
+    // are dropped before the distinct and before any signature or shingle
+    // array is fetched. Lossless for d03's output by construction; the
+    // injected clone pairs all sit at/above the threshold, so candidate
+    // recall is untouched (PipelineSpec pins it).
     val cands = capped.alias("x").join(capped.alias("y"), Seq("band", "key"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.n8"), col("y.n8")).cast("double") /
+          greatest(col("x.n8"), col("y.n8")) >= 0.3)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     (sig, cands)
   }
 
   private val minhashLsh: Q = (s, dir) => {
-    import graft.functions.TextHashCols.{hashedShingles, sortedIntersectCount}
+    import graft.functions.TextHashCols.sortedIntersectCount
     val uni = withClones(Tables.documents(s, dir))
       .filter(length(col("text")) >= 8)
     val perms = 32
@@ -204,8 +234,8 @@ object Dedup {
     // ~2+Binom(30,j) components) kills it before the exact verify ever
     // sees a shingle. The cached 6.7k-row signature table broadcasts, so
     // attaching both sides' signatures moves no pair data.
-    val sigA = sig.toDF("a", "siga")
-    val sigB = sig.toDF("b", "sigb")
+    val sigA = sig.select(col("doc_id").as("a"), col("sig").as("siga"))
+    val sigB = sig.select(col("doc_id").as("b"), col("sig").as("sigb"))
     val matches = (0 until perms)
       .map(i => (element_at(col("siga"), i + 1) ===
         element_at(col("sigb"), i + 1)).cast("int"))
@@ -215,9 +245,10 @@ object Dedup {
     // exact verify on the survivors with the SAME 8-gram measure the index
     // uses (3-gram sets saturate across any two same-language texts), over
     // hashed shingles — long arrays intersect ~10x cheaper than 8-char
-    // string arrays and ship ~6x smaller through the join.
-    val tri = uni.select(col("doc_id"),
-      hashedShingles(col("text"), 8).as("g8"))
+    // string arrays and ship ~6x smaller through the join. r14: g8 comes
+    // from the signature checkpoint — the kernel ran ONCE in the sig pass;
+    // this used to be an unbarriered doc re-scan per join side.
+    val tri = sig.select(col("doc_id"), col("g8"))
     likely
       .join(tri.select(col("doc_id").as("a"), col("g8").as("ga")), "a")
       .join(tri.select(col("doc_id").as("b"), col("g8").as("gb")), "b")
@@ -295,22 +326,29 @@ object Dedup {
       transform(sequence(lit(0), lit(15)),
         i => array_min(transform(col("hs"),
           h => mixComponent(h, i)))).as("sig")))
-    val bands = sig.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"), size(col("toks")).as("nt"),
         explode(array((0 until 8).map { b =>
           struct(lit(b).as("band"),
             element_at(col("sig"), b * 2 + 1).as("k1"),
             element_at(col("sig"), b * 2 + 2).as("k2"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
+      .select(col("doc_id"), col("nt"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
     val capped = bands
       .withColumn("df", count(lit(1)).over(
         Window.partitionBy(col("band"), col("k1"), col("k2"))))
       .filter(col("df") <= BandBucketCapB)
-      .select(col("doc_id"), col("band"), col("k1"), col("k2"))
+      .select(col("doc_id"), col("nt"), col("band"), col("k1"), col("k2"))
+    // size-ratio prefilter below the self-join (the d03/d02 idiom, r14):
+    // J ≥ 0.5 ⇒ min(|toks|)/max(|toks|) ≥ 0.5 — drops pairs the verify
+    // would reject anyway, BEFORE the distinct and the token-array joins.
+    // Output-lossless, so the DuckDB oracle (which replays band+verify
+    // without the prefilter) still matches row-for-row.
     val cands = capped.alias("x").join(capped.alias("y"),
         Seq("band", "k1", "k2"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.nt"), col("y.nt")).cast("double") /
+          greatest(col("x.nt"), col("y.nt")) >= 0.5)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val tk = sig.select(col("doc_id"), col("toks"))
     cands

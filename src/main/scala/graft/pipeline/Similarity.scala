@@ -919,14 +919,11 @@ object Similarity {
       .withColumn("cands", flatten(filter(
         transform(col("top_sups"), t => element_at(col("cmap"), t("s_id"))),
         a => a.isNotNull)))
-      .withColumn("best", aggregate(col("cands"),
-        struct(lit(-2.0).as("ccos"), lit(-1L).as("cell")),
-        (acc, c) => {
-          val cc = dot(col("e"), c("ce")) / nullif(col("n") * c("cn"), lit(0.0))
-          when(cc > acc("ccos") ||
-              (cc === acc("ccos") && c("c_id") < acc("cell")),
-            struct(cc.as("ccos"), c("c_id").as("cell"))).otherwise(acc)
-        }))
+      // codegen'd probed-argmax kernel (r14, guide §4) — bit-identical to
+      // the interpreted `aggregate` HOF fold it replaces (KernelSpec pins
+      // parity incl. zero-norm/null-skip and exact-tie inputs)
+      .withColumn("best", graft.functions.ArrayFoldCols.cosArgmax(
+        col("e"), col("n"), col("cands")))
     // barrier: the assignment feeds three consumers (both self-join sides
     // + the output projection) — without it Catalyst re-derives the full
     // probed scan per consumer
@@ -1054,6 +1051,14 @@ object Similarity {
 
   private def kmeansTrainBuild(s: SparkSession,
       dir: String): (DataFrame, Array[Seq[Double]]) = {
+    // TEMP r14 diagnostics — removed before commit
+    val tDiag = sys.env.contains("GRAFT_TRAIN_T")
+    var t0 = System.nanoTime()
+    def mark(l: String): Unit = if (tDiag) {
+      val t1 = System.nanoTime()
+      System.err.println(f"TRAIN $l%-10s ${(t1 - t0) / 1e9}%6.3f s")
+      t0 = t1
+    }
     val emb = Tables.barrier(
       Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -1066,6 +1071,7 @@ object Similarity {
     val init: Array[Seq[Double]] = emb.orderBy("hr", "vec_id").limit(kk)
       .select("xi").collect()
       .map(_.getSeq[Long](0).map(_.toDouble / 1e6).toSeq)
+    mark("init")
     // Lloyd rounds see only the training sample (see
     // [[TrainPointsPerCentroid]]); the seed rows are its first kk members
     // by construction. The threshold is the sample-size-th smallest
@@ -1090,6 +1096,7 @@ object Similarity {
         emb.filter(col("hr") < tH ||
           (col("hr") === tH && col("vec_id") <= tV))
       }
+    mark("threshold")
     // The centroid table rides as a 1-row BROADCAST array, not as plan
     // literals (r11: with K = √N the literal spelling made the PLAN
     // O(K·dim) — ~2M literal doubles at 10⁹ vectors; a 16 MB centroid
@@ -1111,10 +1118,13 @@ object Similarity {
       val aggs = (0 until dim).map(i =>
         sum(element_at(col("xi"), i + 1)).as(s"s$i")) :+
         count(lit(1)).as("cnt")
-      val rows = assignedExact(s, train, cents)
+      val plan = assignedExact(s, train, cents)
         .groupBy(col("a.k").as("k"))
         .agg(aggs.head, aggs.tail: _*)
-        .collect()
+      plan.queryExecution.executedPlan
+      mark("round-plan")
+      val rows = plan.collect()
+      mark("round-exec")
       val next = cents.clone()
       rows.foreach { r =>
         val cnt = r.getLong(dim + 1)
@@ -1143,8 +1153,27 @@ object Similarity {
 
   /** Exact K-wide argmin assignment of `src` against the broadcast
     * centroid fold — d = en − 2·(e·c) + cc, strict (d, k) tie rule.
+    * r14 (guide §4): the fold runs as the codegen'd
+    * [[graft.functions.ArrayFolds.kmArgmin]] kernel — the `aggregate`
+    * HOF spelling ran INTERPRETED per (row × centroid) and was the
+    * dominant cost of every Lloyd round AND the full-corpus assignment
+    * (profiled 0.33–0.39 s/round at sf0.1 where the kernel's jobs are
+    * ~0.02 s). [[assignedExactHof]] keeps the HOF spelling as the
+    * semantic reference; KernelSpec pins bit-parity incl. exact-tie and
+    * NaN/-0.0 inputs.
     */
-  private def assignedExact(s: SparkSession, src: DataFrame,
+  private[graft] def assignedExact(s: SparkSession, src: DataFrame,
+      cents: Array[Seq[Double]]): DataFrame =
+    src.crossJoin(broadcast(centFrame(s, cents)))
+      .withColumn("a", graft.functions.ArrayFoldCols.kmArgmin(
+        col("e"), col("en"), col("cents")))
+      .drop("cents")
+
+  /** The pre-r14 interpreted HOF spelling of [[assignedExact]]'s fold —
+    * the semantic reference KernelSpec pins [[graft.functions.ArrayFolds
+    * .kmArgmin]] against.
+    */
+  private[graft] def assignedExactHof(s: SparkSession, src: DataFrame,
       cents: Array[Seq[Double]]): DataFrame =
     src.crossJoin(broadcast(centFrame(s, cents)))
       .withColumn("a", aggregate(col("cents"),
@@ -1254,13 +1283,11 @@ object Similarity {
       .withColumn("cands", flatten(filter(
         transform(col("top_sups"), t => element_at(col("cmap"), t("s_id"))),
         a => a.isNotNull)))
-      .withColumn("best", aggregate(col("cands"),
-        struct(lit(Double.MaxValue).as("d"), lit(Int.MaxValue).as("k")),
-        (acc, c) => {
-          val d = col("en") - lit(2.0) * dot(col("e"), c("c")) + c("cc")
-          when(d < acc("d") || (d === acc("d") && c("k") < acc("k")),
-            struct(d.as("d"), c("k").as("k"))).otherwise(acc)
-        }))
+      // the same codegen'd argmin kernel the exact assignment uses (r14):
+      // cands carries the probed supers' member centroids in the
+      // (k, c, cc) shape kmArgmin folds
+      .withColumn("best", graft.functions.ArrayFoldCols.kmArgmin(
+        col("e"), col("en"), col("cands")))
       .select(col("vec_id"), col("best")("k").as("cluster"),
         col("best")("d").as("d"), col("e"), col("en"))
   }

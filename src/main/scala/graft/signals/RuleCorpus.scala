@@ -272,34 +272,13 @@ object RuleCorpus {
     * — one shuffle per cadence instead of one per (mart, cadence), the
     * difference between 3 and ~105 shuffles for a native evaluation.
     */
-  /** Eagerly checkpoint `df` with AQE disabled for the materialization:
-    * under AQE the final stage becomes a coalesced shuffle read whose
-    * partitioning the checkpoint's LogicalRDD cannot carry (probed on
-    * this Spark: the checkpointed frame reports unknown partitioning and
-    * every consumer re-shuffles — the window plan grows an Exchange +
-    * Sort). With AQE off for just this one eager materialization the
-    * LogicalRDD keeps BOTH the hash partitioning and the per-partition
-    * sort, so downstream symbol-window passes plan exchange-free and
-    * sort-free. The conf flip is session-scoped but brackets a single
-    * eager job built and awaited on the calling thread; the registry
-    * runs queries serially, so nothing else plans inside the window —
-    * but branch pools ([[graft.operators.Cycle.runBranches]]) and
-    * parallel test suites can plan on OTHER threads, so the bracket is
-    * JVM-globally synchronized: two interleaved brackets would otherwise
-    * restore each other's mid-bracket value and leave AQE off for the
-    * whole session (read-prev / set / restore is not atomic). A
-    * concurrent non-bracket thread that plans during the window merely
-    * loses AQE for that one plan — a perf nit, never a wrong answer or
-    * a lost layout (its own checkpoints don't need the layout).
+  /** Eager layout-preserving checkpoint — hoisted to
+    * [[graft.Tables.checkpointKeepLayout]] (r14: the cycle uses the same
+    * discipline for its fused working frame; one definition, one AQE
+    * bracket lock JVM-wide).
     */
-  private val aqeBracketLock = new Object
   private def checkpointKeepLayout(s: SparkSession, df: DataFrame): DataFrame =
-    aqeBracketLock.synchronized {
-      val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      try df.localCheckpoint()
-      finally s.conf.set("spark.sql.adaptive.enabled", prev)
-    }
+    graft.Tables.checkpointKeepLayout(s, df)
 
   private def rolledClustered(s: SparkSession, dir: String,
       seconds: Long): DataFrame =
@@ -350,7 +329,17 @@ object RuleCorpus {
       compacted(rulesQueryAt(AllRules, seconds)(s, dir)).localCheckpoint())
 
   def categoryQueryAt(cat: String, seconds: Long): Q = (s, dir) =>
-    rolledFiredShared(s, dir, seconds).filter(col("category") === cat)
+    // memo-off (the r14 bench's per-query accounting): the honest cost of
+    // "one category's fired rows at a cadence" is evaluating THAT
+    // category's rule subset — not building the whole 35-mart corpus to
+    // keep one category's rows. Row-identical by the categoryQuery
+    // argument (fired rows carry the producing rule's category literal;
+    // RuleCorpusSpec pins subset-evaluation ≡ corpus-projection), and
+    // MemoSpec pins this entry's memo-off ≡ memo-on rows directly. With
+    // memos on, the serving path projects the shared corpus as before.
+    if (graft.Tables.sharedMemoOff(s))
+      rulesQueryAt(rulesFor(cat), seconds)(s, dir)
+    else rolledFiredShared(s, dir, seconds).filter(col("category") === cat)
 
   /** The engine's NATIVE timeframe dispatch (sqlite_engine.py:224-231):
     * per table it unions the active rules' declared timeframes, polls the

@@ -27,6 +27,16 @@ class CycleSpec extends AnyFunSuite {
   private lazy val branches =
     operators.Cycle.branchPlans(spark, sf, frames, miniPack)
 
+  /** A branch plan leaf that is served from MEMORY, never the store: the
+    * persisted working frames show as InMemoryRelation, the r14
+    * checkpointed fused frame as LogicalRDD — both are the cached
+    * working set; a FileScan leaf would be a store re-read.
+    */
+  private def inMemoryLeaf(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   test("cycle branches read the interval cache, never the store") {
     // the fact store is scanned once to build the working frames; every
     // (indicator × interval) branch plan must be cache-backed — a
@@ -35,8 +45,7 @@ class CycleSpec extends AnyFunSuite {
     assert(branches.size == miniIntervals.size * miniPack.size)
     branches.foreach { b =>
       val leaves = b.queryExecution.optimizedPlan.collectLeaves()
-      assert(leaves.nonEmpty && leaves.forall(
-          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      assert(leaves.nonEmpty && leaves.forall(inMemoryLeaf),
         s"cycle branch touches the store: leaves = ${leaves.map(_.nodeName)}")
     }
   }
@@ -92,8 +101,7 @@ class CycleSpec extends AnyFunSuite {
       // backed by the fused cache, never the store
       fusedBranches.foreach { b =>
         val leaves = b.queryExecution.optimizedPlan.collectLeaves()
-        assert(leaves.nonEmpty && leaves.forall(
-            _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        assert(leaves.nonEmpty && leaves.forall(inMemoryLeaf),
           s"fused branch touches the store: leaves = ${leaves.map(_.nodeName)}")
       }
       val fusedOut = operators.Cycle.runBranches(fusedBranches)

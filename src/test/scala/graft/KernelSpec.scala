@@ -398,4 +398,102 @@ class KernelSpec extends AnyFunSuite {
       .filter(not(col("k") <=> col("h")))
     assert(div.count() == 0L, div.take(2).mkString("; "))
   }
+
+  /** Left-fold dot product twin sharing only IEEE summation order with
+    * [[graft.functions.ArrayFolds.dot]] (zip_with + aggregate fold left
+    * to right, the same chain the kernel's while loop walks).
+    */
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("km_argmin kernel == the aggregate-HOF spelling bit-for-bit") {
+    // the r14 optimization moved the Lloyd assignment fold (s09/s09b/
+    // d09b/c/d/p08 trainer + full-corpus assignment) from an interpreted
+    // `aggregate` HOF to the codegen'd km_argmin kernel; this pins the
+    // kernel to the original spelling on seeded random vectors including
+    // exact-duplicate centroids (d-ties exercising the k tiebreak), a
+    // NaN centroid and a -0.0/0.0 pair (SQL double-ordering semantics)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(9191)
+    def vec(): Seq[Double] = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    val centVecs = {
+      val base = Seq.fill(6)(vec())
+      base ++ Seq(base(1), base(4),                    // exact ties
+        Seq.fill(8)(Double.NaN),                        // NaN distance
+        Seq(0.0, -0.0, 0.0, -0.0, 0.0, 0.0, 0.0, 0.0)) // signed zeros
+    }
+    val emb = ((0 until 60).map(_ => vec()) ++
+        Seq(centVecs(2), Seq.fill(8)(0.0)))             // exact d=0 hit
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "e")
+      .withColumn("en", hofDot(col("e"), col("e")))
+    val cents = centVecs.zipWithIndex
+      .map { case (c, k) => (k, c, c.foldLeft(0.0)((a, x) => a + x * x)) }
+      .toDF("k", "c", "cc")
+      .agg(collect_list(struct(col("k"), col("c"), col("cc"))).as("cents"))
+    val hof = aggregate(col("cents"),
+      struct(lit(Double.MaxValue).as("d"), lit(Int.MaxValue).as("k")),
+      (acc, t) => {
+        val d = col("en") - lit(2.0) * hofDot(col("e"), t("c")) + t("cc")
+        when(d < acc("d") || (d === acc("d") && t("k") < acc("k")),
+          struct(d.as("d"), t("k").as("k"))).otherwise(acc)
+      })
+    val div = emb.crossJoin(cents)
+      .select(col("vec_id"),
+        graft.functions.ArrayFoldCols.kmArgmin(col("e"), col("en"),
+          col("cents")).as("k"), hof.as("h"))
+      .filter(not(col("k") <=> col("h")))
+    assert(div.count() == 0L, div.take(3).mkString("; "))
+    // end-to-end at the call-site shape: assignedExact (kernel) vs the
+    // kept pre-r14 HOF spelling, same broadcast centroid-fold path
+    val centArr = centVecs.take(6).toArray // finite-distance centroids
+    val ek = graft.pipeline.Similarity.assignedExact(s, emb, centArr)
+      .select(col("vec_id"), col("a"))
+    val eh = graft.pipeline.Similarity.assignedExactHof(s, emb, centArr)
+      .select(col("vec_id"), col("a").as("ah"))
+    val ediv = ek.join(eh, Seq("vec_id"))
+      .filter(not(col("a") <=> col("ah")))
+    assert(ediv.count() == 0L, ediv.take(3).mkString("; "))
+  }
+
+  test("cos_argmax kernel == the aggregate-HOF spelling bit-for-bit") {
+    // r14 twin of the d09 probed-cosine argmax: candidates include a
+    // zero-norm centroid (the nullif-skip path), exact duplicates (cos
+    // ties exercising the c_id tiebreak) and the all-skipped degenerate
+    // (a zero-norm query row must return the (-2.0, -1) init)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(2626)
+    def vec(): Seq[Double] = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    val candVecs = {
+      val base = Seq.fill(6)(vec())
+      base ++ Seq(base(0), base(3), Seq.fill(8)(0.0))   // ties + zero norm
+    }
+    val emb = ((0 until 60).map(_ => vec()) ++
+        Seq(candVecs(2), Seq.fill(8)(0.0)))             // cos=1 hit + zero
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "e")
+      .withColumn("n", sqrt(hofDot(col("e"), col("e"))))
+    val cands = candVecs.zipWithIndex
+      .map { case (c, k) =>
+        (k.toLong, c, math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))) }
+      .toDF("c_id", "ce", "cn")
+      .agg(collect_list(struct(col("c_id"), col("ce"), col("cn")))
+        .as("cands"))
+    val hof = aggregate(col("cands"),
+      struct(lit(-2.0).as("ccos"), lit(-1L).as("cell")),
+      (acc, t) => {
+        val cc = hofDot(col("e"), t("ce")) /
+          nullif(col("n") * t("cn"), lit(0.0))
+        when(cc > acc("ccos") || (cc === acc("ccos") && t("c_id") < acc("cell")),
+          struct(cc.as("ccos"), t("c_id").as("cell"))).otherwise(acc)
+      })
+    val div = emb.crossJoin(cands)
+      .select(col("vec_id"),
+        graft.functions.ArrayFoldCols.cosArgmax(col("e"), col("n"),
+          col("cands")).as("k"), hof.as("h"))
+      .filter(not(col("k") <=> col("h")))
+    assert(div.count() == 0L, div.take(3).mkString("; "))
+  }
 }

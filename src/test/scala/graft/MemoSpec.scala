@@ -21,6 +21,7 @@ class MemoSpec extends AnyFunSuite {
     "t16_bpe_merges",        // bpeCache
     "p05_curation_manifest", // manifestCache (+ components, bigram inside)
     "g17_rules_corpus_1h",   // sharedRolledFired
+    "g15_rules_volume_1h",   // categoryQueryAt memo-off subset evaluation
     "s07_knn_graph",         // knnGraphCache
     "t20_bigram_lm",         // bigramCache
     "d05_dedup_components")  // sharedComponents
