@@ -133,8 +133,17 @@ object Tpch {
     * the equivalent supply relation.)
     */
   private val q2: Q = (s, dir) => {
+    // Optimization r14 (guide §3.2 pre-filter the big side): the p_size
+    // slice is the query's only selective predicate, so semi-join
+    // lineitem against the broadcast part slice BEFORE the aggregate —
+    // the (part, supplier) aggregation and the per-part window then run
+    // over the sliced offers only. The later inner join to the same part
+    // slice makes this lossless by construction.
+    val smallParts = Tables.part(s, dir).filter(col("p_size") <= 10)
     val offers = Tables.lineitem(s, dir)
       .filter(col("l_quantity") > 0)
+      .join(broadcast(smallParts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
@@ -392,23 +401,25 @@ object Tpch {
     * every shuffle is on orderkey over deduplicated data.
     */
   private val q21: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    val returned = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val anySupp = li.select(col("l_orderkey").as("ok2"),
-      col("l_suppkey").as("sk2")).distinct()
-    val otherReturned = returned.select(col("l_orderkey").as("ok3"),
-      col("l_suppkey").as("sk3"))
-    returned
+    // Optimization r14 (guide §3.4 rewrite-the-join): the EXISTS/NOT
+    // EXISTS pair decorrelates to per-order AGGREGATES instead of a
+    // suppkey-inequality semi + anti join. Over the distinct (orderkey,
+    // suppkey) pairs with a has-returned flag: "some OTHER supplier on
+    // the order" ⟺ n_supp ≥ 2, and "no OTHER supplier with returned
+    // lines" ⟺ n_ret = 1 (the row's own pair is returned, so it is the
+    // only one). One lineitem pass + one reaggregation replaces three
+    // lineitem-derived join sides; both shuffles stay on orderkey.
+    // Result-identical (the h21 oracle is unchanged and green).
+    val pairs = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+    val perOrder = pairs.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_ret"))
+    pairs.filter(col("has_r") === 1)
       .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(anySupp,
-        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
-        "left_semi")
-      .join(otherReturned,
-        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
-        "left_anti")
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .filter(col("n_supp") > 1 && col("n_ret") === 1)
       .join(broadcast(Tables.supplier(s, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))

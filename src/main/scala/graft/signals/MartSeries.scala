@@ -169,12 +169,14 @@ object MartSeries {
     key = "obv", table = "OBV能量潮扫描器",
     fields = Seq("obv" -> "OBV值", "rate" -> "OBV变化率"),
     buildFrom = (s, dir, cframe) =>
+      // one projection per dependency level (r14, guide §7.3)
       cframe
         .withColumn("d",
           coalesce(signum(col("close") - lag("close", 1).over(bySym)), lit(0.0)))
         .withColumn("obv", sum(col("d") * col("volume")).over(run))
-        .withColumn("base", lag("obv", 29).over(bySym))
-        .withColumn("rn", row_number().over(bySym))
+        .select(col("*"),
+          lag("obv", 29).over(bySym).as("base"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 32)
         .select(col("symbol"), col("bucket_ts"),
           q6(col("quote_volume")).as("turnover"),
@@ -207,10 +209,12 @@ object MartSeries {
     key = "cvd", table = "CVD信号排行榜",
     fields = Seq("cvd" -> "CVD值", "rate" -> "变化率"),
     buildFrom = (s, dir, cframe) =>
+      // one projection per dependency level (r14, guide §7.3)
       cframe
-        .withColumn("cvd",
-          sum(lit(2.0) * col("taker_buy_volume") - col("volume")).over(run))
-        .withColumn("rn", row_number().over(bySym))
+        .select(col("*"),
+          sum(lit(2.0) * col("taker_buy_volume") - col("volume")).over(run)
+            .as("cvd"),
+          row_number().over(bySym).as("rn"))
         .withColumn("bar2",
           max(when(col("rn") === 2, col("cvd"))).over(
             Window.partitionBy("symbol")))
@@ -345,17 +349,19 @@ object MartSeries {
       // EMPTY/short before the warm-up filter prunes the row — guard the
       // fold denominators (the window computes for every row regardless
       // of the later rn filter).
+      // one projection per dependency level (r14, guide §7.3)
       val c = cframe
         .withColumn("lr", lr)
-        .withColumn("frame", collect_list(col("lr")).over(lastN(60)))
+        .select(col("*"),
+          collect_list(col("lr")).over(lastN(60)).as("frame"),
+          avg(col("volume")).over(lastN(60)).as("av"),
+          row_number().over(bySym).as("rn"))
         .withColumn("m",
           when(size(col("frame")) === 0, 0.0)
             .otherwise(graft.indicators.Windows.meanOf(col("frame"))))
         .withColumn("sd",
           when(size(col("frame")) < 2, lit(null).cast("double"))
             .otherwise(graft.indicators.Windows.stdOf(col("frame"), col("m"), 1)))
-        .withColumn("av", avg(col("volume")).over(lastN(60)))
-        .withColumn("rn", row_number().over(bySym))
         .filter(col("rn") >= 60)
       val vc = least(greatest(lit(100.0) * exp(-col("sd") / lit(0.01)), lit(0.0)), lit(100.0))
       val uc = least(greatest(lit(100.0) *
@@ -411,15 +417,16 @@ object MartSeries {
     fields = Seq("scalp_sig" -> "剥头皮信号", "rsi" -> "RSI"),
     buildFrom = (s, dir, cframe) => {
       val d = col("close") - lag("close", 1).over(bySym)
-      val c = cframe
-        .withColumn("g", when(d > 0.0, d).otherwise(0.0))
-        .withColumn("l", when(d < 0.0, -d).otherwise(0.0))
-      val c2 = c
-        .withColumn("ag", ewma(s, col("g"), 1.0 / 14.0).over(run))
-        .withColumn("al", ewma(s, col("l"), 1.0 / 14.0).over(run))
-        .withColumn("e9", ewma(s, col("close"), 2.0 / 10.0).over(run))
-        .withColumn("e21", ewma(s, col("close"), 2.0 / 22.0).over(run))
-        .withColumn("rn", row_number().over(bySym))
+      // one projection per dependency level (r14, guide §7.3)
+      val c = cframe.select(col("*"),
+        when(d > 0.0, d).otherwise(0.0).as("g"),
+        when(d < 0.0, -d).otherwise(0.0).as("l"))
+      val c2 = c.select(col("*"),
+          ewma(s, col("g"), 1.0 / 14.0).over(run).as("ag"),
+          ewma(s, col("l"), 1.0 / 14.0).over(run).as("al"),
+          ewma(s, col("close"), 2.0 / 10.0).over(run).as("e9"),
+          ewma(s, col("close"), 2.0 / 22.0).over(run).as("e21"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 20)
       val rsi = q6(when(col("al") === 0.0, lit(null).cast("double"))
         .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al"))))
@@ -474,11 +481,13 @@ object MartSeries {
       "bw" -> "带宽", "pctb" -> "百分比b"),
     buildFrom = (s, dir, cframe) => {
       import graft.indicators.Windows.{meanOf, stdOf}
+      // one projection per dependency level (r14, guide §7.3)
       val c = cframe
-        .withColumn("frame", collect_list(col("close")).over(lastN(20)))
+        .select(col("*"),
+          collect_list(col("close")).over(lastN(20)).as("frame"),
+          row_number().over(bySym).as("rn"))
         .withColumn("m", meanOf(col("frame")))
         .withColumn("sd", stdOf(col("frame"), col("m"), 1))
-        .withColumn("rn", row_number().over(bySym))
         .filter(col("rn") >= 20)
       val u = col("m") + lit(2.0) * col("sd"); val l = col("m") - lit(2.0) * col("sd")
       c.select(col("symbol"), col("bucket_ts"),
@@ -524,9 +533,11 @@ object MartSeries {
       import graft.indicators.Windows.trueRange
       val c = cframe
         .withColumn("tr", trueRange(col("high"), col("low"), col("close")))
+      // one projection per dependency level (r14, guide §7.3)
       val c2 = c.withColumn("atr", ewma(s, col("tr"), 1.0 / 14.0).over(run))
-        .withColumn("af", sort_array(collect_list(col("atr")).over(lastN(30))))
-        .withColumn("rn", row_number().over(bySym))
+        .select(col("*"),
+          sort_array(collect_list(col("atr")).over(lastN(30))).as("af"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 60)
       val med = (element_at(col("af"), 15) + element_at(col("af"), 16)) / 2.0
       val a = q6(col("atr")); val m = q6(med)
@@ -598,9 +609,11 @@ object MartSeries {
       import graft.indicators.Windows.trueRange
       val c = cframe
         .withColumn("tr", trueRange(col("high"), col("low"), col("close")))
-      c.withColumn("mid", ewma(s, col("close"), 2.0 / 21.0).over(run))
-        .withColumn("a", ewma(s, col("tr"), 1.0 / 10.0).over(run))
-        .withColumn("rn", row_number().over(bySym))
+      // one projection (r14, guide §7.3)
+      c.select(col("*"),
+          ewma(s, col("close"), 2.0 / 21.0).over(run).as("mid"),
+          ewma(s, col("tr"), 1.0 / 10.0).over(run).as("a"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 20)
         .select(col("symbol"), col("bucket_ts"),
           q6(col("quote_volume")).as("turnover"),
@@ -721,12 +734,14 @@ object MartSeries {
     fields = Seq("cci" -> "CCI"),
     buildFrom = (s, dir, cframe) => {
       import graft.indicators.Windows.{madOf, meanOf}
+      // one projection per dependency level (r14, guide §7.3)
       cframe
         .withColumn("tp", (col("high") + col("low") + col("close")) / 3)
-        .withColumn("frame", collect_list(col("tp")).over(lastN(20)))
+        .select(col("*"),
+          collect_list(col("tp")).over(lastN(20)).as("frame"),
+          row_number().over(bySym).as("rn"))
         .withColumn("ma", meanOf(col("frame")))
         .withColumn("mad", madOf(col("frame"), col("ma")))
-        .withColumn("rn", row_number().over(bySym))
         .filter(col("rn") >= 20)
         .select(col("symbol"), col("bucket_ts"),
           q6(col("quote_volume")).as("turnover"),
@@ -789,15 +804,18 @@ object MartSeries {
     fields = Seq("mfi" -> "MFI值"),
     buildFrom = (s, dir, cframe) => {
       val tp = (col("high") + col("low") + col("close")) / 3
+      // one projection per dependency level (r14, guide §7.3)
       val c = cframe
         .withColumn("tp", tp)
-        .withColumn("mf", col("tp") * col("volume"))
-        .withColumn("d", signum(col("tp") - lag("tp", 1).over(bySym)))
-        .withColumn("pos",
-          sum(when(col("d") > 0, col("mf")).otherwise(0.0)).over(lastN(14)))
-        .withColumn("neg",
-          sum(when(col("d") < 0, col("mf")).otherwise(0.0)).over(lastN(14)))
-        .withColumn("rn", row_number().over(bySym))
+        .select(col("*"),
+          (col("tp") * col("volume")).as("mf"),
+          signum(col("tp") - lag("tp", 1).over(bySym)).as("d"))
+        .select(col("*"),
+          sum(when(col("d") > 0, col("mf")).otherwise(0.0)).over(lastN(14))
+            .as("pos"),
+          sum(when(col("d") < 0, col("mf")).otherwise(0.0)).over(lastN(14))
+            .as("neg"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 15)
       c.select(col("symbol"), col("bucket_ts"),
         q6(col("quote_volume")).as("turnover"),
@@ -830,26 +848,31 @@ object MartSeries {
     buildFrom = (s, dir, cframe) => {
       val ph = lag("high", 1).over(bySym); val plo = lag("low", 1).over(bySym)
       val pc = lag("close", 1).over(bySym)
-      val c = cframe
-        .withColumn("tr0", when(ph.isNull, 0.0).otherwise(
+      // one projection per dependency level (r14, guide §7.3)
+      val c = cframe.select(col("*"),
+        when(ph.isNull, 0.0).otherwise(
           greatest(col("high") - col("low"), abs(col("high") - pc),
-            abs(col("low") - pc))))
-        .withColumn("up", col("high") - ph)
-        .withColumn("dn", plo - col("low"))
-        .withColumn("pdm", when(ph.isNull, 0.0)
-          .otherwise(when(col("up") > col("dn") && col("up") > 0, col("up")).otherwise(0.0)))
-        .withColumn("mdm", when(ph.isNull, 0.0)
-          .otherwise(when(col("dn") > col("up") && col("dn") > 0, col("dn")).otherwise(0.0)))
-      val c2 = c
-        .withColumn("st", ewma(s, col("tr0"), 1.0 / 14.0).over(run))
-        .withColumn("sp", ewma(s, col("pdm"), 1.0 / 14.0).over(run))
-        .withColumn("sm", ewma(s, col("mdm"), 1.0 / 14.0).over(run))
+            abs(col("low") - pc))).as("tr0"),
+        (col("high") - ph).as("up"),
+        (plo - col("low")).as("dn"))
+        .select(col("*"),
+          when(ph.isNull, 0.0)
+            .otherwise(when(col("up") > col("dn") && col("up") > 0, col("up"))
+              .otherwise(0.0)).as("pdm"),
+          when(ph.isNull, 0.0)
+            .otherwise(when(col("dn") > col("up") && col("dn") > 0, col("dn"))
+              .otherwise(0.0)).as("mdm"))
+      val c2 = c.select(col("*"),
+        ewma(s, col("tr0"), 1.0 / 14.0).over(run).as("st"),
+        ewma(s, col("pdm"), 1.0 / 14.0).over(run).as("sp"),
+        ewma(s, col("mdm"), 1.0 / 14.0).over(run).as("sm"))
       val pdi = when(col("st") > 0, lit(100.0) * col("sp") / col("st")).otherwise(0.0)
       val mdi = when(col("st") > 0, lit(100.0) * col("sm") / col("st")).otherwise(0.0)
       val c3 = c2.withColumn("dx",
         when(pdi + mdi > 0, lit(100.0) * abs(pdi - mdi) / (pdi + mdi)).otherwise(0.0))
-      c3.withColumn("adx", ewma(s, col("dx"), 1.0 / 14.0).over(run))
-        .withColumn("rn", row_number().over(bySym))
+      c3.select(col("*"),
+          ewma(s, col("dx"), 1.0 / 14.0).over(run).as("adx"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 28)
         .select(col("symbol"), col("bucket_ts"),
           q6(col("quote_volume")).as("turnover"), q6(col("adx")).as("adx"))
@@ -907,10 +930,11 @@ object MartSeries {
         .withColumn("dtp", col("tp") - lag("tp", 1).over(bySym))
         .withColumn("g", when(col("dtp") > 0, col("dtp")).otherwise(0.0))
         .withColumn("l", when(col("dtp") < 0, -col("dtp")).otherwise(0.0))
-      val c1 = (2 to 33).foldLeft(c0) { (df, k) =>
-        df.withColumn(s"ag$k", ewma(s, col("g"), 1.0 / k).over(run))
-          .withColumn(s"al$k", ewma(s, col("l"), 1.0 / k).over(run))
-      }
+      // one projection for the 64 EWMA columns (r14, guide §7.3): the
+      // foldLeft-withColumn spelling was 64 analyzer passes per build
+      val c1 = c0.select(col("*") +: (2 to 33).flatMap(k => Seq(
+        ewma(s, col("g"), 1.0 / k).over(run).as(s"ag$k"),
+        ewma(s, col("l"), 1.0 / k).over(run).as(s"al$k"))): _*)
       val rsis = array((2 to 33).map { k =>
         when(col(s"al$k") =!= 0.0,
           lit(100.0) - lit(100.0) / (lit(1.0) + col(s"ag$k") / col(s"al$k")))
@@ -970,20 +994,19 @@ object MartSeries {
     fields = Seq("k" -> "K值", "d" -> "D值", "j" -> "J值", "kdj_sig" -> "信号概述"),
     buildFrom = (s, dir, cframe) => {
       val h9 = max(col("high")).over(lastN(9)); val l9 = min(col("low")).over(lastN(9))
-      val c = cframe
-        .withColumn("nb", count(lit(1)).over(lastN(9)))
-        .withColumn("rsv",
-          when(col("nb") === 9,
-            (col("close") - l9) / nullif(h9 - l9, lit(0.0)) * 100))
+      // one projection per dependency level (r14, guide §7.3): nb inlines
+      // into rsv (same window spec — one physical pass)
+      val c = cframe.select(col("*"),
+        when(count(lit(1)).over(lastN(9)) === 9,
+          (col("close") - l9) / nullif(h9 - l9, lit(0.0)) * 100).as("rsv"))
       val c2 = c.withColumn("kk", ewma(s, col("rsv"), 1.0 / 3.0).over(run))
       val c3 = c2.withColumn("dd", ewma(s, col("kk"), 1.0 / 3.0).over(run))
       val q3 = (x: Column) => floor(x * 1e3 + 0.5) / 1e3
       val k3 = q3(col("kk")); val d3 = q3(col("dd"))
       val j3 = q3(lit(3.0) * col("kk") - lit(2.0) * col("dd"))
       val kp = lag(k3, 1).over(bySym); val dp = lag(d3, 1).over(bySym)
-      c3.withColumn("rn", row_number().over(bySym))
-        .withColumn("k3", k3).withColumn("d3", d3).withColumn("j3", j3)
-        .withColumn("kp", kp).withColumn("dp", dp)
+      c3.select(col("*"), row_number().over(bySym).as("rn"),
+          k3.as("k3"), d3.as("d3"), j3.as("j3"), kp.as("kp"), dp.as("dp"))
         .filter(col("rn") >= 40)
         .select(col("symbol"), col("bucket_ts"),
           q6(col("quote_volume")).as("turnover"),
@@ -1048,29 +1071,31 @@ object MartSeries {
       val c0 = cframe
         .withColumn("g", when(d > 0.0, d).otherwise(when(d.isNull, d).otherwise(0.0)))
         .withColumn("l", when(d < 0.0, -d).otherwise(when(d.isNull, d).otherwise(0.0)))
-      val c1 = Seq(7, 14, 21).foldLeft(c0) { (df, k) =>
-        df.withColumn(s"ag$k", ewma(s, col("g"), 1.0 / k).over(run))
-          .withColumn(s"al$k", ewma(s, col("l"), 1.0 / k).over(run))
-      }
+      // one projection for the six EWMA columns (r14, guide §7.3)
+      val c1 = c0.select(col("*") +: Seq(7, 14, 21).flatMap(k => Seq(
+        ewma(s, col("g"), 1.0 / k).over(run).as(s"ag$k"),
+        ewma(s, col("l"), 1.0 / k).over(run).as(s"al$k"))): _*)
       def rq(k: Int): Column = floor(
         when(col(s"al$k") === 0.0, when(col(s"ag$k") === 0.0, 50.0).otherwise(100.0))
           .otherwise(lit(100.0) - lit(100.0) /
             (lit(1.0) + col(s"ag$k") / col(s"al$k"))) * 100 + 0.5) / 100
-      val c2 = c1.withColumn("r7", rq(7)).withColumn("r14", rq(14))
-        .withColumn("r21", rq(21))
-        .withColumn("cnt11", count(lit(1)).over(bySym.rowsBetween(-5, 5)))
-        .withColumn("ph", col("cnt11") === 11 &&
-          col("high") === max(col("high")).over(bySym.rowsBetween(-5, 5)))
-        .withColumn("pl", col("cnt11") === 11 &&
-          col("low") === min(col("low")).over(bySym.rowsBetween(-5, 5)))
-      val c3 = c2
-        .withColumn("phs", collect_list(
-          when(col("ph"), struct(col("high").as("v"), col("r14").as("r"))))
-          .over(bySym.rowsBetween(-44, -6)))
-        .withColumn("pls", collect_list(
-          when(col("pl"), struct(col("low").as("v"), col("r14").as("r"))))
-          .over(bySym.rowsBetween(-44, -6)))
-        .withColumn("rn", row_number().over(bySym))
+      // one projection per dependency level (r14, guide §7.3): the cnt11
+      // gate inlines into ph/pl (same window spec — one physical pass)
+      val w11 = bySym.rowsBetween(-5, 5)
+      val c2 = c1.select(col("*"),
+        rq(7).as("r7"), rq(14).as("r14"), rq(21).as("r21"),
+        (count(lit(1)).over(w11) === 11 &&
+          col("high") === max(col("high")).over(w11)).as("ph"),
+        (count(lit(1)).over(w11) === 11 &&
+          col("low") === min(col("low")).over(w11)).as("pl"))
+      val c3 = c2.select(col("*"),
+          collect_list(
+            when(col("ph"), struct(col("high").as("v"), col("r14").as("r"))))
+            .over(bySym.rowsBetween(-44, -6)).as("phs"),
+          collect_list(
+            when(col("pl"), struct(col("low").as("v"), col("r14").as("r"))))
+            .over(bySym.rowsBetween(-44, -6)).as("pls"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 15)
       val nOb = Seq("r7", "r14", "r21")
         .map(c => when(col(c) > 70.0, 1).otherwise(0)).reduce(_ + _)
@@ -1436,18 +1461,21 @@ object MartSeries {
     key = "precise", table = "超级精准趋势扫描器",
     fields = Seq("tdir" -> "趋势方向", "tstr" -> "趋势强度"),
     buildFrom = (s, dir, cframe) => {
+      // one projection per dependency level (r14, guide §7.3)
       val c = zlCols(s, cframe)
-        .withColumn("up", col("basis") + col("band"))
-        .withColumn("dn", col("basis") - col("band"))
-        .withColumn("pc", lag("close", 1).over(bySym))
+        .select(col("*"),
+          (col("basis") + col("band")).as("up"),
+          (col("basis") - col("band")).as("dn"),
+          lag("close", 1).over(bySym).as("pc"))
         .withColumn("ev",
           when(col("basis").isNotNull && col("pc").isNotNull &&
             col("pc") <= col("up") && col("close") > col("up"), 1)
           .when(col("basis").isNotNull && col("pc").isNotNull &&
             col("pc") >= col("dn") && col("close") < col("dn"), -1))
-        .withColumn("trend", coalesce(
-          last(col("ev"), ignoreNulls = true).over(run), lit(0)))
-        .withColumn("rn", row_number().over(bySym))
+        .select(col("*"),
+          coalesce(last(col("ev"), ignoreNulls = true).over(run), lit(0))
+            .as("trend"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 35)
       val tb = when(col("trend") === 1, col("dn")).otherwise(col("up"))
       val gap = when(col("band") =!= 0.0 && col("basis").isNotNull,
@@ -1536,12 +1564,12 @@ object MartSeries {
     buildFrom = (s, dir, cframe) => {
       def mid(k: Int) = (max(col("high")).over(lastN(k)) +
         min(col("low")).over(lastN(k))) / 2
+      // one projection per dependency level (r14, guide §7.3)
       val c = cframe
-        .withColumn("tk", mid(9)).withColumn("kj", mid(26))
-        .withColumn("sb0", mid(52))
-        .withColumn("rn", row_number().over(bySym))
-        .withColumn("sa", (col("tk") + col("kj")) / 2)
-        .withColumn("sb", when(col("rn") >= 52, col("sb0")).otherwise(0.0))
+        .select(col("*"), mid(9).as("tk"), mid(26).as("kj"),
+          mid(52).as("sb0"), row_number().over(bySym).as("rn"))
+        .select(col("*"), ((col("tk") + col("kj")) / 2).as("sa"),
+          when(col("rn") >= 52, col("sb0")).otherwise(0.0).as("sb"))
         .filter(col("rn") >= 26)
       val top = greatest(col("sa"), col("sb")); val bot = least(col("sa"), col("sb"))
       val sig = when(col("close") > top && col("tk") > col("kj"), "BUY")
@@ -1590,15 +1618,17 @@ object MartSeries {
     key = "cloud", table = "趋势云反转扫描器",
     fields = Seq("cdir" -> "方向", "shape" -> "形态"),
     buildFrom = (s, dir, cframe) => {
+      // one projection per dependency level (r14, guide §7.3)
       val c0 = cframe
-        .withColumn("rn", row_number().over(bySym))
-        .withColumn("sma20", avg(col("close")).over(lastN(20)))
+        .select(col("*"),
+          row_number().over(bySym).as("rn"),
+          avg(col("close")).over(lastN(20)).as("sma20"))
         .withColumn("sin",
           when(col("rn") === 20, col("sma20"))
             .when(col("rn") > 20, col("close")))
-      val c = c0
-        .withColumn("smma", ewma(s, col("sin"), 1.0 / 20.0).over(run))
-        .withColumn("ema2", ewma(s, col("close"), 2.0 / 3.0).over(run))
+      val c = c0.select(col("*"),
+        ewma(s, col("sin"), 1.0 / 20.0).over(run).as("smma"),
+        ewma(s, col("close"), 2.0 / 3.0).over(run).as("ema2"))
       def lg(cn: String, k: Int) = lag(cn, k).over(bySym)
       val tls = when(
           lg("close", 3) < lg("open", 3) && lg("close", 2) < lg("open", 2) &&
@@ -1612,7 +1642,7 @@ object MartSeries {
         .when(col("open") >= lg("close", 1) && col("open") > lg("open", 1) &&
           col("close") < lg("open", 1), "SELL")
         .otherwise("HOLD")
-      c.withColumn("tls", tls).withColumn("eng", eng)
+      c.select(col("*"), tls.as("tls"), eng.as("eng"))
         .filter(col("rn") >= 20)
         .select(col("symbol"), col("bucket_ts"),
           q6(col("quote_volume")).as("turnover"),
@@ -1664,20 +1694,21 @@ object MartSeries {
     fields = Seq("hdir" -> "方向", "hstr" -> "强度"),
     buildFrom = (s, dir, cframe) => {
       val a1 = 2.0 / 11.0
-      val c0 = cframe
-        .withColumn("os", ewma(s, col("open"), a1).over(run))
-        .withColumn("hs", ewma(s, col("high"), a1).over(run))
-        .withColumn("ls", ewma(s, col("low"), a1).over(run))
-        .withColumn("cs", ewma(s, col("close"), a1).over(run))
-        .withColumn("rn", row_number().over(bySym))
+      // one projection per dependency level (r14, guide §7.3)
+      val c0 = cframe.select(col("*"),
+        ewma(s, col("open"), a1).over(run).as("os"),
+        ewma(s, col("high"), a1).over(run).as("hs"),
+        ewma(s, col("low"), a1).over(run).as("ls"),
+        ewma(s, col("close"), a1).over(run).as("cs"),
+        row_number().over(bySym).as("rn"))
       val c1 = c0.withColumn("hc", (col("os") + col("hs") + col("ls") + col("cs")) / 4)
       val c2 = c1.withColumn("z",
           when(col("rn") === 1, (col("os") + col("cs")) / 2)
             .otherwise(lag("hc", 1).over(bySym)))
       val c3 = c2.withColumn("hao", ewma(s, col("z"), 0.5).over(run))
-      val c5 = c3
-        .withColumn("o2", ewma(s, col("hao"), a1).over(run))
-        .withColumn("c2", ewma(s, col("hc"), a1).over(run))
+      val c5 = c3.select(col("*"),
+        ewma(s, col("hao"), a1).over(run).as("o2"),
+        ewma(s, col("hc"), a1).over(run).as("c2"))
       val body = abs(col("o2") - col("c2"))
       val bodyPrev = abs(lag("o2", 1).over(bySym) - lag("c2", 1).over(bySym))
       val slope = col("c2") - lag("c2", 4).over(bySym)
@@ -1741,12 +1772,12 @@ object MartSeries {
     fields = Seq("vdir" -> "方向", "vbull" -> "多头比例", "vbear" -> "空头比例"),
     buildFrom = (s, dir, cframe) => {
       val periods = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18, 20)
-      val c0 = periods.foldLeft(cframe) { (df, k) =>
-        df.withColumn(s"ma$k", ewma(s, col("close"), 2.0 / (k + 1.0)).over(run))
-      }
-      val c1 = periods.foldLeft(c0) { (df, k) =>
-        df.withColumn(s"md$k", col(s"ma$k") - lag(s"ma$k", 1).over(bySym))
-      }
+      // two projections instead of 36 analyzer passes (r14, guide §7.3):
+      // the ma* level is independent of itself, the md* level reads ma*
+      val c0 = cframe.select(col("*") +: periods.map(k =>
+        ewma(s, col("close"), 2.0 / (k + 1.0)).over(run).as(s"ma$k")): _*)
+      val c1 = c0.select(col("*") +: periods.map(k =>
+        (col(s"ma$k") - lag(s"ma$k", 1).over(bySym)).as(s"md$k")): _*)
       val ref = col("ma20")
       val nBull = periods.map(k =>
         when(col(s"ma$k") > ref && col(s"md$k") > 0, 1).otherwise(0)).reduce(_ + _)
@@ -1803,11 +1834,12 @@ object MartSeries {
     key = "gc", table = "G，C点扫描器",
     fields = Seq("gdir" -> "趋势方向", "gscore" -> "带宽评分"),
     buildFrom = (s, dir, cframe) => {
-      val c = cframe
-        .withColumn("e7", ewma(s, col("close"), 2.0 / 8.0).over(run))
-        .withColumn("e25", ewma(s, col("close"), 2.0 / 26.0).over(run))
-        .withColumn("e99", ewma(s, col("close"), 2.0 / 100.0).over(run))
-        .withColumn("rn", row_number().over(bySym))
+      // one projection (r14, guide §7.3)
+      val c = cframe.select(col("*"),
+          ewma(s, col("close"), 2.0 / 8.0).over(run).as("e7"),
+          ewma(s, col("close"), 2.0 / 26.0).over(run).as("e25"),
+          ewma(s, col("close"), 2.0 / 100.0).over(run).as("e99"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 35)
       val p = col("close")
       val gdir = when(col("e7") > col("e25") && col("e25") > col("e99"),
@@ -1889,23 +1921,26 @@ object MartSeries {
       def pstd(arr: Column, m: Column) = sqrt(
         graft.functions.ArrayFoldCols.sumSqDev(arr, m) /
           size(arr).cast("double"))
+      // each dependency level is ONE projection (r14, guide §7.3 driver
+      // time): the 19-withColumn chain ran the analyzer once per call
       val c0 = Tables.metrics5m(s, dir)
         .withColumnRenamed("create_time", "bucket_ts")
-        .withColumn("oiv", col("sum_open_interest_value"))
-        .withColumn("tlsr0", col("sum_toptrader_long_short_ratio"))
-        .withColumn("lsr0", col("count_long_short_ratio"))
-        .withColumn("tlsvr0", col("sum_taker_long_short_vol_ratio"))
-        .withColumn("p_oiv", lag("sum_open_interest_value", 1).over(wSym))
-        .withColumn("p_tlsr", lag("sum_toptrader_long_short_ratio", 1).over(wSym))
-        .withColumn("oivs", collect_list(
-          when(col("sum_open_interest_value") =!= 0.0,
-            col("sum_open_interest_value"))).over(wHist))
-        .withColumn("tops", collect_list(
-          when(col("sum_toptrader_long_short_ratio") =!= 0.0,
-            col("sum_toptrader_long_short_ratio"))).over(wHist))
-        .withColumn("takers", collect_list(
-          when(col("sum_taker_long_short_vol_ratio") =!= 0.0,
-            col("sum_taker_long_short_vol_ratio"))).over(wHist))
+        .select(col("*"),
+          col("sum_open_interest_value").as("oiv"),
+          col("sum_toptrader_long_short_ratio").as("tlsr0"),
+          col("count_long_short_ratio").as("lsr0"),
+          col("sum_taker_long_short_vol_ratio").as("tlsvr0"),
+          lag("sum_open_interest_value", 1).over(wSym).as("p_oiv"),
+          lag("sum_toptrader_long_short_ratio", 1).over(wSym).as("p_tlsr"),
+          collect_list(
+            when(col("sum_open_interest_value") =!= 0.0,
+              col("sum_open_interest_value"))).over(wHist).as("oivs"),
+          collect_list(
+            when(col("sum_toptrader_long_short_ratio") =!= 0.0,
+              col("sum_toptrader_long_short_ratio"))).over(wHist).as("tops"),
+          collect_list(
+            when(col("sum_taker_long_short_vol_ratio") =!= 0.0,
+              col("sum_taker_long_short_vol_ratio"))).over(wHist).as("takers"))
       // Per-row derived-series stats via the tight-loop kernels
       // ([[graft.functions.ArrayFolds]] pctStats / absDev1Stats /
       // tailStreakSigned — fold orders bit-matching the oracle's
@@ -1917,27 +1952,28 @@ object MartSeries {
       // an alias into each of its consumers.
       val stage = graft.functions.CodegenBarrierCol.barrier _
       val kern = graft.functions.ArrayFoldCols
-      val c1 = c0
-        .withColumn("m_oiv", stage(when(size(col("oivs")) > 0, fmean(col("oivs")))))
-        .withColumn("ps", stage(kern.pctStats(col("oivs"))))
-        .withColumn("ts", stage(kern.absDev1Stats(col("tops"))))
-        .withColumn("ks", stage(kern.absDev1Stats(col("takers"))))
-        .withColumn("streak0", stage(kern.tailStreakSigned(col("oivs"))))
-      val c2 = c1.withColumn("sd_oiv",
-          stage(when(size(col("oivs")) >= 2, pstd(col("oivs"), col("m_oiv")))))
-        .withColumn("ocp",
-          when(truthy(col("oiv")) && truthy(col("p_oiv")),
-            nullif(col("oiv") - col("p_oiv"), lit(0.0)) / col("p_oiv")))
+      val c1 = c0.select(col("*"),
+        stage(when(size(col("oivs")) > 0, fmean(col("oivs")))).as("m_oiv"),
+        stage(kern.pctStats(col("oivs"))).as("ps"),
+        stage(kern.absDev1Stats(col("tops"))).as("ts"),
+        stage(kern.absDev1Stats(col("takers"))).as("ks"),
+        stage(kern.tailStreakSigned(col("oivs"))).as("streak0"))
+      val c2 = c1.select(col("*"),
+        stage(when(size(col("oivs")) >= 2, pstd(col("oivs"), col("m_oiv"))))
+          .as("sd_oiv"),
+        when(truthy(col("oiv")) && truthy(col("p_oiv")),
+          nullif(col("oiv") - col("p_oiv"), lit(0.0)) / col("p_oiv"))
+          .as("ocp"))
       val topDev = when(truthy(col("tlsr0")), abs(col("tlsr0") - 1))
       val takerDev = when(truthy(col("tlsvr0")), abs(col("tlsvr0") - 1))
       def zCol(v: Column, st: String): Column =
         when(col(s"$st.n") >= 2,
           when(col(s"$st.sd") === 0.0, 0.0)
             .otherwise((v - col(s"$st.m")) / col(s"$st.sd")))
-      val c4 = c2
-        .withColumn("z_delta", when(col("ocp").isNotNull, zCol(col("ocp"), "ps")))
-        .withColumn("z_top", when(truthy(topDev), zCol(topDev, "ts")))
-        .withColumn("z_taker", when(truthy(takerDev), zCol(takerDev, "ks")))
+      val c4 = c2.select(col("*"),
+        when(col("ocp").isNotNull, zCol(col("ocp"), "ps")).as("z_delta"),
+        when(truthy(topDev), zCol(topDev, "ts")).as("z_top"),
+        when(truthy(takerDev), zCol(takerDev, "ks")).as("z_taker"))
       val risk = when(col("z_delta").isNotNull || col("z_top").isNotNull ||
           col("z_taker").isNotNull,
         coalesce(col("z_delta"), lit(0.0)) + coalesce(col("z_top"), lit(0.0)) +
@@ -2081,24 +2117,29 @@ object MartSeries {
     buildFrom = (s, dir, cframe) => {
       import graft.indicators.{KRules, Windows}
       import Windows.{bySymbol, lag1, lagN, meanOf}
+      // one projection per dependency level (r14, guide §7.3): the lag
+      // columns and abf are independent, ab reads abf
       val daily = graft.operators.Rollup.rollup(cframe, 86400L)
-        .withColumn("po", lag1(col("open"))).withColumn("pc", lag1(col("close")))
-        .withColumn("ph", lag1(col("high"))).withColumn("pl", lag1(col("low")))
-        .withColumn("o2", lagN(col("open"), 2)).withColumn("c2", lagN(col("close"), 2))
-        .withColumn("h2", lagN(col("high"), 2)).withColumn("l2", lagN(col("low"), 2))
-        .withColumn("o3", lagN(col("open"), 3)).withColumn("c3", lagN(col("close"), 3))
-        .withColumn("h3", lagN(col("high"), 3)).withColumn("l3", lagN(col("low"), 3))
-        .withColumn("o4", lagN(col("open"), 4)).withColumn("c4", lagN(col("close"), 4))
-        .withColumn("h4", lagN(col("high"), 4)).withColumn("l4", lagN(col("low"), 4))
-        .withColumn("abf", collect_list(abs(col("close") - col("open")))
-          .over(bySymbol.rowsBetween(-10, -1)))
+        .select(col("*"),
+          lag1(col("open")).as("po"), lag1(col("close")).as("pc"),
+          lag1(col("high")).as("ph"), lag1(col("low")).as("pl"),
+          lagN(col("open"), 2).as("o2"), lagN(col("close"), 2).as("c2"),
+          lagN(col("high"), 2).as("h2"), lagN(col("low"), 2).as("l2"),
+          lagN(col("open"), 3).as("o3"), lagN(col("close"), 3).as("c3"),
+          lagN(col("high"), 3).as("h3"), lagN(col("low"), 3).as("l3"),
+          lagN(col("open"), 4).as("o4"), lagN(col("close"), 4).as("c4"),
+          lagN(col("high"), 4).as("h4"), lagN(col("low"), 4).as("l4"),
+          collect_list(abs(col("close") - col("open")))
+            .over(bySymbol.rowsBetween(-10, -1)).as("abf"))
         .withColumn("ab", when(size(col("abf")) > 0, meanOf(col("abf"))))
       // trailing confirmed ±2 pivots for the chart shapes
       val wc = bySymbol.rowsBetween(-2, 2)
       val piv = daily
-        .withColumn("nb5", count(lit(1)).over(wc))
-        .withColumn("isph", col("nb5") === 5 && col("high") === max(col("high")).over(wc))
-        .withColumn("ispl", col("nb5") === 5 && col("low") === min(col("low")).over(wc))
+        .select(col("*"),
+          (count(lit(1)).over(wc) === 5 &&
+            col("high") === max(col("high")).over(wc)).as("isph"),
+          (count(lit(1)).over(wc) === 5 &&
+            col("low") === min(col("low")).over(wc)).as("ispl"))
         // The scanner's poll sees only the trailing 50 bars
         // (k_pattern.py:206 lookback=50), so each bar's visible pivots
         // are bounded at that frame — the faithful shape, and it caps
@@ -2114,12 +2155,13 @@ object MartSeries {
         // shapes anchored ≥48 bars back — beyond every rule's pattern
         // depth (the shape rules read the LAST 2-3 pivots, which sit
         // well inside the frame on any bar that fires).
-        .withColumn("hs", collect_list(when(col("isph"),
-          struct(col("bucket_ts").as("ts"), col("high").as("v"))))
-          .over(bySymbol.rowsBetween(-49, -2)))
-        .withColumn("ls", collect_list(when(col("ispl"),
-          struct(col("bucket_ts").as("ts"), col("low").as("v"))))
-          .over(bySymbol.rowsBetween(-49, -2)))
+        .select(col("*"),
+          collect_list(when(col("isph"),
+            struct(col("bucket_ts").as("ts"), col("high").as("v"))))
+            .over(bySymbol.rowsBetween(-49, -2)).as("hs"),
+          collect_list(when(col("ispl"),
+            struct(col("bucket_ts").as("ts"), col("low").as("v"))))
+            .over(bySymbol.rowsBetween(-49, -2)).as("ls"))
       def lastV(a: String, i: Int) = try_element_at(col(a), lit(-i)).getField("v")
       def lastT(a: String, i: Int) = try_element_at(col(a), lit(-i)).getField("ts")
       val (h1, h2v, h3v) = (lastV("hs", 1), lastV("hs", 2), lastV("hs", 3))
@@ -2249,16 +2291,20 @@ object MartSeries {
     fields = Seq("event" -> "结构事件", "bias_d" -> "偏向", "score" -> "评分"),
     buildFrom = (s, dir, cframe) => {
       val wc = bySym.rowsBetween(-5, 5)
-      val c = cframe
-        .withColumn("nb11", count(lit(1)).over(wc))
-        .withColumn("isph", col("nb11") === 11 && col("high") === max(col("high")).over(wc))
-        .withColumn("ispl", col("nb11") === 11 && col("low") === min(col("low")).over(wc))
-        .withColumn("sh", last(when(col("isph"), col("high")), ignoreNulls = true)
-          .over(bySym.rowsBetween(Window.unboundedPreceding, -5)))
-        .withColumn("sl", last(when(col("ispl"), col("low")), ignoreNulls = true)
-          .over(bySym.rowsBetween(Window.unboundedPreceding, -5)))
-        .withColumn("ema34", ewma(s, col("close"), 2.0 / 35.0).over(run))
-        .withColumn("rn", row_number().over(bySym))
+      // one projection per dependency level (r14, guide §7.3): the nb11
+      // gate inlines into isph/ispl (same window spec — one physical pass)
+      val c = cframe.select(col("*"),
+          (count(lit(1)).over(wc) === 11 &&
+            col("high") === max(col("high")).over(wc)).as("isph"),
+          (count(lit(1)).over(wc) === 11 &&
+            col("low") === min(col("low")).over(wc)).as("ispl"))
+        .select(col("*"),
+          last(when(col("isph"), col("high")), ignoreNulls = true)
+            .over(bySym.rowsBetween(Window.unboundedPreceding, -5)).as("sh"),
+          last(when(col("ispl"), col("low")), ignoreNulls = true)
+            .over(bySym.rowsBetween(Window.unboundedPreceding, -5)).as("sl"),
+          ewma(s, col("close"), 2.0 / 35.0).over(run).as("ema34"),
+          row_number().over(bySym).as("rn"))
         .filter(col("rn") >= 35)
       val bull = col("close") >= col("ema34")
       val brkUp = col("sh").isNotNull && col("close") > col("sh")
@@ -2323,15 +2369,16 @@ object MartSeries {
     buildFrom = (s, dir, cframe) => {
       import graft.indicators.Windows.{meanOf, stdOf}
       val hlc3 = (col("high") + col("low") + col("close")) / 3
+      // one projection per dependency level (r14, guide §7.3)
       val c = cframe
         .withColumn("src", hlc3)
-        .withColumn("basis",
-          sum(col("src") * col("volume")).over(lastN(20)) /
-            nullif(sum(col("volume")).over(lastN(20)), lit(0.0)))
-        .withColumn("frame", collect_list(col("src")).over(lastN(20)))
+        .select(col("*"),
+          (sum(col("src") * col("volume")).over(lastN(20)) /
+            nullif(sum(col("volume")).over(lastN(20)), lit(0.0))).as("basis"),
+          collect_list(col("src")).over(lastN(20)).as("frame"),
+          row_number().over(bySym).as("rn"))
         .withColumn("m", meanOf(col("frame")))
         .withColumn("dev", lit(2.0) * stdOf(col("frame"), col("m"), 1))
-        .withColumn("rn", row_number().over(bySym))
         .filter(col("rn") >= 30)
       c.select(col("symbol"), col("bucket_ts"),
         q6(col("quote_volume")).as("turnover"),

@@ -22,6 +22,10 @@ class MemoSpec extends AnyFunSuite {
     "p05_curation_manifest", // manifestCache (+ components, bigram inside)
     "g17_rules_corpus_1h",   // sharedRolledFired
     "g15_rules_volume_1h",   // categoryQueryAt memo-off subset evaluation
+    "g05_rules_core",        // categoryQuery memo-off subset evaluation
+    "g16_rules_messages",    // sharedFired (whole-corpus consumer)
+    "g19_rules_native_cooldown", // sharedNativeFired + sharedNativeCooled
+    "g20b_native_feed_retained", // sharedRetainedCooled
     "s07_knn_graph",         // knnGraphCache
     "t20_bigram_lm",         // bigramCache
     "d05_dedup_components")  // sharedComponents
