@@ -339,7 +339,7 @@ object RuleCorpus {
     // like rolledShared/nativeFiredShared, a fact-frame override must
     // neither read nor populate the (session, dir) key (r13 ADVICE #1:
     // the invariant every other fact-transiting shared memo enforces)
-    if (graft.Tables.factOverrideActive)
+    if (graft.Tables.factOverrideActive || graft.Tables.sharedMemoOff(s))
       compacted(rulesQueryAt(AllRules, seconds)(s, dir)).localCheckpoint()
     else graft.Tables.stampKeyed(sharedRolledFired, s, dir, seconds)(
       compacted(rulesQueryAt(AllRules, seconds)(s, dir)).localCheckpoint())
@@ -1034,6 +1034,11 @@ object RuleCorpus {
     // within-query checkpoint sharing remains. Serving keeps the
     // evaluate-once-fan-out memo (the reference's per-tick shape).
     if (graft.Tables.sharedMemoOff(s))
+      // the trailing checkpoint stays even in the single-consumer path:
+      // it hands consumers a size-known LogicalRDD (broadcast-eligible
+      // join side, truncated plan) — eliding it was measured WORSE
+      // (g19 7.9->12.0 s, g20 9.6->12.9 s: the un-checkpointed cooled
+      // side lost its broadcast and the join went wide)
       compacted(corpusFiredMsg(s, dir)).localCheckpoint()
     else sharedFired.computeIfAbsent((s, dirKey(dir)), _ =>
       compacted(corpusFiredMsg(s, dir)).localCheckpoint())
@@ -1328,14 +1333,35 @@ object RuleCorpus {
     * rebuild by design — each override is a different cut fact, so no
     * key short of the frame identity is sound.
     */
+  /** The requested cadences' roll-ups, keyed by seconds. Shared memos ON:
+    * the per-cadence [[rolledShared]] clustered checkpoints (built once,
+    * served to every consumer — the serving path). Single-build path (a
+    * fact override, or the bench's memo-off accounting): those
+    * checkpoints would be redundant materializations inside one query,
+    * so serve the RAW per-cadence roll-ups (optimization r14, guide
+    * §2.4 remove-materializations): the identical aggregation tree
+    * (bit-identical results — same partial-agg order over the bucketed
+    * fact, whose symbol clustering makes each roll-up exchange-free)
+    * minus the repartition+sort+checkpoint that only pays off when the
+    * frame is SHARED. A hierarchical 1h→4h/1d re-aggregation was
+    * measured and rejected: it re-associates the double sums
+    * (60.44 vs 60.440000000000005 on the sf0.001 fixture), which is
+    * absorbed by the 6-dp output grid but breaks the bit-parity
+    * discipline the oracle hash compare rests on.
+    */
+  private def rolledCadences(s: SparkSession, dir: String,
+      cadences: Seq[Long]): Map[Long, DataFrame] =
+    if (graft.Tables.factOverrideActive || graft.Tables.sharedMemoOff(s))
+      cadences.map(secs => secs ->
+        graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), secs)).toMap
+    else cadences.map(secs => secs -> rolledShared(s, dir, secs)).toMap
+
   private[graft] def fusedRolledFrame(s: SparkSession, dir: String): DataFrame = {
     val sep = graft.operators.Mart.IvTagSep
+    val rolledBy = rolledCadences(s, dir, TfSeconds.map(_._2))
     val union = TfSeconds.map { case (tf, secs) =>
-      val rolled =
-        if (graft.Tables.factOverrideActive)
-          graft.operators.Rollup.rollup(graft.Tables.candles(s, dir), secs)
-        else rolledShared(s, dir, secs)
-      rolled.withColumn("symbol", concat(col("symbol"), lit(sep + tf)))
+      rolledBy(secs)
+        .withColumn("symbol", concat(col("symbol"), lit(sep + tf)))
     }.reduce(_.unionByName(_))
     checkpointKeepLayout(s, union
       .repartition(col("symbol"))
@@ -1504,14 +1530,19 @@ object RuleCorpus {
     */
   private def feedPriceJoin(s: SparkSession, dir: String,
       cooled: DataFrame): DataFrame = {
+    // one rolledCadences call covers the per-timeframe close AND kpat's
+    // daily close: memo-off this is a hierarchical single-scan build
+    // instead of four clustered checkpoints serving a 3-column projection
+    val rolledBy =
+      rolledCadences(s, dir, (TfSeconds.map(_._2) :+ 86400L).distinct)
     val px = TfSeconds.map { case (tf, secs) =>
-      rolledShared(s, dir, secs)
+      rolledBy(secs)
         .select(col("symbol"), col("bucket_ts"),
           lit(tf).as("timeframe"), MartSeries.q6(col("close")).as("px"))
     }.reduce(_.unionByName(_))
     // kpat's mart is a DAILY series at any evaluation cadence, so its
     // rows sit on day-aligned bucket_ts and its price is the daily close
-    val pxDay = rolledShared(s, dir, 86400L)
+    val pxDay = rolledBy(86400L)
       .select(col("symbol"), col("bucket_ts"),
         MartSeries.q6(col("close")).as("px_day"))
     cooled.join(px, Seq("symbol", "bucket_ts", "timeframe"), "left")

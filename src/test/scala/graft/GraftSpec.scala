@@ -109,6 +109,26 @@ class RollupSpec extends AnyFunSuite {
     val up = operators.Rollup.rollup(c1m, 300L)
     assert(up.filter(expr("bucket_ts % 300 != 0")).count() == 0)
   }
+
+  test("hierarchical rollup reassociates double sums (rejected-path pin)") {
+    // documents WHY RuleCorpus.rolledCadences serves raw DIRECT roll-ups
+    // in the single-build path instead of re-aggregating 1h→4h: the
+    // hierarchical sum changes IEEE association order, so it is NOT
+    // bit-identical (it IS identical on the engine's 6-dp output grid —
+    // both variants quantize alike; this pin fails loudly if the fixture
+    // ever stops exhibiting the reassociation, at which point the
+    // cheaper hierarchical staging becomes safe to reconsider)
+    val oneH = operators.Rollup.rollup(c1m, 3600L)
+    val direct = operators.Rollup.rollup(c1m, 14400L)
+    val hier = operators.Rollup.rollup(oneH, 14400L)
+    assert(direct.count() == hier.count())
+    assert(direct.exceptAll(hier).count() > 0, "expected IEEE reassociation")
+    val q = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("symbol"), col("bucket_ts"),
+      floor(col("volume") * 1e6 + 0.5).as("v6"),
+      floor(col("quote_volume") * 1e6 + 0.5).as("qv6"))
+    assert(q(direct).exceptAll(q(hier)).count() == 0, "6-dp grid identity")
+  }
 }
 
 /** S5 — CSV backfill ingest: pinned schema, malformed-row drop, and the
